@@ -1,0 +1,704 @@
+"""The engine's named query workload — the correctness + bench surface.
+
+Every operator capability from SURVEY.md §2 is expressed here as a named
+query: a Spark DataFrame program plus (where SQL-expressible) an ANSI-SQL
+oracle that DuckDB executes on the same parquet fixtures. The driver
+hash-compares both at sf0.01; ``scripts/check_oracle.py`` replicates that
+check locally.
+
+Determinism rules (so value hashes match across engines):
+
+- Every computed column is aliased identically in Spark and SQL.
+- Sums over ``double`` columns go through a decimal cast
+  (``CAST(x AS DECIMAL(18,4))``) so accumulation is exact and
+  associative — float sums are order-dependent and Spark/DuckDB
+  aggregate in different orders.
+- Averages are computed as ``exact_decimal_sum :: double / count`` —
+  identical operands → identical IEEE division result in both engines.
+- ``LIMIT`` appears only under a total (tie-broken) ORDER BY.
+- Timestamps stay timezone-naive end-to-end: the fixtures' parquet
+  timestamps load as TIMESTAMP_NTZ in Spark and naive TIMESTAMP in
+  DuckDB, so results are independent of either engine's session zone.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None). Populated by @query below.
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query with its DuckDB oracle SQL (None → the
+    driver records a weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table. Parquet scan → column pruning + predicate
+    pushdown happen in Catalyst; at cluster scale this is the same code
+    path reading a partitioned directory.
+
+    The ``events`` fixture carries nanosecond parquet timestamps, which
+    Spark rejects (PARQUET_TYPE_ILLEGAL). We read them as int64
+    epoch-nanos via the legacy conf and standardize to an epoch-micros
+    ``ts_us`` column (integer `div`, no float rounding) — timezone- and
+    engine-independent, matching DuckDB's µs truncation of the same file.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts_us", F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, scale: int = 4, alias: str | None = None):
+    """Exact (decimal) sum of a double column — see module docstring."""
+    c = F.sum(F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str)
+              else col.cast(f"decimal(18,{scale})")).cast(f"decimal(38,{scale})")
+    return c.alias(alias) if alias else c
+
+
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DECIMAL(38,{scale}))"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4 — reference delegates to source SQL; native here)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity', 2)} AS sum_qty,
+           {_dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           CAST({_dsum_sql('l_quantity', 2)} AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST({_dsum_sql('l_extendedprice', 2)} AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → partial+final
+    hash aggregate. One shuffle on the (tiny-cardinality) group keys;
+    AQE coalesces post-shuffle partitions. Scale-safe: no driver state."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2, "sum_qty"),
+            dsum("l_extendedprice", 2, "sum_base_price"),
+            dsum(disc_price, 4, "sum_disc_price"),
+            dsum(charge, 6, "sum_charge"),
+            (dsum("l_quantity", 2).cast("double") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice", 2).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_export_plan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DECIMAL(12,2)) AS quantity,
+           l_extendedprice AS price,
+           CAST(l_shipdate AS DATE) AS shipdate
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 40
+    """,
+)
+def q02_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ETL export plan (reference db_to_pq SELECT planning,
+    db2pq/postgres/select_sql.py:107-155): keep/rename/cast/where through
+    the engine's QueryPlan. Projection + predicate push into the scan."""
+    from db2pq_spark.plans.plan import build_plan
+
+    li = t(spark, sf_dir, "lineitem")
+    plan = build_plan(
+        li.columns,
+        keep=["^l_orderkey$", "^l_linenumber$", "^l_quantity$",
+              "^l_extendedprice$", "^l_shipdate$"],
+        rename={"l_quantity": "quantity", "l_extendedprice": "price",
+                "l_shipdate": "shipdate"},
+        col_types={"quantity": "decimal(12,2)", "shipdate": "date"},
+        where="l_returnflag = 'R' AND l_quantity > 40",
+    )
+    return plan.apply(li)
+
+
+@query(
+    "q03_top_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is small relative to lineitem → explicit broadcast avoids
+    shuffling the fact table for the first join; the orders⋈lineitem join
+    shuffles on orderkey (both sides already keyed). Top-k via
+    TakeOrderedAndProject — no global sort."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey  = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. All dimensions (region/nation/customer/
+    supplier) broadcast; only orders⋈lineitem shuffles. At 100 TB the
+    dims stay broadcast-able (< a few GB) so the plan holds."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount', 6)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes
+    to the parquet reader (min/max row-group pruning at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6, "revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "q11_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {_dsum_sql('l_quantity', 2)} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — single shuffle, expand handled by Catalyst."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", 2, "sum_qty"))
+    )
+
+
+@query(
+    "q12_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {_dsum_sql('o_totalprice', 2)} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", 2, "sum_price"))
+    )
+
+
+@query(
+    "q13_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT — Spark expands to a two-phase aggregate
+    automatically (partial distinct per partition, then final)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+             F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q23_count_clamp",
+    oracle="""
+    SELECT LEAST(COUNT(*), 1000) AS n
+    FROM lineitem WHERE l_quantity > 30
+    """,
+)
+def q23_count_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1: COUNT(*) with WHERE and LIMIT clamp min(count, obs)
+    (db2pq/postgres/select_sql.py:27-49)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 30)
+        .agg(F.least(F.count("*"), F.lit(1000).cast("bigint")).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.5 — [absent in reference, Spark built-in])
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_semi_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no row multiplication, early out)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q16_anti_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers_without_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q16_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@query(
+    "q15_outer_join_having",
+    oracle=f"""
+    SELECT p.p_brand, COUNT(l.l_orderkey) AS n_lines,
+           {_dsum_sql('l.l_quantity', 2)} AS sum_qty
+    FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    HAVING COUNT(l.l_orderkey) > 50
+    """,
+)
+def q15_outer_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + HAVING. part is the small side but outer
+    semantics need it preserved; broadcast the part side."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(p).join(li, li.l_partkey == p.p_partkey, "left_outer")
+        .groupBy("p_brand")
+        .agg(F.count("l_orderkey").alias("n_lines"), dsum("l_quantity", 2, "sum_qty"))
+        .filter(F.col("n_lines") > 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, sorts, set ops (SURVEY §2.6 — [absent in reference])
+# ---------------------------------------------------------------------------
+
+@query(
+    "q07_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn <= 3
+    """,
+)
+def q07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number. Total order inside each partition
+    (tie-break on key) keeps it deterministic. At scale Spark 3.5+ pushes
+    a per-partition rank limit before the shuffle (WindowGroupLimit)."""
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q08_running_total",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS running_qty
+    FROM lineitem WHERE l_suppkey <= 10
+    """,
+)
+def q08_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame; deterministic total order per partition."""
+    w = (W.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 10)
+        .select("l_suppkey", "l_orderkey", "l_linenumber",
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+                 .cast("decimal(38,2)").alias("running_qty"))
+    )
+
+
+@query(
+    "q09_lag_delta",
+    oracle="""
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+           value - LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events WHERE user_id < 10
+    """,
+)
+def q09_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG with per-user ordering; double subtraction of identical
+    operands is bit-stable across engines. Ordering on epoch-micros
+    (+ event_id tiebreak) matches DuckDB's µs timestamp ordering."""
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "event_id", "ts_us", "value",
+                (F.col("value") - F.lag("value").over(w)).alias("delta"))
+    )
+
+
+@query(
+    "q10_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+                                     AND c_acctbal < 0
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey = 3
+    """,
+)
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / UNION(distinct) / EXCEPT chain, left-associative like
+    the SQL (no precedence surprises: ANSI gives INTERSECT higher
+    precedence — so it runs first here too)."""
+    c = t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    mach_neg = c.filter((F.col("c_mktsegment") == "MACHINERY")
+                        & (F.col("c_acctbal") < 0)).select("c_custkey")
+    nation3 = c.filter(F.col("c_nationkey") == 3).select("c_custkey")
+    return (
+        building.intersect(rich).union(mach_neg).distinct().exceptAll(nation3.distinct())
+    )
+
+
+@query(
+    "q25_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q25_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort at scale."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.7) + boolean coercion (T3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_slug,
+           ROUND(p_retailprice, 1) AS price_round,
+           ABS(p_size - 25) AS size_dev,
+           CAST(p_size % 7 AS INTEGER) AS size_mod
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar battery — all whole-stage-codegen built-ins
+    (the reference delegates scalar SQL to the source DB; SURVEY §2.7)."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.round("p_retailprice", 1).alias("price_round"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    )
+
+
+@query(
+    "q17_date_functions",
+    oracle="""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           EXTRACT(MONTH FROM o_orderdate) AS order_month,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q17_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"),
+                  F.month("o_orderdate").cast("bigint").alias("order_month"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q18_safe_boolean",
+    oracle="""
+    SELECT flag_txt,
+           CASE WHEN LOWER(TRIM(flag_txt)) IN ('t','true','y','yes','1','1.0') THEN TRUE
+                WHEN LOWER(TRIM(flag_txt)) IN ('f','false','n','no','0','0.0') THEN FALSE
+                ELSE NULL END AS flag,
+           COUNT(*) AS n
+    FROM (SELECT CASE CAST(l_linenumber % 5 AS INTEGER)
+                   WHEN 0 THEN 't' WHEN 1 THEN 'yes' WHEN 2 THEN '0'
+                   WHEN 3 THEN 'junk' ELSE NULL END AS flag_txt
+          FROM lineitem)
+    GROUP BY 1, 2
+    """,
+)
+def q18_safe_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe boolean coercion (reference T3,
+    db2pq/postgres/select_sql.py:55-65) over a derived truthy/falsy/junk
+    column — engine implementation is one codegen'd CASE expression."""
+    from db2pq_spark.functions.booleans import safe_boolean
+
+    li = t(spark, sf_dir, "lineitem")
+    flag_txt = (
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit("t"))
+        .when(F.col("l_linenumber") % 5 == 1, F.lit("yes"))
+        .when(F.col("l_linenumber") % 5 == 2, F.lit("0"))
+        .when(F.col("l_linenumber") % 5 == 3, F.lit("junk"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        li.select(flag_txt.alias("flag_txt"))
+        .select("flag_txt", safe_boolean("flag_txt").alias("flag"))
+        .groupBy("flag_txt", "flag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q24_numeric_modes",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(18,4)) AS price_decimal,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price_float64,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_text
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def q24_numeric_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three numeric modes (reference _resolve_numeric_mode,
+    db2pq/core.py:8-15) materialized side by side: decimal / float64 /
+    text renderings of the same column."""
+    li = t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    return li.filter(F.col("l_orderkey") <= 100).select(
+        "l_orderkey", "l_linenumber",
+        dec.alias("price_decimal"),
+        dec.cast("double").alias("price_float64"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time windows + sessionization (streaming-shape, batch-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_tumbling_window",
+    oracle=f"""
+    SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value', 2)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch twin of the
+    structured-streaming windowed agg in db2pq_spark.streaming. The
+    window key is computed with integer arithmetic on epoch-micros
+    (hour bucket = us div 3600e6 * 3600), engine- and tz-independent."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.expr("(ts_us div 3600000000) * 3600").alias("hour_epoch"),
+            "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
+    )
+
+
+@query(
+    "q20_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q20_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session. Classic
+    lag + cumulative-sum composition — two window passes over the same
+    partitioning, one shuffle. Gap math in epoch-micros longs."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wsum = (W.partitionBy("user_id").orderBy("ts_us", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    marked = e.select(
+        "user_id", "ts_us", "event_id",
+        F.when(F.lag("ts_us").over(w).isNull()
+               | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+               F.lit(1)).otherwise(F.lit(0)).alias("is_new"))
+    return (
+        marked.select("user_id",
+                      F.sum("is_new").over(wsum).cast("bigint").alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

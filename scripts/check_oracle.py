@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+For every entry in ``__spark_entry__.queries()`` with a matching
+``oracle_sql()`` entry: run the Spark query and the DuckDB oracle on the
+same parquet fixtures, then compare
+
+  1. row count,
+  2. column names (sorted — the driver sorts before hashing),
+  3. values, order-insensitively (rows sorted by their repr).
+
+Usage:  python scripts/check_oracle.py [query ...] [sf0.001|sf0.01|sf0.1]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols: list[str], rows) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = "/root/testdata/sf0.01"
+    names = []
+    for a in args:
+        if a.startswith("sf"):
+            sf_dir = f"/root/testdata/{a}"
+        else:
+            names.append(a)
+
+    import duckdb
+    import __spark_entry__ as entrymod
+    from db2pq_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if not names:
+        names = list(qs)
+
+    con = duckdb.connect()
+    for tbl in ("region nation customer supplier part orders lineitem "
+                "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        t0 = time.time()
+        sdf = qs[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_s = time.time() - t0
+
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"  {name:28s} rows-only: {len(srows)} rows  [{spark_s:.1f}s]")
+            continue
+
+        t0 = time.time()
+        rel = con.sql(oracles[name])
+        dcols = rel.columns
+        drows = rel.fetchall()
+        duck_s = time.time() - t0
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"row count {len(srows)} != {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
+        if not problems:
+            a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y]
+                problems.append(
+                    f"{len(diffs)} differing rows; first: spark={diffs[0][0]!r} "
+                    f"duck={diffs[0][1]!r}")
+        if problems:
+            n_fail += 1
+            print(f"✗ {name:28s} FAIL: {'; '.join(problems)}")
+            print(f"    spark types: {sdf.dtypes}")
+            print(f"    duck  types: {list(zip(rel.columns, [str(t) for t in rel.types]))}")
+        else:
+            n_pass += 1
+            print(f"✓ {name:28s} {len(srows)} rows  "
+                  f"[spark {spark_s:.1f}s, duck {duck_s:.2f}s]")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only  ({sf_dir})")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
