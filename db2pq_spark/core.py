@@ -1,0 +1,231 @@
+"""Engine orchestration: the reference's top-level entry points on Spark.
+
+Flow parity (SURVEY §3):
+
+- ``db_to_pq``    — table export: plan → read → transform → parquet sink
+  (reference db2pq/core.py:43-265)
+- ``sql_to_pq``   — arbitrary-query export (reference wrds_sql_to_pq,
+  db2pq/core.py:529-661); here the query can run server-side (JDBC
+  ``query`` option — reference semantics) or Spark-side over registered
+  views
+- ``df_to_pq``    — any DataFrame export; the Ibis-expression equivalent
+  (reference ibis_to_pq, db2pq/ibis.py:17-146 — a DataFrame *is* the
+  expression tree)
+- ``update_pq``   — conditional export: compare source freshness comment
+  against the stored table's ``last_modified``; skip / refuse / force
+  (reference _update_pq, db2pq/core.py:895-952)
+- ``schema_to_pq`` / ``update_schema`` — per-schema loops
+  (db2pq/core.py:765-892, 1217-1254)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db2pq_spark.functions.casts import apply_numeric_mode, resolve_numeric_mode
+from db2pq_spark.functions.timestamps import normalize_timestamps
+from db2pq_spark.plans.plan import build_plan
+from db2pq_spark.sinks.parquet_sink import (
+    get_modified_pq,
+    table_path,
+    write_parquet,
+)
+from db2pq_spark.sync.modified import modified_info, update_available
+
+
+@dataclass
+class UpdateResult:
+    """Outcome of a conditional export (reference prints these as
+    messages; we return them structured and print optionally)."""
+
+    action: str  # "updated" | "skipped" | "refused" | "empty"
+    table: str
+    schema: str
+    path: Path | None = None
+    reason: str | None = None
+
+
+@dataclass
+class Engine:
+    """A Parquet-repository engine bound to a SparkSession + data dir."""
+
+    spark: SparkSession
+    data_dir: str | Path
+    single_file: bool = False
+    verbose: bool = False
+    _views: set[str] = field(default_factory=set, repr=False)
+
+    # -- read side ---------------------------------------------------------
+
+    def read_pq(self, schema: str, table: str) -> DataFrame:
+        """Read a repository table back as a DataFrame."""
+        return self.spark.read.parquet(str(table_path(self.data_dir, schema, table)))
+
+    # -- export flows ------------------------------------------------------
+
+    def df_to_pq(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        keep=None,
+        drop=None,
+        rename: Mapping[str, str] | None = None,
+        col_types: Mapping[str, str] | None = None,
+        where: str | None = None,
+        obs: int | None = None,
+        numeric_mode: str | None = None,
+        tz: str = "UTC",
+        last_modified: str | None = None,
+        archive: bool = False,
+        row_group_rows: int = 1_048_576,
+    ) -> Path | None:
+        """Export any DataFrame through the full transform pipeline.
+
+        Order matches the reference lifecycle (SURVEY §3.1): numeric-mode
+        decimal handling → plan (filter/project/rename/cast/limit) →
+        timestamp normalization → sink with freshness metadata.
+        """
+        resolve_numeric_mode(numeric_mode)  # validate early
+        df = apply_numeric_mode(df, numeric_mode, explicit=col_types)
+        plan = build_plan(
+            df.columns, keep=keep, drop=drop, rename=rename,
+            col_types=col_types, where=where, obs=obs,
+        )
+        out = plan.apply(df)
+        out = normalize_timestamps(out, tz)
+        path = write_parquet(
+            out, self.data_dir, schema, table,
+            last_modified=last_modified, single_file=self.single_file,
+            archive=archive, row_group_rows=row_group_rows,
+        )
+        if self.verbose:
+            print(f"{'wrote' if path else 'skipped empty'} {schema}.{table}"
+                  + (f" -> {path}" if path else ""))
+        return path
+
+    def db_to_pq(
+        self,
+        source,
+        schema: str,
+        table: str,
+        type_names: list[str] | None = None,
+        partition_column: str | None = None,
+        bounds: tuple[int, int] | None = None,
+        num_partitions: int | None = None,
+        **export_kwargs,
+    ) -> Path | None:
+        """JDBC table export (reference flagship, db2pq/core.py:43-70).
+
+        The plan's SELECT executes server-side via the JDBC ``query``
+        option; with ``partition_column`` the pull parallelizes across
+        executors (scale upgrade over the reference's single stream).
+        """
+        from db2pq_spark.sources.jdbc import jdbc_read_options, read_jdbc
+
+        plan_kwargs = {k: export_kwargs.pop(k, None)
+                       for k in ("keep", "drop", "rename", "col_types",
+                                 "where", "obs")}
+        # Plan needs source columns; without a live connection the caller
+        # provides them, else we sample the table via a LIMIT-0 read.
+        cols = export_kwargs.pop("source_columns", None)
+        if cols is None:
+            probe = read_jdbc(self.spark, jdbc_read_options(
+                source, sql=f'SELECT * FROM "{schema}"."{table}" LIMIT 0'))
+            cols = probe.columns
+        plan = build_plan(cols, **plan_kwargs)
+        opts = jdbc_read_options(
+            source, plan=plan, schema=schema, table=table,
+            type_names=type_names,
+            partition_column=partition_column,
+            lower_bound=bounds[0] if bounds else None,
+            upper_bound=bounds[1] if bounds else None,
+            num_partitions=num_partitions,
+        )
+        df = read_jdbc(self.spark, opts)
+        # plan already executed server-side; only sink-side steps remain
+        return self.df_to_pq(df, schema, table, **export_kwargs)
+
+    def sql_to_pq(
+        self,
+        sql: str,
+        schema: str,
+        table: str,
+        source=None,
+        **export_kwargs,
+    ) -> Path | None:
+        """Arbitrary-SQL export. With ``source`` the SQL runs on the
+        database (reference semantics — the source engine executes,
+        db2pq/postgres/duckdb_pg.py:183-204); without, it runs in Spark
+        over views registered with :meth:`register_views`."""
+        if source is not None:
+            from db2pq_spark.sources.jdbc import jdbc_read_options, read_jdbc
+
+            df = read_jdbc(self.spark, jdbc_read_options(source, sql=sql))
+        else:
+            df = self.spark.sql(sql)
+        return self.df_to_pq(df, schema, table, **export_kwargs)
+
+    def register_views(self, schema: str, tables: Iterable[str]) -> None:
+        """Expose repository tables as SQL views for Spark-side
+        ``sql_to_pq`` queries."""
+        for tbl in tables:
+            self.read_pq(schema, tbl).createOrReplaceTempView(tbl)
+            self._views.add(tbl)
+
+    # -- sync / freshness ---------------------------------------------------
+
+    def update_pq(
+        self,
+        schema: str,
+        table: str,
+        source_comment: str | None,
+        exporter: Callable[[], Path | None],
+        force: bool = False,
+    ) -> UpdateResult:
+        """Conditional export (reference _update_pq, db2pq/core.py:895-952).
+
+        Decision kernel: unparseable source comment → refuse (unless
+        ``force``); destination missing/unparseable → update; source date
+        newer → update; else skip.
+        """
+        src = modified_info("source", source_comment)
+        current = table_path(self.data_dir, schema, table)
+        dst = modified_info(
+            "dest", get_modified_pq(current) if current.exists() else None
+        )
+        if force:
+            path = exporter()
+            return UpdateResult("updated" if path else "empty",
+                                table, schema, path, "forced")
+        if src.dt is None:
+            return UpdateResult(
+                "refused", table, schema, None,
+                f"source comment has no parseable last-modified: {source_comment!r}",
+            )
+        if not update_available(src, dst):
+            return UpdateResult("skipped", table, schema, None,
+                                "already up to date")
+        path = exporter()
+        return UpdateResult("updated" if path else "empty", table, schema, path)
+
+    def update_schema(
+        self,
+        schema: str,
+        comments: Mapping[str, str | None],
+        exporter_for: Callable[[str], Callable[[], Path | None]],
+        force: bool = False,
+    ) -> list[UpdateResult]:
+        """Refresh every existing repository table in a schema
+        (reference wrds_update_schema, db2pq/core.py:1217-1254)."""
+        from db2pq_spark.sinks.repository import pq_list_files
+
+        return [
+            self.update_pq(schema, tbl, comments.get(tbl),
+                           exporter_for(tbl), force=force)
+            for tbl in pq_list_files(self.data_dir, schema)
+        ]

@@ -1,0 +1,182 @@
+"""Parquet repository sink.
+
+Reference behavior being re-expressed (db2pq/files/parquet.py:611-721,
+db2pq/files/paths.py:62-105):
+
+- repository layout ``<data_dir>/<schema>/<table>.parquet`` with replaced
+  versions under ``<schema>/archive/<table>_<UTCstamp>.parquet``
+- temp-write + atomic promote (never expose a half-written table)
+- ``last_modified`` freshness metadata embedded with the data
+- zero-row result → nothing written, return ``None``
+  (db2pq/core.py:222-224)
+- row-group size control (db2pq/files/parquet.py:221-252)
+
+Spark-first adaptation: a "table" is a **directory** of part files —
+that's what scales to 1000 executors writing in parallel; the reference's
+single-file layout is available as ``single_file=True`` compat mode
+(streams the Spark output through one pyarrow writer and embeds
+``last_modified`` in the real parquet footer, byte-compatible with the
+reference's reader at db2pq/files/parquet.py:280-292).
+
+Freshness metadata for directory tables lives in a ``_last_modified.json``
+sidecar *inside* the table directory: it travels with the atomic
+directory rename (same atomicity domain as the data) and the leading
+underscore keeps Spark's reader from scanning it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from db2pq_spark.sync.timestamps import (
+    UNKNOWN_MODIFIED,
+    last_modified_dttm,
+    utc_stamp,
+)
+
+SIDECAR = "_last_modified.json"
+#: default row-group target, matching the reference (db2pq/core.py:53)
+DEFAULT_ROW_GROUP_ROWS = 1_048_576
+#: byte cap per row group (db2pq/files/parquet.py:17)
+ROW_GROUP_BYTE_CAP = 256 * 1024 * 1024
+
+
+def table_path(data_dir: str | Path, schema: str, table: str) -> Path:
+    """``<data_dir>/<schema>/<table>.parquet`` (db2pq/files/paths.py:19-25)."""
+    return Path(data_dir) / schema / f"{table}.parquet"
+
+
+def archive_dir(data_dir: str | Path, schema: str) -> Path:
+    return Path(data_dir) / schema / "archive"
+
+
+def temp_path(data_dir: str | Path, schema: str, table: str) -> Path:
+    """Hidden temp target; promoted atomically (db2pq/files/paths.py:62-72)."""
+    return Path(data_dir) / schema / f".temp_{table}.parquet"
+
+
+def write_parquet(
+    df: DataFrame,
+    data_dir: str | Path,
+    schema: str,
+    table: str,
+    last_modified: str | None = None,
+    row_group_rows: int = DEFAULT_ROW_GROUP_ROWS,
+    single_file: bool = False,
+    archive: bool = False,
+) -> Path | None:
+    """Export a DataFrame into the repository; returns final path or
+    ``None`` when the result is empty.
+
+    Pipeline: Spark writes the temp location (parallel, committed by
+    Spark's own protocol) → freshness metadata attached → existing table
+    archived or removed → atomic rename into place. A crash before the
+    final rename leaves the current table untouched.
+    """
+    final = table_path(data_dir, schema, table)
+    tmp = temp_path(data_dir, schema, table)
+    final.parent.mkdir(parents=True, exist_ok=True)
+    _rm(tmp)
+
+    if df.isEmpty():
+        return None
+
+    (
+        df.write.mode("overwrite")
+        .option("parquet.block.size", ROW_GROUP_BYTE_CAP)
+        .option("maxRecordsPerFile", row_group_rows)
+        .parquet(str(tmp))
+    )
+
+    if single_file:
+        _collapse_to_single_file(tmp, last_modified)
+    else:
+        _write_sidecar(tmp, last_modified)
+
+    if final.exists():
+        if archive:
+            archive_existing(data_dir, schema, table)
+        else:
+            _rm(final)
+    os.replace(tmp, final)
+    return final
+
+
+def _write_sidecar(table_dir: Path, last_modified: str | None) -> None:
+    payload = {
+        "last_modified": last_modified,
+        "written_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+    }
+    (table_dir / SIDECAR).write_text(json.dumps(payload))
+
+
+def _collapse_to_single_file(tmp: Path, last_modified: str | None) -> None:
+    """Stream the Spark-written directory into one parquet file with
+    ``last_modified`` in the footer metadata (reference parity:
+    db2pq/files/parquet.py:637-641). Batch-at-a-time — memory stays
+    bounded regardless of table size, though a single file is inherently
+    a single-writer path; use directory mode at scale."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    dataset = ds.dataset(str(tmp), format="parquet")
+    arrow_schema = dataset.schema
+    if last_modified is not None:
+        meta = dict(arrow_schema.metadata or {})
+        meta[b"last_modified"] = last_modified.encode()
+        arrow_schema = arrow_schema.with_metadata(meta)
+    out = tmp.with_name(tmp.name + ".onefile")
+    with pq.ParquetWriter(out, arrow_schema) as writer:
+        for batch in dataset.to_batches():
+            writer.write_batch(batch.cast(dataset.schema))
+    _rm(tmp)
+    os.replace(out, tmp)
+
+
+def get_modified_pq(path: str | Path) -> str | None:
+    """Read a table's ``last_modified`` (reference
+    db2pq/files/parquet.py:280-292). Directory tables → sidecar; single
+    files (ours or reference-written) → parquet footer metadata."""
+    p = Path(path)
+    if p.is_dir():
+        sidecar = p / SIDECAR
+        if sidecar.exists():
+            return json.loads(sidecar.read_text()).get("last_modified")
+        return None
+    if p.is_file():
+        import pyarrow.parquet as pq
+
+        meta = pq.read_schema(p).metadata or {}
+        raw = meta.get(b"last_modified")
+        return raw.decode() if raw is not None else None
+    return None
+
+
+def archive_existing(data_dir: str | Path, schema: str, table: str) -> Path | None:
+    """Move the active table to ``archive/<table>_<UTCstamp>.parquet``
+    (stamp parsed from its own freshness metadata, else
+    ``unknown_modified`` — db2pq/files/paths.py:75-97)."""
+    src = table_path(data_dir, schema, table)
+    if not src.exists():
+        return None
+    modified = get_modified_pq(src)
+    stamp = utc_stamp(last_modified_dttm(modified)) if modified else UNKNOWN_MODIFIED
+    adir = archive_dir(data_dir, schema)
+    adir.mkdir(parents=True, exist_ok=True)
+    dest = adir / f"{table}_{stamp}.parquet"
+    _rm(dest)
+    os.replace(src, dest)
+    return dest
+
+
+def _rm(path: Path) -> None:
+    if path.is_dir():
+        shutil.rmtree(path)
+    elif path.exists():
+        path.unlink()

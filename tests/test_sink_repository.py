@@ -1,0 +1,153 @@
+"""Parquet sink + repository lifecycle + conditional update flows.
+
+Spark-integration tests over a temp repository; exercises the reference
+behaviors: atomic promote, zero-row skip, metadata round-trip, archive /
+restore / remove, update/skip/refuse/force decisions
+(db2pq/files/parquet.py, db2pq/core.py:895-952)."""
+
+from __future__ import annotations
+
+import pytest
+
+from db2pq_spark.core import Engine
+from db2pq_spark.sinks.parquet_sink import get_modified_pq, table_path, write_parquet
+from db2pq_spark.sinks.repository import (
+    pq_archive,
+    pq_last_modified,
+    pq_list_files,
+    pq_remove,
+    pq_restore,
+)
+
+COMMENT = "Last modified: 11/26/2025 01:40:41"
+NEWER = "Last modified: 12/01/2025 09:00:00"
+
+
+@pytest.fixture()
+def repo(tmp_path):
+    return tmp_path / "repo"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+class TestSink:
+    def test_write_read_roundtrip(self, spark, repo, lineitem):
+        path = write_parquet(lineitem.limit(100), repo, "sf", "lineitem",
+                             last_modified=COMMENT)
+        assert path == table_path(repo, "sf", "lineitem")
+        back = spark.read.parquet(str(path))
+        assert back.count() == 100
+        assert set(back.columns) == set(lineitem.columns)
+        assert get_modified_pq(path) == COMMENT
+
+    def test_zero_rows_writes_nothing(self, spark, repo, lineitem):
+        path = write_parquet(lineitem.filter("l_quantity < 0"), repo, "sf", "empty")
+        assert path is None
+        assert not table_path(repo, "sf", "empty").exists()
+
+    def test_single_file_mode_embeds_footer_metadata(self, spark, repo, lineitem):
+        import pyarrow.parquet as pq
+
+        path = write_parquet(lineitem.limit(50), repo, "sf", "one",
+                             last_modified=COMMENT, single_file=True)
+        assert path.is_file()
+        meta = pq.read_schema(path).metadata
+        assert meta[b"last_modified"] == COMMENT.encode()
+        assert get_modified_pq(path) == COMMENT
+        assert spark.read.parquet(str(path)).count() == 50
+
+    def test_overwrite_is_atomic_replace(self, spark, repo, lineitem):
+        write_parquet(lineitem.limit(10), repo, "sf", "t", last_modified=COMMENT)
+        write_parquet(lineitem.limit(20), repo, "sf", "t", last_modified=NEWER)
+        assert spark.read.parquet(str(table_path(repo, "sf", "t"))).count() == 20
+        assert get_modified_pq(table_path(repo, "sf", "t")) == NEWER
+
+
+class TestRepository:
+    def test_archive_restore_remove(self, spark, repo, lineitem):
+        write_parquet(lineitem.limit(10), repo, "sf", "t", last_modified=COMMENT)
+        archived = pq_archive(repo, "sf", "t")
+        # stamp derives from embedded metadata: 01:40 EST = 06:40 UTC
+        assert archived.name == "t_20251126T064041Z.parquet"
+        assert pq_list_files(repo, "sf") == []
+        assert pq_list_files(repo, "sf", archive=True) == ["t_20251126T064041Z"]
+
+        restored = pq_restore(repo, "sf", "t_20251126T064041Z")
+        assert restored == table_path(repo, "sf", "t")
+        assert spark.read.parquet(str(restored)).count() == 10
+
+        assert pq_remove(repo, "sf", "t")
+        assert not pq_remove(repo, "sf", "t")  # already gone
+
+    def test_restore_archives_current(self, spark, repo, lineitem):
+        write_parquet(lineitem.limit(10), repo, "sf", "t", last_modified=COMMENT)
+        pq_archive(repo, "sf", "t")
+        write_parquet(lineitem.limit(30), repo, "sf", "t", last_modified=NEWER)
+        pq_restore(repo, "sf", "t_20251126T064041Z", archive_current=True)
+        # old version active again; newer one archived
+        assert spark.read.parquet(str(table_path(repo, "sf", "t"))).count() == 10
+        stems = pq_list_files(repo, "sf", archive=True)
+        assert "t_20251201T140000Z" in stems  # 09:00 EST = 14:00 UTC
+
+    def test_last_modified_summary(self, spark, repo, lineitem):
+        write_parquet(lineitem.limit(5), repo, "s1", "a", last_modified=COMMENT)
+        write_parquet(lineitem.limit(5), repo, "s2", "b")
+        rows = pq_last_modified(repo)
+        assert {(r["schema"], r["table"]) for r in rows} == {("s1", "a"), ("s2", "b")}
+        by = {r["table"]: r["last_modified"] for r in rows}
+        assert by["a"] == COMMENT and by["b"] is None
+
+
+class TestEngineFlows:
+    def test_df_to_pq_full_pipeline(self, spark, repo, lineitem):
+        eng = Engine(spark, repo)
+        path = eng.df_to_pq(
+            lineitem, "sf", "narrow",
+            keep=["^l_orderkey$", "^l_quantity$", "^l_returnflag$"],
+            rename={"l_returnflag": "flag"},
+            col_types={"l_quantity": "decimal(12,2)"},
+            where="l_quantity > 45",
+            last_modified=COMMENT,
+        )
+        back = spark.read.parquet(str(path))
+        assert back.columns == ["l_orderkey", "l_quantity", "flag"]
+        assert dict(back.dtypes)["l_quantity"] == "decimal(12,2)"
+        assert back.filter("l_quantity <= 45").count() == 0
+
+    def test_update_skip_refuse_force(self, spark, repo, lineitem):
+        eng = Engine(spark, repo)
+        calls = []
+
+        def exporter():
+            calls.append(1)
+            return eng.df_to_pq(lineitem.limit(10), "sf", "u",
+                                last_modified=COMMENT)
+
+        # fresh dest → update
+        r1 = eng.update_pq("sf", "u", COMMENT, exporter)
+        assert r1.action == "updated" and len(calls) == 1
+        # same date again → skip
+        r2 = eng.update_pq("sf", "u", COMMENT, exporter)
+        assert r2.action == "skipped" and len(calls) == 1
+        # newer source → update
+        r3 = eng.update_pq("sf", "u", NEWER, exporter)
+        assert r3.action == "updated" and len(calls) == 2
+        # unparseable source → refuse
+        r4 = eng.update_pq("sf", "u", "no comment", exporter)
+        assert r4.action == "refused" and len(calls) == 2
+        # force overrides refusal
+        r5 = eng.update_pq("sf", "u", "no comment", exporter, force=True)
+        assert r5.action == "updated" and len(calls) == 3
+
+    def test_sql_to_pq_spark_side(self, spark, repo, lineitem):
+        eng = Engine(spark, repo)
+        eng.df_to_pq(lineitem.limit(200), "sf", "lineitem")
+        eng.register_views("sf", ["lineitem"])
+        path = eng.sql_to_pq(
+            "SELECT l_orderkey, SUM(l_quantity) AS q FROM lineitem GROUP BY 1",
+            "sf", "agg",
+        )
+        assert spark.read.parquet(str(path)).columns == ["l_orderkey", "q"]
