@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale document pipelines.
+
+[extension — not in the reference] Five strategies, all expressed as
+declarative DataFrame plans (no Python UDFs — everything stays in
+whole-stage codegen / JVM):
+
+- :func:`exact_dedup` — hash-groupBy on normalized content
+- :func:`minhash_signatures` / :func:`minhash_dedup` — shingle →
+  MinHash → LSH banding → bucket join → exact-Jaccard verify
+- :func:`simhash` / :func:`simhash_dedup` — 64-bit SimHash +
+  chunk-blocked Hamming verification
+- :func:`ngram_jaccard_pairs` — exact word-n-gram Jaccard with
+  lang/length blocking
+- embedding cosine near-dup lives in
+  :mod:`db2pq_spark.operators.similarity`
+
+Scale design (100 TB mindset): every strategy is
+shuffle-on-a-blocking-key (band hash, simhash chunk, lang) so candidate
+generation never goes quadratic on the corpus; pathologically hot
+buckets are capped (``max_bucket``) before the pair join — the standard
+guard against skew blowing up a single reducer.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form: lowercase, whitespace collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns one row per distinct normalized text: (content_hash,
+    keep_id = min id, n_dups). One shuffle on the hash; partial
+    aggregation happens map-side so only one row per (partition, hash)
+    crosses the wire."""
+    h = F.md5(F.encode(normalize_text(text_col), "UTF-8")).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (pure Catalyst
+    higher-order functions — no UDF)."""
+    tokens = F.split(normalize_text(col), " ")
+    k = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig[num_hashes]) — MinHash via seeded xxhash64.
+
+    Each signature slot is ``min(xxhash64(shingle, seed_j))`` computed
+    with array higher-order functions: one pass over the shingle array
+    per slot, all JVM-side."""
+    sh = word_shingles(text_col, shingle_n).alias("shingles")
+    base = df.select(F.col(id_col).alias("id"), sh)
+    def slot(j: int):
+        # NB: the lambda must stay single-arg — F.transform interprets a
+        # two-arg lambda as (element, index), which would shadow the seed.
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(s, F.lit(j)))
+        )
+
+    sig = F.array(*[slot(j) for j in range(num_hashes)]).alias("sig")
+    return base.select("id", "shingles", sig)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
+
+    Pipeline: signatures → band keys (bands × rows/band) → explode →
+    shuffle on (band, key) → intra-bucket pairs (id1 < id2) → distinct →
+    verify exact Jaccard on the shingle sets. Buckets larger than
+    ``max_bucket`` are dropped (skew guard — a degenerate band key would
+    otherwise create a quadratic reducer)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    band_entries = F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+             .alias("key"),
+        )
+        for b in range(bands)
+    ])).alias("bk")
+    buckets = sigs.select("id", band_entries).select("id", "bk.band", "bk.key")
+
+    w = W.partitionBy("band", "key")
+    buckets = buckets.withColumn("bucket_n", F.count("*").over(w)) \
+                     .filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    cand = (
+        left.join(right, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+    sh = sigs.select("id", "shingles")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id1", "shingles": "sh1"}), "id1")
+        .join(sh.withColumnsRenamed({"id": "id2", "shingles": "sh2"}), "id2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn("union_", F.size(F.array_union("sh1", "sh2")))
+        .withColumn("jaccard", F.col("inter") / F.col("union_"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document (id, simhash).
+
+    Token hashes vote per bit position (+1/-1); the sign vector packs
+    back into one long with bitwise OR folds. Explode + single groupBy —
+    one shuffle, no UDF."""
+    tokens = F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    exploded = df.select(F.col(id_col).alias("id"), tokens) \
+                 .withColumn("h", F.xxhash64("tok"))
+    votes = exploded.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ])
+    packed = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("id", packed.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via chunk blocking.
+
+    Pigeonhole: splitting 64 bits into ``num_chunks`` equal chunks, any
+    pair within Hamming < num_chunks shares at least one exact chunk —
+    candidates come from equality joins on chunks (shuffle-friendly),
+    then ``bit_count(xor)`` verifies. Recall is guaranteed only for
+    ``max_hamming < num_chunks``; raising ``num_chunks`` widens the
+    guarantee but shrinks chunk width (more candidates — the classic
+    recall/cost dial)."""
+    chunk_bits = 64 // num_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", c * chunk_bits)
+                 .bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for c in range(num_chunks)
+        ])).alias("ck"),
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+
+    w = W.partitionBy("chunk", "key")
+    chunks = chunks.withColumn("n", F.count("*").over(w)) \
+                   .filter(F.col("n") <= max_bucket).drop("n")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                 .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs within blocks.
+
+    Quadratic **within a block** only — the block key (e.g. language)
+    bounds the join; suitable as a verifier behind LSH or on moderate
+    block sizes. Fully SQL-expressible (the DuckDB oracle replays it
+    exactly with list_intersect/list_distinct)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
+        word_shingles(text_col, n).alias("grams"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union_ = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                (inter / union_).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

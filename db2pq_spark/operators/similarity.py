@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+[extension — not in the reference] Two paths:
+
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query
+  set, score every corpus vector with JVM-side higher-order functions
+  (``zip_with`` + ``aggregate`` fold — no Python in the loop), rank per
+  query. The right baseline whenever |queries| × |corpus| work fits the
+  cluster; the corpus side stays partition-parallel and never collects.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane (SimHash)
+  LSH signatures bucket the corpus; candidates come from bucket
+  equality joins, then exact re-rank. Sub-linear candidate generation
+  at the cost of recall (probes = more signature permutations).
+
+Determinism: hyperplanes derive from a seeded ``xxhash64`` of
+(dimension, plane) — no RNG state, reproducible across runs/engines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays, accumulated in
+    double. Left-to-right fold → bit-stable, engine-comparable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Plan shape: broadcast(queries) nested-loop join corpus → score →
+    window rank per query. The corpus never shuffles for the join; the
+    only shuffle is the per-query ranking, keyed on query id.
+    ``round_digits`` stabilizes rank ties for cross-engine comparison.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_raw"),
+        )
+    )
+    cos = (F.round("cos_raw", round_digits) if round_digits is not None
+           else F.col("cos_raw"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, h_plane> where h_plane[d] = ±1 from a seeded hash —
+    a deterministic Rademacher hyperplane, no RNG, no literals to ship."""
+    signed = F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.when(
+                    F.xxhash64(d, F.lit(plane)).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, h: x.cast("double") * h,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (signed > 0).cast("int")
+
+
+def lsh_signature(
+    vec: Column, num_planes: int, dim: int, seed: int = 0
+) -> Column:
+    """Pack ``num_planes`` hyperplane signs into one long bucket key.
+    ``seed`` offsets the plane family (independent hash tables)."""
+    return reduce(
+        lambda acc, p: acc.bitwiseOR(
+            F.shiftleft(
+                _hyperplane_sign(vec, seed * 1000 + p, dim).cast("long"), p)
+        ),
+        range(num_planes),
+        F.lit(0).cast("long"),
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: ``num_tables`` independent LSH tables of
+    ``num_planes`` hyperplanes each; candidates = corpus vectors sharing
+    any table bucket with the query, re-ranked exactly.
+
+    At 100 TB the corpus signature computation is a single narrow scan;
+    the candidate join shuffles on (table, bucket) — cardinality
+    ~corpus × tables, never quadratic."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    for t in range(num_tables):
+        c = c.withColumn(f"b{t}", lsh_signature(F.col("cvec"), num_planes, dim, seed=t))
+        q = q.withColumn(f"b{t}", lsh_signature(F.col("qvec"), num_planes, dim, seed=t))
+
+    c_buckets = c.select(
+        "neighbor_id", "cvec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
+            for t in range(num_tables)
+        ])).alias("tb"),
+    ).select("neighbor_id", "cvec", "tb.table", "tb.bucket")
+    q_buckets = q.select(
+        "query_id", "qvec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
+            for t in range(num_tables)
+        ])).alias("tb"),
+    ).select("query_id", "qvec", "tb.table", "tb.bucket")
+
+    cand = (
+        c_buckets.join(F.broadcast(q_buckets), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id",
+                    F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join.
+
+    Same bucket → candidate pair → exact cosine ≥ threshold. High
+    thresholds collapse near-identical vectors into the same bucket with
+    high probability."""
+    sigs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    w = W.partitionBy("bucket")
+    sigs = sigs.withColumn("n", F.count("*").over(w)) \
+               .filter(F.col("n") <= max_bucket).drop("n")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,136 @@
+"""Text analysis operators for document pipelines.
+
+[extension — not in the reference] All pure Catalyst expressions
+(codegen'd, no UDFs): token counting (whitespace + BPE-ish subword
+estimate), quality scoring (length / punctuation / stopword ratios),
+n-gram-heuristic language ID, and document fingerprinting.
+
+Every function is a Column factory or a DataFrame transform usable in
+any plan; the workload exposes them with exact DuckDB-SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.dedup import normalize_text
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language heuristic. Deliberately small and ASCII-comparable so the
+# oracle SQL replays the identical decision function.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "de", "que", "es", "un", "para"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def subword_estimate(col: Column | str) -> Column:
+    """BPE-ish token estimate: ceil(chars / 4) — the standard
+    chars-per-token heuristic, exact integer arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ceil(F.length(c) / F.lit(4)).cast("bigint")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    digits = total - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(total > 0, digits / total).otherwise(F.lit(0.0))
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda x: x.isin(*words)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_count(col, lang) / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column | str) -> Column:
+    """Mean token length — exact rational (total chars of tokens /
+    token count) so engines agree bit-for-bit."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    rewards stopword presence and moderate length, penalizes
+    punctuation/digit noise. Deterministic double arithmetic."""
+    length_ok = (F.length(F.col(col) if isinstance(col, str) else col)
+                 .between(100, 10_000)).cast("double")
+    return F.round(
+        0.4 * stopword_ratio(col) * 5.0  # typical en ratio ~0.2 → saturate
+        + 0.3 * length_ok
+        + 0.3 * (1.0 - F.least(punct_ratio(col) * 10.0, F.lit(1.0))),
+        6,
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language ID with CJK short-circuit.
+
+    Decision function (replayed verbatim by the oracle SQL): if the text
+    contains CJK codepoints → ``zh``; otherwise the language with the
+    highest stopword hit count wins, ties broken in the fixed order
+    en > de > fr > es; zero hits everywhere → ``und``."""
+    c_en = stopword_count(col, "en")
+    c_de = stopword_count(col, "de")
+    c_fr = stopword_count(col, "fr")
+    c_es = stopword_count(col, "es")
+    best = F.greatest(c_en, c_de, c_fr, c_es)
+    raw = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(raw.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(c_en == best, F.lit("en"))
+        .when(c_de == best, F.lit("de"))
+        .when(c_fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (Engine code paths that don't need cross-engine parity can use
+    ``xxhash64`` for speed; md5 keeps the oracle exact.)"""
+    return F.md5(F.encode(normalize_text(col), "UTF-8"))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per document with the full feature battery."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        subword_estimate(text_col).alias("n_subwords"),
+        mean_token_len(text_col).alias("mean_token_len"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio_en"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -696,6 +696,267 @@ def q20_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+#: normalized-text expression, shared by oracle strings below
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKENS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "q30_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash (one shuffle, map-side
+    partial agg). [extension]"""
+    from db2pq_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q31_text_profile",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             {_TOKENS} AS toks,
+             len({_TOKENS}) AS n_tokens,
+             CAST(CEIL(LENGTH(text) / 4) AS BIGINT) AS n_subwords,
+             LENGTH(text) AS total_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+               AS punct_chars,
+             len(list_filter({_TOKENS},
+                 x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+               AS sw_en,
+             len(list_filter({_TOKENS},
+                 x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu')))
+               AS sw_de,
+             len(list_filter({_TOKENS},
+                 x -> x IN ('le','la','les','et','de','un','une','est','que','pour')))
+               AS sw_fr,
+             len(list_filter({_TOKENS},
+                 x -> x IN ('el','la','los','las','y','de','que','es','un','para')))
+               AS sw_es
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_subwords,
+           CASE WHEN n_tokens > 0
+                THEN list_aggregate(list_transform(toks, x -> LENGTH(x)), 'sum')
+                     / n_tokens
+                ELSE 0.0 END AS mean_token_len,
+           CASE WHEN total_chars > 0 THEN punct_chars / total_chars
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN sw_en / n_tokens ELSE 0.0 END
+             AS stopword_ratio_en,
+           ROUND(
+             0.4 * (CASE WHEN n_tokens > 0 THEN sw_en / n_tokens ELSE 0.0 END) * 5.0
+             + 0.3 * (CASE WHEN LENGTH(text) BETWEEN 100 AND 10000
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (1.0 - LEAST((CASE WHEN total_chars > 0
+                                        THEN punct_chars / total_chars
+                                        ELSE 0.0 END) * 10.0, 1.0)),
+             6) AS quality,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN GREATEST(sw_en, sw_de, sw_fr, sw_es) = 0 THEN 'und'
+                WHEN sw_en = GREATEST(sw_en, sw_de, sw_fr, sw_es) THEN 'en'
+                WHEN sw_de = GREATEST(sw_en, sw_de, sw_fr, sw_es) THEN 'de'
+                WHEN sw_fr = GREATEST(sw_en, sw_de, sw_fr, sw_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           md5({_NORM}) AS fingerprint
+    FROM feat
+    """,
+)
+def q31_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-analysis battery: token counts, BPE-ish subword
+    estimate, punctuation/stopword ratios, quality score, stopword-vote
+    language ID, content fingerprint. All codegen'd expressions —
+    the oracle SQL replays the identical decision functions. [extension]"""
+    from db2pq_spark.operators.textstats import text_profile
+
+    return text_profile(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q32_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, lang AS block,
+             CASE WHEN len({_TOKENS}) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len({_TOKENS}) - 2),
+                         i -> concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1],
+                                        {_TOKENS}[i+2])))
+                  ELSE [{_NORM}] END AS grams
+      FROM documents
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           len(list_intersect(a.grams, b.grams))
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+    WHERE len(list_intersect(a.grams, b.grams))
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= 0.5
+    """,
+)
+def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs, blocked by language —
+    quadratic within a block only. [extension]"""
+    from db2pq_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        block_col="lang", n=3, threshold=0.5,
+    )
+
+
+@query(
+    "q33_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (SQRT(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               4) AS cos
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast query
+    set × corpus scan, JVM-side fold for the dot product, window rank.
+    [extension]"""
+    from db2pq_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q34_asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE user_id < 20
+    ),
+    signups AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT ev.event_id, ev.user_id, ev.ts_us, s.ts_us AS ts_us_asof
+    FROM ev ASOF LEFT JOIN signups s
+      ON ev.user_id = s.user_id AND ev.ts_us >= s.ts_us
+    """,
+)
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): latest signup at-or-before each
+    event, via the union + last-non-null window composition — one
+    shuffle, no range-join explosion. Oracle: DuckDB native ASOF JOIN.
+    [extension]"""
+    from db2pq_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") < 20).select("event_id", "user_id", "ts_us")
+    right = ev.filter(F.col("event_type") == "signup").select("user_id", "ts_us")
+    return asof_join(left, right, on="user_id",
+                     left_time="ts_us", right_time="ts_us",
+                     value_cols=["ts_us"])
+
+
+@query(
+    "q35_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + Arrow-batched
+    mapInPandas feature extraction (byte-level stand-in for a codec
+    worker — container ships no media libs). [extension]"""
+    from db2pq_spark.operators.multimodal import binarize, extract_features
+
+    docs = binarize(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return extract_features(docs).select("doc_id", "n_bytes", "sha256")
+
+
+@query("q36_minhash_dedup")  # approximate → rows-only check
+def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verify; banding
+    makes candidate generation shuffle-bound, never quadratic.
+    [extension; no SQL oracle — LSH banding is not SQL-expressible]"""
+    from db2pq_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=64, bands=16, threshold=0.6,
+    )
+
+
+@query("q37_simhash_dedup")  # approximate → rows-only check
+def q37_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk pigeonhole
+    blocking, bit_count Hamming verify. [extension; rows-only]"""
+    from db2pq_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id",
+                         max_hamming=6)
+
+
+@query("q38_lsh_similarity")  # approximate → rows-only check
+def q38_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH buckets + exact re-rank —
+    the sub-linear scale path next to q33's exact baseline.
+    [extension; rows-only]"""
+    from db2pq_spark.operators.similarity import lsh_bucket_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("q39_embedding_neardup")  # approximate → rows-only check
+def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join.
+
+    The fixture's random embeddings have no true near-dups (max pairwise
+    cosine ≈ 0.51), so the corpus is augmented with scaled clones of the
+    first 20 vectors (scaling preserves cosine = 1.0): the operator must
+    recover exactly those planted pairs. [extension; rows-only]"""
+    from db2pq_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    clones = (
+        emb.filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(1.25))
+                 .alias("embedding"),
+                "label")
+    )
+    return embedding_neardup_pairs(emb.unionByName(clones), threshold=0.999)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,161 @@
+"""Extension-operator semantics tests on constructed micro-data —
+known duplicates, known neighbors, known as-of matches."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.asof import asof_join
+from db2pq_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    word_shingles,
+)
+from db2pq_spark.operators.multimodal import binarize, decode_stub, extract_features
+from db2pq_spark.operators.similarity import cosine_topk, embedding_neardup_pairs
+from db2pq_spark.operators.textstats import text_profile
+
+BASE = ("spark reads parquet files and runs distributed queries over "
+        "partitioned data with catalyst optimizing every stage")
+NEAR = ("spark reads parquet files and runs distributed queries over "
+        "partitioned data with catalyst optimizing each stage")
+OTHER = "completely different content about cooking pasta with tomato sauce"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),          # exact duplicate of 1
+        (3, NEAR, "en"),          # near duplicate of 1
+        (4, OTHER, "en"),
+        (5, "  SPARK reads   parquet files and runs distributed queries over "
+            "partitioned data with catalyst optimizing every stage ", "en"),
+        # ^ same as 1 after normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = {r["keep_id"]: r["n_dups"] for r in
+               exact_dedup(docs, "text", "doc_id").collect()}
+        assert out[1] == 3      # 1, 2, 5 normalize identically
+        assert out[3] == 1 and out[4] == 1
+
+
+class TestMinhash:
+    def test_finds_near_and_exact_dups(self, docs):
+        pairs = {(r["id1"], r["id2"])
+                 for r in minhash_dedup(docs, "text", "doc_id",
+                                        threshold=0.5).collect()}
+        assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+        assert (1, 3) in pairs  # near dup: one word differs
+        assert not any(4 in p for p in pairs)
+
+    def test_shingle_fallback_short_text(self, spark):
+        df = spark.createDataFrame([(1, "hi there")], "id long, text string")
+        [row] = df.select(word_shingles("text", 3).alias("s")).collect()
+        assert row["s"] == ["hi there"]
+
+
+class TestSimhash:
+    def test_exact_dups_hamming_zero(self, docs):
+        pairs = {(r["id1"], r["id2"]): r["hamming"]
+                 for r in simhash_dedup(docs, "text", "doc_id",
+                                        max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+        assert not any(4 in p for p in pairs)
+
+    def test_wider_chunks_widen_recall(self, docs):
+        # (1,3) sits at hamming 10 — outside the 4-chunk guarantee but
+        # inside the 16-chunk one (hamming < num_chunks)
+        pairs = {(r["id1"], r["id2"]): r["hamming"]
+                 for r in simhash_dedup(docs, "text", "doc_id",
+                                        max_hamming=10,
+                                        num_chunks=16).collect()}
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+        assert not any(4 in p for p in pairs)
+
+
+class TestNgramJaccard:
+    def test_exact_pair_is_one(self, docs):
+        rows = {(r["id1"], r["id2"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                             block_col="lang",
+                                             threshold=0.5).collect()}
+        assert rows[(1, 2)] == 1.0
+        assert 0.5 <= rows[(1, 3)] < 1.0
+
+
+class TestCosine:
+    def test_identical_vector_ranks_first(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),   # nearly identical to 1
+            (3, [0.0, 1.0, 0.0]),     # orthogonal
+            (4, [-1.0, 0.0, 0.0]),    # opposite
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = cosine_topk(df, df.filter("vec_id = 1"), k=3)
+        got = [(r["neighbor_id"], r["rank"]) for r in
+               out.orderBy("rank").collect()]
+        assert got[0] == (2, 1) and got[1] == (3, 2) and got[2] == (4, 3)
+
+    def test_neardup_pairs_find_clones(self, spark):
+        rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+        rows.append((99, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # clone of 0
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["id1"], r["id2"]) for r in
+                 embedding_neardup_pairs(df, threshold=0.99, dim=8).collect()}
+        assert (0, 99) in pairs
+
+
+class TestAsof:
+    def test_backward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 100)],
+            "event_id long, user_id long, ts_us long")
+        right = spark.createDataFrame(
+            [(10, 100), (10, 200), (30, 1)], "user_id long, ts_us long")
+        out = {r["event_id"]: r["ts_us_asof"] for r in
+               asof_join(left, right, "user_id", "ts_us", "ts_us",
+                         ["ts_us"]).collect()}
+        assert out[1] == 100   # inclusive: match at exactly t
+        assert out[2] == 200   # latest before 205
+        assert out[3] is None  # nothing at or before 50
+        assert out[4] is None  # user 20 has no signup
+
+
+class TestMultimodal:
+    def test_features_match_hashlib(self, docs):
+        feats = {r["doc_id"]: r for r in
+                 extract_features(binarize(docs, "text", "doc_id")).collect()}
+        assert feats[1]["sha256"] == hashlib.sha256(BASE.encode()).hexdigest()
+        assert feats[1]["n_bytes"] == len(BASE.encode())
+        assert feats[1]["head_byte"] == BASE.encode()[0]
+
+    def test_decode_is_stubbed(self, docs):
+        with pytest.raises(NotImplementedError):
+            decode_stub(docs)
+
+
+class TestTextProfile:
+    def test_counts_and_lang(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog, in the house."),
+             (2, "der hund und die katze ist von den zu ein mit"),
+             (3, "xyzzy plugh")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                text_profile(df, "text", "doc_id").collect()}
+        assert rows[1]["n_tokens"] == 8
+        assert rows[1]["lang_pred"] == "en"
+        assert rows[2]["lang_pred"] == "de"
+        assert rows[3]["lang_pred"] == "und"
+        assert rows[1]["punct_ratio"] > 0
