@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line the driver records as
+BENCH_r{N}.json.
+
+Workload shapes mirror the reference's benchmark definitions
+(BASELINE.md: full-table export ≈ crsp.dsf, filtered/projected export
+≈ comp.funda, small fixed-cost run) plus this engine's headline
+analytical queries and extension operators at sf0.1.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from db2pq_spark import workload
+    from db2pq_spark.core import Engine
+    from db2pq_spark.session import get_spark
+
+    spark = get_spark(app_name="db2pq_spark_bench")
+    tmp = tempfile.mkdtemp(prefix="bench_repo_")
+    eng = Engine(spark, tmp)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # warm the JVM + file cache outside the timed region
+    li.count()
+
+    # -- reference workload shapes (BASELINE.md) ---------------------------
+    timed("export_full_table", lambda: eng.df_to_pq(
+        li, "bench", "lineitem_full",
+        last_modified="Last modified: 01/01/2026 00:00:00"))
+    timed("export_filtered_projected", lambda: eng.df_to_pq(
+        li, "bench", "lineitem_filtered",
+        keep=["^l_orderkey$", "^l_quantity$", "^l_extendedprice$",
+              "^l_shipdate$", "^l_returnflag$"],
+        rename={"l_returnflag": "flag"},
+        col_types={"l_quantity": "decimal(12,2)"},
+        where="l_quantity > 25"))
+    timed("export_obs_1000_fixed_cost", lambda: eng.df_to_pq(
+        li, "bench", "lineitem_head", obs=1000))
+
+    # -- headline analytical queries ---------------------------------------
+    for name in ("q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
+                 "q06_forecast_revenue", "q08_running_total",
+                 "q19_tumbling_window", "q20_sessionization"):
+        fn = workload.REGISTRY[name][0]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    # -- extension operators ------------------------------------------------
+    for name in ("q30_exact_dedup", "q31_text_profile", "q33_cosine_topk",
+                 "q36_minhash_dedup", "q38_lsh_similarity"):
+        fn = workload.REGISTRY[name][0]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

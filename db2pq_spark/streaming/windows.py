@@ -1,0 +1,96 @@
+"""Structured Streaming surface. [extension — the reference has no
+streaming operators (SURVEY §2.12); its only "streams" are Arrow batch
+iterators.]
+
+The engine exposes the events fixture's batch window queries
+(workload q19/q20) as true incremental streams: parquet source →
+watermark → windowed / session aggregation → sink. On a cluster the
+same code runs against a file-arrival or Kafka source; tests drive it
+with the memory sink + ``processAllAvailable`` for synchronous
+completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events fixture schema with ns timestamps read as epoch-nanos longs
+#: (see workload.t(); Spark rejects TIMESTAMP(NANOS) natively)
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Open the events table as a file stream with proper event-time.
+
+    ``maxFilesPerTrigger=1`` keeps micro-batches bounded; event time is
+    reconstructed from epoch-nanos to a true timestamp column.
+
+    ``events_dir`` may be a directory of parquet files or a single
+    ``.../events.parquet`` file — the file streaming source requires a
+    directory, so a file path is rewritten to parent + glob filter."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    reader = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1))
+    if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
+        parent, fname = os.path.split(events_dir)
+        reader = reader.option("pathGlobFilter", fname)
+        raw = reader.parquet(parent)
+    else:
+        raw = reader.parquet(events_dir)
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    twin of workload q19. Late rows beyond the watermark are dropped and
+    state is GC'd, which is what bounds memory on an unbounded stream."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session windows (gap-based) per user — the streaming twin of
+    workload q20's lag+cumsum sessionization, using Spark's native
+    ``session_window`` state operator."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("session_window.start").alias("session_start"),
+                "user_id", "n_events")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append") -> DataFrame:
+    """Drive a streaming query to completion over the (finite) file
+    source and return the materialized result. Test/bench harness only —
+    production sinks are files/Kafka/foreachBatch."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,85 @@
+"""Physical-plan hygiene: the optimizations we rely on at 100 TB must
+actually appear in the executed plan — filter/projection pushdown into
+the parquet scan, broadcast joins for dimensions, no accidental
+cartesian products, whole-stage codegen coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from db2pq_spark import workload
+
+
+def plan_of(spark, sf_correct_dir, name: str, execute: bool = False) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = workload.REGISTRY[name][0](spark, sf_correct_dir)
+    if execute:
+        df.collect()  # AQE finalizes (and codegen spans appear) on execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPushdown:
+    def test_filter_pushdown_reaches_scan(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q06_forecast_revenue")
+        assert "PushedFilters: [" in plan
+        # at least one of the range predicates must be pushed
+        assert "GreaterThanOrEqual(l_shipdate" in plan or \
+               "LessThan(l_quantity" in plan
+
+    def test_projection_pruning(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q02_export_plan")
+        # only the 5 needed columns are read, not all 11
+        assert "l_comment" not in plan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema and "l_tax" not in read_schema[0]
+
+    def test_export_plan_pushes_filter(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q02_export_plan")
+        assert "PushedFilters: [" in plan
+        assert "EqualTo(l_returnflag,R)" in plan
+
+
+class TestJoinStrategy:
+    def test_q03_broadcasts_dims(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q03_top_orders")
+        assert "BroadcastHashJoin" in plan
+        # the fact table must not be globally sorted for a top-10
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q05_star_join_broadcasts_all_dims(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q05_region_revenue")
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+
+    def test_semi_and_anti_joins(self, spark, sf_correct_dir):
+        assert "LeftSemi" in plan_of(spark, sf_correct_dir, "q04_semi_join")
+        assert "LeftAnti" in plan_of(spark, sf_correct_dir, "q16_anti_join")
+
+
+class TestCodegen:
+    def test_q01_is_whole_stage_codegen(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q01_pricing_summary",
+                       execute=True)
+        # '*(n)' prefixes mark whole-stage-codegen spans in the compact
+        # plan rendering; scan→filter→partial-agg must be inside one
+        assert "*(1) HashAggregate" in plan
+        assert "*(1) Filter" in plan
+
+    def test_no_python_udfs_in_relational_battery(self, spark, sf_correct_dir):
+        for name in ("q01_pricing_summary", "q03_top_orders",
+                     "q07_topk_per_group", "q30_exact_dedup",
+                     "q31_text_profile"):
+            plan = plan_of(spark, sf_correct_dir, name)
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+
+class TestTopK:
+    def test_global_topk_avoids_full_sort(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q25_order_limit")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_window_group_limit_pushed(self, spark, sf_correct_dir):
+        # Spark 3.5+ WindowGroupLimit prunes per-partition before shuffle
+        plan = plan_of(spark, sf_correct_dir, "q07_topk_per_group")
+        assert "WindowGroupLimit" in plan

@@ -1,0 +1,54 @@
+"""Streaming windows vs their batch twins: the streaming tumbling-window
+counts must equal the batch groupBy over the same finite input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2pq_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+class TestTumbling:
+    def test_matches_batch(self, spark, sf_dir, events_stream):
+        # complete mode: append would (correctly) hold back the final
+        # windows still inside the watermark when the finite source ends
+        got = run_to_memory(
+            tumbling_counts(events_stream, "1 hour"), "tumbling_out",
+            output_mode="complete",
+        )
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+            .groupBy(F.window("event_time", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        got_map = {(r["window_start"], r["event_type"]): r["n_events"]
+                   for r in got.collect()}
+        batch_map = {(r["window"]["start"], r["event_type"]): r["n_events"]
+                     for r in batch.collect()}
+        assert got_map == batch_map
+        assert len(got_map) > 100  # ~30 days × 24 h × 5 types at sf0.001
+
+
+class TestSessions:
+    def test_session_totals_cover_all_events(self, spark, sf_dir, events_stream):
+        got = run_to_memory(
+            session_counts(events_stream, "30 minutes"), "session_out",
+            output_mode="complete",
+        )
+        total_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got.agg(F.sum("n_events")).collect()[0][0] == total_events
+        # more sessions than users, fewer than events
+        n_users = 50
+        assert n_users <= got.count() < total_events
