@@ -54,8 +54,18 @@ def exact_dedup(
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text (pure Catalyst
-    higher-order functions — no UDF)."""
-    tokens = F.split(normalize_text(col), " ")
+    higher-order functions — no UDF).
+
+    PERF: pass a column that already holds the token array (or at least
+    a bare column reference), not a computed expression — higher-order
+    lambdas evaluate interpreted with no common-subexpression
+    elimination, so an embedded ``split(regexp_replace(...))`` would
+    re-run once per shingle. :func:`with_shingles` is the fast path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _shingles_from_tokens(F.split(normalize_text(c), " "), n)
+
+
+def _shingles_from_tokens(tokens: Column, n: int) -> Column:
     k = F.size(tokens)
     grams = F.transform(
         F.sequence(F.lit(0), k - n),
@@ -66,6 +76,22 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+) -> DataFrame:
+    """(id, shingles) with the tokenization materialized in its own
+    projection stage, so the shingle lambda sees a column attribute and
+    the regex/split runs exactly once per row (CollapseProject keeps the
+    stages apart because the token array is referenced repeatedly)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    )
+    return toks.select(
+        "id", _shingles_from_tokens(F.col("_toks"), n).alias("shingles")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -73,21 +99,33 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig[num_hashes]) — MinHash via seeded xxhash64.
+    """(id, shingles, sig[num_hashes]) — MinHash signatures.
 
-    Each signature slot is ``min(xxhash64(shingle, seed_j))`` computed
-    with array higher-order functions: one pass over the shingle array
-    per slot, all JVM-side."""
-    sh = word_shingles(text_col, shingle_n).alias("shingles")
-    base = df.select(F.col(id_col).alias("id"), sh)
-    def slot(j: int):
-        # NB: the lambda must stay single-arg — F.transform interprets a
-        # two-arg lambda as (element, index), which would shadow the seed.
-        return F.array_min(
-            F.transform("shingles", lambda s: F.xxhash64(s, F.lit(j)))
-        )
+    Slot j's hash of shingle s is ``xxhash64(xxhash64(s), j)``: the
+    string is hashed once, then each slot derives an **independent
+    ordering** from the 64-bit value (each j must induce its own random
+    permutation of shingles — affine tricks like Kirsch-Mitzenmacher
+    double hashing fail here because the base-hash term dominates the
+    ordering, making one shingle win every slot).
 
-    sig = F.array(*[slot(j) for j in range(num_hashes)]).alias("sig")
+    A single fold over the shingle array updates every slot at once via
+    ``zip_with(acc, hashes, least)``, so the expression tree is
+    constant-size in ``num_hashes`` — the naive per-slot
+    ``array_min(transform(xxhash64(s, seed_j)))`` formulation costs
+    ~18 s of one-time janino codegen compilation at 64 slots."""
+    base = with_shingles(df, text_col, id_col, shingle_n)
+
+    max_long = (1 << 63) - 1
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        F.transform("shingles", lambda s: F.xxhash64(s)),
+        F.array_repeat(F.lit(max_long), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda j: F.xxhash64(h, j)),
+            lambda x, y: F.least(x, y),
+        ),
+    ).alias("sig")
     return base.select("id", "shingles", sig)
 
 
@@ -110,6 +148,14 @@ def minhash_dedup(
     otherwise create a quadratic reducer)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # The signature relation feeds four plan branches (two sides of the
+    # bucket self-join, two sides of the verify join). Without
+    # materialization Spark recomputes shingling+hashing per branch —
+    # persist makes the dedup linear in corpus size. MEMORY_AND_DISK:
+    # signatures are ~1 KB/doc, spilling is safe at any scale.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_entries = F.explode(F.array(*[
         F.struct(
@@ -148,30 +194,46 @@ def minhash_dedup(
     return verified
 
 
+#: literal 2^i bit masks (i=63 is the sign bit — stored as its two's-
+#: complement long so F.lit stays in range)
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document (id, simhash).
 
-    Token hashes vote per bit position (+1/-1); the sign vector packs
-    back into one long with bitwise OR folds. Explode + single groupBy —
-    one shuffle, no UDF."""
-    tokens = F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
-    exploded = df.select(F.col(id_col).alias("id"), tokens) \
-                 .withColumn("h", F.xxhash64("tok"))
-    votes = exploded.groupBy("id").agg(*[
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ])
+    Token hashes vote per bit position (+1/-1); votes accumulate in a
+    single fold over the token-hash array (``zip_with(acc, ±1-vector,
+    +)``) and the sign vector packs back into one long. Fully **narrow**
+    — no explode, no shuffle: each document's signature is computed
+    where the document lives, which is exactly what you want scanning
+    100 TB of text."""
+    toks = F.split(normalize_text(text_col), " ")
+    hashes = F.transform(toks, lambda t_: F.xxhash64(t_))
+    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks,
+                        lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                                   .otherwise(F.lit(-1)).cast("long")),
+            lambda a, b: a + b,
+        ),
+    )
     packed = reduce(
         lambda acc, i: acc.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+            F.when(F.element_at("_votes", i + 1) > 0, F.lit(_BIT_MASKS[i]))
+             .otherwise(F.lit(0).cast("long"))
         ),
         range(64),
         F.lit(0).cast("long"),
     )
-    return votes.select("id", packed.alias("simhash"))
+    return (
+        df.select(F.col(id_col).alias("id"), votes.alias("_votes"))
+        .select("id", packed.alias("simhash"))
+    )
 
 
 def simhash_dedup(
@@ -237,10 +299,13 @@ def ngram_jaccard_pairs(
     bounds the join; suitable as a verifier behind LSH or on moderate
     block sizes. Fully SQL-expressible (the DuckDB oracle replays it
     exactly with list_intersect/list_distinct)."""
-    sh = df.select(
+    toks = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
-        word_shingles(text_col, n).alias("grams"),
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    )
+    sh = toks.select(
+        "id", "block", _shingles_from_tokens(F.col("_toks"), n).alias("grams")
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))

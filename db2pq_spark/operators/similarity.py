@@ -80,39 +80,41 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <vec, h_plane> where h_plane[d] = ±1 from a seeded hash —
-    a deterministic Rademacher hyperplane, no RNG, no literals to ship."""
-    signed = F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: F.when(
-                    F.xxhash64(d, F.lit(plane)).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, h: x.cast("double") * h,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (signed > 0).cast("int")
-
-
 def lsh_signature(
     vec: Column, num_planes: int, dim: int, seed: int = 0
 ) -> Column:
-    """Pack ``num_planes`` hyperplane signs into one long bucket key.
-    ``seed`` offsets the plane family (independent hash tables)."""
-    return reduce(
-        lambda acc, p: acc.bitwiseOR(
-            F.shiftleft(
-                _hyperplane_sign(vec, seed * 1000 + p, dim).cast("long"), p)
-        ),
-        range(num_planes),
-        F.lit(0).cast("long"),
+    """Pack ``num_planes`` random-hyperplane signs into one long bucket
+    key. Hyperplanes are deterministic Rademacher vectors derived from
+    ``xxhash64(dim_index, plane_index)`` — no RNG state, nothing to ship
+    to executors. ``seed`` offsets the plane family (independent hash
+    tables).
+
+    Built as one constant-size expression (transform over the plane
+    index + Horner pack) so codegen stays small for any plane count;
+    requires ``num_planes <= 16`` (Horner doubling stays far from int64
+    overflow under ANSI mode)."""
+    if num_planes > 16:
+        raise ValueError("num_planes must be <= 16 (bucket key packing)")
+
+    def sign(p: Column) -> Column:
+        hplane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                F.xxhash64(d, p + F.lit(seed * 100_003))
+                 .bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        dot_ = F.aggregate(
+            F.zip_with(vec, hplane, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (dot_ > 0).cast("long")
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(num_planes - 1)), sign)
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
     )
 
 

@@ -122,15 +122,50 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One row per document with the full feature battery."""
-    return df.select(
+    """One row per document with the full feature battery.
+
+    Two-stage projection: tokenization (regex + split) materializes once
+    per row in the first stage; every feature in the second stage
+    references the token-array **attribute**. The single-stage form
+    re-evaluates the tokenizer per feature column (and, inside
+    higher-order lambdas, per element — they run interpreted, no
+    common-subexpression elimination)."""
+    staged = df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        subword_estimate(text_col).alias("n_subwords"),
-        mean_token_len(text_col).alias("mean_token_len"),
-        punct_ratio(text_col).alias("punct_ratio"),
-        stopword_ratio(text_col).alias("stopword_ratio_en"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fingerprint"),
+        F.col(text_col).alias("_raw"),
+        tokens(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    raw = F.col("_raw")
+    n_tok = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + F.length(x))
+    sw = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*sw.values())
+    total_chars = F.length(raw)
+    punct = total_chars - F.length(F.regexp_replace(raw, r"[\.,;:!\?]", ""))
+    punct_r = F.when(total_chars > 0, punct / total_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, sw["en"] / n_tok).otherwise(F.lit(0.0))
+    length_ok = total_chars.between(100, 10_000).cast("double")
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.ceil(total_chars / F.lit(4)).cast("bigint").alias("n_subwords"),
+        F.when(n_tok > 0, total_len / n_tok).otherwise(F.lit(0.0))
+         .alias("mean_token_len"),
+        punct_r.alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio_en"),
+        F.round(0.4 * sw_ratio * 5.0 + 0.3 * length_ok
+                + 0.3 * (1.0 - F.least(punct_r * 10.0, F.lit(1.0))), 6)
+         .alias("quality"),
+        (F.when(raw.rlike(r"[一-鿿]"), F.lit("zh"))
+          .when(best == 0, F.lit("und"))
+          .when(sw["en"] == best, F.lit("en"))
+          .when(sw["de"] == best, F.lit("de"))
+          .when(sw["fr"] == best, F.lit("fr"))
+          .otherwise(F.lit("es"))).alias("lang_pred"),
+        F.md5(F.encode(F.concat_ws(" ", toks), "UTF-8")).alias("fingerprint"),
     )
