@@ -696,6 +696,247 @@ def q20_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q21_window_battery",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           LEAD(s_acctbal) OVER w AS next_bal,
+           FIRST_VALUE(s_name) OVER w AS first_name,
+           PERCENT_RANK() OVER w AS pct_rank,
+           NTILE(4) OVER w AS quartile,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+                OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS cum_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q21_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value / percent_rank / ntile / range frame — one
+    window partitioning, single shuffle for all five functions."""
+    s = t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wr = w.rangeBetween(W.unboundedPreceding, W.currentRow)
+    return s.select(
+        "s_suppkey", "s_acctbal",
+        F.lead("s_acctbal").over(w).alias("next_bal"),
+        F.first("s_name").over(w).alias("first_name"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(wr)
+         .cast("decimal(38,2)").alias("cum_bal"),
+    )
+
+
+@query(
+    "q22_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)} AS open_total,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)} AS finished_total,
+           {_dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)} AS pending_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on order status. Uses .pivot() with explicit values — never
+    let Spark scan for distinct pivot values at scale."""
+    o = t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice", 2))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("O").alias("open_total"),
+        F.col("F").alias("finished_total"),
+        F.col("P").alias("pending_total"),
+    )
+
+
+@query(
+    "q26_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           ROUND(MIN(c_acctbal), 4) AS min_bal,
+           ROUND(MAX(c_acctbal), 4) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB prefer ``percentile_approx``
+    (mergeable sketch, one pass) — kept exact here for the oracle."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+             F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+             F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+             F.round(F.max("c_acctbal"), 4).alias("max_bal"))
+    )
+
+
+@query(
+    "q27_bag_set_ops",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_quantity > 48
+    UNION ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 48
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F' AND l_quantity > 48
+    """,
+)
+def q27_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (UNION ALL / EXCEPT ALL) — duplicate
+    multiplicities must match exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 48).select("l_orderkey")
+    b = li.filter((F.col("l_returnflag") == "R")
+                  & (F.col("l_quantity") > 48)).select("l_orderkey")
+    c = li.filter((F.col("l_linestatus") == "F")
+                  & (F.col("l_quantity") > 48)).select("l_orderkey")
+    return a.unionAll(b).exceptAll(c)
+
+
+@query(
+    "q28_null_handling",
+    oracle="""
+    SELECT o.o_orderkey,
+           COALESCE(agg.n_lines, 0) AS n_lines,
+           CASE WHEN agg.o_orderkey IS NULL THEN 'no_lines' ELSE 'has_lines' END
+             AS line_status,
+           NULLIF(o.o_orderstatus, 'O') AS status_or_null,
+           IFNULL(NULLIF(o.o_orderstatus, 'O'), 'open') AS status_filled
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_lines
+               FROM lineitem WHERE l_quantity > 49 GROUP BY 1) agg
+      USING (o_orderkey)
+    WHERE o.o_orderkey <= 2000
+    """,
+)
+def q28_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-propagation battery over an outer join: coalesce / nullif /
+    ifnull / IS NULL classification."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    agg = (
+        t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+    joined = o.join(agg, "o_orderkey", "left_outer")
+    return joined.select(
+        "o_orderkey",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.when(agg["n_lines"].isNull(), "no_lines").otherwise("has_lines")
+         .alias("line_status"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+        F.ifnull(F.nullif("o_orderstatus", F.lit("O")), F.lit("open"))
+         .alias("status_filled"),
+    )
+
+
+@query(
+    "q29_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q29_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect → sort → join (raw
+    collect_list order is partition-dependent; the sort restores
+    determinism on both engines)."""
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+              .alias("nations"),
+             F.count("*").alias("n_nations"))
+    )
+
+
+@query(
+    "q40_sql_api",
+    oracle=f"""
+    SELECT p.p_type, COUNT(*) AS n,
+           {_dsum_sql('l.l_extendedprice', 2)} AS total
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 40
+    GROUP BY p.p_type
+    """,
+)
+def q40_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (reference wrds_sql_to_pq semantics,
+    Spark-side execution over registered views — SURVEY §3.3): identical
+    Catalyst plan to the DataFrame API."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT p.p_type, COUNT(*) AS n,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS total
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size >= 40
+        GROUP BY p.p_type
+    """)
+
+
+@query(
+    "q41_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def q41_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 30).cast("timestamp_ntz").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date")
+         .alias("quarter_start"),
+    )
+
+
+@query(
+    "q42_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted,
+           BOOL_OR(l_quantity > 49) AS any_max_qty,
+           BOOL_AND(l_quantity > 0) AS all_positive
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q42_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_max_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
