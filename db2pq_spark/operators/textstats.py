@@ -114,6 +114,30 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
+def rolling_fingerprint(col: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over code points: ``h = (h*31 + cp) % m``.
+
+    Sequential fold (F.aggregate) → deterministic and replayable in any
+    engine with an ordered list-reduce; stays in int64 under ANSI
+    arithmetic (acc < m ≈ 2^30, acc*31+cp < 2^36). Empty text → 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    folded = F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, cp: (acc * 31 + cp) % mod,
+    )
+    return F.when(F.length(c) > 0, folded).otherwise(F.lit(0).cast("long"))
+
+
+def wordpiece_count(col: Column | str) -> Column:
+    """BPE-ish token count: one token per word or per non-space symbol
+    (``\\w+|[^\\w\\s]``) — the regex twin of the chars/4 estimate; both
+    Java regex and RE2 agree on these ASCII classes (CJK chars land in
+    the symbol branch, one token each)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"\w+|[^\w\s]")).cast("bigint")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (Engine code paths that don't need cross-engine parity can use
@@ -152,7 +176,7 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     length_ok = total_chars.between(100, 10_000).cast("double")
     return staged.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        n_tok.cast("bigint").alias("n_tokens"),
         F.ceil(total_chars / F.lit(4)).cast("bigint").alias("n_subwords"),
         F.when(n_tok > 0, total_len / n_tok).otherwise(F.lit(0.0))
          .alias("mean_token_len"),

@@ -81,6 +81,19 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_dedup(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; state for a
+    key is dropped once the watermark passes it (bounded memory on an
+    unbounded stream — the streaming twin of
+    :func:`db2pq_spark.operators.dedup.exact_dedup`)."""
+    keys = keys or ["user_id", "event_type"]
+    return (
+        events.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion over the (finite) file

@@ -412,7 +412,7 @@ def q07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "customer")
         .select("c_mktsegment", "c_custkey", "c_acctbal",
-                F.row_number().over(w).alias("rn"))
+                F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -538,7 +538,7 @@ def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
         F.round("p_retailprice", 1).alias("price_round"),
@@ -723,7 +723,7 @@ def q21_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("s_acctbal").over(w).alias("next_bal"),
         F.first("s_name").over(w).alias("first_name"),
         F.percent_rank().over(w).alias("pct_rank"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(wr)
          .cast("decimal(38,2)").alias("cum_bal"),
     )
@@ -1141,6 +1141,70 @@ def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = binarize(t(spark, sf_dir, "documents"), "text", "doc_id")
     return extract_features(docs).select("doc_id", "n_bytes", "sha256")
+
+
+@query(
+    "q43_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN LENGTH(text) > 0 THEN
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007)
+           ELSE 0 END AS rolling_hash,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_wordpieces,
+           md5({_NORM}) AS md5_fingerprint
+    FROM documents
+    """,
+)
+def q43_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting three ways: polynomial rolling hash over
+    code points (sequential fold, engine-replayable), BPE-ish regex
+    wordpiece count, md5 content hash. [extension]"""
+    from db2pq_spark.operators.dedup import normalize_text
+    from db2pq_spark.operators.textstats import (
+        rolling_fingerprint,
+        wordpiece_count,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("rolling_hash"),
+        wordpiece_count("text").alias("n_wordpieces"),
+        F.md5(F.encode(normalize_text("text"), "UTF-8")).alias("md5_fingerprint"),
+    )
+
+
+@query(
+    "q44_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+           COUNT(*) AS n,
+           {_dsum_sql('l_extendedprice', 2)} AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
+def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator columns — via
+    the SQL API (the DataFrame API exposes only cube/rollup)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """)
 
 
 @query("q36_minhash_dedup")  # approximate → rows-only check

@@ -42,6 +42,33 @@ def norm_cell(v):
     return v
 
 
+def norm_type(t: str) -> str:
+    """Map Spark dtypes and DuckDB type names onto one canonical set."""
+    t = str(t).lower()
+    aliases = {
+        "bigint": "int64", "long": "int64", "hugeint": "int128",
+        "int": "int32", "integer": "int32", "smallint": "int16",
+        "tinyint": "int8", "utinyint": "uint8",
+        "double": "float64", "double precision": "float64",
+        "float": "float32", "real": "float32",
+        "varchar": "string", "text": "string", "string": "string",
+        "timestamp_ntz": "timestamp", "timestamp": "timestamp",
+        "timestamp with time zone": "timestamptz",
+        "date": "date", "boolean": "boolean", "blob": "binary",
+        "binary": "binary",
+    }
+    if t.startswith("decimal") or t.startswith("numeric"):
+        return "decimal" + t.split("(", 1)[1].rstrip(")").replace(" ", "") \
+            if "(" in t else "decimal"
+    if t.startswith("array<") or t.endswith("[]"):
+        return "list"
+    return aliases.get(t, t)
+
+
+def schema_map(cols, types) -> dict[str, str]:
+    return {c: norm_type(t) for c, t in zip(cols, types)}
+
+
 def norm_rows(cols: list[str], rows) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -100,6 +127,13 @@ def main() -> int:
             problems.append(f"row count {len(srows)} != {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns {sorted(scols)} != {sorted(dcols)}")
+        else:
+            smap = schema_map(scols, [t for _, t in sdf.dtypes])
+            dmap = schema_map(dcols, rel.types)
+            mismatched = {c: (smap[c], dmap[c]) for c in smap
+                          if smap[c] != dmap[c]}
+            if mismatched:
+                problems.append(f"type mismatch {mismatched}")
         if not problems:
             a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
             if a != b:

@@ -10,6 +10,7 @@ from db2pq_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
     session_counts,
+    stream_dedup,
     tumbling_counts,
 )
 
@@ -39,6 +40,26 @@ class TestTumbling:
                      for r in batch.collect()}
         assert got_map == batch_map
         assert len(got_map) > 100  # ~30 days × 24 h × 5 types at sf0.001
+
+
+class TestStreamDedup:
+    def test_keeps_at_most_batch_distinct(self, spark, sf_dir, events_stream):
+        got = run_to_memory(
+            stream_dedup(read_events_stream(spark, f"{sf_dir}/events.parquet"),
+                         ["user_id", "event_type"]),
+            "dedup_out",
+        )
+        batch_distinct = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "event_type").distinct().count()
+        )
+        n = got.count()
+        # watermark-scoped dedup can re-admit a key after its state ages
+        # out, so: distinct ≤ streamed ≤ total, and exactly one row per
+        # (user, type) within any watermark window
+        assert batch_distinct <= n < 10_000
+        assert got.select("user_id", "event_type").distinct().count() \
+            == batch_distinct
 
 
 class TestSessions:
