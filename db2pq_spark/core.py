@@ -83,12 +83,14 @@ class Engine:
         last_modified: str | None = None,
         archive: bool = False,
         row_group_rows: int = 1_048_576,
+        partition_by: list[str] | None = None,
     ) -> Path | None:
         """Export any DataFrame through the full transform pipeline.
 
         Order matches the reference lifecycle (SURVEY §3.1): numeric-mode
         decimal handling → plan (filter/project/rename/cast/limit) →
         timestamp normalization → sink with freshness metadata.
+        ``partition_by`` produces a hive-partitioned table (scale path).
         """
         resolve_numeric_mode(numeric_mode)  # validate early
         df = apply_numeric_mode(df, numeric_mode, explicit=col_types)
@@ -102,6 +104,7 @@ class Engine:
             out, self.data_dir, schema, table,
             last_modified=last_modified, single_file=self.single_file,
             archive=archive, row_group_rows=row_group_rows,
+            partition_by=partition_by,
         )
         if self.verbose:
             print(f"{'wrote' if path else 'skipped empty'} {schema}.{table}"

@@ -173,6 +173,62 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched NumPy (``mapInPandas``) —
+    the vectorized alternative to :func:`cosine_topk`'s JVM fold.
+
+    The query matrix broadcasts to executors once; each Arrow batch of
+    corpus vectors becomes one BLAS matmul, and only the per-batch local
+    top-k per query leaves the partition (candidate pre-aggregation),
+    so the final global rank shuffles ≤ batches × queries × k rows —
+    independent of corpus size. Preferred when vectors are wide and the
+    batch matmul amortizes Python/Arrow overhead; the JVM fold wins for
+    narrow vectors / tiny corpora (no Python workers in the loop)."""
+    import numpy as np
+    import pandas as pd
+
+    q_local = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_local[id_col].to_numpy()
+    qm = np.stack(q_local[vec_col].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, qm))
+
+    def score(batches):
+        ids, qmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ qmat.T                      # corpus_batch × queries
+            nids = pdf[id_col].to_numpy()
+            take = min(k + 1, len(nids))          # +1: self-match dropped later
+            top = np.argpartition(-cos, take - 1, axis=0)[:take]
+            out = {
+                "query_id": np.repeat(ids, take),
+                "neighbor_id": nids[top].T.ravel(),
+                "cos": np.round(np.take_along_axis(cos, top, axis=0).T.ravel(),
+                                round_digits),
+            }
+            yield pd.DataFrame(out)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,46 @@
+"""Skew-handling join utilities.
+
+At 100 TB a handful of hot keys (a viral document, a default user id, a
+NULL-substitute sentinel) can put an entire sort-merge join on one
+reducer. Two remedies, composable:
+
+- AQE skew splitting is on by default in :func:`db2pq_spark.session.
+  get_spark` (``spark.sql.adaptive.skewJoin.enabled``) — handles skew it
+  can *see* at shuffle time.
+- :func:`salted_join` handles skew structurally: replicate the small
+  side ``salt`` times and scatter the big side's hot keys across salt
+  buckets, turning one monster partition into ``salt`` average ones.
+  Use when a key's row count is orders of magnitude above the median
+  and AQE's in-flight splitting isn't enough (e.g. the skewed side
+  also aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with salt-scattered keys.
+
+    big rows get a random-ish (hash-derived, deterministic) salt in
+    [0, salt); small rows are replicated once per salt value; the join
+    key becomes (on, salt). Results are identical to the plain join —
+    only the partitioning changes. Cost: small side × salt (keep it the
+    genuinely small side)."""
+    big_salted = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+         .cast("int"),
+    )
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_salted.join(small_salted, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -70,6 +70,7 @@ def write_parquet(
     row_group_rows: int = DEFAULT_ROW_GROUP_ROWS,
     single_file: bool = False,
     archive: bool = False,
+    partition_by: list[str] | None = None,
 ) -> Path | None:
     """Export a DataFrame into the repository; returns final path or
     ``None`` when the result is empty.
@@ -78,7 +79,16 @@ def write_parquet(
     Spark's own protocol) → freshness metadata attached → existing table
     archived or removed → atomic rename into place. A crash before the
     final rename leaves the current table untouched.
+
+    ``partition_by`` hive-partitions the table directory
+    (``.../table.parquet/col=value/part-*.parquet``) — the scale-path
+    layout: readers filtering on partition columns prune whole
+    directories before any I/O (PartitionFilters in the scan). No
+    reference counterpart (single files there); ``partition_by`` and
+    ``single_file`` are mutually exclusive.
     """
+    if partition_by and single_file:
+        raise ValueError("partition_by and single_file are mutually exclusive")
     final = table_path(data_dir, schema, table)
     tmp = temp_path(data_dir, schema, table)
     final.parent.mkdir(parents=True, exist_ok=True)
@@ -87,12 +97,14 @@ def write_parquet(
     if df.isEmpty():
         return None
 
-    (
+    writer = (
         df.write.mode("overwrite")
         .option("parquet.block.size", ROW_GROUP_BYTE_CAP)
         .option("maxRecordsPerFile", row_group_rows)
-        .parquet(str(tmp))
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp))
 
     if single_file:
         _collapse_to_single_file(tmp, last_modified)

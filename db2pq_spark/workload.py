@@ -1207,6 +1207,18 @@ def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query("q45_cosine_topk_pandas")  # float rounding differs from SQL → rows-only
+def q45_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow + NumPy matmul) twin of q33 — mapInPandas with
+    per-batch local top-k so shuffle volume is independent of corpus
+    size. tests/test_operators.py proves it selects the same neighbor
+    sets as the JVM-fold implementation. [extension; rows-only]"""
+    from db2pq_spark.operators.similarity import cosine_topk_pandas
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 @query("q36_minhash_dedup")  # approximate → rows-only check
 def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verify; banding
