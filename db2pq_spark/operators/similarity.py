@@ -229,6 +229,71 @@ def cosine_topk_pandas(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer partitions
+    the corpus into inverted lists; each query scores only the
+    ``n_probe`` nearest cluster lists, re-ranked exactly.
+
+    The 100 TB shape: centroids are tiny (n_clusters × dim — broadcast),
+    cluster assignment is one narrow pass, and the candidate join
+    touches ~n_probe/n_clusters of the corpus per query. Recall rises
+    with n_probe (n_probe == n_clusters → exact). Training uses
+    ``pyspark.ml.KMeans`` with a fixed seed on (a sample of) the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    featurized = c.withColumn("features", array_to_vector(
+        F.transform("cvec", lambda x: x.cast("double"))))
+    km = KMeans(k=n_clusters, seed=seed, maxIter=10)
+    model = km.fit(featurized.select("features"))
+
+    assigned = model.transform(featurized) \
+        .select("neighbor_id", "cvec", F.col("prediction").alias("cluster"))
+
+    # centroid relation (tiny) — distance of each query to each centroid
+    centroids = [(i, [float(x) for x in ctr])
+                 for i, ctr in enumerate(model.clusterCenters())]
+    cdf = corpus.sparkSession.createDataFrame(
+        centroids, "cluster int, centroid array<double>")
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    qc = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "qvec", "cluster",
+        F.aggregate(
+            F.zip_with("qvec", "centroid",
+                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cluster"))
+    probes = qc.withColumn("p", F.row_number().over(wq)) \
+               .filter(F.col("p") <= n_probe) \
+               .select("query_id", "qvec", "cluster")
+
+    cand = assigned.join(F.broadcast(probes), "cluster") \
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id",
+                    F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -1219,6 +1219,71 @@ def q45_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@query("q46_ivf_topk")  # approximate (k-means quantizer) → rows-only
+def q46_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means inverted lists,
+    n_probe nearest lists scored per query, exact re-rank — the
+    third similarity path beside brute force (q33/q45) and LSH (q38).
+    [extension; rows-only]"""
+    from db2pq_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                    n_clusters=8, n_probe=3)
+
+
+@query(
+    "q47_range_join",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_shipped_within_90d,
+           {_dsum_sql('l.l_quantity', 2)} AS qty_within_90d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
+    WHERE o.o_orderkey <= 3000
+    GROUP BY o.o_orderkey
+    """,
+)
+def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (equi key + time-interval predicate): the equi
+    component keeps it a hash/sort-merge join — the range condition
+    evaluates post-match, so no quadratic explosion. Pure range joins
+    (no equi key) should bucketize the range key first (see
+    operators/asof.py for the as-of composition)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    li = t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.timestamp_add("DAY", F.lit(90), o.o_orderdate))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_shipped_within_90d"),
+             dsum("l_quantity", 2, "qty_within_90d"))
+    )
+
+
+@query("q48_approx_sketches")  # sketch algorithms differ per engine → rows-only
+def q48_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch twins of the exact operators — what actually
+    runs at 100 TB: approx_count_distinct (HyperLogLog++) and
+    percentile_approx (single-pass, mergeable). Engine-specific sketch
+    internals → rows-only check; tests bound the error vs exact.
+    [scale path]"""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000)
+         .alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
 @query("q36_minhash_dedup")  # approximate → rows-only check
 def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verify; banding

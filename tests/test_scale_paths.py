@@ -48,6 +48,55 @@ class TestSaltedJoin:
             sorted(map(tuple, salted.collect()))
 
 
+class TestIvf:
+    def test_full_probe_equals_exact(self, spark, sf_dir):
+        from db2pq_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in cosine_topk(emb, q, k=5).collect()}
+        # probing every list == exhaustive search
+        full = {(r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(emb, q, k=5, n_clusters=4,
+                                  n_probe=4).collect()}
+        assert full == exact
+
+    def test_partial_probe_recall(self, spark, sf_dir):
+        from db2pq_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in cosine_topk(emb, q, k=5).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ivf_topk(emb, q, k=5, n_clusters=8,
+                                    n_probe=4).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"recall@5 {recall} too low for half-probe"
+
+
+class TestApproxSketches:
+    def test_error_bounds_vs_exact(self, spark, sf_dir):
+        from db2pq_spark import workload
+
+        rows = {r["l_returnflag"]: r for r in
+                workload.REGISTRY["q48_approx_sketches"][0](
+                    spark, sf_dir).collect()}
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        exact = {r["l_returnflag"]: r for r in
+                 li.groupBy("l_returnflag")
+                 .agg(F.countDistinct("l_orderkey").alias("d"),
+                      F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+                 .collect()}
+        for flag, r in rows.items():
+            # HLL++ default rsd = 5%; allow 2 sigma
+            assert abs(r["approx_orders"] - exact[flag]["d"]) \
+                <= 0.10 * exact[flag]["d"]
+            assert abs(r["approx_median_price"] - exact[flag]["m"]) \
+                <= 0.05 * exact[flag]["m"]
+
+
 class TestPandasCosine:
     def test_matches_jvm_fold(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
