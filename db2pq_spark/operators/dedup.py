@@ -87,6 +87,12 @@ def with_shingles(
         F.col(id_col).alias("id"),
         F.split(normalize_text(text_col), " ").alias("_toks"),
     )
+    # NULL and empty/whitespace-only texts would all collapse to the
+    # same degenerate shingle set and pair with each other as "perfect
+    # duplicates" — near-dup semantics are meaningless for them, so they
+    # are excluded from candidate generation (exact_dedup still groups
+    # them, which IS meaningful).
+    toks = toks.filter(F.size("_toks") > 0).filter(F.col("_toks")[0] != "")
     return toks.select(
         "id", _shingles_from_tokens(F.col("_toks"), n).alias("shingles")
     )
@@ -208,6 +214,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     — no explode, no shuffle: each document's signature is computed
     where the document lives, which is exactly what you want scanning
     100 TB of text."""
+    df = df.filter(F.col(text_col).isNotNull()
+                   & (F.trim(F.col(text_col)) != ""))  # degenerate docs out
     toks = F.split(normalize_text(text_col), " ")
     hashes = F.transform(toks, lambda t_: F.xxhash64(t_))
     masks = F.array(*[F.lit(m) for m in _BIT_MASKS])

@@ -105,8 +105,9 @@ def lang_id(col: Column | str) -> Column:
     best = F.greatest(c_en, c_de, c_fr, c_es)
     raw = F.col(col) if isinstance(col, str) else col
     return (
-        F.when(raw.rlike(r"[一-鿿]"), F.lit("zh"))
-        .when(best == 0, F.lit("und"))
+        F.when(raw.isNull(), F.lit("und"))  # null counts would otherwise
+        .when(raw.rlike(r"[一-鿿]"), F.lit("zh"))  # fall through to 'es'
+        .when(best.isNull() | (best == 0), F.lit("und"))
         .when(c_en == best, F.lit("en"))
         .when(c_de == best, F.lit("de"))
         .when(c_fr == best, F.lit("fr"))
@@ -185,8 +186,9 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.round(0.4 * sw_ratio * 5.0 + 0.3 * length_ok
                 + 0.3 * (1.0 - F.least(punct_r * 10.0, F.lit(1.0))), 6)
          .alias("quality"),
-        (F.when(raw.rlike(r"[一-鿿]"), F.lit("zh"))
-          .when(best == 0, F.lit("und"))
+        (F.when(raw.isNull(), F.lit("und"))
+          .when(raw.rlike(r"[一-鿿]"), F.lit("zh"))
+          .when(best.isNull() | (best == 0), F.lit("und"))
           .when(sw["en"] == best, F.lit("en"))
           .when(sw["de"] == best, F.lit("de"))
           .when(sw["fr"] == best, F.lit("fr"))

@@ -145,6 +145,38 @@ class TestMultimodal:
             decode_stub(docs)
 
 
+class TestNullAndEmptyText:
+    """Fixtures carry no NULL/empty text but real corpora do — the
+    operators must not crash or mis-pair on them."""
+
+    @pytest.fixture(scope="class")
+    def dirty(self, spark):
+        rows = [(1, BASE, "en"), (2, None, "en"), (3, "", "en"),
+                (4, "   ", "en"), (5, BASE, "en")]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_exact_dedup_handles_nulls(self, dirty):
+        out = {r["keep_id"]: r["n_dups"] for r in
+               exact_dedup(dirty, "text", "doc_id").collect()}
+        assert out[1] == 2           # 1 and 5
+        # empty and whitespace-only normalize alike; null hashes to null
+        assert sum(out.values()) == 5
+
+    def test_minhash_pairs_only_real_dups(self, dirty):
+        pairs = {(r["id1"], r["id2"]) for r in
+                 minhash_dedup(dirty, "text", "doc_id", threshold=0.5).collect()}
+        assert (1, 5) in pairs
+        assert all(p[0] not in (2, 3, 4) and p[1] not in (2,)
+                   for p in pairs), pairs
+
+    def test_text_profile_no_crash(self, dirty):
+        rows = {r["doc_id"]: r for r in
+                text_profile(dirty, "text", "doc_id").collect()}
+        assert rows[3]["n_tokens"] in (0, 1)  # split('') edge
+        assert rows[3]["quality"] is not None
+        assert rows[2]["lang_pred"] is None or rows[2]["lang_pred"] == "und"
+
+
 class TestTextProfile:
     def test_counts_and_lang(self, spark):
         df = spark.createDataFrame(
