@@ -180,6 +180,41 @@ class Engine:
             self.read_pq(schema, tbl).createOrReplaceTempView(tbl)
             self._views.add(tbl)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: str,
+        num_buckets: int = 16,
+        sort_by: str | None = None,
+    ) -> None:
+        """Write a bucketed managed table (``bucketBy`` + ``saveAsTable``).
+
+        Bucketing pre-shuffles the data ONCE at write time; every later
+        join or aggregation on ``bucket_by`` between tables bucketed the
+        same way runs with **no Exchange** — the per-stage shuffle
+        disappears from the plan (asserted in tests/test_scale_paths.py).
+        This is the right layout for fact tables joined repeatedly on
+        the same key at 100 TB. No reference counterpart (single-file
+        Parquet there); requires a metastore-backed table rather than a
+        bare directory."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a location orphaned by a previous session's metastore blocks
+        # CREATE even after DROP — clear it (managed tables only)
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:"):]
+        leftover = Path(warehouse) / table if warehouse else None
+        if leftover is not None and leftover.exists():
+            import shutil
+
+            shutil.rmtree(leftover, ignore_errors=True)
+        writer = df.write.mode("overwrite").format("parquet") \
+            .bucketBy(num_buckets, bucket_by)
+        if sort_by:
+            writer = writer.sortBy(sort_by)
+        writer.saveAsTable(table)
+
     # -- sync / freshness ---------------------------------------------------
 
     def update_pq(

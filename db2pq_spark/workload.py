@@ -937,6 +937,91 @@ def q42_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49_string_battery2",
+    oracle="""
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded_key,
+           split_part(s_name, '#', 2) AS name_num,
+           translate(s_name, '#', '-') AS name_dashed,
+           reverse(s_name) AS name_rev,
+           repeat('ab', 3) AS rep,
+           CAST(levenshtein(s_name, 'Supplier#1') AS BIGINT) AS lev,
+           CAST(instr(s_name, '#') AS BIGINT) AS hash_pos
+    FROM supplier
+    """,
+)
+def q49_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: padding, splitting, translate, reverse,
+    repeat, Levenshtein distance (fuzzy-matching primitive), position,
+    initcap — all codegen'd built-ins."""
+    s = t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.translate("s_name", "#", "-").alias("name_dashed"),
+        F.reverse("s_name").alias("name_rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.levenshtein("s_name", F.lit("Supplier#1")).cast("bigint").alias("lev"),
+        F.instr("s_name", "#").cast("bigint").alias("hash_pos"),
+    )
+
+
+@query(
+    "q50_array_ops",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(c_custkey)) AS custkeys,
+           len(list(c_custkey)) AS n,
+           list_sort(list(c_custkey))[1] AS smallest,
+           list_contains(list(c_custkey), 1) AS has_cust_1
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+)
+def q50_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed results: collect → sort → index/contains. Nested
+    types flow through the whole stack (Spark arrays ↔ DuckDB lists ↔
+    parquet lists) — the reference passes them through opaquely
+    (SURVEY §1.2), here they're first-class."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    arr = F.array_sort(F.collect_list("c_custkey"))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(arr.alias("custkeys"),
+             F.count("*").alias("n"),
+             arr[0].alias("smallest"),
+             F.array_contains(F.collect_list("c_custkey"), 1).alias("has_cust_1"))
+    )
+
+
+@query(
+    "q51_explode",
+    oracle="""
+    WITH grouped AS (
+      SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           unnest(lines) AS l_linenumber,
+           CAST(unnest(generate_series(1, len(lines))) - 1 AS INTEGER) AS pos
+    FROM grouped
+    """,
+)
+def q51_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode round-trip: group to arrays, unnest back with
+    ordinality — the lateral-view pattern for nested data."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("lines"))
+    return grouped.select(
+        "l_orderkey",
+        F.posexplode("lines").alias("pos", "l_linenumber"),
+    ).select("l_orderkey", "l_linenumber", F.col("pos").cast("int").alias("pos"))
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------

@@ -35,6 +35,23 @@ class TestPartitionedExport:
             eng.df_to_pq(li, "sf", "bad", partition_by=["l_returnflag"])
 
 
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path):
+        eng = Engine(spark, tmp_path)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+            .withColumnRenamed("o_orderkey", "l_orderkey")
+        eng.write_bucketed(li, "li_b", "l_orderkey", num_buckets=8)
+        eng.write_bucketed(o, "o_b", "l_orderkey", num_buckets=8)
+        a, b = spark.table("li_b"), spark.table("o_b")
+        # disable broadcast so the bucket layout is what prevents the shuffle
+        joined = a.hint("merge").join(b, "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == li.join(
+            o, "l_orderkey").count()
+
+
 class TestSaltedJoin:
     def test_same_result_as_plain_join(self, spark, sf_dir):
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
