@@ -25,6 +25,9 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves the postponed
+# 'pd.Series' annotations against this module's globals
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -74,6 +77,11 @@ def dsum(col, scale: int = 4, alias: str | None = None):
 
 def _dsum_sql(expr: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DECIMAL(38,{scale}))"
+
+
+#: normalized-text / token-list SQL fragments shared by text oracles
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKENS = f"string_split({_NORM}, ' ')"
 
 
 # ---------------------------------------------------------------------------
@@ -1022,13 +1030,158 @@ def q51_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", F.col("pos").cast("int").alias("pos"))
 
 
+@query(
+    "q52_math_battery",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+           ROUND(LN(p_retailprice), 6) AS ln_price,
+           ROUND(EXP(p_size / 25.0), 6) AS exp_size,
+           ROUND(POW(p_size, 2), 6) AS size_sq,
+           CAST(SIGN(p_size - 25) AS BIGINT) AS size_sign,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           p_size & 15 AS size_and,
+           p_size | 16 AS size_or,
+           xor(p_size, 21) AS size_xor
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q52_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + bitwise battery. Transcendentals (ln/exp/sqrt) round to 6
+    digits — JVM Math and C libm agree to well beyond that."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("exp_size"),
+        F.round(F.pow("p_size", F.lit(2)), 6).alias("size_sq"),
+        F.signum(F.col("p_size") - 25).cast("bigint").alias("size_sign"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.col("p_size").bitwiseAND(15).alias("size_and"),
+        F.col("p_size").bitwiseOR(16).alias("size_or"),
+        F.col("p_size").bitwiseXOR(21).alias("size_xor"),
+    )
+
+
+@query(
+    "q53_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q53_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: extract from the JSON ``props`` string,
+    cast, aggregate — get_json_object is the row-wise JSON path Spark
+    evaluates without parsing the document into a tree."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy((k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.min(k).cast("bigint").alias("min_k"))
+    )
+
+
+@query(
+    "q54_pandas_udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+           UPPER(SUBSTRING(text, 1, 5)) AS head_upper
+    FROM documents
+    """,
+)
+def q54_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (the sanctioned Python escape
+    hatch — SURVEY §2.12): the Python computes semantics the oracle
+    replays in SQL exactly, proving the Arrow round-trip is lossless."""
+
+    @F.pandas_udf("long")
+    def n_spaces(s: pd.Series) -> pd.Series:
+        return s.str.count(" ").astype("int64")
+
+    @F.pandas_udf("string")
+    def head_upper(s: pd.Series) -> pd.Series:
+        return s.str.slice(0, 5).str.upper()
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", n_spaces("text").alias("n_spaces"),
+                    head_upper("text").alias("head_upper"))
+
+
+@query(
+    "q55_corpus_pipeline",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, n_chars, md5({_NORM}) AS h,
+             len(list_filter({_TOKENS},
+                 x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
+               AS sw,
+             len({_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    deduped AS (
+      SELECT * FROM hashed
+      WHERE doc_id = (SELECT MIN(h2.doc_id) FROM hashed h2 WHERE h2.h = hashed.h)
+    ),
+    filtered AS (
+      SELECT * FROM deduped
+      WHERE n_chars >= 100 AND (CASE WHEN n_tok > 0
+                                     THEN CAST(sw AS DOUBLE) / n_tok
+                                     ELSE 0.0 END) >= 0.0
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM filtered GROUP BY lang
+    """,
+)
+def q55_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline composition: exact dedup
+    (keep min doc_id per content hash) → quality/length filter → per-
+    language corpus stats. Every stage is one of the engine's operators;
+    the whole thing is two shuffles (dedup hash, final groupBy)."""
+    from db2pq_spark.operators.dedup import exact_dedup, normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    keep = exact_dedup(d, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id"))
+    toks = F.split(normalize_text("text"), " ")
+    staged = (
+        d.join(keep, "doc_id")
+        .select("doc_id", "lang", "n_chars", toks.alias("_toks"))
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.size("_toks").alias("n_tok"),
+            F.size(F.filter("_toks", lambda x: x.isin(
+                "the", "and", "of", "to", "a", "in", "is", "that", "it", "for"
+            ))).alias("sw"),
+        )
+    )
+    filtered = staged.filter(
+        (F.col("n_chars") >= 100)
+        & (F.when(F.col("n_tok") > 0,
+                  F.col("sw").cast("double") / F.col("n_tok"))
+            .otherwise(F.lit(0.0)) >= 0.0)
+    )
+    return filtered.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
 
-#: normalized-text expression, shared by oracle strings below
-_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
-_TOKENS = f"string_split({_NORM}, ' ')"
 
 
 @query(
