@@ -133,6 +133,13 @@ class Engine:
         plan_kwargs = {k: export_kwargs.pop(k, None)
                        for k in ("keep", "drop", "rename", "col_types",
                                  "where", "obs")}
+        if plan_kwargs["obs"] is not None and partition_column is not None:
+            # each partition would re-execute the LIMIT subquery against
+            # the source independently → nondeterministic union of up to
+            # N×obs rows; an unordered LIMIT is only sound single-stream
+            raise ValueError("obs (LIMIT) cannot be combined with a "
+                             "partitioned read; drop partition_column or "
+                             "apply the limit after ingest")
         # Plan needs source columns; without a live connection the caller
         # provides them, else we sample the table via a LIMIT-0 read.
         cols = export_kwargs.pop("source_columns", None)
@@ -150,8 +157,15 @@ class Engine:
             num_partitions=num_partitions,
         )
         df = read_jdbc(self.spark, opts)
-        # plan already executed server-side; only sink-side steps remain
-        return self.df_to_pq(df, schema, table, **export_kwargs)
+        # The plan (projection/rename/filter/limit) already executed
+        # server-side. col_types is re-forwarded so apply_numeric_mode
+        # knows which decimal columns are explicitly typed — the
+        # 'explicit wins over numeric_mode' contract (casts.py) must
+        # hold on this path too; re-casting an already-cast column is a
+        # no-op Catalyst folds away.
+        return self.df_to_pq(df, schema, table,
+                             col_types=plan_kwargs["col_types"],
+                             **export_kwargs)
 
     def sql_to_pq(
         self,

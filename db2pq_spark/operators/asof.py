@@ -51,8 +51,12 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # right rows sort before left rows at equal time → inclusive match
-    w = (W.partitionBy(on).orderBy("_t", "_is_left")
+    # right rows sort before left rows at equal time → inclusive match;
+    # value columns break ties among right rows sharing (key, time) so
+    # the carried value is deterministic (largest wins) instead of
+    # partition-order-dependent
+    w = (W.partitionBy(on)
+         .orderBy("_t", "_is_left", *[f"{c}_asof" for c in value_cols])
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     filled = unioned.select(
         *lcols, "_is_left",

@@ -312,6 +312,10 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
         F.split(normalize_text(text_col), " ").alias("_toks"),
     )
+    # same degenerate-document policy as minhash/simhash: NULL and
+    # empty/whitespace-only texts are excluded (they'd all pair with
+    # each other at jaccard 1.0)
+    toks = toks.filter(F.size("_toks") > 0).filter(F.col("_toks")[0] != "")
     sh = toks.select(
         "id", "block", _shingles_from_tokens(F.col("_toks"), n).alias("grams")
     )

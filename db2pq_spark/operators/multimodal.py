@@ -58,15 +58,22 @@ def decode_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched worker: bytes in, features out. Runs once per
-    partition batch — the shape a real codec worker would have."""
+    partition batch — the shape a real codec worker would have.
+    NULL payloads yield NULL features (a codec worker must tolerate
+    missing blobs without failing the task)."""
     for pdf in batches:
         content = pdf["content"]
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "n_bytes": content.map(len).astype("int64"),
-            "sha256": content.map(lambda b: hashlib.sha256(b).hexdigest()),
-            "head_byte": content.map(lambda b: b[0] if len(b) else -1)
-                                .astype("int32"),
+            "n_bytes": pd.array(
+                [len(b) if b is not None else None for b in content],
+                dtype="Int64"),
+            "sha256": [hashlib.sha256(b).hexdigest() if b is not None
+                       else None for b in content],
+            "head_byte": pd.array(
+                [(b[0] if len(b) else -1) if b is not None else None
+                 for b in content],
+                dtype="Int32"),
         })
 
 

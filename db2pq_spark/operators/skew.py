@@ -31,9 +31,19 @@ def salted_join(
 
     big rows get a random-ish (hash-derived, deterministic) salt in
     [0, salt); small rows are replicated once per salt value; the join
-    key becomes (on, salt). Results are identical to the plain join —
-    only the partitioning changes. Cost: small side × salt (keep it the
-    genuinely small side)."""
+    key becomes (on, salt). For the supported join types the results
+    are identical to the plain join — only the partitioning changes.
+    Cost: small side × salt (keep it the genuinely small side).
+
+    Only joins that never emit unmatched *small*-side rows are allowed
+    (inner/left/semi/anti): right/full joins would surface each
+    replicated small row ``salt`` times."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would "
+            "duplicate unmatched small-side rows once per salt")
     big_salted = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))

@@ -29,9 +29,17 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    builder = SparkSession.builder
+    # Respect a deployment-provided master (spark-submit --master sets
+    # spark.master in system properties / SparkConf); only default to
+    # local[N] when nothing chose a master — otherwise a cluster job
+    # would silently collapse onto the driver.
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

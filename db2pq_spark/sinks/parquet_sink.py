@@ -94,9 +94,6 @@ def write_parquet(
     final.parent.mkdir(parents=True, exist_ok=True)
     _rm(tmp)
 
-    if df.isEmpty():
-        return None
-
     writer = (
         df.write.mode("overwrite")
         .option("parquet.block.size", ROW_GROUP_BYTE_CAP)
@@ -106,6 +103,13 @@ def write_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(tmp))
 
+    # Zero-row check from the written footers (count_rows reads metadata
+    # only) — NOT df.isEmpty(), which would execute the source plan a
+    # second time (for JDBC sources: re-run the query on the server).
+    if _count_rows(tmp) == 0:
+        _rm(tmp)
+        return None
+
     if single_file:
         _collapse_to_single_file(tmp, last_modified)
     else:
@@ -113,11 +117,30 @@ def write_parquet(
 
     if final.exists():
         if archive:
-            archive_existing(data_dir, schema, table)
-        else:
-            _rm(final)
+            archive_existing(data_dir, schema, table)  # rename, atomic
+            os.replace(tmp, final)
+            return final
+        # POSIX rename cannot replace a non-empty directory, so a true
+        # single-syscall swap is impossible; minimize the exposure to
+        # two renames (old table is parked, never rmtree'd while live).
+        # A crash between them leaves `.old_<table>.parquet` recoverable
+        # next to a missing table — strictly better than the previous
+        # rmtree-then-rename, whose crash window destroyed the data.
+        parked = final.parent / f".old_{table}.parquet"
+        _rm(parked)
+        os.replace(final, parked)
+        os.replace(tmp, final)
+        _rm(parked)
+        return final
     os.replace(tmp, final)
     return final
+
+
+def _count_rows(path: Path) -> int:
+    """Row count from parquet footers (metadata-only, no data I/O)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(str(path), format="parquet").count_rows()
 
 
 def _write_sidecar(table_dir: Path, last_modified: str | None) -> None:

@@ -127,6 +127,14 @@ def jdbc_read_options(
     opts["fetchsize"] = str(estimate_fetch_size(type_names or []))
 
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned read requires explicit bounds "
+                "(lower_bound/upper_bound on the partition column)")
+        if plan is not None and plan.obs is not None:
+            raise ValueError(
+                "LIMIT (obs) cannot be pushed into a partitioned read — "
+                "each partition would re-execute it independently")
         if "query" in opts:
             # Spark requires dbtable for partitioned reads; wrap the query.
             opts["dbtable"] = f"({opts.pop('query')}) AS sub"
