@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the pure planning/sync logic —
+a layer the reference's suite lacks entirely (SURVEY §5: 'no
+property-based tests')."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from db2pq_spark.errors import EmptySelectionError
+from db2pq_spark.plans.plan import filter_columns, resolve_output_columns
+from db2pq_spark.sources.credentials import _split_pgpass_line
+from db2pq_spark.sync.modified import modified_info, update_available
+from db2pq_spark.sync.timestamps import (
+    last_modified_dttm,
+    parse_utc_stamp,
+    utc_stamp,
+)
+
+names = st.lists(
+    st.text(alphabet=string.ascii_lowercase + "_", min_size=1, max_size=8),
+    min_size=1, max_size=10, unique=True,
+)
+
+
+class TestFilterColumnsProperties:
+    @given(cols=names)
+    @settings(max_examples=50)
+    def test_identity_without_patterns(self, cols):
+        assert filter_columns(cols) == list(cols)
+
+    @given(cols=names, data=st.data())
+    @settings(max_examples=50)
+    def test_result_is_ordered_subset(self, cols, data):
+        keep = data.draw(st.sampled_from(cols))
+        try:
+            out = filter_columns(cols, keep=re.escape(keep))
+        except EmptySelectionError:
+            return
+        assert set(out) <= set(cols)
+        # original relative order is preserved
+        assert out == [c for c in cols if c in set(out)]
+
+    @given(cols=names, data=st.data())
+    @settings(max_examples=50)
+    def test_drop_wins_over_keep(self, cols, data):
+        target = data.draw(st.sampled_from(cols))
+        pat = "^" + re.escape(target) + "$"
+        try:
+            out = filter_columns(cols, keep=pat, drop=pat)
+        except EmptySelectionError:
+            return  # dropping the only keep-match empties the selection
+        assert target not in out
+
+
+class TestRenameProperties:
+    @given(cols=names)
+    @settings(max_examples=50)
+    def test_identity_rename(self, cols):
+        pairs = resolve_output_columns(cols, {})
+        assert [s for s, _ in pairs] == list(cols)
+        assert all(s == o for s, o in pairs)
+
+    @given(cols=names, suffix=st.text(alphabet=string.ascii_lowercase,
+                                      min_size=1, max_size=3))
+    @settings(max_examples=50)
+    def test_injective_rename_roundtrip(self, cols, suffix):
+        rename = {c: c + "_" + suffix for c in cols}
+        pairs = resolve_output_columns(cols, rename)
+        assert [o for _, o in pairs] == [c + "_" + suffix for c in cols]
+
+
+class TestTimestampProperties:
+    aware_dts = st.datetimes(
+        min_value=dt.datetime(1990, 1, 1),
+        max_value=dt.datetime(2099, 12, 28),
+        timezones=st.just(dt.timezone.utc),
+    )
+
+    @given(d=aware_dts)
+    @settings(max_examples=100)
+    def test_stamp_roundtrip_to_second(self, d):
+        stamp = utc_stamp(d)
+        back = parse_utc_stamp(stamp)
+        assert back == d.replace(microsecond=0)
+
+    @given(mo=st.integers(1, 12), day=st.integers(1, 28),
+           y=st.integers(1990, 2099), hh=st.integers(0, 23),
+           mm=st.integers(0, 59), ss=st.integers(0, 59))
+    @settings(max_examples=100)
+    def test_comment_parse_total_on_valid_dates(self, mo, day, y, hh, mm, ss):
+        c = f"Last modified: {mo:02d}/{day:02d}/{y:04d} {hh:02d}:{mm:02d}:{ss:02d}"
+        d = last_modified_dttm(c)
+        assert d is not None
+        assert (d.month, d.day, d.year) == (mo, day, y)
+
+    @given(junk=st.text(max_size=40))
+    @settings(max_examples=100)
+    def test_never_raises_on_junk(self, junk):
+        last_modified_dttm(junk)  # must not throw, whatever comes in
+
+
+class TestUpdateAvailableProperties:
+    comments = st.one_of(
+        st.none(),
+        st.text(max_size=20),
+        st.dates(min_value=dt.date(2000, 1, 1), max_value=dt.date(2099, 1, 1))
+          .map(lambda d: f"(Updated {d.isoformat()})"),
+    )
+
+    @given(src=comments, dst=comments)
+    @settings(max_examples=200)
+    def test_decision_matrix(self, src, dst):
+        s, d = modified_info("s", src), modified_info("d", dst)
+        out = update_available(s, d)
+        if s.dt is None:
+            assert out is False        # can't assert an update exists
+        elif d.dt is None:
+            assert out is True         # must refresh unknown dest
+        else:
+            assert out == (s.dt > d.dt)
+
+
+class TestPgpassProperties:
+    @given(fields=st.lists(
+        st.text(alphabet=string.printable.replace("\n", "").replace("\r", ""),
+                max_size=10),
+        min_size=5, max_size=5))
+    @settings(max_examples=100)
+    def test_escape_split_roundtrip(self, fields):
+        esc = lambda s: s.replace("\\", "\\\\").replace(":", "\\:")
+        line = ":".join(esc(f) for f in fields)
+        assert _split_pgpass_line(line) == fields
