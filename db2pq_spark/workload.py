@@ -1178,6 +1178,76 @@ def q55_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q56_statistics",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(stddev_samp(c_acctbal), 6) AS bal_stddev,
+           ROUND(var_samp(c_acctbal), 4) AS bal_var,
+           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS bal_key_corr,
+           ROUND(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6)
+             AS bal_nation_covar,
+           ROUND(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 8)
+             AS bal_per_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q56_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance/
+    regression slope. Rounded — the engines use different (numerically
+    equivalent) update formulas."""
+    c = t(spark, sf_dir, "customer")
+    key_d = F.col("c_custkey").cast("double")
+    nat_d = F.col("c_nationkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("bal_stddev"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("bal_var"),
+        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("bal_key_corr"),
+        F.round(F.covar_samp(F.col("c_acctbal"), nat_d), 6)
+         .alias("bal_nation_covar"),
+        F.round(F.regr_slope(F.col("c_acctbal"), key_d), 8)
+         .alias("bal_per_key"),
+    )
+
+
+@query(
+    "q57_grouped_pandas",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             AS running_value
+    FROM events WHERE user_id < 10
+    """,
+)
+def q57_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the per-group Arrow UDF modality):
+    each user's events arrive as one pandas DataFrame, sorted and
+    cumsum'd in Python. Accumulation runs in integer cents (the values
+    carry 2 decimals) because float running sums are NOT
+    order/algorithm-stable across engines — DuckDB's window sum uses a
+    segment tree, pandas a sequential accumulate, and they differ in
+    the last ulp; exact integers sidestep it, matching the oracle's
+    decimal-cast window sum."""
+    import pandas as pd
+
+    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        cents = (pdf["value"] * 100).round().astype("int64")
+        pdf["running_value"] = cents.cumsum() / 100.0
+        return pdf[["user_id", "event_id", "running_value"]]
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return (
+        e.select("user_id", "event_id", "ts_us", "value")
+        .groupBy("user_id")
+        .applyInPandas(cumsum,
+                       schema="user_id long, event_id long, running_value double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------

@@ -92,6 +92,20 @@ class TestRepository:
         stems = pq_list_files(repo, "sf", archive=True)
         assert "t_20251201T140000Z" in stems  # 09:00 EST = 14:00 UTC
 
+    def test_single_file_lifecycle(self, spark, repo, lineitem):
+        # the reference-parity single-file mode must survive the same
+        # archive/restore/remove lifecycle as directory tables
+        write_parquet(lineitem.limit(10), repo, "sf", "one",
+                      last_modified=COMMENT, single_file=True)
+        archived = pq_archive(repo, "sf", "one")
+        assert archived.is_file()
+        assert archived.name == "one_20251126T064041Z.parquet"
+        restored = pq_restore(repo, "sf", "one_20251126T064041Z")
+        assert restored.is_file()
+        assert spark.read.parquet(str(restored)).count() == 10
+        assert get_modified_pq(restored) == COMMENT  # footer survived
+        assert pq_remove(repo, "sf", "one")
+
     def test_last_modified_summary(self, spark, repo, lineitem):
         write_parquet(lineitem.limit(5), repo, "s1", "a", last_modified=COMMENT)
         write_parquet(lineitem.limit(5), repo, "s2", "b")
