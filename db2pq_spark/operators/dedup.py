@@ -135,6 +135,39 @@ def minhash_signatures(
     return base.select("id", "shingles", sig)
 
 
+def _bucket_pairs(
+    buckets: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Distinct candidate id pairs (id1 < id2) from bucket membership.
+
+    One aggregation instead of a bucket self-join: collect each bucket's
+    member ids, drop oversized buckets (skew guard), then enumerate the
+    in-bucket combinations JVM-side with nested array transforms. The
+    only shuffles are the groupBy and the final distinct — the
+    two-sided exploded join this replaces shuffled the membership table
+    twice and joined it."""
+    grouped = (
+        buckets.groupBy(*bucket_cols)
+        .agg(F.collect_set("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    k = F.size("ids")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), k - 1),
+        lambda i: F.transform(
+            F.slice("ids", i + 1, k - i),
+            lambda y: F.struct(
+                F.element_at("ids", i).alias("id1"), y.alias("id2")),
+        ),
+    ))
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -172,20 +205,7 @@ def minhash_dedup(
         for b in range(bands)
     ])).alias("bk")
     buckets = sigs.select("id", band_entries).select("id", "bk.band", "bk.key")
-
-    w = W.partitionBy("band", "key")
-    buckets = buckets.withColumn("bucket_n", F.count("*").over(w)) \
-                     .filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-
-    left = buckets.alias("a")
-    right = buckets.alias("b")
-    cand = (
-        left.join(right, (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.key") == F.col("b.key"))
-                  & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
+    cand = _bucket_pairs(buckets, ["band", "key"], max_bucket)
 
     sh = sigs.select("id", "shingles")
     verified = (
@@ -261,11 +281,13 @@ def simhash_dedup(
     ``max_hamming < num_chunks``; raising ``num_chunks`` widens the
     guarantee but shrinks chunk width (more candidates — the classic
     recall/cost dial)."""
+    from pyspark import StorageLevel
+
     chunk_bits = 64 // num_chunks
     mask = (1 << chunk_bits) - 1
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
-        "id", "simhash",
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("chunk"),
@@ -274,21 +296,16 @@ def simhash_dedup(
             )
             for c in range(num_chunks)
         ])).alias("ck"),
-    ).select("id", "simhash", "ck.chunk", "ck.key")
+    ).select("id", "ck.chunk", "ck.key")
 
-    w = W.partitionBy("chunk", "key")
-    chunks = chunks.withColumn("n", F.count("*").over(w)) \
-                   .filter(F.col("n") <= max_bucket).drop("n")
-
-    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = _bucket_pairs(chunks, ["chunk", "key"], max_bucket)
+    s1 = sh.withColumnsRenamed({"id": "id1", "simhash": "sh1"})
+    s2 = sh.withColumnsRenamed({"id": "id2", "simhash": "sh2"})
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        cand.join(s1, "id1").join(s2, "id2")
+        .select("id1", "id2",
+                F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
                  .alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
