@@ -194,6 +194,59 @@ class Engine:
             self.read_pq(schema, tbl).createOrReplaceTempView(tbl)
             self._views.add(tbl)
 
+    def pq_to_db(
+        self,
+        schema: str,
+        table: str,
+        source,
+        dest_schema: str | None = None,
+        dest_table: str | None = None,
+        mode: str = "overwrite",
+        truncate: bool = False,
+    ) -> None:
+        """Reverse path: repository table → database (reference
+        pq_update_pg / parquet_write_pg, db2pq/postgres/update.py:173-231,
+        570-691). Spark creates the destination from the DataFrame schema
+        and batch-INSERTs partition-parallel."""
+        from db2pq_spark.sources.jdbc import write_jdbc
+
+        df = self.read_pq(schema, table)
+        write_jdbc(df, source, dest_schema or schema, dest_table or table,
+                   mode=mode, truncate=truncate)
+
+    #: information_schema query a live deployment uses to enumerate a
+    #: schema's tables (reference db_schema_tables,
+    #: db2pq/postgres/schema.py:9-33) — run through sql via JDBC, then
+    #: feed the result to schema_to_pq(tables=...)
+    SCHEMA_TABLES_SQL = (
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE' "
+        "ORDER BY table_name"
+    )
+
+    def schema_to_pq(
+        self,
+        source,
+        schema: str,
+        tables: list[str] | None = None,
+        **export_kwargs,
+    ) -> dict[str, Path | None]:
+        """Export every table of a schema (reference db_schema_to_pq,
+        db2pq/core.py:765-892). ``tables`` may be supplied directly;
+        otherwise they are enumerated from information_schema via JDBC
+        (``SCHEMA_TABLES_SQL``)."""
+        if tables is None:
+            from db2pq_spark.sources.jdbc import jdbc_read_options, read_jdbc
+
+            rows = read_jdbc(self.spark, jdbc_read_options(
+                source, sql=self.SCHEMA_TABLES_SQL.format(schema=schema),
+            )).collect()
+            tables = [r[0] for r in rows]
+        return {
+            tbl: self.db_to_pq(source, schema, tbl, **export_kwargs)
+            for tbl in tables
+        }
+
     def write_bucketed(
         self,
         df: DataFrame,
