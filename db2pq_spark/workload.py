@@ -1248,6 +1248,64 @@ def q57_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q58_SQL = """
+    SELECT o.o_orderkey,
+           (SELECT MAX(l.l_quantity) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS max_qty,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+             AS n_discounted
+    FROM orders o
+    WHERE o.o_orderkey <= 2000
+"""
+
+
+@query("q58_correlated_scalar_subquery", oracle=_Q58_SQL)
+def q58_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — Catalyst decorrelates both into
+    left outer aggregate joins (no per-row re-execution; the reference
+    relies on the source DB for this, SURVEY §4)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q58_SQL)
+
+
+_Q59_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey IN (SELECT o.o_custkey FROM orders o
+                          WHERE o.o_totalprice > 400000)
+      AND c.c_custkey NOT IN (SELECT o.o_custkey FROM orders o
+                              WHERE o.o_orderstatus = 'P')
+"""
+
+
+@query("q59_in_subqueries", oracle=_Q59_SQL)
+def q59_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries → left-semi + null-aware anti join."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q59_SQL)
+
+
+_Q60_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND l.l_quantity > 49
+                    AND l.l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
+"""
+
+
+@query("q60_correlated_exists", oracle=_Q60_SQL)
+def q60_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with extra predicates → decorrelated semi join."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q60_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------

@@ -74,6 +74,18 @@ class TestCodegen:
             assert "ArrowEvalPython" not in plan, name
 
 
+class TestSubqueryDecorrelation:
+    def test_scalar_subqueries_become_joins(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q58_correlated_scalar_subquery")
+        # decorrelated → aggregate + outer join, not per-row execution
+        assert "ScalarSubquery" not in plan
+        assert "HashAggregate" in plan and "Join" in plan
+
+    def test_not_in_becomes_null_aware_anti(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q59_in_subqueries")
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 class TestTopK:
     def test_global_topk_avoids_full_sort(self, spark, sf_correct_dir):
         plan = plan_of(spark, sf_correct_dir, "q25_order_limit")
