@@ -1307,6 +1307,139 @@ def q60_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-deep subquery battery (q61-q65) — the five hardest decorrelation
+# shapes from the TPC-H spec, adapted to the fixture schema (no partsupp
+# table; min-cost comes from lineitem unit prices). The reference reaches
+# these only by shipping user SQL to PostgreSQL/DuckDB
+# (db2pq/core.py:529-661); here Catalyst decorrelates natively.
+# Determinism: double sums go through decimal casts; AVG thresholds are
+# computed as exact decimal-sum / count so both engines compare against
+# bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_Q61_SQL = """
+    SELECT p.p_partkey, p.p_name, l.l_suppkey,
+           l.l_extendedprice / l.l_quantity AS unit_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND l.l_extendedprice / l.l_quantity = (
+            SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("q61_min_cost_supplier", oracle=_Q61_SQL)
+def q61_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery selecting the cheapest
+    supplier per part. Catalyst decorrelates into an aggregate + join on
+    p_partkey (one shuffle); MIN over doubles is order-independent so the
+    equality filter is deterministic across engines."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q61_SQL)
+
+
+_Q62_SQL = f"""
+    SELECT p.p_brand,
+           {_dsum_sql('l.l_extendedprice', 2)} AS small_qty_revenue,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+            SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*))
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+"""
+
+
+@query("q62_small_quantity_revenue", oracle=_Q62_SQL)
+def q62_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part correlated AVG threshold → decorrelated
+    aggregate join, then a brand-level rollup. The AVG is computed as
+    exact-decimal-sum / count so the `<` comparison sees identical IEEE
+    doubles in Spark and DuckDB."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q62_SQL)
+
+
+_Q63_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p.p_partkey FROM part p
+                                  WHERE p.p_name LIKE 'red%')
+            GROUP BY l.l_suppkey
+            HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 100)
+"""
+
+
+@query("q63_nested_in_having", oracle=_Q63_SQL)
+def q63_nested_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery that itself
+    contains an IN subquery. Two-level decorrelation → semi joins; the
+    part-name filter broadcasts (tiny dimension)."""
+    for name in ("supplier", "lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q63_SQL)
+
+
+_Q64_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+"""
+
+
+@query("q64_waiting_supplier", oracle=_Q64_SQL)
+def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact table with
+    inequality correlation → left-semi plus left-anti joins on
+    l_orderkey. The heaviest decorrelation case in the spec."""
+    for name in ("supplier", "lineitem", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q64_SQL)
+
+
+_Q65_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / COUNT(*)
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 350000)
+"""
+
+
+@query("q65_quiet_rich_customers", oracle=_Q65_SQL)
+def q65_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar AVG threshold (broadcast one
+    row) + correlated NOT EXISTS → anti join. The AVG uses the exact
+    decimal-sum form for cross-engine determinism."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q65_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
 

@@ -85,6 +85,31 @@ class TestSubqueryDecorrelation:
         plan = plan_of(spark, sf_correct_dir, "q59_in_subqueries")
         assert "LeftSemi" in plan and "LeftAnti" in plan
 
+    def test_correlated_min_becomes_aggregate_join(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q61_min_cost_supplier")
+        assert "ScalarSubquery" not in plan
+        assert "HashAggregate" in plan and "Join" in plan
+
+    def test_correlated_avg_threshold_decorrelates(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q62_small_quantity_revenue")
+        assert "ScalarSubquery" not in plan
+
+    def test_nested_in_having_is_semi_joins(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q63_nested_in_having")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_exists_not_exists_pair(self, spark, sf_correct_dir):
+        # TPC-H Q21 shape: EXISTS → semi, NOT EXISTS → anti, both present
+        plan = plan_of(spark, sf_correct_dir, "q64_waiting_supplier")
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    def test_uncorrelated_scalar_stays_subquery(self, spark, sf_correct_dir):
+        # Q22 shape: the global-AVG threshold is a one-row uncorrelated
+        # subquery — executed once, not joined; the NOT EXISTS is an anti
+        plan = plan_of(spark, sf_correct_dir, "q65_quiet_rich_customers")
+        assert "LeftAnti" in plan
+
 
 class TestTopK:
     def test_global_topk_avoids_full_sort(self, spark, sf_correct_dir):
