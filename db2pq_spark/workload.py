@@ -1417,6 +1417,66 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q64_SQL)
 
 
+def _q66_sql() -> str:
+    from db2pq_spark.operators.sampling import split_assign_sql
+    case = split_assign_sql("o_orderkey",
+                            {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+    SELECT {case} AS split, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice', 2)} AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """
+
+
+@query("q66_hash_split", oracle=None)  # oracle injected below (needs import)
+def q66_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5 hash of the key —
+    reproducible across runs, cluster sizes, and engines (the oracle
+    computes the identical md5 buckets in DuckDB). Narrow assignment +
+    one aggregation shuffle. [extension]"""
+    from db2pq_spark.operators.sampling import split_assign
+
+    orders = split_assign(t(spark, sf_dir, "orders"), "o_orderkey",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (orders.groupBy("split", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 dsum("o_totalprice", 2, "sum_price")))
+
+
+def _q67_sql() -> str:
+    from db2pq_spark.operators.sampling import hash_bucket_sql
+    b = hash_bucket_sql("doc_id")
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {b} < (CASE WHEN lang = 'en' THEN 500000
+                      WHEN lang = 'de' THEN 250000
+                      ELSE 0 END)
+    """
+
+
+@query("q67_stratified_sample", oracle=None)  # oracle injected below
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-language quotas: 50% en,
+    25% de, drop the rest) as a single narrow CASE-threshold filter —
+    no shuffle, reproducible, unlike df.stat.sampleBy. The oracle
+    returns the exact same rows. [extension]"""
+    from db2pq_spark.operators.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "doc_id", "lang",
+                              {"en": 0.5, "de": 0.25})
+            .select("doc_id", "lang"))
+
+
+# late-bind the sampling oracles (they need the operator module's SQL
+# builders; REGISTRY stores plain strings)
+REGISTRY["q66_hash_split"] = (q66_hash_split, _q66_sql())
+REGISTRY["q67_stratified_sample"] = (q67_stratified_sample, _q67_sql())
+
+
 _Q65_SQL = """
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
     FROM customer c
