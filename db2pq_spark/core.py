@@ -187,6 +187,60 @@ class Engine:
             df = self.spark.sql(sql)
         return self.df_to_pq(df, schema, table, **export_kwargs)
 
+    def file_to_pq(
+        self,
+        path: str | Path,
+        fmt: str,
+        schema: str,
+        table: str,
+        file_schema=None,
+        options: Mapping[str, str] | None = None,
+        **export_kwargs,
+    ) -> Path | None:
+        """Ingest a file-based source (csv/json/orc/parquet/text) into the
+        repository through the same plan → normalize → sink pipeline as a
+        database export.
+
+        The reference ingests only databases and Parquet
+        (db2pq/postgres/update.py:134-168); file formats are the Spark-side
+        generalization — the DataFrameReader handles splitting, schema
+        application, and malformed-record modes.
+
+        Scale notes:
+
+        - Pass ``file_schema`` (DDL string or StructType) for production
+          loads: schema inference is a full extra pass over the data.
+        - CSV/JSONL split per-file into line ranges and parallelize
+          across executors; ``multiLine`` JSON/CSV is NOT splittable (one
+          task per file) — keep it off for large inputs.
+        - Malformed-record handling defaults to Spark's PERMISSIVE
+          (nulls + ``_corrupt_record``); pass
+          ``options={"mode": "FAILFAST"}`` for strict loads.
+        """
+        fmt = fmt.lower()
+        supported = {"csv", "json", "orc", "parquet", "text"}
+        if fmt not in supported:
+            raise ValueError(f"unsupported format {fmt!r}; "
+                             f"expected one of {sorted(supported)}")
+        opts = dict(options or {})
+        if fmt == "csv":
+            opts.setdefault("header", "true")
+            if file_schema is None:
+                opts.setdefault("inferSchema", "true")
+        reader = self.spark.read.format(fmt).options(**opts)
+        if file_schema is not None:
+            reader = reader.schema(file_schema)
+        df = reader.load(str(path))
+        return self.df_to_pq(df, schema, table, **export_kwargs)
+
+    def csv_to_pq(self, path, schema: str, table: str, **kwargs) -> Path | None:
+        """CSV ingest (header on by default; see :meth:`file_to_pq`)."""
+        return self.file_to_pq(path, "csv", schema, table, **kwargs)
+
+    def json_to_pq(self, path, schema: str, table: str, **kwargs) -> Path | None:
+        """JSON-lines ingest (see :meth:`file_to_pq`)."""
+        return self.file_to_pq(path, "json", schema, table, **kwargs)
+
     def register_views(self, schema: str, tables: Iterable[str]) -> None:
         """Expose repository tables as SQL views for Spark-side
         ``sql_to_pq`` queries."""
