@@ -94,6 +94,45 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None,
     )
 
 
+def running_user_totals(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals maintained across micro-batches.
+
+    This is the escape hatch for stateful semantics the built-in window
+    operators can't express (counters, state machines, online models):
+    per key, Spark hands the operator its Arrow-batched rows plus a
+    persistent ``GroupState``; we fold the batch into the state and emit
+    the updated totals. State lives in the state store (checkpointed,
+    partitioned by key) — memory is bounded per executor, not per stream.
+
+    [extension — the reference has no streaming surface, SURVEY §2.12]
+    """
+    import pandas as pd  # noqa: F811 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id bigint, n_events bigint, sum_value double, "
+                  "n_clicks bigint")
+    state_schema = "n bigint, s double, c bigint"
+
+    def fold(key, pdfs, state: GroupState):
+        (n, s, c) = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            c += int((pdf["event_type"] == "click").sum())
+        state.update((n, s, c))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [s], "n_clicks": [c]})
+
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(fold, out_schema, state_schema,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion over the (finite) file

@@ -1898,6 +1898,24 @@ def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb.unionByName(clones), threshold=0.999)
 
 
+@query("q68_stateful_stream")  # custom stateful streaming → rows-only
+def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals folded across micro-batches, final state ==
+    batch groupBy (asserted in tests/test_streaming.py). Genuinely
+    non-SQL-expressible — state evolution across micro-batches has no
+    batch-SQL equivalent. [extension; rows-only]"""
+    from db2pq_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_to_memory(running_user_totals(stream), "q68_stateful_out",
+                         output_mode="update")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from db2pq_spark.streaming.windows import (
     read_events_stream,
     run_to_memory,
+    running_user_totals,
     session_counts,
     stream_dedup,
     tumbling_counts,
@@ -60,6 +61,55 @@ class TestStreamDedup:
         assert batch_distinct <= n < 10_000
         assert got.select("user_id", "event_type").distinct().count() \
             == batch_distinct
+
+
+class TestStatefulOperator:
+    def test_final_state_matches_batch(self, spark, sf_dir, tmp_path):
+        """applyInPandasWithState accumulates across micro-batches: split
+        the events table into 3 files → 3 micro-batches
+        (maxFilesPerTrigger=1), then the last emitted totals per user
+        must equal the batch groupBy."""
+        src = tmp_path / "events_multi"
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(3).write.parquet(str(src)))
+
+        stream = read_events_stream(spark, str(src))
+        got = run_to_memory(running_user_totals(stream), "stateful_out",
+                            output_mode="update")
+        # counters are monotone → the row with max n_events per user is
+        # the final state
+        import pyspark.sql.functions as SF
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy(SF.desc("n_events"))
+        final = (got.withColumn("rk", SF.row_number().over(w))
+                 .where("rk = 1").drop("rk"))
+
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(SF.count("*").alias("n_events"),
+                 SF.sum("value").alias("sum_value"),
+                 SF.sum(SF.when(SF.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("n_clicks"))
+        )
+        got_map = {r["user_id"]: (r["n_events"], r["n_clicks"],
+                                  round(r["sum_value"], 6))
+                   for r in final.collect()}
+        batch_map = {r["user_id"]: (r["n_events"], r["n_clicks"],
+                                    round(r["sum_value"], 6))
+                     for r in batch.collect()}
+        assert got_map == batch_map
+
+    def test_emits_multiple_updates_per_user(self, spark, sf_dir, tmp_path):
+        src = tmp_path / "events_multi2"
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(3).write.parquet(str(src)))
+        got = run_to_memory(
+            running_user_totals(read_events_stream(spark, str(src))),
+            "stateful_out2", output_mode="update")
+        # 3 micro-batches × ~50 users → more emitted rows than users
+        n_users = got.select("user_id").distinct().count()
+        assert got.count() > n_users
 
 
 class TestSessions:
