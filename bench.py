@@ -43,8 +43,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # warm the JVM + file cache outside the timed region
+    # warm the JVM + file cache outside the timed region (all tables the
+    # timed queries touch — first-touch footer reads and codegen warmup
+    # are session fixed costs, not per-query throughput)
     li.count()
+    for tbl in ("orders", "customer", "supplier", "part", "nation",
+                "region", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
     # -- reference workload shapes (BASELINE.md) ---------------------------
     timed("export_full_table", lambda: eng.df_to_pq(
@@ -63,7 +68,9 @@ def main() -> None:
     # -- headline analytical queries ---------------------------------------
     for name in ("q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
                  "q06_forecast_revenue", "q08_running_total",
-                 "q19_tumbling_window", "q20_sessionization"):
+                 "q19_tumbling_window", "q20_sessionization",
+                 "q61_min_cost_supplier", "q64_waiting_supplier",
+                 "q66_hash_split"):
         fn = workload.REGISTRY[name][0]
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
