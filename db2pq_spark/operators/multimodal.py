@@ -83,3 +83,88 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "content").mapInPandas(
         _extract_batch, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("resized", T.BinaryType()),
+    T.StructField("out_bytes", T.IntegerType()),
+])
+
+
+def resize(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Deterministic fake "resize": stride-sample each payload down to
+    exactly ``target_bytes`` (shorter payloads pass through).
+
+    Stands in for an image resize: same plumbing (binary in → smaller
+    binary out, fixed output size, Arrow batches, partition-parallel),
+    with a codec-free deterministic kernel — ``out[i] =
+    in[i * len(in) // target]``. Swap the kernel for PIL/libvips on a
+    cluster that ships codecs; schema and batch shape stay identical."""
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["content"]:
+                if b is None:
+                    out.append(None)
+                elif len(b) <= target_bytes:
+                    out.append(bytes(b))
+                else:
+                    n = len(b)
+                    out.append(bytes(b[i * n // target_bytes]
+                                     for i in range(target_bytes)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "resized": out,
+                "out_bytes": pd.array(
+                    [len(b) if b is not None else None for b in out],
+                    dtype="Int32"),
+            })
+
+    return df.select("doc_id", "content").mapInPandas(
+        _resize_batch, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_md5", T.StringType()),
+    T.StructField("frame_bytes", T.IntegerType()),
+])
+
+
+def frame_sample(df: DataFrame, frame_bytes: int = 64,
+                 stride: int = 4) -> DataFrame:
+    """Deterministic fake video frame sampling: treat the payload as a
+    sequence of fixed-size frames and keep every ``stride``-th one.
+
+    Exercises the 1-row-in → N-rows-out fan-out a real frame sampler
+    has (mapInPandas output is not row-aligned with its input — that is
+    the point of using it over a scalar pandas_udf). Frames are emitted
+    as (doc_id, frame_idx, md5, size) so downstream dedup/similarity can
+    run on frames without carrying the bytes; a real decoder would emit
+    the pixel tensor column instead."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, md5s, sizes = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                if b is None:
+                    continue
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    chunk = bytes(b[fi * frame_bytes:(fi + 1) * frame_bytes])
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="Int64"),
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "frame_md5": md5s,
+                "frame_bytes": pd.array(sizes, dtype="Int32"),
+            })
+
+    return df.select("doc_id", "content").mapInPandas(
+        _frames, schema=FRAME_SCHEMA)

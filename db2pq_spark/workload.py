@@ -1898,6 +1898,40 @@ def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb.unionByName(clones), threshold=0.999)
 
 
+@query(
+    "q69_frame_sample",
+    oracle="""
+    WITH payload AS (
+      SELECT doc_id, text AS s FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)
+    ), idx AS (
+      SELECT doc_id, s,
+             unnest(range(0, CAST(ceil(length(s)/64.0) AS BIGINT), 4)) AS fi
+      FROM payload
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           md5(substring(s, CAST(fi*64+1 AS BIGINT), 64)) AS frame_md5,
+           CAST(length(substring(s, CAST(fi*64+1 AS BIGINT), 64)) AS INT)
+             AS frame_bytes
+    FROM idx
+    """,
+)
+def q69_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: payload → fixed-size frames → every
+    4th frame, via Arrow-batched mapInPandas (1 row in → N rows out).
+    The oracle replays the byte math with VARCHAR substrings — valid
+    because the fixture is pure ASCII (the query filters to ASCII docs
+    so byte and char offsets provably agree). [extension]"""
+    from db2pq_spark.operators.multimodal import binarize, frame_sample
+
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.col("text")) == F.length(F.col("text"))))
+    return frame_sample(binarize(docs, "text", "doc_id"),
+                        frame_bytes=64, stride=4)
+
+
 @query("q68_stateful_stream")  # custom stateful streaming → rows-only
 def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):

@@ -144,6 +144,35 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_stub(docs)
 
+    def test_resize_stride_samples(self, docs):
+        from db2pq_spark.operators.multimodal import resize
+
+        out = {r["doc_id"]: r for r in
+               resize(binarize(docs, "text", "doc_id"), 16).collect()}
+        raw = BASE.encode()
+        expect = bytes(raw[i * len(raw) // 16] for i in range(16)) \
+            if len(raw) > 16 else raw
+        assert bytes(out[1]["resized"]) == expect
+        assert out[1]["out_bytes"] == min(16, len(raw))
+        # every long payload lands at exactly the target size
+        assert all(r["out_bytes"] <= 16 for r in out.values())
+
+    def test_frame_sample_fanout(self, docs):
+        import math
+
+        from db2pq_spark.operators.multimodal import frame_sample
+
+        rows = [r for r in
+                frame_sample(binarize(docs, "text", "doc_id"),
+                             frame_bytes=8, stride=2).collect()
+                if r["doc_id"] == 1]
+        raw = BASE.encode()
+        n_frames = math.ceil(len(raw) / 8)
+        assert [r["frame_idx"] for r in rows] == list(range(0, n_frames, 2))
+        first = raw[0:8]
+        assert rows[0]["frame_md5"] == hashlib.md5(first).hexdigest()
+        assert rows[0]["frame_bytes"] == len(first)
+
 
 class TestNullAndEmptyText:
     """Fixtures carry no NULL/empty text but real corpora do — the
