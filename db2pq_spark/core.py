@@ -336,6 +336,61 @@ class Engine:
             writer = writer.sortBy(sort_by)
         writer.saveAsTable(table)
 
+    def compact(
+        self,
+        schema: str,
+        table: str,
+        target_mb: int = 128,
+        cluster_by: str | None = None,
+        target_files: int | None = None,
+    ) -> tuple[int, int]:
+        """Rewrite a repository table into ~``target_mb`` files,
+        optionally range-clustered on ``cluster_by``.
+
+        The small-files problem is the dominant operational failure of
+        long-lived parquet repositories at scale: thousands of tiny part
+        files from incremental appends turn every scan into per-file
+        open/footer overhead and blow up driver-side file listings.
+        Compaction = read → repartition to the byte-target → atomic
+        swap (same temp-promote protocol as any export, freshness
+        metadata preserved).
+
+        ``cluster_by`` additionally range-partitions + sorts the rewrite
+        on a column, giving each output file a tight, mostly disjoint
+        min/max range — parquet row-group statistics then let later
+        scans with predicates on that column skip whole files (poor
+        man's Z-order for the 1-column case, which is the common one).
+
+        Returns (files_before, files_after). No reference counterpart
+        (single-file tables there never fragment).
+        """
+        import math
+
+        import pyarrow.dataset as ds
+
+        path = table_path(self.data_dir, schema, table)
+        dataset = ds.dataset(str(path), format="parquet")
+        files = list(dataset.files)
+        total_bytes = sum(Path(f).stat().st_size for f in files)
+        n_out = target_files if target_files is not None else \
+            max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+        modified = get_modified_pq(path)
+
+        df = self.read_pq(schema, table)
+        if cluster_by is not None:
+            df = (df.repartitionByRange(n_out, cluster_by)
+                  .sortWithinPartitions(cluster_by))
+        else:
+            df = df.coalesce(n_out) if n_out < len(files) \
+                else df.repartition(n_out)
+        write_parquet(df, self.data_dir, schema, table,
+                      last_modified=modified, single_file=self.single_file)
+        n_after = len(ds.dataset(str(path), format="parquet").files)
+        if self.verbose:
+            print(f"compacted {schema}.{table}: {len(files)} -> {n_after} "
+                  f"files ({total_bytes >> 20} MiB)")
+        return len(files), n_after
+
     # -- sync / freshness ---------------------------------------------------
 
     def update_pq(
