@@ -1950,6 +1950,403 @@ def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                          output_mode="update")
 
 
+# ---------------------------------------------------------------------------
+# TPC-H wide battery (the remaining classic shapes) + UDTF / UDAF surfaces
+# ---------------------------------------------------------------------------
+
+_Q70_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("q70_priority_exists", oracle=_Q70_SQL)
+def q70_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS against the fact table → Catalyst rewrites
+    to a left-semi join on l_orderkey; the date filter is pushed to the
+    orders scan, so the semi join probes only the 6-month slice."""
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q70_SQL)
+
+
+_Q71_REV = "l.l_extendedprice * (1 - l.l_discount)"
+
+_Q71_SQL = f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {_dsum_sql(_Q71_REV, 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("q71_volume_shipping", oracle=_Q71_SQL)
+def q71_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional nation-pair trade volume by year.
+    DataFrame build: nation joined twice under different aliases; all
+    dimensions broadcast, the only shuffle is lineitem⋈orders + the
+    final aggregation. The OR-pair predicate lands after both nation
+    joins, where it prunes to the two nation pairs."""
+    li = t(spark, sf_dir, "lineitem").alias("l")
+    o = t(spark, sf_dir, "orders").alias("o")
+    c = t(spark, sf_dir, "customer").alias("c")
+    s = t(spark, sf_dir, "supplier").alias("s")
+    n = t(spark, sf_dir, "nation")
+    nc, ns = n.alias("nc"), n.alias("ns")
+    supp_n, cust_n = F.col("ns.n_name"), F.col("nc.n_name")
+    return (
+        li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(s), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .join(F.broadcast(nc), F.col("nc.n_nationkey") == F.col("c.c_nationkey"))
+        .join(F.broadcast(ns), F.col("ns.n_nationkey") == F.col("s.s_nationkey"))
+        .where(((supp_n == "NATION_1") & (cust_n == "NATION_2"))
+               | ((supp_n == "NATION_2") & (cust_n == "NATION_1")))
+        .groupBy(supp_n.alias("supp_nation"), cust_n.alias("cust_nation"),
+                 F.year("l.l_shipdate").cast("bigint").alias("l_year"))
+        .agg(dsum(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")),
+                  4, "revenue"))
+    )
+
+
+_Q72_SQL = """
+    WITH sales AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+               AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,4)) END)
+                     AS DECIMAL(38,4)) AS DOUBLE)
+           / CAST(CAST(SUM(volume) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
+    FROM sales
+    GROUP BY o_year
+"""
+
+
+@query("q72_market_share", oracle=_Q72_SQL)
+def q72_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional order volume per
+    year, as a conditional-sum ratio (one aggregation, no self-join).
+    Both sums accumulate in exact decimal; the final division sees
+    identical IEEE operands in Spark and DuckDB."""
+    for name in ("lineitem", "part", "orders", "customer", "nation",
+                 "region", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q72_SQL)
+
+
+_Q73_SQL = """
+    SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity
+                           * CAST(0.1 AS DOUBLE)
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+"""
+
+
+@query("q73_product_profit", oracle=_Q73_SQL)
+def q73_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year (supply cost
+    proxied as 10% of retail price — the fixture has no partsupp).
+    Filter on p_name prunes parts before the fact join; supplier,
+    part, nation broadcast."""
+    for name in ("lineitem", "supplier", "part", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q73_SQL)
+
+
+_Q74_SQL = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_dsum_sql(_Q71_REV, 4)} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("q74_returned_items", oracle=_Q74_SQL)
+def q74_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. DataFrame build; revenue is an exact decimal so the
+    DESC + custkey ordering is total and engine-independent. The final
+    top-20 is a TakeOrderedAndProject — no global sort materializes."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  4, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q75_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+"""
+
+
+@query("q75_customer_distribution", oracle=_Q75_SQL)
+def q75_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation over a filtered left outer
+    join (customers with zero qualifying orders must appear as
+    c_count=0). First groupBy shuffles on c_custkey; the second input is
+    tiny (distinct counts), coalesced by AQE."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q76_SQL = """
+    SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+                     AS DECIMAL(38,4)) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+           AS promo_share,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@query("q76_promo_share", oracle=_Q76_SQL)
+def q76_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for one month — global
+    (ungrouped) conditional aggregate; the month filter pushes to the
+    lineitem scan and part broadcasts."""
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q76_SQL)
+
+
+_Q77_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2
+                           GROUP BY l2.l_orderkey
+                           HAVING SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                  > 250)
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("q77_large_volume_customer", oracle=_Q77_SQL)
+def q77_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    via IN over a grouped-HAVING subquery → semi join against a partial
+    aggregate of the same fact table. Exact decimal sums keep the
+    HAVING cut identical across engines."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q77_SQL)
+
+
+_Q78_SQL = f"""
+    SELECT {_dsum_sql(_Q71_REV, 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 5 AND 20)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("q78_disjunctive_predicates", oracle=_Q78_SQL)
+def q78_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three conjunctive brand/size/quantity
+    bands across the join. DataFrame build: the disjunction references
+    both sides so it evaluates post-join; part broadcasts and the
+    common p_partkey equi-key keeps the join hash-based."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    band = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(5, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  4, "revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_Q79_SQL = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 5, 11, 20, 28, 37)
+      AND l.l_suppkey NOT IN (SELECT s.s_suppkey FROM supplier s
+                              WHERE s.s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("q79_supplier_count", oracle=_Q79_SQL)
+def q79_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with
+    a NOT IN exclusion list → null-aware anti join against the (tiny,
+    broadcast) supplier blocklist, then a two-phase distinct
+    aggregation (partial distinct before the shuffle)."""
+    for name in ("lineitem", "part", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q79_SQL)
+
+
+@query(
+    "q80_udtf_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents
+          WHERE text IS NOT NULL
+            AND octet_length(encode(text)) = length(text)) u
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q80_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table-valued function) surface: a tokenizer that
+    emits one row per token, consumed through a LATERAL join and
+    aggregated into corpus token counts. Restricted to ASCII documents
+    so Python ``str.lower``/split and the oracle's ``lower``/
+    ``string_split`` agree byte-for-byte. The UDTF runs
+    partition-parallel; only the count aggregation shuffles.
+    [extension — reference has no UDF/UDTF surface, SURVEY §2.12]"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string")
+    class SpaceTokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for tok in text.lower().split(" "):
+                if tok:
+                    yield (tok,)
+
+    spark.udtf.register("space_tokenize", SpaceTokenize)
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.col("text")) == F.length(F.col("text"))))
+    docs.createOrReplaceTempView("docs_ascii")
+    return spark.sql("""
+        SELECT tk.token, COUNT(*) AS n
+        FROM docs_ascii AS d, LATERAL space_tokenize(d.text) AS tk
+        GROUP BY tk.token
+    """)
+
+
+@query(
+    "q81_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q81_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (pandas GROUPED_AGG UDAF): Arrow-batched
+    per-group reduction in Python. Accumulates in int64 (quantities are
+    whole numbers) so the result is exact and order-independent —
+    the determinism requirement any distributed UDAF must meet.
+    [extension — reference has no UDAF surface, SURVEY §2.12]"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def qty_total_udaf(v: pd.Series) -> int:
+        return int(v.astype("int64").sum())
+
+    @pandas_udf("long")
+    def row_count_udaf(v: pd.Series) -> int:
+        # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+        # aggregates in one agg(), so the count is a pandas UDAF too.
+        return int(len(v))
+
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(qty_total_udaf(F.col("l_quantity")).alias("qty_total"),
+                 row_count_udaf(F.col("l_quantity")).alias("n_rows")))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
