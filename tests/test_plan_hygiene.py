@@ -120,3 +120,41 @@ class TestTopK:
         # Spark 3.5+ WindowGroupLimit prunes per-partition before shuffle
         plan = plan_of(spark, sf_correct_dir, "q07_topk_per_group")
         assert "WindowGroupLimit" in plan
+
+
+class TestWideBattery:
+    """Plan assertions for the q70-q79 TPC-H shapes (round 2)."""
+
+    def test_q70_exists_is_semi_join_with_pushed_dates(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q70_priority_exists")
+        assert "LeftSemi" in plan
+        assert "PushedFilters: [" in plan  # order-date range reaches the scan
+
+    def test_q71_double_nation_join_broadcasts(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q71_volume_shipping")
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+
+    def test_q72_eight_way_star_broadcasts_dims(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q72_market_share")
+        assert plan.count("BroadcastHashJoin") >= 5
+        assert "CartesianProduct" not in plan
+
+    def test_q74_top20_is_take_ordered(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q74_returned_items")
+        assert "TakeOrderedAndProject" in plan  # no global sort for top-20
+
+    def test_q77_having_subquery_is_semi_join(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q77_large_volume_customer")
+        assert "LeftSemi" in plan
+        assert "ScalarSubquery" not in plan
+
+    def test_q78_disjunction_keeps_equi_hash_join(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q78_disjunctive_predicates")
+        # OR-of-conjunctions must not degrade the p_partkey equi join
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q79_not_in_is_null_aware_anti(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q79_supplier_count")
+        assert "LeftAnti" in plan
