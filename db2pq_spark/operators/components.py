@@ -1,0 +1,96 @@
+"""Connected components over a pair/edge relation (hash-min iteration).
+
+The dedup family (``operators/dedup.py``) emits duplicate *pairs*
+(id1, id2); a 100 TB dedup pipeline needs duplicate *clusters* — one
+canonical id per group of transitively-linked documents, so that
+"keep one per cluster" is a single groupBy. The reference has no graph
+operator (it has no join operator at all, SURVEY.md §2.5); this is an
+[extension] charter component.
+
+Algorithm: hash-min label propagation. Every node starts as its own
+component (label = own id); each round, every node adopts the minimum
+label among itself and its neighbors. Converges in O(graph diameter)
+rounds — near-duplicate graphs are unions of small dense clusters, so
+diameter (and the round count) stays small even at corpus scale.
+
+Scale design:
+
+- Each round is one shuffle join (edges ⋈ labels on the node id) plus
+  one groupBy-min — both partition by the same key, and AQE coalesces
+  the tiny tail rounds.
+- ``localCheckpoint`` after every round truncates the lineage: without
+  it the plan doubles each iteration and the job dies on driver-side
+  plan explosion long before the data is large.
+- Convergence is detected with a LIMIT-1 probe on changed labels (an
+  existence check, not a full count — short-circuits on first change).
+- The edge list is symmetrized once up front; oversized-component
+  blowups are bounded by ``max_iterations`` (a safety valve, not a
+  correctness knob — the result after k rounds is still a valid
+  refinement, labels just may not have fully flooded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Return (id, comp): each node labeled with the minimum id
+    reachable from it (the canonical cluster representative).
+
+    ``edges`` is an undirected pair relation; direction and duplicate
+    pairs are irrelevant (symmetrized + deduped internally). Nodes with
+    no edges are not emitted — union singletons back in downstream if
+    "every doc" semantics are needed.
+    """
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = half.union(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels = (
+        e.select(F.col("a").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        msgs = (
+            e.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "old_comp"), "id")
+            .filter(F.col("comp") != F.col("old_comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster duplicate pairs into (id, comp) groups; ``comp`` is the
+    minimum member id — the document to keep under keep-first policy."""
+    return connected_components(pairs, id1, id2, max_iterations)

@@ -2347,6 +2347,44 @@ def q81_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  row_count_udaf(F.col("l_quantity")).alias("n_rows")))
 
 
+@query(
+    "q82_dup_clusters",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5({_NORM}) AS h
+      FROM documents
+      WHERE text IS NOT NULL
+    ), grp AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY h) AS comp,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM hashed)
+    SELECT doc_id AS id, comp
+    FROM grp
+    WHERE n >= 2
+    """,
+)
+def q82_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over duplicate pairs → cluster ids.
+
+    The edge set is a *chain* per exact-duplicate group (each doc linked
+    only to the next doc id with the same content hash), so the
+    hash-min iteration genuinely has to propagate labels across
+    multiple hops. The oracle computes the fixpoint in closed form
+    (min doc_id per content-hash group) — an independent derivation the
+    iterative operator must agree with. [extension]"""
+    from db2pq_spark.operators.components import dedup_clusters
+    from db2pq_spark.operators.dedup import normalize_text
+
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hashed = docs.select("doc_id", F.md5(normalize_text("text")).alias("h"))
+    nxt = F.lead("doc_id").over(
+        W.partitionBy("h").orderBy("doc_id"))
+    edges = (hashed.select("doc_id", nxt.alias("next_id"))
+             .where(F.col("next_id").isNotNull()))
+    return dedup_clusters(edges, "doc_id", "next_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -220,3 +220,40 @@ class TestTextProfile:
         assert rows[2]["lang_pred"] == "de"
         assert rows[3]["lang_pred"] == "und"
         assert rows[1]["punct_ratio"] > 0
+
+
+class TestConnectedComponents:
+    """Hash-min connected components on constructed graphs."""
+
+    def _cc(self, spark, edges, **kw):
+        from db2pq_spark.operators.components import connected_components
+
+        df = spark.createDataFrame(edges, ["id1", "id2"])
+        out = connected_components(df, **kw)
+        return {r["id"]: r["comp"] for r in out.collect()}
+
+    def test_chain_floods_to_min(self, spark):
+        # 1-2-3-4-5 chain: every node must reach label 1 (multi-hop)
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_two_components_stay_separate(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_direction_and_duplicates_irrelevant(self, spark):
+        got = self._cc(spark, [(2, 1), (1, 2), (3, 2), (2, 3)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_cycle(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 1)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_max_iterations_bounds_rounds(self, spark):
+        # a long chain with only 2 rounds: labels can't fully flood, but
+        # the result is still a refinement (every label ≤ own id)
+        edges = [(i, i + 1) for i in range(1, 12)]
+        got = self._cc(spark, edges, max_iterations=2)
+        assert all(comp <= node for node, comp in got.items())
+        full = self._cc(spark, edges)
+        assert set(full.values()) == {1}
