@@ -27,3 +27,18 @@ __version__ = "0.1.0"
 from db2pq_spark.session import get_spark  # noqa: F401
 from db2pq_spark.plans.plan import QueryPlan, build_plan, filter_columns  # noqa: F401
 from db2pq_spark.types import normalize_col_types, spark_type_for  # noqa: F401
+
+
+def __getattr__(name: str):
+    """Reference-shaped module-level API (``import db2pq_spark as db2pq;
+    db2pq.db_to_pq(...)``) — lazily resolved from :mod:`.compat` so that
+    importing the package never triggers SparkSession construction
+    (mirrors the reference's lazy exports, db2pq/__init__.py:19-28)."""
+    import importlib
+
+    compat = importlib.import_module("db2pq_spark.compat")
+    if name == "compat":
+        return compat
+    if name in compat.PUBLIC_EXPORTS:
+        return getattr(compat, name)
+    raise AttributeError(f"module 'db2pq_spark' has no attribute {name!r}")

@@ -120,6 +120,7 @@ class Engine:
         partition_column: str | None = None,
         bounds: tuple[int, int] | None = None,
         num_partitions: int | None = None,
+        alt_table: str | None = None,
         **export_kwargs,
     ) -> Path | None:
         """JDBC table export (reference flagship, db2pq/core.py:43-70).
@@ -127,6 +128,7 @@ class Engine:
         The plan's SELECT executes server-side via the JDBC ``query``
         option; with ``partition_column`` the pull parallelizes across
         executors (scale upgrade over the reference's single stream).
+        ``alt_table`` renames the output (reference alt_table_name).
         """
         from db2pq_spark.sources.jdbc import jdbc_read_options, read_jdbc
 
@@ -163,7 +165,7 @@ class Engine:
         # 'explicit wins over numeric_mode' contract (casts.py) must
         # hold on this path too; re-casting an already-cast column is a
         # no-op Catalyst folds away.
-        return self.df_to_pq(df, schema, table,
+        return self.df_to_pq(df, schema, alt_table or table,
                              col_types=plan_kwargs["col_types"],
                              **export_kwargs)
 

@@ -175,3 +175,30 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def execute_sql(spark: SparkSession, source: JdbcSource, sql: str) -> bool:
+    """DDL/DML statement passthrough (reference process_sql,
+    db2pq/postgres/update.py:27-68; X1/X2 in SURVEY §2.10).
+
+    Spark's DataFrame JDBC surface cannot express bare statements
+    (COMMENT ON, CREATE SCHEMA, GRANT ...), so this drives
+    ``java.sql.DriverManager`` on the driver JVM directly — same
+    classpath, no extra Python DB dependency. Returns the JDBC
+    ``execute`` result (True when a ResultSet was produced)."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    if source.user:
+        props.setProperty("user", source.user)
+    if source.password:
+        props.setProperty("password", source.password)
+    jvm.java.lang.Class.forName(source.driver)
+    conn = jvm.java.sql.DriverManager.getConnection(source.url, props)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return bool(stmt.execute(sql))
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
