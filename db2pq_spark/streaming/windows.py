@@ -146,3 +146,39 @@ def run_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def view_purchase_attribution(events: DataFrame,
+                              max_delay: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    user's views in the preceding ``max_delay``.
+
+    The canonical Spark streaming join: both sides watermarked, and the
+    join condition time-bounds the right side against the left
+    (``view_time <= purchase_time <= view_time + max_delay``) — those
+    bounds are what let the state store GC matched/expired rows, so
+    state stays proportional to the active window, not the stream
+    history. The same plan runs on a batch DataFrame (no watermarks
+    needed) — workload q83 is exactly that, oracle-checked.
+    """
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_time").alias("view_time"))
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_time").alias("purchase_time"))
+    if events.isStreaming:
+        v = v.withWatermark("view_time", watermark)
+        p = p.withWatermark("purchase_time", watermark)
+    cond = (
+        (v.v_user == p.p_user)
+        & (p.purchase_time >= v.view_time)
+        & (p.purchase_time <= v.view_time + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return v.join(p, cond).select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+        "view_time", "purchase_time", "purchase_value")

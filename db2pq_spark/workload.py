@@ -2385,6 +2385,38 @@ def q82_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(edges, "doc_id", "next_id")
 
 
+@query(
+    "q83_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(v.ts AS TIMESTAMP) AS view_time,
+           CAST(p.ts AS TIMESTAMP) AS purchase_time,
+           p.value AS purchase_value
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP)
+         <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view'
+      AND p.event_type = 'purchase'
+    """,
+)
+def q83_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (batch twin of the stream-stream attribution join,
+    streaming/windows.py:view_purchase_attribution): purchases joined to
+    the same user's views within the preceding hour. The equi-key on
+    user_id keeps this a hash join with a residual range predicate —
+    not a cartesian. [extension]"""
+    from db2pq_spark.streaming.windows import view_purchase_attribution
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us")))
+    return view_purchase_attribution(ev)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -123,3 +123,49 @@ class TestSessions:
         # more sessions than users, fewer than events
         n_users = 50
         assert n_users <= got.count() < total_events
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, sf_dir, tmp_path):
+        """Stream-stream interval join (view→purchase attribution) over
+        3 micro-batches must produce exactly the batch join's pairs —
+        including pairs whose view and purchase arrive in different
+        micro-batches (buffered in the join state store)."""
+        from db2pq_spark.streaming.windows import (
+            read_events_stream,
+            run_to_memory,
+            view_purchase_attribution,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = tmp_path / "events_ssj"
+        # Deliver micro-batches in (rough) event-time order — a random
+        # 3-way split would advance the watermark to max(file1)-2h after
+        # the first batch and correctly drop the other files as late.
+        # The file source processes oldest-mtime first, so write the
+        # three time slices sequentially.
+        import time as _time
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        lo, q1, q2, hi = ev.selectExpr(
+            "min(ts)", "percentile(ts, 0.33)", "percentile(ts, 0.66)",
+            "max(ts)").first()
+        for a, b in ((lo - 1, q1), (q1, q2), (q2, hi)):
+            (ev.where(f"ts > {int(a)} AND ts <= {int(b)}")
+             .coalesce(1).write.mode("append").parquet(str(src)))
+            _time.sleep(1.1)
+
+        stream = read_events_stream(spark, str(src))
+        got = run_to_memory(view_purchase_attribution(stream), "ssj_out",
+                            output_mode="append")
+
+        import pyspark.sql.functions as SF
+        batch_ev = (spark.read.parquet(str(src))
+                    .withColumn("event_time",
+                                SF.timestamp_micros(SF.expr("ts div 1000"))))
+        want = view_purchase_attribution(batch_ev)
+
+        key = lambda r: (r["user_id"], r["view_id"], r["purchase_id"])
+        got_keys = sorted(key(r) for r in got.collect())
+        want_keys = sorted(key(r) for r in want.collect())
+        assert got_keys == want_keys and len(got_keys) > 0
