@@ -2417,6 +2417,45 @@ def q83_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_attribution(ev)
 
 
+@query(
+    "q84_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(38,4)) AS disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric,
+           CAST(amount AS DECIMAL(38,4)) AS amount
+    FROM wide
+    UNPIVOT (amount FOR metric IN (qty, price, disc))
+    """,
+)
+def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse reshape of q22's pivot: a wide
+    per-flag aggregate melted to (flag, metric, amount) rows via the
+    native ``unpivot`` operator (an Expand node — no shuffle beyond the
+    aggregation). Amounts unify to decimal(38,4) exactly as DuckDB's
+    UNPIVOT unifies its value column. [Spark built-in; reference
+    delegates reshapes to source SQL]"""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("decimal(38,2)").alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .cast("decimal(38,2)").alias("price"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)"))
+         .cast("decimal(38,4)").alias("disc"),
+    )
+    return (wide.unpivot("l_returnflag", ["qty", "price", "disc"],
+                         "metric", "amount")
+            .withColumn("amount", F.col("amount").cast("decimal(38,4)")))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -158,3 +158,16 @@ class TestWideBattery:
     def test_q79_not_in_is_null_aware_anti(self, spark, sf_correct_dir):
         plan = plan_of(spark, sf_correct_dir, "q79_supplier_count")
         assert "LeftAnti" in plan
+
+    def test_q83_interval_join_is_hash_not_nested_loop(self, spark, sf_correct_dir):
+        # equi-key on user_id must carry the join; the time bounds are a
+        # residual filter, not a BroadcastNestedLoopJoin condition
+        plan = plan_of(spark, sf_correct_dir, "q83_interval_join")
+        assert "HashJoin" in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_q84_unpivot_is_expand_no_extra_shuffle(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q84_unpivot")
+        assert "Expand" in plan
+        # one shuffle for the aggregation only
+        assert plan.count("Exchange") <= 2  # partial+final agg exchanges
