@@ -2456,6 +2456,59 @@ def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("amount", F.col("amount").cast("decimal(38,4)")))
 
 
+@query(
+    "q85_chunking",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             GREATEST(1, CAST(ceil((length(text) - 64) / 448.0) AS INT))
+               AS n_chunks
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id AS id, CAST(i AS INT) AS chunk_idx,
+           substring(text, CAST(i * 448 + 1 AS BIGINT), 512) AS chunk_text,
+           CAST(length(substring(text, CAST(i * 448 + 1 AS BIGINT), 512))
+                AS INT) AS chunk_chars_
+    FROM d, UNNEST(range(0, CAST(n_chunks AS BIGINT))) AS t(i)
+    """,
+)
+def q85_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping 512-char windows (stride 448) via
+    sequence + posexplode + substring — one row in, N out, zero UDFs,
+    zero shuffles (a narrow map at any scale). [extension]"""
+    from db2pq_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(t(spark, sf_dir, "documents"), "text", "doc_id",
+                           chunk_chars=512, overlap=64)
+
+
+@query(
+    "q86_packing",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS offset_
+      FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(floor(offset_ / 8192) AS BIGINT) AS bin
+    FROM sized
+    """,
+)
+def q86_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (offset binning): per-language cumulative size →
+    bin = floor(offset/budget). One window cumsum per group; engine- and
+    partitioning-independent (the oracle recomputes the same window).
+    The exact next-fit variant is pack_next_fit (applyInPandas,
+    tested for no-straddle semantics in pytest). [extension]"""
+    from db2pq_spark.operators.chunking import pack_offsets
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return pack_offsets(docs, "n_chars", "doc_id", budget=8192,
+                        group_col="lang")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -257,3 +257,75 @@ class TestConnectedComponents:
         assert all(comp <= node for node, comp in got.items())
         full = self._cc(spark, edges)
         assert set(full.values()) == {1}
+
+
+class TestChunkingPacking:
+    def test_chunk_windows_cover_and_overlap(self, spark):
+        from db2pq_spark.operators.chunking import chunk_documents
+
+        text = "abcdefghij" * 20  # 200 chars
+        df = spark.createDataFrame([(1, text), (2, "short"), (3, None)],
+                                   ["doc_id", "text"])
+        out = chunk_documents(df, "text", "doc_id",
+                              chunk_chars=100, overlap=20).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["id"], []).append(r)
+        # doc 1: stride 80 → ceil((200-20)/80) = 3 chunks
+        c1 = sorted(by_id[1], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+        assert c1[0]["chunk_text"] == text[0:100]
+        assert c1[1]["chunk_text"] == text[80:180]
+        assert c1[2]["chunk_text"] == text[160:200]  # final reaches the end
+        # consecutive chunks share the 20-char overlap
+        assert c1[0]["chunk_text"][-20:] == c1[1]["chunk_text"][:20]
+        # short doc → single whole-doc chunk; NULL docs dropped
+        assert len(by_id[2]) == 1 and by_id[2][0]["chunk_text"] == "short"
+        assert 3 not in by_id
+
+    def test_chunk_rejects_bad_overlap(self, spark):
+        from db2pq_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, "text", "doc_id", chunk_chars=10, overlap=10)
+
+    def test_pack_next_fit_never_straddles(self, spark):
+        from db2pq_spark.operators.chunking import pack_next_fit
+
+        rows = [("en", i, s) for i, s in
+                enumerate([40, 40, 30, 90, 10, 10, 95, 200, 5])]
+        df = spark.createDataFrame(rows, ["lang", "seq", "size"])
+        out = pack_next_fit(df, "size", "seq", budget=100,
+                            group_col="lang").collect()
+        bins = {}
+        for r in sorted(out, key=lambda r: r["seq"]):
+            bins.setdefault(r["bin"], []).append(r["size"])
+        # greedy walk: [40,40] (80+30 overflows) → [30] (30+90 overflows)
+        # → [90,10] (exactly full) → [10] (10+95 overflows) → [95] →
+        # [200] (oversized singleton) → [5]
+        assert bins == {0: [40, 40], 1: [30], 2: [90, 10], 3: [10],
+                        4: [95], 5: [200], 6: [5]}
+        # no bin except oversized singletons exceeds the budget
+        for b, sizes in bins.items():
+            assert sum(sizes) <= 100 or len(sizes) == 1
+
+    def test_pack_next_fit_groups_are_independent(self, spark):
+        from db2pq_spark.operators.chunking import pack_next_fit
+
+        rows = [("en", 1, 60), ("en", 2, 60), ("de", 1, 60), ("de", 2, 30)]
+        df = spark.createDataFrame(rows, ["lang", "seq", "size"])
+        out = pack_next_fit(df, "size", "seq", budget=100, group_col="lang")
+        got = {(r["lang"], r["seq"]): r["bin"] for r in out.collect()}
+        assert got == {("en", 1): 0, ("en", 2): 1,
+                       ("de", 1): 0, ("de", 2): 0}
+
+    def test_pack_offsets_matches_manual_cumsum(self, spark):
+        from db2pq_spark.operators.chunking import pack_offsets
+
+        rows = [("en", i, 50) for i in range(10)]
+        df = spark.createDataFrame(rows, ["lang", "seq", "size"])
+        out = pack_offsets(df, "size", "seq", budget=120, group_col="lang")
+        got = {r["seq"]: r["bin"] for r in out.collect()}
+        # offsets 0,50,...,450 → floor(offset/120)
+        assert got == {i: (i * 50) // 120 for i in range(10)}
