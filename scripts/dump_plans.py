@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: executed physical plans for representative
+workload queries, annotated with the plan property each one is
+demonstrating (the same properties tests/test_plan_hygiene.py asserts).
+
+Usage: python scripts/dump_plans.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+#: query -> the plan property it demonstrates
+SHOWCASE = {
+    "q02_export_plan": "projection + filter pushdown into the parquet "
+                       "scan (ReadSchema / PushedFilters)",
+    "q01_pricing_summary": "whole-stage codegen scan→partial agg→final "
+                           "agg; one shuffle",
+    "q05_region_revenue": "star join: every dimension broadcast, only "
+                          "the fact tables shuffle",
+    "q03_top_orders": "TakeOrderedAndProject — global top-10 without a "
+                      "global sort",
+    "q07_topk_per_group": "WindowGroupLimit pushes the per-group top-k "
+                          "below the shuffle",
+    "q64_waiting_supplier": "EXISTS/NOT EXISTS decorrelated to "
+                            "LeftSemi + LeftAnti joins",
+    "q71_volume_shipping": "double-aliased dimension (nation ×2) still "
+                           "broadcasts; no cartesian",
+    "q74_returned_items": "top-20 by exact-decimal revenue via "
+                          "TakeOrderedAndProject",
+    "q79_supplier_count": "NOT IN → null-aware anti join + two-phase "
+                          "distinct aggregation",
+    "q83_interval_join": "stream-stream-shaped interval join stays a "
+                         "hash join (equi key + residual range)",
+    "q84_unpivot": "unpivot is an Expand node — no extra shuffle",
+    "q66_hash_split": "deterministic split is a narrow projection — "
+                      "no Exchange before the final agg",
+}
+
+HEADER = """\
+# PLANS — executed physical plans (auto-generated)
+
+Regenerate with `python scripts/dump_plans.py`. Each section names the
+scale-relevant plan property the query demonstrates; the same
+properties are asserted in `tests/test_plan_hygiene.py`, so regressions
+fail CI rather than silently degrading at scale.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from db2pq_spark import workload
+    from db2pq_spark.session import get_spark
+
+    spark = get_spark(app_name="dump_plans")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "200")
+
+    out = [HEADER]
+    for name, why in SHOWCASE.items():
+        df = workload.REGISTRY[name][0](spark, sf_dir)
+        df.collect()  # finalize AQE so the executed plan is the real one
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out.append(f"\n## {name}\n\n*{why}*\n\n```\n{plan.rstrip()}\n```\n")
+
+    with open("/root/repo/PLANS.md", "w") as fh:
+        fh.write("".join(out))
+    print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
