@@ -82,12 +82,37 @@ def main() -> None:
 
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # Steady-state supplemental timings: the first (timed) execution of
+    # the expression-heavy extension operators pays several seconds of
+    # one-time whole-stage-codegen compilation (session fixed cost,
+    # data-independent — SCALE.md "Fixed costs"). A second run shows the
+    # per-query throughput a long-lived session/cluster actually gets.
+    # Reported separately; "value" keeps its cold-total semantics.
+    steady: dict[str, float] = {}
+    for name in ("q36_minhash_dedup", "q38_lsh_similarity",
+                 "q01_pricing_summary", "export_full_table"):
+        if name == "export_full_table":
+            fn = lambda: eng2.df_to_pq(  # noqa: E731
+                li, "bench", "lineitem_full2",
+                last_modified="Last modified: 01/01/2026 00:00:00")
+            tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
+            from db2pq_spark.core import Engine as _E
+            eng2 = _E(spark, tmp2)
+            t0 = time.perf_counter(); fn()
+            steady[name] = round(time.perf_counter() - t0, 3)
+            shutil.rmtree(tmp2, ignore_errors=True)
+        else:
+            qfn = workload.REGISTRY[name][0]
+            t0 = time.perf_counter(); qfn(spark, sf_dir).collect()
+            steady[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "steady_state": steady,
         "sf": sf,
     }))
 
