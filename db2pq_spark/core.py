@@ -343,7 +343,7 @@ class Engine:
         schema: str,
         table: str,
         target_mb: int = 128,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
         target_files: int | None = None,
     ) -> tuple[int, int]:
         """Rewrite a repository table into ~``target_mb`` files,
@@ -360,8 +360,12 @@ class Engine:
         ``cluster_by`` additionally range-partitions + sorts the rewrite
         on a column, giving each output file a tight, mostly disjoint
         min/max range — parquet row-group statistics then let later
-        scans with predicates on that column skip whole files (poor
-        man's Z-order for the 1-column case, which is the common one).
+        scans with predicates on that column skip whole files. A LIST
+        of columns switches to Z-order layout
+        (:func:`db2pq_spark.operators.zorder.zorder`): the bit patterns
+        interleave into one Morton key, so every output file is a small
+        hyper-rectangle and min/max pruning works on ANY of the listed
+        columns, not just the first.
 
         Returns (files_before, files_after). No reference counterpart
         (single-file tables there never fragment).
@@ -379,7 +383,13 @@ class Engine:
         modified = get_modified_pq(path)
 
         df = self.read_pq(schema, table)
-        if cluster_by is not None:
+        if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
+            from db2pq_spark.operators.zorder import zorder
+
+            df = zorder(df, list(cluster_by), n_out)
+        elif cluster_by is not None:
+            if isinstance(cluster_by, (list, tuple)):
+                cluster_by = cluster_by[0]
             df = (df.repartitionByRange(n_out, cluster_by)
                   .sortWithinPartitions(cluster_by))
         else:
