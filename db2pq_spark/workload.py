@@ -2509,6 +2509,33 @@ def q86_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_col="lang")
 
 
+@query(
+    "q87_variant",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q87_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path: ``parse_json`` once into Spark's
+    binary VARIANT encoding, then typed ``variant_get`` extraction —
+    the columnar-shredding-friendly alternative to per-access string
+    parsing (q53). At scale, parse-once beats N× get_json_object when
+    several fields are touched. [Spark 4 built-in; reference delegates
+    JSON to source SQL]"""
+    e = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (e.groupBy(k.alias("k"))
+            .agg(F.count("*").alias("n"),
+                 dsum("value", 4, "sum_value")))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
