@@ -329,3 +329,20 @@ class TestChunkingPacking:
         got = {r["seq"]: r["bin"] for r in out.collect()}
         # offsets 0,50,...,450 → floor(offset/120)
         assert got == {i: (i * 50) // 120 for i in range(10)}
+
+
+class TestMapInArrow:
+    def test_arrow_path_matches_pandas_path(self, spark, sf_dir):
+        from db2pq_spark.operators.multimodal import (
+            binarize,
+            extract_features,
+            extract_features_arrow,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        blobs = binarize(docs, "text", "doc_id")
+        a = {r["doc_id"]: (r["n_bytes"], r["sha256"], r["head_byte"])
+             for r in extract_features_arrow(blobs).collect()}
+        p = {r["doc_id"]: (r["n_bytes"], r["sha256"], r["head_byte"])
+             for r in extract_features(blobs).collect()}
+        assert a == p and len(a) > 0
