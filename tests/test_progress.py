@@ -9,16 +9,23 @@ from db2pq_spark.progress import with_progress
 
 
 def test_progress_renders_when_forced(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    import time
+
+    from pyspark.sql import functions as F
+
     buf = io.StringIO()
-    # a multi-stage action slow enough to catch at least one poll
-    n = with_progress(
-        spark,
-        lambda: li.repartition(64, "l_orderkey")
-                  .groupBy("l_orderkey").count().count(),
-        force=True, out=buf,
-    )
-    assert n > 0
+
+    @F.udf("long")
+    def slow(x):
+        time.sleep(0.002)
+        return x
+
+    # deterministically slow (~1 s of in-stage time across 4 tasks) so
+    # the 0.25 s poll is guaranteed to land inside an active stage even
+    # on a loaded machine — a fast shuffle job can finish between polls
+    df = spark.range(2000).repartition(4).select(slow("id").alias("v"))
+    n = with_progress(spark, lambda: df.count(), force=True, out=buf)
+    assert n == 2000
     text = buf.getvalue()
     assert "tasks" in text and "eta" in text
 
