@@ -403,6 +403,20 @@ class Engine:
                   f"files ({total_bytes >> 20} MiB)")
         return len(files), n_after
 
+    def vacuum(
+        self,
+        schema: str,
+        keep_last: int | None = None,
+        older_than=None,
+    ) -> list[str]:
+        """Prune archived table versions by count and/or age
+        (:func:`db2pq_spark.sinks.repository.pq_vacuum`). [extension —
+        the reference archives but never prunes]"""
+        from db2pq_spark.sinks.repository import pq_vacuum
+
+        return pq_vacuum(self.data_dir, schema, keep_last=keep_last,
+                         older_than=older_than)
+
     # -- sync / freshness ---------------------------------------------------
 
     def update_pq(

@@ -114,3 +114,52 @@ def pq_last_modified(
                 }
             )
     return out
+
+
+def pq_vacuum(
+    data_dir: str | Path,
+    schema: str,
+    keep_last: int | None = None,
+    older_than: "dt.datetime | None" = None,
+) -> list[str]:
+    """Prune archived table versions; returns removed stems.
+
+    Retention by count (``keep_last`` newest versions per table) and/or
+    age (``older_than``: drop versions stamped before it). Versions with
+    an unparseable stamp (``_unknown_modified``) sort oldest, so they
+    are pruned first by ``keep_last`` but are never age-pruned (no
+    evidence of age). At least one selector is required — a bare
+    vacuum that empties the archive is almost always a mistake.
+
+    [extension] The reference archives but never prunes
+    (db2pq/files/parquet.py:294-359 has no deletion path); unbounded
+    archives are a real operational cost at repository scale.
+    """
+    if keep_last is None and older_than is None:
+        raise ValueError("pass keep_last and/or older_than")
+    from db2pq_spark.sync.timestamps import (
+        parse_utc_stamp,
+        restore_table_basename,
+    )
+
+    base = archive_dir(data_dir, schema)
+    removed: list[str] = []
+    by_table: dict[str, list[tuple]] = {}
+    for stem in pq_list_files(data_dir, schema, archive=True):
+        table = restore_table_basename(stem)
+        stamp = stem[len(table) + 1:] if stem.startswith(f"{table}_") else ""
+        by_table.setdefault(table, []).append(
+            (parse_utc_stamp(stamp), stem))
+
+    for table, versions in by_table.items():
+        # newest first; None stamps (unknown age) last
+        versions.sort(key=lambda v: (v[0] is None,
+                                     -(v[0].timestamp() if v[0] else 0)))
+        for rank, (stamped, stem) in enumerate(versions):
+            too_many = keep_last is not None and rank >= keep_last
+            too_old = (older_than is not None and stamped is not None
+                       and stamped < older_than)
+            if too_many or too_old:
+                _rm(base / f"{stem}.parquet")
+                removed.append(stem)
+    return removed

@@ -165,3 +165,52 @@ class TestEngineFlows:
             "sf", "agg",
         )
         assert spark.read.parquet(str(path)).columns == ["l_orderkey", "q"]
+
+
+class TestVacuum:
+    @pytest.fixture()
+    def versioned(self, spark, sf_dir, tmp_path):
+        """nation archived 3× with distinct stamps + 1 unknown-stamp."""
+        from db2pq_spark.core import Engine
+
+        eng = Engine(spark, tmp_path)
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        stamps = ["Last modified: 01/02/2024 10:00:00",
+                  "Last modified: 01/02/2025 10:00:00",
+                  "Last modified: 01/02/2026 10:00:00"]
+        for s in stamps:
+            eng.df_to_pq(df, "tpch", "nation", last_modified=s,
+                         archive=True)
+        eng.df_to_pq(df, "tpch", "nation", archive=True)  # no stamp
+        # final write so the "unknown" version lands in the archive too
+        eng.df_to_pq(df, "tpch", "nation",
+                     last_modified=stamps[-1], archive=True)
+        return eng
+
+    def test_keep_last_prunes_oldest_first(self, versioned):
+        from db2pq_spark.sinks.repository import pq_list_files
+
+        before = pq_list_files(versioned.data_dir, "tpch", archive=True)
+        assert len(before) == 4  # 3 stamped + 1 unknown
+        removed = versioned.vacuum("tpch", keep_last=2)
+        after = pq_list_files(versioned.data_dir, "tpch", archive=True)
+        assert len(after) == 2 and len(removed) == 2
+        # unknown-stamp sorts oldest → pruned; the 2 newest stamps stay
+        assert not any(s.endswith("unknown_modified") for s in after)
+        assert any("2026" in s for s in after) and any("2025" in s for s in after)
+
+    def test_older_than_prunes_by_age_only(self, versioned):
+        import datetime as dt
+
+        from db2pq_spark.sinks.repository import pq_list_files
+
+        cutoff = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+        removed = versioned.vacuum("tpch", older_than=cutoff)
+        after = pq_list_files(versioned.data_dir, "tpch", archive=True)
+        # 2024 + 2025-01 stamps pruned; unknown never age-pruned
+        assert len(removed) == 2
+        assert any(s.endswith("unknown_modified") for s in after)
+
+    def test_requires_a_selector(self, versioned):
+        with pytest.raises(ValueError):
+            versioned.vacuum("tpch")
