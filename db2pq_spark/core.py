@@ -403,6 +403,66 @@ class Engine:
                   f"files ({total_bytes >> 20} MiB)")
         return len(files), n_after
 
+    def analyze(
+        self,
+        schema: str,
+        table: str,
+        columns: list[str] | None = None,
+    ) -> dict:
+        """One-pass table statistics: row count, on-disk bytes, file
+        count, and per-column min / max / approx-distinct / null count.
+
+        The numbers that drive physical-plan decisions at scale: whether
+        a join side fits the broadcast threshold, whether a key is
+        skewed enough to salt (ndv ≪ rows), whether a filter column is
+        clusterable (narrow min/max per file after compact). All column
+        stats compute in ONE aggregation pass (a single job), not one
+        scan per column. [extension — reference has only the NUMERIC
+        bounds introspection, db2pq/postgres/introspect.py:1-53]
+        """
+        import pyarrow.dataset as ds
+
+        path = table_path(self.data_dir, schema, table)
+        files = list(ds.dataset(str(path), format="parquet").files)
+        size_bytes = sum(Path(f).stat().st_size for f in files)
+
+        df = self.read_pq(schema, table)
+        from pyspark.sql import functions as F
+
+        from pyspark.sql import types as T
+
+        if columns is None:
+            # maps/structs have no ordering — skip unless asked explicitly
+            cols = [f.name for f in df.schema.fields
+                    if not isinstance(f.dataType, (T.MapType, T.StructType))]
+        else:
+            cols = columns
+        aggs = [F.count("*").alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            ]
+        row = df.agg(*aggs).first()
+        return {
+            "schema": schema,
+            "table": table,
+            "rows": row["__rows"],
+            "bytes": size_bytes,
+            "files": len(files),
+            "columns": {
+                c: {
+                    "min": row[f"{c}__min"],
+                    "max": row[f"{c}__max"],
+                    "approx_ndv": row[f"{c}__ndv"],
+                    "nulls": row[f"{c}__nulls"],
+                }
+                for c in cols
+            },
+        }
+
     def vacuum(
         self,
         schema: str,

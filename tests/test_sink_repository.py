@@ -214,3 +214,35 @@ class TestVacuum:
     def test_requires_a_selector(self, versioned):
         with pytest.raises(ValueError):
             versioned.vacuum("tpch")
+
+
+class TestAnalyze:
+    def test_stats_shape_and_values(self, spark, sf_dir, tmp_path):
+        from db2pq_spark.core import Engine
+
+        eng = Engine(spark, tmp_path)
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        eng.df_to_pq(df, "tpch", "nation",
+                     last_modified="Last modified: 01/02/2026 10:00:00")
+        stats = eng.analyze("tpch", "nation")
+        n = df.count()
+        assert stats["rows"] == n and stats["bytes"] > 0 and stats["files"] >= 1
+        ck = stats["columns"]["n_nationkey"]
+        assert ck["min"] == 0 and ck["nulls"] == 0
+        assert abs(ck["approx_ndv"] - n) <= max(2, n * 0.05)
+
+    def test_single_aggregation_pass(self, spark, sf_dir, tmp_path):
+        """All column stats must come from ONE job — count the jobs."""
+        from db2pq_spark.core import Engine
+
+        eng = Engine(spark, tmp_path)
+        df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        eng.df_to_pq(df, "tpch", "customer",
+                     last_modified="Last modified: 01/02/2026 10:00:00")
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        eng.analyze("tpch", "customer")
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        # one aggregation = a handful of AQE stage jobs; a per-column
+        # implementation would cost ≥ 3 jobs × 5 columns
+        assert after - before <= 4
