@@ -28,11 +28,16 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the latest right row
-    with ``right_time <= left_time`` (direction="backward"), per ``on``
-    key. Right columns come back suffixed ``_asof``.
+    with ``right_time <= left_time`` (direction="backward") or the
+    earliest right row with ``right_time >= left_time``
+    (direction="forward"), per ``on`` key. Right columns come back
+    suffixed ``_asof``. Both directions are the same one-shuffle union +
+    carry-window composition — forward just orders time descending so
+    "carry last non-null" means "nearest following".
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
 
     lcols = left.columns
     l_tagged = left.select(
@@ -54,9 +59,11 @@ def asof_join(
     # right rows sort before left rows at equal time → inclusive match;
     # value columns break ties among right rows sharing (key, time) so
     # the carried value is deterministic (largest wins) instead of
-    # partition-order-dependent
+    # partition-order-dependent. Forward direction reverses the time
+    # ordering only — the carry logic is identical.
+    time_key = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (W.partitionBy(on)
-         .orderBy("_t", "_is_left", *[f"{c}_asof" for c in value_cols])
+         .orderBy(time_key, "_is_left", *[f"{c}_asof" for c in value_cols])
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     filled = unioned.select(
         *lcols, "_is_left",

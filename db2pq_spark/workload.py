@@ -2536,6 +2536,122 @@ def q87_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("value", 4, "sum_value")))
 
 
+@query(
+    "q88_asof_forward",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE user_id < 20
+    ),
+    purchases AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT ev.event_id, ev.user_id, ev.ts_us, p.ts_us AS ts_us_asof
+    FROM ev ASOF LEFT JOIN purchases p
+      ON ev.user_id = p.user_id AND ev.ts_us <= p.ts_us
+    """,
+)
+def q88_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: earliest purchase at-or-after each event
+    (next-event attribution). Same one-shuffle union+carry composition
+    as q34, time ordering reversed. Oracle: DuckDB ASOF with ``<=``.
+    [extension]"""
+    from db2pq_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") < 20).select("event_id", "user_id",
+                                                   "ts_us")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id",
+                                                                "ts_us")
+    return asof_join(left, right, on="user_id",
+                     left_time="ts_us", right_time="ts_us",
+                     value_cols=["ts_us"], direction="forward")
+
+
+@query(
+    "q89_resample_gapfill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_idx,
+             value
+      FROM events WHERE user_id < 8
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day_idx) AS lo, MAX(day_idx) AS hi
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT b.user_id, CAST(g.d AS BIGINT) AS day_idx
+      FROM bounds b, UNNEST(range(b.lo, b.hi + 1)) AS g(d)
+    )
+    SELECT g.user_id, g.day_idx,
+           COALESCE(e.n, 0) AS n_events,
+           CAST(COALESCE(e.sv, 0) AS DECIMAL(38,4)) AS sum_value
+    FROM grid g
+    LEFT JOIN (SELECT user_id, day_idx, COUNT(*) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                           AS DECIMAL(38,4)) AS sv
+               FROM ev GROUP BY 1, 2) e
+      ON e.user_id = g.user_id AND e.day_idx = g.day_idx
+    """,
+)
+def q89_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: per-user daily rollup
+    over a dense day grid (days with no events appear as zero rows).
+    The grid is generated from each user's own [min, max] span with
+    ``sequence`` + ``explode`` — no driver-side calendar, no cross
+    join; the grid build and the left join share the user_id
+    partitioning. [extension — hypertable-style rollup]"""
+    ev = (t(spark, sf_dir, "events")
+          .where(F.col("user_id") < 8)
+          .select("user_id",
+                  F.expr("ts_us div 86400000000").alias("day_idx"),
+                  "value"))
+    agg = (ev.groupBy("user_id", "day_idx")
+           .agg(F.count("*").alias("n"),
+                dsum("value", 4, "sv")))
+    grid = (ev.groupBy("user_id")
+            .agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
+            .select("user_id",
+                    F.explode(F.sequence("lo", "hi")).alias("day_idx")))
+    return (grid.join(agg, ["user_id", "day_idx"], "left")
+            .select("user_id", "day_idx",
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    F.coalesce(F.col("sv"), F.lit(0).cast("decimal(38,4)"))
+                     .alias("sum_value")))
+
+
+@query(
+    "q90_feature_binning",
+    oracle="""
+    SELECT decile, COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM (SELECT c_acctbal,
+                 NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)
+                   AS decile
+          FROM customer) b
+    GROUP BY decile
+    """,
+)
+def q90_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile binning of a feature column (equal-frequency
+    discretization) via NTILE with a total tie-broken ordering —
+    deterministic across engines, unlike approxQuantile-based
+    Bucketizer setups. At 100 TB use the sketch (approx) variant; this
+    is the exact baseline the sketch is validated against. [extension]"""
+    c = t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (c.select("c_acctbal",
+                     F.ntile(10).over(w).cast("bigint").alias("decile"))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi")))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

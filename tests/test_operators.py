@@ -346,3 +346,29 @@ class TestMapInArrow:
         p = {r["doc_id"]: (r["n_bytes"], r["sha256"], r["head_byte"])
              for r in extract_features(blobs).collect()}
         assert a == p and len(a) > 0
+
+
+class TestAsofForward:
+    def test_forward_inclusive(self, spark):
+        from db2pq_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 100)],
+            "event_id long, user_id long, ts_us long")
+        right = spark.createDataFrame(
+            [(10, 100), (10, 200), (30, 1)], "user_id long, ts_us long")
+        out = {r["event_id"]: r["ts_us_asof"] for r in
+               asof_join(left, right, "user_id", "ts_us", "ts_us",
+                         ["ts_us"], direction="forward").collect()}
+        assert out[1] == 100   # inclusive: match at exactly t
+        assert out[2] is None  # nothing at or after 205
+        assert out[3] == 100   # earliest at-or-after 50
+        assert out[4] is None  # user 20 has no signup
+
+    def test_bad_direction_rejected(self, spark):
+        from db2pq_spark.operators.asof import asof_join
+
+        df = spark.createDataFrame([(1, 1)], "user_id long, ts_us long")
+        with pytest.raises(ValueError):
+            asof_join(df, df, "user_id", "ts_us", "ts_us", ["ts_us"],
+                      direction="nearest")
