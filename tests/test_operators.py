@@ -372,3 +372,31 @@ class TestAsofForward:
         with pytest.raises(ValueError):
             asof_join(df, df, "user_id", "ts_us", "ts_us", ["ts_us"],
                       direction="nearest")
+
+
+class TestChunkReconstruction:
+    def test_chunks_reconstruct_every_document(self, spark):
+        """Invariant: chunk[0] + chunk[i][overlap:] re-concatenated must
+        equal the original document, for every length class (empty,
+        below/at/above chunk size, exact boundary multiples, unicode)."""
+        import random
+
+        from db2pq_spark.operators.chunking import chunk_documents
+
+        rng = random.Random(7)
+        alphabet = "abcdefg αβγ 北京 xyz"
+        lengths = ([0, 1, 63, 64, 65, 99, 100, 101, 164, 180, 244, 500]
+                   + [rng.randrange(0, 700) for _ in range(60)])
+        docs = [(i, "".join(rng.choice(alphabet) for _ in range(n)))
+                for i, n in enumerate(lengths)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = chunk_documents(df, "text", "doc_id",
+                              chunk_chars=100, overlap=20)
+        by_id: dict[int, list] = {}
+        for r in out.collect():
+            by_id.setdefault(r["id"], []).append(r)
+        for i, text in docs:
+            chunks = [r["chunk_text"] for r in
+                      sorted(by_id[i], key=lambda r: r["chunk_idx"])]
+            rebuilt = chunks[0] + "".join(c[20:] for c in chunks[1:])
+            assert rebuilt == text, f"doc {i} (len {len(text)})"
