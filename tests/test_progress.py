@@ -22,9 +22,14 @@ def test_progress_renders_when_forced(spark, sf_dir):
 
     # deterministically slow (~1 s of in-stage time across 4 tasks) so
     # the 0.25 s poll is guaranteed to land inside an active stage even
-    # on a loaded machine — a fast shuffle job can finish between polls
+    # on a loaded machine. The aggregate CONSUMES the UDF column —
+    # count() would let Catalyst prune the UDF and finish instantly.
     df = spark.range(2000).repartition(4).select(slow("id").alias("v"))
-    n = with_progress(spark, lambda: df.count(), force=True, out=buf)
+    n = with_progress(
+        spark,
+        lambda: df.agg(F.count("v")).first()[0],
+        force=True, out=buf,
+    )
     assert n == 2000
     text = buf.getvalue()
     assert "tasks" in text and "eta" in text
