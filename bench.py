@@ -90,21 +90,17 @@ def main() -> None:
     # Reported separately; "value" keeps its cold-total semantics.
     steady: dict[str, float] = {}
     for name in ("q36_minhash_dedup", "q38_lsh_similarity",
-                 "q01_pricing_summary", "export_full_table"):
-        if name == "export_full_table":
-            fn = lambda: eng2.df_to_pq(  # noqa: E731
-                li, "bench", "lineitem_full2",
-                last_modified="Last modified: 01/01/2026 00:00:00")
-            tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
-            from db2pq_spark.core import Engine as _E
-            eng2 = _E(spark, tmp2)
-            t0 = time.perf_counter(); fn()
-            steady[name] = round(time.perf_counter() - t0, 3)
-            shutil.rmtree(tmp2, ignore_errors=True)
-        else:
-            qfn = workload.REGISTRY[name][0]
-            t0 = time.perf_counter(); qfn(spark, sf_dir).collect()
-            steady[name] = round(time.perf_counter() - t0, 3)
+                 "q01_pricing_summary"):
+        qfn = workload.REGISTRY[name][0]
+        t0 = time.perf_counter(); qfn(spark, sf_dir).collect()
+        steady[name] = round(time.perf_counter() - t0, 3)
+    tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
+    eng2 = Engine(spark, tmp2)
+    t0 = time.perf_counter()
+    eng2.df_to_pq(li, "bench", "lineitem_full2",
+                  last_modified="Last modified: 01/01/2026 00:00:00")
+    steady["export_full_table"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(tmp2, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -58,10 +58,16 @@ def _engine(data_dir: str | Path | None = None) -> Engine:
 
 def _pg_source(user=None, host=None, database=None, dbname=None,
                port=None) -> JdbcSource:
+    from db2pq_spark.sources.credentials import WRDS_HOST
+
     conn = resolve_pg_connection(host=host, database=database or dbname,
                                  user=user, port=port)
-    return JdbcSource(url=conn.jdbc_url, user=conn.user,
-                      password=conn.password)
+    url = conn.jdbc_url
+    if conn.host == WRDS_HOST:
+        # WRDS's pgbouncer requires SSL; every path that resolves to the
+        # WRDS host must carry it, not just _wrds_source()
+        url += "?sslmode=require"
+    return JdbcSource(url=url, user=conn.user, password=conn.password)
 
 
 def _wrds_source(wrds_id=None) -> JdbcSource:
@@ -242,8 +248,11 @@ def wrds_update_pq(table_name, schema, *, wrds_id=None, force=False,
     if comment is None and use_sas:
         from db2pq_spark.sync.sas import sas_modified_via_ssh
 
-        comment = sas_modified_via_ssh(schema, table_name,
-                                       wrds_id=conn.user)
+        # reference SSH endpoint (db2pq/sas/stream.py:27); SAS library
+        # name == the PostgreSQL schema name on WRDS
+        comment = sas_modified_via_ssh(
+            "wrds-cloud-sshkey.wharton.upenn.edu", conn.user,
+            schema, table_name)
     if comment is None:
         comment = _get_pg_comment(
             _wrds_source(conn.user), schema, table_name)
@@ -258,13 +267,14 @@ def wrds_update_pq(table_name, schema, *, wrds_id=None, force=False,
     return result.path
 
 
-def wrds_update_schema(schema, *, data_dir=None, threads=None,
-                       archive=False):
+def wrds_update_schema(schema, *, wrds_id=None, data_dir=None,
+                       threads=None, archive=False):
     """Refresh every repository table of a schema from WRDS
     (reference db2pq/core.py:1217-1254)."""
     root = resolve_data_dir(data_dir)
     return [
-        wrds_update_pq(tbl, schema, data_dir=root, archive=archive)
+        wrds_update_pq(tbl, schema, wrds_id=wrds_id, data_dir=root,
+                       archive=archive)
         for tbl in _repo.pq_list_files(root, schema)
     ]
 
@@ -378,11 +388,12 @@ def wrds_update_pg(table_name, schema, *, wrds_id=None, force=False,
     """WRDS → local PostgreSQL, freshness-gated
     (reference db2pq/postgres/update.py:369-477)."""
     conn = wrds_connection(user=wrds_id or os.environ.get("WRDS_ID"))
+    dest_table = kwargs.get("alt_table_name") or table_name
     src_comment = _get_pg_comment(_wrds_source(conn.user), schema,
                                   table_name)
     dst = _pg_source(user=dst_user, host=dst_host, database=dst_database,
                      port=dst_port)
-    dst_comment = _get_pg_comment(dst, dst_schema or schema, table_name)
+    dst_comment = _get_pg_comment(dst, dst_schema or schema, dest_table)
     from db2pq_spark.sync.modified import modified_info, update_available
 
     if not force:
@@ -402,7 +413,7 @@ def wrds_update_pg(table_name, schema, *, wrds_id=None, force=False,
              create_roles=create_roles, **kwargs)
     if src_comment:
         set_table_comment(schema=dst_schema or schema,
-                          table_name=table_name, comment=src_comment,
+                          table_name=dest_table, comment=src_comment,
                           user=dst_user, host=dst_host,
                           dbname=dst_database, port=dst_port)
     return table_name

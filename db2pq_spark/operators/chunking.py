@@ -70,7 +70,7 @@ def chunk_documents(
 def pack_offsets(
     df: DataFrame,
     size_col: str,
-    order_col: str,
+    order_col: str | list[str],
     budget: int,
     group_col: str | None = None,
 ) -> DataFrame:
@@ -79,12 +79,16 @@ def pack_offsets(
     ``bin = floor(offset / budget)`` where ``offset`` is the cumulative
     size of all preceding pieces in ``order_col`` order (per group).
     One window cumsum — no sequential state, identical results on any
-    engine and any partitioning (the oracle recomputes it in SQL).
-    Pieces may straddle bin boundaries.
+    engine and any partitioning, PROVIDED ``order_col`` is a total
+    order within each group (pass a list ending in a unique key when a
+    single column has ties — a tied order makes the cumsum, and hence
+    bin boundaries, partition-order-dependent). Pieces may straddle
+    bin boundaries.
     """
-    w = Window.orderBy(order_col)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.orderBy(*order)
     if group_col is not None:
-        w = Window.partitionBy(group_col).orderBy(order_col)
+        w = Window.partitionBy(group_col).orderBy(*order)
     offset = F.sum(size_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
     # explicit floor: engines disagree on double→int cast (truncate vs

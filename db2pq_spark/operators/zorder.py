@@ -28,8 +28,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _numeric_proxy(df: DataFrame, col: str) -> Column:
+    """Map a column to a numeric expression for min/max bucketing.
+
+    Dates/timestamps map to days/seconds since epoch (ordering
+    preserved — only relative position in [min, max] matters). Other
+    non-numeric types have no meaningful distance for Z-bucketing —
+    reject with a clear error instead of crashing in float()."""
+    from pyspark.sql import types as T
+
+    dtype = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dtype, T.NumericType):
+        return c
+    if isinstance(dtype, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01").cast("date"))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return c.cast("timestamp").cast("double")
+    raise ValueError(
+        f"zorder column {col!r} has type {dtype.simpleString()}; "
+        "only numeric, date, and timestamp columns interleave (use "
+        "single-column range clustering for strings)")
+
+
 def _bucket(col: Column, mn, mx, bits: int) -> Column:
     """Normalize a numeric column into [0, 2^bits) by global min/max."""
+    if mn is None or mx is None:            # all-null column
+        return F.lit(0).cast("long")
     span = float(mx) - float(mn)
     if span <= 0:
         return F.lit(0).cast("long")
@@ -39,19 +64,22 @@ def _bucket(col: Column, mn, mx, bits: int) -> Column:
 
 
 def zvalue(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
-    """Morton-interleaved sort key over ``cols`` (numeric columns).
+    """Morton-interleaved sort key over ``cols`` (numeric, date, or
+    timestamp columns; NULLs land in bucket 0).
 
     Bit ``i`` of column ``j`` lands at position ``i * ncols + j`` —
     an unrolled shiftleft/or tree of ``bits × ncols`` terms, constant
     size, fully JVM-side."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("zvalue interleaves 1-4 columns")
-    stats = df.agg(*[f(c) for c in cols
+    proxies = [_numeric_proxy(df, c) for c in cols]
+    stats = df.agg(*[f(p) for p in proxies
                      for f in (F.min, F.max)]).first()
     buckets = []
-    for j, c in enumerate(cols):
+    for j, p in enumerate(proxies):
         mn, mx = stats[2 * j], stats[2 * j + 1]
-        buckets.append(_bucket(F.col(c), mn, mx, bits))
+        buckets.append(F.coalesce(_bucket(p, mn, mx, bits),
+                                  F.lit(0).cast("long")))
     n = len(cols)
     z: Column = F.lit(0).cast("long")
     for i in range(bits):

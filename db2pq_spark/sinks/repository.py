@@ -137,6 +137,12 @@ def pq_vacuum(
     """
     if keep_last is None and older_than is None:
         raise ValueError("pass keep_last and/or older_than")
+    import datetime as dt
+
+    if older_than is not None and older_than.tzinfo is None:
+        # stamps parse tz-aware (UTC); a naive cutoff (datetime.now())
+        # would raise mid-prune — normalize up front, assuming UTC
+        older_than = older_than.replace(tzinfo=dt.timezone.utc)
     from db2pq_spark.sync.timestamps import (
         parse_utc_stamp,
         restore_table_basename,

@@ -118,3 +118,25 @@ class TestZOrder:
         assert got[(1, 0)] == 1 and got[(0, 1)] == 2
         # locality: nearby cells share high bits
         assert got[(3, 0)] == 5 and got[(0, 3)] == 10
+
+    def test_zorder_handles_timestamp_and_rejects_strings(self, spark, tmp_path):
+        import datetime as dt
+
+        from db2pq_spark.operators.zorder import zvalue
+
+        rows = [(i, dt.datetime(2024, 1, 1 + i % 28), float(i), f"s{i}")
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, ts timestamp, v double, s string")
+        # timestamp interleaves via its epoch proxy — must not crash
+        out = df.withColumn("z", zvalue(df, ["ts", "v"], bits=4))
+        assert out.where("z IS NULL").count() == 0
+        with pytest.raises(ValueError, match="only numeric"):
+            zvalue(df, ["s", "v"])
+
+    def test_zorder_all_null_column_is_bucket_zero(self, spark):
+        from db2pq_spark.operators.zorder import zvalue
+
+        df = spark.createDataFrame(
+            [(i, None) for i in range(8)], "a long, b double")
+        out = df.withColumn("z", zvalue(df, ["a", "b"], bits=2)).collect()
+        assert all(r["z"] is not None for r in out)

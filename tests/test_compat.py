@@ -173,3 +173,13 @@ class TestWrdsResolution:
         src = compat._wrds_source()
         assert "wrds-pgdata.wharton.upenn.edu:9737" in src.url
         assert "sslmode=require" in src.url
+
+
+class TestWrdsSsl:
+    def test_pg_source_adds_sslmode_for_wrds_host(self, monkeypatch):
+        monkeypatch.setenv("PGUSER", "someuser")
+        src = compat._pg_source(host="wrds-pgdata.wharton.upenn.edu",
+                                database="wrds", port=9737)
+        assert src.url.endswith("?sslmode=require")
+        plain = compat._pg_source(host="db.example.com", database="x")
+        assert "sslmode" not in plain.url

@@ -246,3 +246,26 @@ class TestAnalyze:
         # one aggregation = a handful of AQE stage jobs; a per-column
         # implementation would cost ≥ 3 jobs × 5 columns
         assert after - before <= 4
+
+
+def test_vacuum_accepts_naive_cutoff(spark, sf_dir, tmp_path):
+    import datetime as dt
+
+    from db2pq_spark.core import Engine
+    from db2pq_spark.sinks.repository import pq_list_files
+
+    eng = Engine(spark, tmp_path)
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    eng.df_to_pq(df, "tpch", "region",
+                 last_modified="Last modified: 01/02/2024 10:00:00",
+                 archive=True)
+    eng.df_to_pq(df, "tpch", "region",
+                 last_modified="Last modified: 01/02/2026 10:00:00",
+                 archive=True)
+    # naive datetime (the natural datetime.now()-style call) must work
+    removed = eng.vacuum("tpch", older_than=dt.datetime(2025, 1, 1))
+    assert len(removed) == 1 and "2024" in removed[0]
+    # only the replaced 2024 version was ever archived; the 2026 version
+    # is the active table and is untouched by vacuum
+    assert pq_list_files(tmp_path, "tpch", archive=True) == []
+    assert pq_list_files(tmp_path, "tpch") == ["region"]
