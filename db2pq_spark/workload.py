@@ -2652,6 +2652,88 @@ def q90_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("c_acctbal"), 2).alias("hi")))
 
 
+_Q91_SQL = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q91_top_supplier", oracle=_Q91_SQL)
+def q91_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' is aggregated once, then an
+    uncorrelated scalar MAX subquery selects the top supplier —
+    exact-decimal revenue makes the MAX equality deterministic. The CTE
+    is referenced twice; Spark executes the scalar branch as a
+    one-row subquery, not a rejoin of the full view."""
+    for name in ("lineitem", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q91_SQL)
+
+
+_Q92_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN l.l_quantity < 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("q92_priority_classes", oracle=_Q92_SQL)
+def q92_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two-class conditional counts per priority (the
+    fixture has no l_shipmode; quantity bands play its role). One
+    join + one aggregation; the year filter pushes to the lineitem
+    scan."""
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q92_SQL)
+
+
+_Q93_SQL = """
+    WITH supplier_value AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS value_
+      FROM lineitem
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, value_
+    FROM supplier_value
+    WHERE CAST(value_ AS DOUBLE) >
+          (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity
+                               AS DECIMAL(18,2))) AS DOUBLE)
+                  * CAST(0.001 AS DOUBLE)
+           FROM lineitem l2)
+"""
+
+
+@query("q93_value_concentration", oracle=_Q93_SQL)
+def q93_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers holding more than a fixed fraction of
+    global value — a grouped aggregate filtered by an uncorrelated
+    scalar subquery over the SAME table (two aggregation passes, the
+    scalar one a single row broadcast into the HAVING). Both sums
+    accumulate in exact decimal; the threshold multiply happens in
+    identical double operands on both engines."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q93_SQL)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
