@@ -37,6 +37,13 @@ SHOWCASE = {
     "q84_unpivot": "unpivot is an Expand node — no extra shuffle",
     "q66_hash_split": "deterministic split is a narrow projection — "
                       "no Exchange before the final agg",
+    "q91_top_supplier": "uncorrelated scalar MAX subquery over a reused "
+                        "aggregate view — one-row subquery, no rejoin",
+    "q93_value_concentration": "two aggregation passes over one table; "
+                               "the global-sum threshold is a scalar "
+                               "subquery broadcast",
+    "q86_packing": "per-group cumulative window — single shuffle on "
+                   "the group key, no sequential state",
 }
 
 HEADER = """\
