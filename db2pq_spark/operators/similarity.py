@@ -118,6 +118,20 @@ def lsh_signature(
     )
 
 
+def _probe_masks(num_planes: int, probe_radius: int) -> list[int]:
+    """XOR masks enumerating all bucket keys within Hamming distance
+    ``probe_radius`` of a signature (multi-probe LSH)."""
+    masks = [0]
+    if probe_radius >= 1:
+        masks += [1 << i for i in range(num_planes)]
+    if probe_radius >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(num_planes) for j in range(i + 1, num_planes)]
+    if probe_radius >= 3:
+        raise ValueError("probe_radius must be <= 2")
+    return masks
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,10 +141,21 @@ def lsh_bucket_topk(
     dim: int = 64,
     num_planes: int = 8,
     num_tables: int = 4,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent LSH tables of
     ``num_planes`` hyperplanes each; candidates = corpus vectors sharing
     any table bucket with the query, re-ranked exactly.
+
+    **Multi-probe** (`Lv et al., VLDB 2007 <https://www.cs.princeton.edu/
+    cass/papers/mplsh_vldb07.pdf>`_): each query also probes buckets
+    within Hamming distance ``probe_radius`` of its signature. The
+    fan-out lands entirely on the (tiny, broadcast) query side —
+    ``tables × (1 + planes [+ C(planes,2)])`` probe rows per query —
+    so the corpus-side cost is unchanged: one signature scan plus a
+    ``tables``-way replication. Measured at sf0.1 (QUALITY.md): recall@10
+    0.07 (radius 0) → 0.43 (radius 1) → 0.82 (radius 2) for the
+    default table family, at near-constant runtime.
 
     At 100 TB the corpus signature computation is a single narrow scan;
     the candidate join shuffles on (table, bucket) — cardinality
@@ -150,11 +175,13 @@ def lsh_bucket_topk(
             for t in range(num_tables)
         ])).alias("tb"),
     ).select("neighbor_id", "cvec", "tb.table", "tb.bucket")
+    masks = _probe_masks(num_planes, probe_radius)
     q_buckets = q.select(
         "query_id", "qvec",
         F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
-            for t in range(num_tables)
+            F.struct(F.lit(t).alias("table"),
+                     F.col(f"b{t}").bitwiseXOR(F.lit(m)).alias("bucket"))
+            for t in range(num_tables) for m in masks
         ])).alias("tb"),
     ).select("query_id", "qvec", "tb.table", "tb.bucket")
 

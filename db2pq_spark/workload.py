@@ -2734,6 +2734,55 @@ def q93_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q93_SQL)
 
 
+_Q94_SQL = """
+    WITH wins AS (
+      SELECT event_id AS win_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - 600000000 AS lo,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS hi
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 100),
+    pts AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt_ts, value
+      FROM events)
+    SELECT w.win_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_value
+    FROM wins w
+    JOIN pts p ON p.pt_ts BETWEEN w.lo AND w.hi
+    GROUP BY w.win_id
+"""
+
+
+@query("q94_range_join", oracle=_Q94_SQL)
+def q94_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join via bin bucketing
+    (operators/rangejoin.py:range_join): ±10-minute activity windows
+    around high-value purchases joined to ALL events by time
+    containment alone. Without the bin rewrite Spark's only plan for a
+    pure inequality join is a nested-loop/cartesian product; the
+    operator turns it into an equi hash join on
+    ``floor(ts / 20min)`` bins with the exact range predicate as a
+    residual, so it scales as hash-join, not |windows|×|events|.
+    [extension]"""
+    from db2pq_spark.operators.rangejoin import range_join
+
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_id").alias("pt_id"),
+                    F.col("ts_us").alias("pt_ts"),
+                    F.col("value").alias("pt_value"))
+    wins = (ev.filter((F.col("event_type") == "purchase")
+                      & (F.col("value") >= 100))
+            .select(F.col("event_id").alias("win_id"),
+                    (F.col("ts_us") - F.lit(600_000_000)).alias("lo"),
+                    (F.col("ts_us") + F.lit(600_000_000)).alias("hi")))
+    joined = range_join(pts, wins, "pt_ts", "lo", "hi",
+                        bin_width=1_200_000_000)
+    return joined.groupBy("win_id").agg(
+        F.count("*").alias("n_events"),
+        dsum("pt_value", 2, "sum_value"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

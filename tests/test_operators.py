@@ -400,3 +400,78 @@ class TestChunkReconstruction:
                       sorted(by_id[i], key=lambda r: r["chunk_idx"])]
             rebuilt = chunks[0] + "".join(c[20:] for c in chunks[1:])
             assert rebuilt == text, f"doc {i} (len {len(text)})"
+
+
+class TestRangeJoin:
+    @pytest.fixture(scope="class")
+    def pts_ivs(self, spark):
+        pts = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate([0, 5, 10, 15, 23, 42, 99])],
+            ["pt_id", "x"])
+        ivs = spark.createDataFrame(
+            [(100, 0.0, 10.0),      # catches 0,5,10
+             (101, 9.0, 16.0),      # catches 10,15
+             (102, 40.0, 45.0),     # catches 42
+             (103, 50.0, 60.0)],    # empty
+            ["iv_id", "lo", "hi"])
+        return pts, ivs
+
+    def test_matches_naive_join(self, spark, pts_ivs):
+        from db2pq_spark.operators.rangejoin import range_join
+
+        pts, ivs = pts_ivs
+        naive = {(r["pt_id"], r["iv_id"]) for r in
+                 pts.join(ivs, (pts.x >= ivs.lo) & (pts.x <= ivs.hi))
+                 .collect()}
+        for width in (1.0, 5.0, 7.0, 100.0):
+            binned = {(r["pt_id"], r["iv_id"]) for r in
+                      range_join(pts, ivs, "x", "lo", "hi",
+                                 bin_width=width).collect()}
+            assert binned == naive, f"width={width}"
+
+    def test_no_duplicate_pairs(self, spark, pts_ivs):
+        from db2pq_spark.operators.rangejoin import range_join
+
+        pts, ivs = pts_ivs
+        rows = range_join(pts, ivs, "x", "lo", "hi", bin_width=2.0) \
+            .groupBy("pt_id", "iv_id").count().collect()
+        assert all(r["count"] == 1 for r in rows)
+
+    def test_left_join_preserves_points_once(self, spark, pts_ivs):
+        from db2pq_spark.operators.rangejoin import range_join
+
+        pts, ivs = pts_ivs
+        out = range_join(pts, ivs.filter("iv_id = 103"), "x", "lo", "hi",
+                         bin_width=3.0, how="left").collect()
+        # no point matches iv 103 → every point survives exactly once
+        assert sorted(r["pt_id"] for r in out) == [0, 1, 2, 3, 4, 5, 6]
+        assert all(r["iv_id"] is None for r in out)
+
+    def test_equi_key_composition(self, spark):
+        from db2pq_spark.operators.rangejoin import range_join
+
+        pts = spark.createDataFrame(
+            [("a", 5.0, 1), ("b", 5.0, 2)], ["grp", "x", "pt_id"])
+        ivs = spark.createDataFrame(
+            [("a", 0.0, 10.0, 7)], ["grp", "lo", "hi", "iv_id"])
+        got = range_join(pts, ivs, "x", "lo", "hi", bin_width=4.0,
+                         on=["grp"]).collect()
+        assert [(r["pt_id"], r["iv_id"]) for r in got] == [(1, 7)]
+        assert "grp" in got[0].asDict()
+
+    def test_ambiguous_columns_rejected(self, spark, pts_ivs):
+        from db2pq_spark.operators.rangejoin import range_join
+
+        pts, ivs = pts_ivs
+        with pytest.raises(ValueError, match="ambiguous"):
+            range_join(pts, pts.withColumnRenamed("pt_id", "iv_id"),
+                       "x", "x", "x", bin_width=1.0)
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark, pts_ivs):
+        from db2pq_spark.operators.rangejoin import range_join
+
+        pts, ivs = pts_ivs
+        df = range_join(pts, ivs, "x", "lo", "hi", bin_width=5.0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -93,6 +93,52 @@ class TestIvf:
         assert recall >= 0.5, f"recall@5 {recall} too low for half-probe"
 
 
+class TestMultiProbeLsh:
+    def test_probe_mask_enumeration(self):
+        from db2pq_spark.operators.similarity import _probe_masks
+
+        assert _probe_masks(8, 0) == [0]
+        r1 = _probe_masks(8, 1)
+        assert len(r1) == 1 + 8 and len(set(r1)) == len(r1)
+        r2 = _probe_masks(8, 2)
+        assert len(r2) == 1 + 8 + 28 and len(set(r2)) == len(r2)
+        assert all(bin(m).count("1") <= 2 for m in r2)
+        with pytest.raises(ValueError):
+            _probe_masks(8, 3)
+
+    def test_exact_duplicate_always_found(self, spark, sf_dir):
+        # identical vectors share every signature → found at radius 0
+        from db2pq_spark.operators.similarity import lsh_bucket_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        clone = q.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in lsh_bucket_topk(emb.unionByName(clone), q, k=5,
+                                        probe_radius=0).collect()}
+        for qid in (0, 1, 2):
+            assert (qid, qid + 1_000_000) in got
+
+    def test_multiprobe_recall_dominates_single_probe(self, spark, sf_dir):
+        from db2pq_spark.operators.similarity import lsh_bucket_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in cosine_topk(emb, q, k=5).collect()}
+
+        def recall(radius: int) -> float:
+            got = {(r["query_id"], r["neighbor_id"])
+                   for r in lsh_bucket_topk(emb, q, k=5,
+                                            probe_radius=radius).collect()}
+            return len(exact & got) / len(exact)
+
+        r0, r1 = recall(0), recall(1)
+        # probing Hamming-1 buckets supersets the candidate pool
+        assert r1 >= r0
+        assert r1 >= 0.3, f"multi-probe recall@5 {r1} too low"
+
+
 class TestApproxSketches:
     def test_error_bounds_vs_exact(self, spark, sf_dir):
         from db2pq_spark import workload
