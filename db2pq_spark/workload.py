@@ -2783,6 +2783,60 @@ def q94_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("pt_value", 2, "sum_value"))
 
 
+_Q95_SQL = """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+    c(rule, violations) AS (
+      SELECT 'not_null(l_orderkey)', COUNT(*)
+      FROM lineitem WHERE l_orderkey IS NULL
+      UNION ALL
+      SELECT 'in_range(l_quantity,1,30)', COUNT(*)
+      FROM lineitem WHERE l_quantity < 1 OR l_quantity > 30
+      UNION ALL
+      SELECT 'accepted_values(l_returnflag)', COUNT(*)
+      FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')
+      UNION ALL
+      SELECT 'positive_price', COUNT(*)
+      FROM lineitem WHERE l_extendedprice <= 0
+      UNION ALL
+      SELECT 'unique(l_orderkey,l_linenumber)',
+             COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+      FROM lineitem
+      UNION ALL
+      SELECT 'fk(l_orderkey)', COUNT(*)
+      FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT c.rule, c.violations, n.n_rows, c.violations = 0 AS passed
+    FROM c CROSS JOIN n
+"""
+
+
+@query("q95_validation", oracle=_Q95_SQL)
+def q95_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/validate.py): five
+    row-level/uniqueness rules share ONE scan+aggregate of lineitem
+    (adding a rule adds zero I/O), the FK check adds one anti-join
+    against orders (broadcast at this scale). The audit result is a
+    6-row DataFrame gating the pipeline. [extension]"""
+    from db2pq_spark.operators.validate import (
+        accepted_values, expr_check, foreign_key, in_range, not_null,
+        unique_key, validate,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return validate(li, [
+        not_null("l_orderkey"),
+        in_range("l_quantity", 1, 30),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+        expr_check("positive_price", "l_extendedprice <= 0"),
+        unique_key("l_orderkey", "l_linenumber"),
+        foreign_key("l_orderkey", orders, "o_orderkey"),
+    ])
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -475,3 +475,66 @@ class TestRangeJoin:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestValidate:
+    @pytest.fixture(scope="class")
+    def dirty(self, spark):
+        return spark.createDataFrame(
+            [(1, 10.0, "A", 100),
+             (2, -5.0, "A", 100),          # range violation
+             (3, 10.0, "Z", 101),          # accepted_values violation
+             (None, 10.0, "A", 102),       # null id
+             (5, 10.0, "A", 999),          # fk orphan
+             (5, 10.0, "A", 100),          # duplicate id=5
+             (6, None, None, 100)],        # nulls: range/accepted pass
+            "id long, qty double, flag string, ref long")
+
+    @pytest.fixture(scope="class")
+    def dim(self, spark):
+        return spark.createDataFrame(
+            [(100,), (101,), (102,)], "key long")
+
+    def test_counts_and_pass_flags(self, spark, dirty, dim):
+        from db2pq_spark.operators.validate import (
+            accepted_values, foreign_key, in_range, not_null, unique_key,
+            validate,
+        )
+
+        got = {r["rule"]: r for r in validate(dirty, [
+            not_null("id"),
+            in_range("qty", 0, 100),
+            accepted_values("flag", ["A", "B"]),
+            unique_key("id"),
+            foreign_key("ref", dim, "key"),
+        ]).collect()}
+        assert got["not_null(id)"]["violations"] == 1
+        assert got["in_range(qty,0,100)"]["violations"] == 1   # NULL passes
+        assert got["accepted_values(flag)"]["violations"] == 1  # NULL passes
+        assert got["unique(id)"]["violations"] == 1             # one surplus row
+        assert got["fk(ref)"]["violations"] == 1
+        assert all(r["n_rows"] == 7 for r in got.values())
+        assert all(not r["passed"] for r in got.values())
+
+    def test_clean_table_passes(self, spark, dim):
+        from db2pq_spark.operators.validate import not_null, unique_key, validate
+
+        out = validate(dim, [not_null("key"), unique_key("key")]).collect()
+        assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+    def test_single_job_for_row_rules(self, spark, dirty):
+        # row rules + unique compile to ONE aggregate over one scan
+        from db2pq_spark.operators.validate import (
+            in_range, not_null, unique_key, validate,
+        )
+
+        df = validate(dirty, [not_null("id"), in_range("qty", 0, 100),
+                              unique_key("id")])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") <= 1
+
+    def test_empty_rules_rejected(self, spark, dirty):
+        from db2pq_spark.operators.validate import validate
+
+        with pytest.raises(ValueError, match="empty"):
+            validate(dirty, [])
