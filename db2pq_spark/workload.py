@@ -2837,6 +2837,46 @@ def q95_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+_Q96_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS terms
+      FROM documents),
+    d AS (SELECT doc_id, len(terms) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+    matched AS (
+      SELECT t.doc_id, u.term
+      FROM toks t, UNNEST(t.terms) AS u(term)
+      WHERE u.term IN ('join', 'vector', 'stream')),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM matched GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dft FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           ROUND(SUM(  ln(1 + (s.n_docs - f.dft + 0.5) / (f.dft + 0.5))
+                     * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))),
+                 4) AS bm25
+    FROM tf
+    JOIN dfreq f USING (term)
+    JOIN d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+"""
+
+
+@query("q96_bm25", oracle=_Q96_SQL)
+def q96_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.py) for a 3-term
+    query over the documents corpus — tokenize, corpus stats, pruned
+    explode, tf/df aggregates, Robertson idf scoring; all JVM-side.
+    The DuckDB oracle recomputes the identical formula from the same
+    tokenization. [extension]"""
+    from db2pq_spark.operators.retrieval import bm25_scores
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_scores(docs, "text", "doc_id", ["join", "vector", "stream"])
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

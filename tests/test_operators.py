@@ -538,3 +538,37 @@ class TestValidate:
 
         with pytest.raises(ValueError, match="empty"):
             validate(dirty, [])
+
+
+class TestBm25:
+    def test_matches_hand_formula(self, spark):
+        import math
+
+        from db2pq_spark.operators.retrieval import bm25_scores
+
+        corpus = [(1, "a b a"), (2, "a c"), (3, "x y z")]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r["doc_id"]: r["bm25"] for r in
+               bm25_scores(df, "text", "doc_id", ["a", "b"]).collect()}
+
+        def score(tf, dft, dl, n=3, avgdl=8 / 3, k1=1.2, b=0.75):
+            idf = math.log(1 + (n - dft + 0.5) / (dft + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        want1 = round(score(2, 2, 3) + score(1, 1, 3), 4)
+        want2 = round(score(1, 2, 2), 4)
+        assert got == {1: want1, 2: want2}     # doc 3 unscored → absent
+
+    def test_tokenization_case_and_punct(self, spark):
+        from db2pq_spark.operators.retrieval import tokenize
+
+        df = spark.createDataFrame([("Hello, WORLD!  42-a",)], ["text"])
+        [row] = df.select(tokenize("text").alias("t")).collect()
+        assert row["t"] == ["hello", "world", "42", "a"]
+
+    def test_empty_query_rejected(self, spark):
+        from db2pq_spark.operators.retrieval import bm25_scores
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_scores(df, "text", "doc_id", [])
