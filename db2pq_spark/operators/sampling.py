@@ -38,6 +38,8 @@ __all__ = [
     "split_assign",
     "split_assign_sql",
     "stratified_sample",
+    "weighted_sample",
+    "weighted_score_sql",
 ]
 
 #: number of buckets used when a fraction is mapped to a bucket range.
@@ -123,6 +125,51 @@ def split_assign_sql(key_expr: str, weights: dict[str, float],
         f"WHEN {b} < {upper} THEN '{name}'"
         for name, upper in _split_thresholds(weights, n_buckets))
     return f"CASE {arms} END"
+
+
+def _weighted_score(key: Column | str, weight: Column, salt: str,
+                    n_buckets: int) -> Column:
+    u = (hash_bucket(key, n_buckets, salt) + 1).cast("double") \
+        / F.lit(float(n_buckets + 1))
+    return F.log(u) / weight
+
+
+def weighted_sample(df: DataFrame, key: str, weight_col: str, n: int,
+                    salt: str = "", n_buckets: int = DEFAULT_BUCKETS,
+                    ) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: top-``n``
+    rows by the Efraimidis–Spirakis reservoir key.
+
+    A-Res (`Efraimidis & Spirakis 2006
+    <https://doi.org/10.1016/j.ipl.2005.11.003>`_) draws
+    ``k = u^(1/w)`` per row and keeps the n largest; we rank by the
+    monotone-equivalent ``ln(u)/w`` with ``u`` derived from the md5
+    bucket of the key — so the sample is reproducible across runs,
+    cluster sizes, and engines (same property as the other samplers
+    here), and re-runs over grown data keep previously chosen rows
+    unless genuinely displaced.
+
+    Plan shape: a narrow score projection + global top-n
+    (``TakeOrderedAndProject`` — per-partition heaps, no full sort).
+    Rows with NULL or non-positive weight are excluded.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("double")
+    score = _weighted_score(key, w, salt, n_buckets)
+    return (df.where(w > 0)
+            .withColumn("__wscore", score)
+            .orderBy(F.desc("__wscore"), F.asc(key))
+            .limit(n)
+            .drop("__wscore"))
+
+
+def weighted_score_sql(key_expr: str, weight_expr: str, salt: str = "",
+                       n_buckets: int = DEFAULT_BUCKETS) -> str:
+    """ANSI twin of the A-Res ranking key (used by oracles)."""
+    b = hash_bucket_sql(key_expr, n_buckets, salt)
+    return (f"(ln((CAST({b} AS DOUBLE) + 1.0) / {float(n_buckets + 1)!r})"
+            f" / CAST({weight_expr} AS DOUBLE))")
 
 
 def stratified_sample(df: DataFrame, key: str, strata_col: str,

@@ -2877,6 +2877,37 @@ def q96_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, "text", "doc_id", ["join", "vector", "stream"])
 
 
+def _q97_sql() -> str:
+    from db2pq_spark.operators.sampling import weighted_score_sql
+    score = weighted_score_sql("o_orderkey", "o_totalprice")
+    return f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0
+    ORDER BY {score} DESC, o_orderkey
+    LIMIT 500
+    """
+
+
+@query("q97_weighted_sample", oracle=None)  # oracle injected below
+def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample — Efraimidis–Spirakis keys
+    from md5-derived uniforms): 500 orders drawn proportionally-ish to
+    o_totalprice. Engine-portable: the DuckDB oracle computes the
+    identical ranking keys and selects the identical 500 rows. Narrow
+    score + TakeOrderedAndProject — no full sort at any scale.
+    [extension]"""
+    from db2pq_spark.operators.sampling import weighted_sample
+
+    orders = t(spark, sf_dir, "orders")
+    return weighted_sample(orders, "o_orderkey", "o_totalprice", 500) \
+        .select("o_orderkey", "o_totalprice")
+
+
+REGISTRY["q97_weighted_sample"] = (q97_weighted_sample, _q97_sql())
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

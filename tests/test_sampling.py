@@ -117,3 +117,51 @@ class TestPlanShape:
         stats = (orders.select(hash_bucket("o_orderkey", 1000))
                  .agg(F.min("bucket"), F.max("bucket")).first())
         assert stats[0] >= 0 and stats[1] < 1000
+
+
+class TestWeightedSample:
+    def _mk(self, spark):
+        rows = [(i, 1000.0 if i < 1000 else 1.0) for i in range(2000)]
+        return spark.createDataFrame(rows, "id long, w double")
+
+    def test_heavy_weights_dominate(self, spark):
+        from db2pq_spark.operators.sampling import weighted_sample
+
+        df = self._mk(spark)
+        got = weighted_sample(df, "id", "w", 100).collect()
+        heavy = sum(1 for r in got if r["w"] == 1000.0)
+        assert len(got) == 100
+        assert heavy >= 95          # P(light row beats heavy) ~ w ratio
+
+    def test_deterministic_under_repartition(self, spark):
+        from db2pq_spark.operators.sampling import weighted_sample
+
+        df = self._mk(spark)
+        a = {r["id"] for r in weighted_sample(df, "id", "w", 50).collect()}
+        b = {r["id"] for r in
+             weighted_sample(df.repartition(17), "id", "w", 50).collect()}
+        assert a == b
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from db2pq_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+            "id long, w double")
+        got = sorted(r["id"] for r in
+                     weighted_sample(df, "id", "w", 10).collect())
+        assert got == [1, 5]        # n > eligible rows -> all eligible
+
+    def test_plan_is_topk_not_full_sort(self, spark):
+        from db2pq_spark.operators.sampling import weighted_sample
+
+        df = self._mk(spark)
+        plan = weighted_sample(df, "id", "w", 10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bad_n_rejected(self, spark):
+        from db2pq_spark.operators.sampling import weighted_sample
+
+        with pytest.raises(ValueError):
+            weighted_sample(self._mk(spark), "id", "w", 0)
