@@ -67,6 +67,24 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked sliding-window counts per event type — each event
+    contributes to ``window/slide`` overlapping windows (Spark expands
+    the row once per window, then the windowed agg proceeds exactly as
+    tumbling). The batch twin is workload q98."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Session windows (gap-based) per user — the streaming twin of

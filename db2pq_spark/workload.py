@@ -2877,6 +2877,38 @@ def q96_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, "text", "doc_id", ["join", "vector", "stream"])
 
 
+_Q98_SQL = f"""
+    SELECT CAST(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k.k) * 900
+                AS BIGINT) AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value', 2)} AS sum_value
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1, 2
+"""
+
+
+@query("q98_sliding_window", oracle=_Q98_SQL)
+def q98_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute window aggregate — batch twin of
+    streaming/windows.py:sliding_counts. Spark's native ``window(...,
+    slide)`` expands each event into window/slide = 4 rows (an Expand
+    node, narrow) before the windowed agg; the oracle derives the same
+    4 aligned window starts arithmetically. Window start is reported as
+    epoch seconds (tz-independent)."""
+    e = t(spark, sf_dir, "events") \
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return (
+        e.groupBy(F.window("event_time", "1 hour", "15 minutes"),
+                  "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
+        .select(F.col("window.start").cast("bigint")
+                .alias("window_start_epoch"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
 def _q97_sql() -> str:
     from db2pq_spark.operators.sampling import weighted_score_sql
     score = weighted_score_sql("o_orderkey", "o_totalprice")

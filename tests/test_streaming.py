@@ -43,6 +43,31 @@ class TestTumbling:
         assert len(got_map) > 100  # ~30 days × 24 h × 5 types at sf0.001
 
 
+class TestSliding:
+    def test_matches_batch(self, spark, sf_dir, events_stream):
+        from db2pq_spark.streaming.windows import sliding_counts
+
+        got = run_to_memory(
+            sliding_counts(events_stream, "1 hour", "15 minutes"),
+            "sliding_out", output_mode="complete",
+        )
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+            .groupBy(F.window("event_time", "1 hour", "15 minutes"),
+                     "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        got_map = {(r["window_start"], r["event_type"]): r["n_events"]
+                   for r in got.collect()}
+        batch_map = {(r["window"]["start"], r["event_type"]): r["n_events"]
+                     for r in batch.collect()}
+        assert got_map == batch_map
+        # every event sits in exactly window/slide = 4 windows
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert sum(got_map.values()) == 4 * n_events
+
+
 class TestStreamDedup:
     def test_keeps_at_most_batch_distinct(self, spark, sf_dir, events_stream):
         got = run_to_memory(
