@@ -44,6 +44,17 @@ SHOWCASE = {
                                "subquery broadcast",
     "q86_packing": "per-group cumulative window — single shuffle on "
                    "the group key, no sequential state",
+    "q94_range_join": "keyless range join rewritten to an equi hash "
+                      "join on time bins + residual predicate — no "
+                      "nested-loop/cartesian",
+    "q95_validation": "row rules + uniqueness share ONE scan+aggregate; "
+                      "the FK check is a broadcast anti-join",
+    "q96_bm25": "explode pruned to query terms before the shuffle; "
+                "corpus stats and df broadcast back",
+    "q97_weighted_sample": "weighted sample is a narrow score + "
+                           "TakeOrderedAndProject — no full sort",
+    "q98_sliding_window": "sliding windows are one Expand (4 rows per "
+                          "event) + the tumbling agg pipeline",
 }
 
 HEADER = """\
