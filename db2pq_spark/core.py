@@ -479,6 +479,131 @@ class Engine:
 
     # -- sync / freshness ---------------------------------------------------
 
+    def merge_pq(
+        self,
+        updates: DataFrame,
+        schema: str,
+        table: str,
+        key_cols: list[str],
+        delete_col: str | None = None,
+        partition_cols: list[str] | None = None,
+        last_modified: str | None = None,
+        validate: bool = True,
+    ) -> Path:
+        """Incremental CDC merge (upsert + delete) into a repository
+        table — the scale upgrade over the reference's full-table
+        refresh (its only update path, db2pq/core.py:895-952 re-exports
+        the whole table).
+
+        Batch semantics: update rows whose ``key_cols`` match existing
+        rows replace them; new keys are inserted; if ``delete_col``
+        names a boolean column, rows where it is true delete their keys
+        instead (the flag column is dropped from stored data). NULL
+        keys never match and pass through as inserts.
+
+        Two physical paths:
+
+        - **Unpartitioned**: ``current LEFT ANTI JOIN update-keys``
+          ∪ upserts → atomic full rewrite (temp + promote). One
+          key-shuffle; correct but rewrites the table — fine for
+          dimension-sized tables.
+        - **Partitioned** (``partition_cols`` of a hive-partitioned
+          table, which must appear in ``updates``): only the partitions
+          containing updated keys are read (partition pruning), merged,
+          and swapped directory-by-directory; untouched partitions are
+          never read or written. This is what makes a 100 TB fact table
+          mergeable: cost scales with the touched slice, not the table.
+
+        ``validate`` checks update keys are unique (one extra
+        aggregate). Returns the table path.
+        """
+        import os
+
+        from pyspark.sql import functions as F
+
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        if validate:
+            dups = (updates.groupBy(*key_cols).count()
+                    .filter(F.col("count") > 1).limit(1).count())
+            if dups:
+                raise ValueError("updates contain duplicate keys; "
+                                 "dedupe the batch first")
+        upserts = updates
+        if delete_col is not None:
+            upserts = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        final = table_path(self.data_dir, schema, table)
+        if not final.exists():
+            return write_parquet(upserts, self.data_dir, schema, table,
+                                 last_modified=last_modified,
+                                 partition_by=partition_cols,
+                                 single_file=self.single_file)
+
+        current = self.read_pq(schema, table)
+        if set(current.columns) != set(upserts.columns):
+            raise ValueError(
+                f"update schema {sorted(upserts.columns)} != table schema "
+                f"{sorted(current.columns)}")
+        upserts = upserts.select(*current.columns)
+        keys = updates.select(*key_cols)
+        preserved_modified = last_modified if last_modified is not None \
+            else get_modified_pq(final)
+
+        if not partition_cols:
+            merged = current.join(keys, on=key_cols, how="left_anti") \
+                .unionByName(upserts)
+            return write_parquet(merged, self.data_dir, schema, table,
+                                 last_modified=preserved_modified,
+                                 single_file=self.single_file)
+
+        # -- partition-scoped merge ---------------------------------------
+        missing = [c for c in partition_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(f"updates lack partition columns {missing}")
+        touched = [tuple(r) for r in
+                   updates.select(*partition_cols).distinct().collect()]
+        for tup in touched:
+            for v in tup:
+                if v is None:
+                    raise ValueError("NULL partition values not supported "
+                                     "in partition-scoped merge")
+        from functools import reduce
+        in_touched = reduce(
+            lambda a, b: a | b,
+            [reduce(lambda a, b: a & b,
+                    [F.col(c) == F.lit(v)
+                     for c, v in zip(partition_cols, tup)])
+             for tup in touched])
+        merged = (current.filter(in_touched)
+                  .join(keys, on=key_cols, how="left_anti")
+                  .unionByName(upserts.filter(in_touched)))
+
+        from db2pq_spark.sinks.parquet_sink import _rm, _write_sidecar, temp_path
+        tmp = temp_path(self.data_dir, schema, table)
+        _rm(tmp)
+        (merged.write.mode("overwrite")
+         .partitionBy(*partition_cols).parquet(str(tmp)))
+        for tup in touched:
+            rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, tup))
+            src, dst = tmp / rel, final / rel
+            if src.exists():
+                parked = dst.parent / f".old_{dst.name}"
+                if dst.exists():
+                    os.replace(dst, parked)
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                os.replace(src, dst)
+                _rm(parked)
+            elif dst.exists():          # partition emptied by deletes
+                _rm(dst)
+        _rm(tmp)
+        _write_sidecar(final, preserved_modified)
+        if self.verbose:
+            print(f"merged {len(touched)} partition(s) into "
+                  f"{schema}.{table}")
+        return final
+
     def update_pq(
         self,
         schema: str,

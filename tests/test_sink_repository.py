@@ -269,3 +269,113 @@ def test_vacuum_accepts_naive_cutoff(spark, sf_dir, tmp_path):
     # is the active table and is untouched by vacuum
     assert pq_list_files(tmp_path, "tpch", archive=True) == []
     assert pq_list_files(tmp_path, "tpch") == ["region"]
+
+
+class TestMergePq:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, v double")
+
+    def _updates(self, spark):
+        return spark.createDataFrame(
+            [(2, "B", 99.0, False),     # update
+             (4, "d", 40.0, False),     # insert
+             (3, None, 0.0, True)],     # delete
+            "id long, name string, v double, is_deleted boolean")
+
+    def test_upsert_insert_delete(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(self._base(spark), "s", "t",
+                     last_modified="Last modified: 01/01/2026 00:00:00")
+        eng.merge_pq(self._updates(spark), "s", "t", ["id"],
+                     delete_col="is_deleted")
+        got = sorted(map(tuple, eng.read_pq("s", "t").collect()))
+        assert got == [(1, "a", 10.0), (2, "B", 99.0), (4, "d", 40.0)]
+        # freshness metadata survives the merge
+        assert get_modified_pq(table_path(tmp_path, "s", "t")) \
+            == "Last modified: 01/01/2026 00:00:00"
+
+    def test_idempotent_reapply(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(self._base(spark), "s", "t")
+        for _ in range(2):
+            eng.merge_pq(self._updates(spark), "s", "t", ["id"],
+                         delete_col="is_deleted")
+        got = sorted(map(tuple, eng.read_pq("s", "t").collect()))
+        assert got == [(1, "a", 10.0), (2, "B", 99.0), (4, "d", 40.0)]
+
+    def test_creates_missing_table(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        eng.merge_pq(self._updates(spark), "s", "new", ["id"],
+                     delete_col="is_deleted")
+        got = sorted(map(tuple, eng.read_pq("s", "new").collect()))
+        assert got == [(2, "B", 99.0), (4, "d", 40.0)]
+
+    def test_duplicate_update_keys_rejected(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(self._base(spark), "s", "t")
+        dup = spark.createDataFrame(
+            [(1, "x", 1.0), (1, "y", 2.0)], "id long, name string, v double")
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.merge_pq(dup, "s", "t", ["id"])
+
+    def test_schema_mismatch_rejected(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(self._base(spark), "s", "t")
+        bad = spark.createDataFrame([(1, "x")], "id long, other string")
+        with pytest.raises(ValueError, match="schema"):
+            eng.merge_pq(bad, "s", "t", ["id"])
+
+    def test_partition_scoped_merge_leaves_untouched_dirs(
+            self, spark, tmp_path):
+        import os
+
+        eng = Engine(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(1, "en", 1.0), (2, "en", 2.0), (3, "de", 3.0), (4, "fr", 4.0)],
+            "id long, lang string, v double")
+        eng.df_to_pq(base, "s", "p", partition_by=["lang"],
+                     last_modified="Last modified: 02/01/2026 00:00:00")
+        fr = table_path(tmp_path, "s", "p") / "lang=fr"
+        mtime = os.path.getmtime(fr)
+        upd = spark.createDataFrame(
+            [(2, "en", 22.0, False),    # update in en
+             (5, "de", 55.0, False),    # insert in de
+             (3, "de", 0.0, True)],     # delete in de
+            "id long, lang string, v double, is_deleted boolean")
+        eng.merge_pq(upd, "s", "p", ["id"], delete_col="is_deleted",
+                     partition_cols=["lang"])
+        got = sorted(map(tuple,
+                         eng.read_pq("s", "p")
+                         .select("id", "lang", "v").collect()))
+        assert got == [(1, "en", 1.0), (2, "en", 22.0),
+                       (4, "fr", 4.0), (5, "de", 55.0)]
+        assert os.path.getmtime(fr) == mtime          # fr never rewritten
+        assert get_modified_pq(table_path(tmp_path, "s", "p")) \
+            == "Last modified: 02/01/2026 00:00:00"
+
+    def test_partition_emptied_by_deletes_removed(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(1, "en", 1.0), (3, "de", 3.0)], "id long, lang string, v double")
+        eng.df_to_pq(base, "s", "p2", partition_by=["lang"])
+        upd = spark.createDataFrame(
+            [(3, "de", 0.0, True)],
+            "id long, lang string, v double, is_deleted boolean")
+        eng.merge_pq(upd, "s", "p2", ["id"], delete_col="is_deleted",
+                     partition_cols=["lang"])
+        assert not (table_path(tmp_path, "s", "p2") / "lang=de").exists()
+        got = [tuple(r) for r in
+               eng.read_pq("s", "p2").select("id", "lang", "v").collect()]
+        assert got == [(1, "en", 1.0)]
+
+    def test_updates_missing_partition_col_rejected(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(1, "en", 1.0)], "id long, lang string, v double")
+        eng.df_to_pq(base, "s", "p3", partition_by=["lang"])
+        upd = spark.createDataFrame(
+            [(2, "en", 2.0)], "id long, lang string, v double")
+        with pytest.raises(ValueError, match="partition"):
+            eng.merge_pq(upd, "s", "p3", ["id"], partition_cols=["nope"])
