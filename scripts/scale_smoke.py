@@ -26,11 +26,21 @@ KEY_SHIFTS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
+    # events: new ids AND a 31-day time shift per copy so windowed /
+    # range-join work grows linearly (overlapping copies would instead
+    # deepen every window 10×, a different regime)
+    "events": ["event_id"],
+    "documents": ["doc_id"],
 }
 
 QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q06_forecast_revenue", "q08_running_total",
-           "q64_waiting_supplier", "q66_hash_split"]
+           "q64_waiting_supplier", "q66_hash_split",
+           "q94_range_join", "q95_validation", "q96_bm25",
+           "q97_weighted_sample", "q98_sliding_window"]
+
+#: 31 days in nanoseconds (events.ts is epoch-nanos int64 in the file)
+_MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:
@@ -42,10 +52,8 @@ def replicate(spark, table: str, out_dir: str, offset: int) -> None:
         c = df
         for key in KEY_SHIFTS.get(table, []):
             c = c.withColumn(key, F.col(key) + F.lit(i * offset))
-        # customer keys referenced from orders must shift consistently
-        if table == "orders":
-            c = c.withColumn("o_custkey",
-                             F.col("o_custkey"))
+        if table == "events":
+            c = c.withColumn("ts", F.col("ts") + F.lit(i * _MONTH_NS))
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:
