@@ -2940,6 +2940,90 @@ def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["q97_weighted_sample"] = (q97_weighted_sample, _q97_sql())
 
 
+@query(
+    "q99_repetition_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             ROUND(len(list_distinct(toks)) / len(toks), 6)
+               AS distinct_token_ratio
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+      FROM toks WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    top AS (SELECT doc_id, MAX(c) AS top_c,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM cnt GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens, s.distinct_token_ratio,
+           CAST(COALESCE(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(CASE WHEN t.n_bigrams > 0 THEN t.top_c / t.n_bigrams
+                      ELSE 0.0 END, 6) AS top_bigram_fraction
+    FROM stats s LEFT JOIN top t USING (doc_id)
+    """,
+)
+def q99_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: vocabulary
+    richness (distinct-token ratio) and top-bigram concentration
+    (operators/repetition.py:repetition_profile). Two doc-keyed
+    shuffles + an AQE-sized doc join; linear in corpus tokens, no
+    skewable keys. [extension]"""
+    from db2pq_spark.operators.repetition import repetition_profile
+
+    return repetition_profile(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q100_heavy_hitters",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+)
+def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact token-frequency top-25
+    (operators/repetition.py:top_tokens). explode → partial+final agg
+    (map-side combine collapses each partition to its vocabulary) →
+    TakeOrderedAndProject; the only shuffle is keyed by token and
+    carries vocabulary-sized data, not corpus-sized. [extension]"""
+    from db2pq_spark.operators.repetition import top_tokens
+
+    return top_tokens(t(spark, sf_dir, "documents"), "text", 25)
+
+
+@query(
+    "q101_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+             AS props_redactions
+    FROM events
+    """,
+)
+def q101_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped redaction (operators/repetition.py:scrub_pii —
+    digit-run kind, the only PII class present in the synthetic
+    fixtures; email/phone/IPv4 kinds unit-tested on literal rows).
+    Narrow codegen'd projection: regexp_replace + regexp_count, zero
+    shuffles at any scale. [extension]"""
+    from db2pq_spark.operators.repetition import scrub_pii
+
+    e = t(spark, sf_dir, "events")
+    return scrub_pii(e, "props", kinds=("number",), token="<NUM>") \
+        .select("event_id", "props", "props_redactions")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -572,3 +572,86 @@ class TestBm25:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             bm25_scores(df, "text", "doc_id", [])
+
+
+class TestRepetition:
+    def test_profile_known_counts(self, spark):
+        from db2pq_spark.operators.repetition import repetition_profile
+
+        rows = [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> top 3/5
+            (2, "w x y z"),          # all distinct, top bigram 1/3
+            (3, "solo"),             # single token: no bigrams
+            (4, "same same same"),   # bigrams: 'same same' x2 -> top 2/2
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in
+               repetition_profile(df, "text", "doc_id").collect()}
+
+        assert got[1]["n_tokens"] == 6
+        assert got[1]["n_bigrams"] == 5
+        assert got[1]["top_bigram_fraction"] == round(3 / 5, 6)
+        assert got[1]["distinct_token_ratio"] == round(2 / 6, 6)
+
+        assert got[2]["distinct_token_ratio"] == 1.0
+        assert got[2]["top_bigram_fraction"] == round(1 / 3, 6)
+
+        assert got[3]["n_bigrams"] == 0
+        assert got[3]["top_bigram_fraction"] == 0.0
+
+        assert got[4]["top_bigram_fraction"] == 1.0
+
+    def test_top_tokens_order_and_ties(self, spark):
+        from db2pq_spark.operators.repetition import top_tokens
+
+        df = spark.createDataFrame(
+            [(1, "b a b c a b"), (2, "c a")], "doc_id long, text string")
+        got = [(r["token"], r["n"]) for r in
+               top_tokens(df, "text", 3).collect()]
+        # a and b tie at 3 -> alphabetical; c has 2
+        assert got == [("a", 3), ("b", 3), ("c", 2)]
+
+    def test_no_python_udf_in_plan(self, spark):
+        from db2pq_spark.operators.repetition import repetition_profile
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = repetition_profile(df, "text", "doc_id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestScrubPii:
+    def test_redacts_and_counts(self, spark):
+        from db2pq_spark.operators.repetition import scrub_pii
+
+        rows = [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 415-555-0199"),
+            (2, "server at 10.0.0.1 responded"),
+            (3, "nothing sensitive here"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, note string")
+        got = {r["id"]: (r["note"], r["note_redactions"]) for r in
+               scrub_pii(df, "note").collect()}
+
+        assert got[1][0] == "mail me at [REDACTED] or call [REDACTED]"
+        assert got[1][1] == 2
+        assert got[2][0] == "server at [REDACTED] responded"
+        assert got[2][1] == 1
+        assert got[3] == ("nothing sensitive here", 0)
+        assert got[4][0] is None
+
+    def test_digit_runs_kind(self, spark):
+        from db2pq_spark.operators.repetition import scrub_pii
+
+        df = spark.createDataFrame([(1, "k=42 v=7")], "id long, p string")
+        [r] = scrub_pii(df, "p", kinds=("number",), token="<NUM>").collect()
+        assert r["p"] == "k=<NUM> v=<NUM>"
+        assert r["p_redactions"] == 2
+
+    def test_unknown_kind_rejected(self, spark):
+        from db2pq_spark.operators.repetition import scrub_pii
+
+        df = spark.createDataFrame([(1, "x")], "id long, p string")
+        with pytest.raises(ValueError, match="unknown PII"):
+            scrub_pii(df, "p", kinds=("ssn",))
