@@ -346,3 +346,77 @@ def ngram_jaccard_pairs(
                 (inter / union_).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (repeated-span) detection
+# ---------------------------------------------------------------------------
+
+def _span_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, pos, h): every positioned n-token span of every document,
+    keyed by the md5 of its text. Documents shorter than ``n`` tokens
+    contribute nothing. The transform lambda only slices+joins strings;
+    the md5 runs codegen'd in the post-explode projection, once per
+    span row."""
+    toks = F.split(normalize_text(text_col), " ")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.col(id_col), F.posexplode(spans).alias("pos", "_span"))
+        .select(F.col(id_col), "pos",
+                F.md5(F.encode(F.col("_span"), "UTF-8")).alias("h"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 20, min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate detection, after Lee et al.,
+    *Deduplicating Training Data Makes Language Models Better*
+    (arXiv:2107.06499) — re-expressed relationally: instead of a
+    monolithic suffix array, every positioned n-token span is keyed by
+    its md5 and counted corpus-wide; spans whose key occurs
+    ``min_count``+ times (in any document, including the same one) are
+    duplicated content.
+
+    Returns per-document stats: ``n_spans``, ``dup_spans``,
+    ``dup_span_ratio`` — the standard "fraction of the document that is
+    boilerplate shared with the rest of the corpus" filter signal.
+
+    Scale: single pass — a window count partitioned by span key (one
+    shuffle on the near-unique key; md5 keys bound shuffle width at 32
+    bytes regardless of ``n``), then a per-document aggregate (second
+    shuffle on the doc key). Never materializes pairs, never goes
+    quadratic."""
+    g = _span_hashes(df, text_col, id_col, n)
+    hc = g.withColumn("_hc", F.count("*").over(W.partitionBy("h")))
+    dup = (F.col("_hc") >= min_count).cast("int")
+    return (
+        hc.groupBy(id_col)
+        .agg(F.count("*").alias("n_spans"),
+             F.sum(dup).cast("bigint").alias("dup_spans"))
+        .select(F.col(id_col), "n_spans", "dup_spans",
+                F.round(F.col("dup_spans") / F.col("n_spans"), 6)
+                 .alias("dup_span_ratio"))
+    )
+
+
+def duplicate_span_positions(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 20, min_count: int = 2,
+) -> DataFrame:
+    """Positions of duplicated n-token spans: (id, pos, span_count) for
+    every span whose corpus-wide count reaches ``min_count`` — the
+    input a downstream substring-removal/cut pass consumes. Same
+    one-shuffle window plan as :func:`duplicate_spans`."""
+    g = _span_hashes(df, text_col, id_col, n)
+    return (
+        g.withColumn("span_count", F.count("*").over(W.partitionBy("h")))
+        .where(F.col("span_count") >= min_count)
+        .select(F.col(id_col), "pos", "span_count")
+    )

@@ -3024,6 +3024,45 @@ def q101_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "props", "props_redactions")
 
 
+@query(
+    "q102_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+               AS h
+      FROM toks WHERE len(toks) >= 3
+    ),
+    hc AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS c FROM g
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS dup_span_ratio
+    FROM hc GROUP BY doc_id
+    """,
+)
+def q102_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2107.06499
+    re-expressed relationally — operators/dedup.py:duplicate_spans):
+    per-document fraction of token spans whose exact content recurs
+    anywhere in the corpus. Trigram spans here (the synthetic corpus's
+    small vocabulary makes longer exact repeats vanishingly rare);
+    production length 20-50 is a parameter. One window shuffle on the
+    32-byte span key + one doc-keyed aggregate — no pair
+    materialization, never quadratic. [extension]"""
+    from db2pq_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf_dir, "documents"), "text", "doc_id",
+                           n=3)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -655,3 +655,53 @@ class TestScrubPii:
         df = spark.createDataFrame([(1, "x")], "id long, p string")
         with pytest.raises(ValueError, match="unknown PII"):
             scrub_pii(df, "p", kinds=("ssn",))
+
+
+class TestDuplicateSpans:
+    SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+    def test_planted_cross_doc_span(self, spark):
+        from db2pq_spark.operators.dedup import duplicate_spans
+
+        rows = [
+            (1, f"intro words here {self.SHARED} tail one"),
+            (2, f"other opening {self.SHARED} different ending"),
+            (3, "fully unique content with no overlap at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in
+               duplicate_spans(df, "text", "doc_id", n=8).collect()}
+
+        # docs 1 and 2 share exactly one 8-token span; doc 3 shares none
+        assert got[1]["dup_spans"] == 1 and got[2]["dup_spans"] == 1
+        assert got[3]["dup_spans"] == 0
+        # doc 1: 13 tokens -> 6 spans of length 8
+        assert got[1]["n_spans"] == 6
+        assert got[1]["dup_span_ratio"] == round(1 / 6, 6)
+
+    def test_within_doc_repeat_counts(self, spark):
+        from db2pq_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "x y x y x y")], "doc_id long, text string")
+        [r] = duplicate_spans(df, "text", "doc_id", n=2).collect()
+        # spans: xy yx xy yx xy -> all 5 duplicated within the doc
+        assert r["n_spans"] == 5 and r["dup_spans"] == 5
+
+    def test_positions_output(self, spark):
+        from db2pq_spark.operators.dedup import duplicate_span_positions
+
+        rows = [(1, f"{self.SHARED} suffix"), (2, f"prefix {self.SHARED}")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_id"], r["pos"]): r["span_count"] for r in
+               duplicate_span_positions(df, "text", "doc_id", n=8).collect()}
+        # the shared span starts at token 0 in doc 1, token 1 in doc 2
+        assert got == {(1, 0): 2, (2, 1): 2}
+
+    def test_short_docs_excluded(self, spark):
+        from db2pq_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "a b c d e")], "doc_id long, text string")
+        got = duplicate_spans(df, "text", "doc_id", n=5).collect()
+        assert [r["doc_id"] for r in got] == [2]
