@@ -604,6 +604,81 @@ class Engine:
                   f"{schema}.{table}")
         return final
 
+    def refresh_rollup(
+        self,
+        delta: DataFrame,
+        schema: str,
+        table: str,
+        keys: list[str],
+        aggs: Mapping[str, str],
+        count_col: str = "n",
+        last_modified: str | None = None,
+    ) -> Path:
+        """Incremental materialized-aggregate maintenance: fold an
+        append-only delta batch into a stored rollup table without
+        rescanning the base data.
+
+        The rollup table holds ``keys`` + ``count_col`` (row count) +
+        one ``<fn>_<col>`` column per ``aggs`` entry, where ``fn`` is a
+        *mergeable* aggregate: ``sum``, ``min`` or ``max`` (averages
+        are derived downstream as sum/count; non-mergeable aggregates
+        like exact distinct need the base table by definition).
+
+        Refresh = partial-aggregate the delta (map-side combine shrinks
+        it to its group cardinality before the only shuffle), union
+        with the stored rollup, re-aggregate with each measure's merge
+        function, atomic rewrite. Cost ∝ |delta| + |groups| — a 100 TB
+        fact table's daily summary refresh reads the day's delta and a
+        groups-sized parquet file, never the base.
+
+        Deltas must be *new* rows (at-most-once): re-folding the same
+        batch double-counts — dedupe upstream or route through an
+        idempotent ingest (streaming/ingest.py tracks batch ids).
+
+        No reference counterpart (its only refresh path re-exports the
+        whole table, db2pq/core.py:895-952). [extension]
+        """
+        from pyspark.sql import functions as F
+
+        if not keys:
+            raise ValueError("keys must be non-empty")
+        bad = {c: fn for c, fn in aggs.items() if fn not in ("sum", "min", "max")}
+        if bad:
+            raise ValueError(
+                f"non-mergeable aggregate(s) {bad}; supported: sum/min/max")
+        missing = [c for c in list(aggs) + keys if c not in delta.columns]
+        if missing:
+            raise ValueError(f"delta lacks column(s) {missing}")
+
+        partial = delta.groupBy(*keys).agg(
+            F.count("*").alias(count_col),
+            *[getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()],
+        )
+        final = table_path(self.data_dir, schema, table)
+        if not final.exists():
+            return write_parquet(partial, self.data_dir, schema, table,
+                                 last_modified=last_modified,
+                                 single_file=self.single_file)
+
+        current = self.read_pq(schema, table)
+        if set(current.columns) != set(partial.columns):
+            raise ValueError(
+                f"delta rollup schema {sorted(partial.columns)} != stored "
+                f"rollup schema {sorted(current.columns)} — keys/aggs must "
+                f"match the table's definition")
+        merge_fns = {count_col: "sum",
+                     **{f"{fn}_{c}": fn for c, fn in aggs.items()}}
+        merged = (
+            current.select(*partial.columns).unionByName(partial)
+            .groupBy(*keys)
+            .agg(*[getattr(F, fn)(c).alias(c) for c, fn in merge_fns.items()])
+        )
+        preserved = last_modified if last_modified is not None \
+            else get_modified_pq(final)
+        return write_parquet(merged, self.data_dir, schema, table,
+                             last_modified=preserved,
+                             single_file=self.single_file)
+
     def update_pq(
         self,
         schema: str,

@@ -8,6 +8,7 @@ restore / remove, update/skip/refuse/force decisions
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from db2pq_spark.core import Engine
 from db2pq_spark.sinks.parquet_sink import get_modified_pq, table_path, write_parquet
@@ -379,3 +380,59 @@ class TestMergePq:
             [(2, "en", 2.0)], "id long, lang string, v double")
         with pytest.raises(ValueError, match="partition"):
             eng.merge_pq(upd, "s", "p3", ["id"], partition_cols=["nope"])
+
+
+class TestRefreshRollup:
+    SCHEMA = "day string, k string, qty long, price double"
+
+    def _delta(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_incremental_equals_one_shot(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        d1 = [("d1", "a", 2, 5.0), ("d1", "b", 3, 1.0), ("d2", "a", 1, 9.0)]
+        d2 = [("d1", "a", 4, 2.0), ("d2", "c", 7, 3.0)]
+        aggs = {"qty": "sum", "price": "min"}
+
+        eng.refresh_rollup(self._delta(spark, d1), "s", "roll",
+                           ["day", "k"], aggs)
+        eng.refresh_rollup(self._delta(spark, d2), "s", "roll",
+                           ["day", "k"], aggs)
+        got = sorted(map(tuple, eng.read_pq("s", "roll").collect()))
+
+        one_shot = (self._delta(spark, d1 + d2)
+                    .groupBy("day", "k")
+                    .agg(F.count("*").alias("n"),
+                         F.sum("qty").alias("sum_qty"),
+                         F.min("price").alias("min_price")))
+        want = sorted(map(tuple, one_shot.select(
+            *eng.read_pq("s", "roll").columns).collect()))
+        assert got == want
+        # spot-check the merged cell: day d1 / key a saw 2 rows, qty 6
+        by_key = {(r[0], r[1]): r for r in got}
+        cols = eng.read_pq("s", "roll").columns
+        row = dict(zip(cols, by_key[("d1", "a")]))
+        assert row["n"] == 2 and row["sum_qty"] == 6 and row["min_price"] == 2.0
+
+    def test_max_merge_and_metadata_preserved(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        eng.refresh_rollup(self._delta(spark, [("d1", "a", 5, 1.0)]),
+                           "s", "r2", ["k"], {"qty": "max"},
+                           last_modified="Last modified: 02/02/2026 00:00:00")
+        eng.refresh_rollup(self._delta(spark, [("d9", "a", 3, 2.0)]),
+                           "s", "r2", ["k"], {"qty": "max"})
+        [r] = eng.read_pq("s", "r2").collect()
+        assert r["max_qty"] == 5 and r["n"] == 2
+        assert get_modified_pq(table_path(tmp_path, "s", "r2")) \
+            == "Last modified: 02/02/2026 00:00:00"
+
+    def test_rejects_non_mergeable_and_mismatch(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        d = self._delta(spark, [("d1", "a", 1, 1.0)])
+        with pytest.raises(ValueError, match="non-mergeable"):
+            eng.refresh_rollup(d, "s", "r3", ["k"], {"qty": "avg"})
+        with pytest.raises(ValueError, match="lacks column"):
+            eng.refresh_rollup(d, "s", "r3", ["k"], {"nope": "sum"})
+        eng.refresh_rollup(d, "s", "r3", ["k"], {"qty": "sum"})
+        with pytest.raises(ValueError, match="must match"):
+            eng.refresh_rollup(d, "s", "r3", ["day", "k"], {"qty": "sum"})
