@@ -3063,6 +3063,53 @@ def q102_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n=3)
 
 
+@query(
+    "q103_vocab_encode",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS token FROM toks)
+      GROUP BY token
+    ),
+    vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1
+                  AS BIGINT) AS token_id
+      FROM (SELECT * FROM counts ORDER BY freq DESC, token LIMIT 30)
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+      FROM toks
+    ),
+    enc AS (
+      SELECT p.doc_id, p.i - 1 AS pos,
+             COALESCE(v.token_id, -1) AS tid
+      FROM (SELECT doc_id, i, toks[i] AS token FROM pos) p
+      LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+           CAST(len(list(tid ORDER BY pos)) AS BIGINT) AS n_tokens
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q103_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + document encoding
+    (operators/vocab.py): top-30 frequency-ranked token ids (total
+    tie-broken order → deterministic ids), documents re-encoded as
+    ordered bigint-id arrays with OOV = −1 — the training-prep step
+    feeding sequence packing. Vocab never touches the driver: encode is
+    explode → (broadcast-sized) vocab join → one doc-keyed reassembly
+    shuffle. [extension]"""
+    from db2pq_spark.operators.vocab import build_vocab, encode_documents
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", max_size=30)
+    return encode_documents(docs, "text", "doc_id", vocab)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -705,3 +705,42 @@ class TestDuplicateSpans:
             [(1, "one two"), (2, "a b c d e")], "doc_id long, text string")
         got = duplicate_spans(df, "text", "doc_id", n=5).collect()
         assert [r["doc_id"] for r in got] == [2]
+
+
+class TestVocabEncode:
+    def test_ids_by_rank_and_oov(self, spark):
+        from db2pq_spark.operators.vocab import build_vocab, encode_documents
+
+        df = spark.createDataFrame(
+            [(1, "b a b c a b"), (2, "c a rare")], "doc_id long, text string")
+        vocab = build_vocab(df, "text", max_size=3)
+        v = {r["token"]: (r["token_id"], r["freq"])
+             for r in vocab.collect()}
+        # freq: b=3 a=3 c=2 rare=1 -> tie a/b broken alphabetically
+        assert v == {"a": (0, 3), "b": (1, 3), "c": (2, 2)}
+
+        enc = {r["doc_id"]: (r["token_ids"], r["n_tokens"]) for r in
+               encode_documents(df, "text", "doc_id", vocab).collect()}
+        assert enc[1] == ([1, 0, 1, 2, 0, 1], 6)
+        assert enc[2] == ([2, 0, -1], 3)        # 'rare' is OOV
+
+    def test_null_text_encodes_empty(self, spark):
+        from db2pq_spark.operators.vocab import build_vocab, encode_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, None)], "doc_id long, text string")
+        vocab = build_vocab(df.where("text is not null"), "text")
+        enc = {r["doc_id"]: r["token_ids"] for r in
+               encode_documents(df, "text", "doc_id", vocab).collect()}
+        assert enc[1] == [0, 1] and enc[2] == []
+
+    def test_roundtrip_decode(self, spark):
+        from db2pq_spark.operators.vocab import build_vocab, encode_documents
+
+        text = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        vocab = build_vocab(df, "text")
+        enc = encode_documents(df, "text", "doc_id", vocab)
+        inv = {r["token_id"]: r["token"] for r in vocab.collect()}
+        [row] = enc.collect()
+        assert " ".join(inv[i] for i in row["token_ids"]) == text
