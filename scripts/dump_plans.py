@@ -55,6 +55,16 @@ SHOWCASE = {
                            "TakeOrderedAndProject — no full sort",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
+    "q100_heavy_hitters": "corpus heavy hitters: map-side combine "
+                          "collapses partitions to their vocabulary, "
+                          "then TakeOrderedAndProject — no global sort",
+    "q101_pii_scrub": "PII redaction is a zero-shuffle codegen'd regex "
+                      "projection",
+    "q102_duplicate_spans": "exact-substring dedup via window count on "
+                            "the 32-byte span key — no pair "
+                            "materialization, never quadratic",
+    "q103_vocab_encode": "vocab join broadcasts (AQE-sized); encode "
+                         "reassembles docs with one doc-keyed shuffle",
 }
 
 HEADER = """\

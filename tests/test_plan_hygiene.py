@@ -171,3 +171,28 @@ class TestWideBattery:
         assert "Expand" in plan
         # one shuffle for the aggregation only
         assert plan.count("Exchange") <= 2  # partial+final agg exchanges
+
+
+class TestTrainingPipelinePlans:
+    def test_q100_heavy_hitters_is_take_ordered(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q100_heavy_hitters")
+        assert "TakeOrderedAndProject" in plan     # no global sort
+        assert "HashAggregate" in plan             # partial+final count
+
+    def test_q101_pii_scrub_zero_shuffles(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q101_pii_scrub")
+        assert "Exchange" not in plan              # narrow projection
+        assert "BatchEvalPython" not in plan       # pure codegen regex
+
+    def test_q102_spans_never_materialize_pairs(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q102_duplicate_spans")
+        # window-count on the span key, not a self-join
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    def test_q103_vocab_join_broadcasts(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q103_vocab_encode",
+                       execute=True)
+        # AQE turns the vocab-sized join side into a broadcast
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
