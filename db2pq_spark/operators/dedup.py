@@ -420,3 +420,53 @@ def duplicate_span_positions(
         .where(F.col("span_count") >= min_count)
         .select(F.col(id_col), "pos", "span_count")
     )
+
+
+def contamination_stats(
+    train: DataFrame, bench: DataFrame, text_col: str, id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark-decontamination signal: per training document, how
+    many of its n-token spans also occur in the benchmark corpus
+    (the standard n-gram-overlap test-set-leakage check, e.g. GPT-3
+    appendix C / PaLM-style 13-gram overlap — hence the default).
+
+    Returns (id, n_spans, contaminated_spans, contaminated). Scale:
+    benchmark suites are tiny next to a 100 TB training corpus, so the
+    distinct benchmark-span side is broadcast by AQE; training spans
+    stream through a semi-join probe without reshuffling the corpus —
+    the only wide operation is the per-document count."""
+    tspans = _span_hashes(train, text_col, id_col, n)
+    bspans = _span_hashes(bench, text_col, id_col, n).select("h").distinct()
+    hits = (
+        tspans.join(bspans, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_spans"))
+    )
+    totals = tspans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col), "n_spans",
+            F.coalesce("contaminated_spans", F.lit(0)).cast("bigint")
+             .alias("contaminated_spans"),
+            (F.coalesce("contaminated_spans", F.lit(0)) > 0)
+             .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame, bench: DataFrame, text_col: str, id_col: str,
+    n: int = 13, min_overlap: int = 1,
+) -> DataFrame:
+    """Drop training documents sharing ``min_overlap``+ n-token spans
+    with the benchmark corpus; docs too short to produce spans are
+    kept. Anti-join on the flagged-id set (benchmark-hit-sized,
+    broadcast in practice)."""
+    flagged = (
+        contamination_stats(train, bench, text_col, id_col, n)
+        .where(F.col("contaminated_spans") >= min_overlap)
+        .select(id_col)
+    )
+    return train.join(flagged, id_col, "left_anti")

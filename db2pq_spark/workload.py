@@ -3110,6 +3110,52 @@ def q103_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_documents(docs, "text", "doc_id", vocab)
 
 
+@query(
+    "q104_decontamination",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKENS} AS toks FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(toks) - 3),
+                    i -> md5(concat_ws(' ', toks[i], toks[i+1],
+                                       toks[i+2], toks[i+3])))) AS h
+      FROM d WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT h FROM sp WHERE source = 'src0'),
+    train AS (SELECT doc_id, h FROM sp WHERE source <> 'src0'),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS contaminated_spans
+      FROM train WHERE h IN (SELECT h FROM bench)
+      GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM train GROUP BY doc_id)
+    SELECT t.doc_id, t.n_spans,
+           CAST(COALESCE(x.contaminated_spans, 0) AS BIGINT)
+             AS contaminated_spans,
+           COALESCE(x.contaminated_spans, 0) > 0 AS contaminated
+    FROM totals t LEFT JOIN hits x USING (doc_id)
+    """,
+)
+def q104_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram overlap test-set-leakage
+    check, operators/dedup.py:contamination_stats): docs from source
+    'src0' act as the held-out benchmark; every other doc is scored by
+    how many of its 4-token spans occur in the benchmark. The distinct
+    benchmark-span side is broadcast (benchmarks are tiny next to the
+    corpus); training spans stream through a semi-join probe. 4-token
+    spans here for the synthetic corpus's tiny vocabulary; production
+    uses the 13-gram default. [extension]"""
+    from db2pq_spark.operators.dedup import contamination_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return contamination_stats(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "text", "doc_id", n=4)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -744,3 +744,50 @@ class TestVocabEncode:
         inv = {r["token_id"]: r["token"] for r in vocab.collect()}
         [row] = enc.collect()
         assert " ".join(inv[i] for i in row["token_ids"]) == text
+
+
+class TestDecontamination:
+    BENCH = "question seven asks about the capital of france obviously"
+
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        train = spark.createDataFrame(
+            [(1, f"some filler then {self.BENCH} and more filler"),
+             (2, "entirely clean document with fresh original content "
+                 "written here today"),
+             (3, "tiny doc")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, self.BENCH)], "doc_id long, text string")
+        return train, bench
+
+    def test_stats_flag_overlap(self, spark, corpora):
+        from db2pq_spark.operators.dedup import contamination_stats
+
+        train, bench = corpora
+        got = {r["doc_id"]: r.asDict() for r in
+               contamination_stats(train, bench, "text", "doc_id",
+                                   n=8).collect()}
+        # the full 9-token bench doc contributes two 8-gram spans; doc 1
+        # contains both (plus nothing else from bench)
+        assert got[1]["contaminated"] and got[1]["contaminated_spans"] == 2
+        assert not got[2]["contaminated"]
+        assert 3 not in got                  # too short for 8-grams
+
+    def test_decontaminate_filters(self, spark, corpora):
+        from db2pq_spark.operators.dedup import decontaminate
+
+        train, bench = corpora
+        kept = sorted(r["doc_id"] for r in
+                      decontaminate(train, bench, "text", "doc_id",
+                                    n=8).collect())
+        assert kept == [2, 3]                # contaminated dropped, short kept
+
+    def test_min_overlap_threshold(self, spark, corpora):
+        from db2pq_spark.operators.dedup import decontaminate
+
+        train, bench = corpora
+        kept = sorted(r["doc_id"] for r in
+                      decontaminate(train, bench, "text", "doc_id",
+                                    n=8, min_overlap=3).collect())
+        assert kept == [1, 2, 3]             # below threshold -> kept
