@@ -613,6 +613,7 @@ class Engine:
         aggs: Mapping[str, str],
         count_col: str = "n",
         last_modified: str | None = None,
+        sidecar_extra: dict | None = None,
     ) -> Path:
         """Incremental materialized-aggregate maintenance: fold an
         append-only delta batch into a stored rollup table without
@@ -658,7 +659,8 @@ class Engine:
         if not final.exists():
             return write_parquet(partial, self.data_dir, schema, table,
                                  last_modified=last_modified,
-                                 single_file=self.single_file)
+                                 single_file=self.single_file,
+                                 sidecar_extra=sidecar_extra)
 
         current = self.read_pq(schema, table)
         if set(current.columns) != set(partial.columns):
@@ -677,7 +679,8 @@ class Engine:
             else get_modified_pq(final)
         return write_parquet(merged, self.data_dir, schema, table,
                              last_modified=preserved,
-                             single_file=self.single_file)
+                             single_file=self.single_file,
+                             sidecar_extra=sidecar_extra)
 
     def update_pq(
         self,

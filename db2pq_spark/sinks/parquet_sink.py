@@ -71,6 +71,7 @@ def write_parquet(
     single_file: bool = False,
     archive: bool = False,
     partition_by: list[str] | None = None,
+    sidecar_extra: dict | None = None,
 ) -> Path | None:
     """Export a DataFrame into the repository; returns final path or
     ``None`` when the result is empty.
@@ -89,6 +90,9 @@ def write_parquet(
     """
     if partition_by and single_file:
         raise ValueError("partition_by and single_file are mutually exclusive")
+    if sidecar_extra and single_file:
+        raise ValueError("sidecar_extra requires directory mode "
+                         "(single files carry footer metadata only)")
     final = table_path(data_dir, schema, table)
     tmp = temp_path(data_dir, schema, table)
     final.parent.mkdir(parents=True, exist_ok=True)
@@ -113,7 +117,7 @@ def write_parquet(
     if single_file:
         _collapse_to_single_file(tmp, last_modified)
     else:
-        _write_sidecar(tmp, last_modified)
+        _write_sidecar(tmp, last_modified, sidecar_extra)
 
     if final.exists():
         if archive:
@@ -143,10 +147,12 @@ def _count_rows(path: Path) -> int:
     return ds.dataset(str(path), format="parquet").count_rows()
 
 
-def _write_sidecar(table_dir: Path, last_modified: str | None) -> None:
+def _write_sidecar(table_dir: Path, last_modified: str | None,
+                   extra: dict | None = None) -> None:
     payload = {
         "last_modified": last_modified,
         "written_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        **(extra or {}),
     }
     (table_dir / SIDECAR).write_text(json.dumps(payload))
 
