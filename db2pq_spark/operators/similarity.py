@@ -351,3 +351,43 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+def label_centroids(df: DataFrame, vec_col: str, label_col: str,
+                    out_scale: int = 6) -> DataFrame:
+    """Per-label embedding centroids: (label, n_vectors, centroid) with
+    the centroid as an ordered double array rounded to ``out_scale``.
+
+    Cross-engine determinism: per-dimension sums accumulate as exact
+    decimals (float→double→decimal casts are exact/deterministic in
+    both Spark and DuckDB), so the sum is order-independent and the
+    final division hits identical IEEE operands — same rule as the
+    workload's ``dsum`` convention, applied per array slot.
+
+    Scale: posexplode fans each vector into its dimensions (narrow),
+    the partial+final aggregate shuffles |labels|×|dims| rows (tiny),
+    and the reassembly groups by label. No UDFs, no driver math —
+    the classic "recompute class centroids" step of IVF/k-means
+    training, runnable at any corpus size."""
+    pe = df.select(
+        F.col(label_col),
+        F.posexplode(vec_col).alias("dim", "_x"),
+    )
+    comp = (
+        pe.groupBy(label_col, "dim")
+        .agg(F.sum(F.col("_x").cast("double").cast("decimal(28,10)"))
+              .alias("_s"),
+             F.count("*").alias("_c"))
+        .select(F.col(label_col), "dim",
+                (F.col("_s").cast("double") / F.col("_c")).alias("_m"),
+                "_c")
+    )
+    return (
+        comp.groupBy(label_col)
+        .agg(F.max("_c").alias("n_vectors"),
+             F.sort_array(F.collect_list(F.struct("dim", "_m")))
+              .alias("_o"))
+        .select(F.col(label_col), "n_vectors",
+                F.transform("_o", lambda s: F.round(s["_m"], out_scale))
+                 .alias("centroid"))
+    )

@@ -3156,6 +3156,40 @@ def q104_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", "doc_id", n=4)
 
 
+@query(
+    "q105_label_centroids",
+    oracle="""
+    WITH pe AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, i - 1 AS dim,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                           AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m,
+             COUNT(*) AS c
+      FROM pe GROUP BY label, i
+    )
+    SELECT label, CAST(MAX(c) AS BIGINT) AS n_vectors,
+           list(ROUND(m, 6) ORDER BY dim) AS centroid
+    FROM comp GROUP BY label
+    """,
+)
+def q105_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids
+    (operators/similarity.py:label_centroids) — the recompute-centroids
+    step of IVF/k-means training as a pure relational plan: posexplode
+    fan-out (narrow) → exact-decimal partial+final aggregate
+    (|labels|×|dims| rows shuffle, corpus never re-shuffles) → per-label
+    reassembly. [extension]"""
+    from db2pq_spark.operators.similarity import label_centroids
+
+    return label_centroids(t(spark, sf_dir, "embeddings"),
+                           "embedding", "label")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

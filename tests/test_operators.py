@@ -791,3 +791,26 @@ class TestDecontamination:
                       decontaminate(train, bench, "text", "doc_id",
                                     n=8, min_overlap=3).collect())
         assert kept == [1, 2, 3]             # below threshold -> kept
+
+
+class TestLabelCentroids:
+    def test_known_centroid(self, spark):
+        from db2pq_spark.operators.similarity import label_centroids
+
+        rows = [(0, [1.0, 0.0]), (0, [3.0, 2.0]), (1, [5.0, 5.0])]
+        df = spark.createDataFrame(rows,
+                                   "label int, embedding array<float>")
+        got = {r["label"]: r for r in
+               label_centroids(df, "embedding", "label").collect()}
+        assert got[0]["centroid"] == [2.0, 1.0]
+        assert got[0]["n_vectors"] == 2
+        assert got[1]["centroid"] == [5.0, 5.0]
+
+    def test_no_python_udf(self, spark):
+        from db2pq_spark.operators.similarity import label_centroids
+
+        df = spark.createDataFrame([(0, [1.0])],
+                                   "label int, embedding array<float>")
+        plan = label_centroids(df, "embedding", "label") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
