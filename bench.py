@@ -77,7 +77,8 @@ def main() -> None:
     # -- extension operators ------------------------------------------------
     for name in ("q30_exact_dedup", "q31_text_profile", "q33_cosine_topk",
                  "q36_minhash_dedup", "q38_lsh_similarity",
-                 "q94_range_join", "q95_validation", "q96_bm25"):
+                 "q94_range_join", "q95_validation", "q96_bm25",
+                 "q102_duplicate_spans", "q103_vocab_encode"):
         fn = workload.REGISTRY[name][0]
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
