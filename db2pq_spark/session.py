@@ -51,6 +51,14 @@ def get_spark(
         # when storage/scan I/O dominates (typical at 100 TB).
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage codegen emits one JIT-compiled class per stage; a
+        # long-lived session running this engine's 100+-query surface
+        # overflows the JVM's default 240 MB code cache, after which the
+        # JIT stops compiling and queries silently degrade 10-20× (we
+        # measured q98 1.6s → 23s in a 60-query session). Reserve enough
+        # for the whole surface up front.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         # managed (bucketed) tables land outside the repo; static conf,
         # effective for the session that creates the metastore

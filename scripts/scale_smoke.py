@@ -37,7 +37,8 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q06_forecast_revenue", "q08_running_total",
            "q64_waiting_supplier", "q66_hash_split",
            "q94_range_join", "q95_validation", "q96_bm25",
-           "q97_weighted_sample", "q98_sliding_window"]
+           "q97_weighted_sample", "q98_sliding_window",
+           "q102_duplicate_spans", "q103_vocab_encode"]
 
 #: 31 days in nanoseconds (events.ts is epoch-nanos int64 in the file)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
