@@ -69,14 +69,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def dsum(col, scale: int = 4, alias: str | None = None):
-    """Exact (decimal) sum of a double column — see module docstring."""
-    c = F.sum(F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str)
-              else col.cast(f"decimal(18,{scale})")).cast(f"decimal(38,{scale})")
+    """Exact (decimal) sum of a double column — see module docstring.
+
+    Accumulation is exact decimal (order-independent); the *final* value
+    is cast to DOUBLE so the output representation is a plain IEEE
+    float64 in every engine. Identical decimal sums → identical doubles,
+    and the driver's canonicalization hashes doubles identically across
+    Spark and DuckDB (decimal objects hash differently per engine even
+    when value-equal)."""
+    c = (F.sum(F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str)
+               else col.cast(f"decimal(18,{scale})"))
+         .cast(f"decimal(38,{scale})").cast("double"))
     return c.alias(alias) if alias else c
 
 
 def _dsum_sql(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DECIMAL(38,{scale}))"
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale})))"
+            f" AS DECIMAL(38,{scale})) AS DOUBLE)")
 
 
 #: normalized-text / token-list SQL fragments shared by text oracles
@@ -130,7 +139,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_export_plan",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DECIMAL(12,2)) AS quantity,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity,
            l_extendedprice AS price,
            CAST(l_shipdate AS DATE) AS shipdate
     FROM lineitem
@@ -140,7 +149,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship ETL export plan (reference db_to_pq SELECT planning,
     db2pq/postgres/select_sql.py:107-155): keep/rename/cast/where through
-    the engine's QueryPlan. Projection + predicate push into the scan."""
+    the engine's QueryPlan. Projection + predicate push into the scan.
+    The plan's decimal(12,2) cast (P3) stays exercised; the gate output
+    re-casts it to DOUBLE so both engines hash a plain float64."""
     from db2pq_spark.plans.plan import build_plan
 
     li = t(spark, sf_dir, "lineitem")
@@ -153,7 +164,7 @@ def q02_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         col_types={"quantity": "decimal(12,2)", "shipdate": "date"},
         where="l_returnflag = 'R' AND l_quantity > 40",
     )
-    return plan.apply(li)
+    return plan.apply(li).withColumn("quantity", F.col("quantity").cast("double"))
 
 
 @query(
@@ -429,11 +440,11 @@ def q07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_running_total",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS running_qty
+                AS DECIMAL(38,2)) AS DOUBLE) AS running_qty
     FROM lineitem WHERE l_suppkey <= 10
     """,
 )
@@ -447,7 +458,7 @@ def q08_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_suppkey") <= 10)
         .select("l_suppkey", "l_orderkey", "l_linenumber",
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
-                 .cast("decimal(38,2)").alias("running_qty"))
+                 .cast("decimal(38,2)").cast("double").alias("running_qty"))
     )
 
 
@@ -615,7 +626,7 @@ def q18_safe_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_numeric_modes",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,4)) AS price_decimal,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_decimal,
            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price_float64,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_text
     FROM lineitem WHERE l_orderkey <= 100
@@ -624,12 +635,15 @@ def q18_safe_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_numeric_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three numeric modes (reference _resolve_numeric_mode,
     db2pq/core.py:8-15) materialized side by side: decimal / float64 /
-    text renderings of the same column."""
+    text renderings of the same column. The decimal mode is emitted as
+    its exact string rendering ('123.4500' — full scale in both Spark
+    and DuckDB) so the gate hashes a plain string, not engine-specific
+    decimal objects."""
     li = t(spark, sf_dir, "lineitem")
     dec = F.col("l_extendedprice").cast("decimal(18,4)")
     return li.filter(F.col("l_orderkey") <= 100).select(
         "l_orderkey", "l_linenumber",
-        dec.alias("price_decimal"),
+        dec.cast("string").alias("price_decimal"),
         dec.cast("double").alias("price_float64"),
         F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price_text"),
     )
@@ -712,10 +726,10 @@ def q20_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(s_name) OVER w AS first_name,
            PERCENT_RANK() OVER w AS pct_rank,
            NTILE(4) OVER w AS quartile,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
                 OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS cum_bal
+                AS DECIMAL(38,2)) AS DOUBLE) AS cum_bal
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
     """,
@@ -733,7 +747,7 @@ def q21_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(wr)
-         .cast("decimal(38,2)").alias("cum_bal"),
+         .cast("decimal(38,2)").cast("double").alias("cum_bal"),
     )
 
 
@@ -888,8 +902,8 @@ def q40_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql("""
         SELECT p.p_type, COUNT(*) AS n,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS total
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_size >= 40
         GROUP BY p.p_type
@@ -980,7 +994,7 @@ def q49_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q50_array_ops",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(c_custkey)) AS custkeys,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv,
            len(list(c_custkey)) AS n,
            list_sort(list(c_custkey))[1] AS smallest,
            list_contains(list(c_custkey), 1) AS has_cust_1
@@ -990,15 +1004,18 @@ def q49_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q50_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed results: collect → sort → index/contains. Nested
+    """Array-typed results: collect → sort → join/index/contains. Nested
     types flow through the whole stack (Spark arrays ↔ DuckDB lists ↔
     parquet lists) — the reference passes them through opaquely
-    (SURVEY §1.2), here they're first-class."""
+    (SURVEY §1.2), here they're first-class. The sorted array is emitted
+    as its CSV rendering (array_join) because the gate's pandas
+    canonicalization cannot sort list-typed cells; the array ops
+    themselves (collect_list/array_sort/index/contains) stay exercised."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
     arr = F.array_sort(F.collect_list("c_custkey"))
     return (
         c.groupBy("c_nationkey")
-        .agg(arr.alias("custkeys"),
+        .agg(F.array_join(arr, ",").alias("custkeys_csv"),
              F.count("*").alias("n"),
              arr[0].alias("smallest"),
              F.array_contains(F.collect_list("c_custkey"), 1).alias("has_cust_1"))
@@ -1758,8 +1775,8 @@ def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS total
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus))
@@ -2062,10 +2079,11 @@ def q72_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q73_SQL = """
     SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                          - p.p_retailprice * l.l_quantity
                            * CAST(0.1 AS DOUBLE)
-                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_profit
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+             AS sum_profit
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -2183,8 +2201,8 @@ def q76_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q77_SQL = """
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
-                AS DECIMAL(38,2)) AS sum_qty
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2430,7 +2448,7 @@ def q83_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(38,4)) AS disc
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, metric,
-           CAST(amount AS DECIMAL(38,4)) AS amount
+           CAST(CAST(amount AS DECIMAL(38,4)) AS DOUBLE) AS amount
     FROM wide
     UNPIVOT (amount FOR metric IN (qty, price, disc))
     """,
@@ -2453,7 +2471,8 @@ def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (wide.unpivot("l_returnflag", ["qty", "price", "disc"],
                          "metric", "amount")
-            .withColumn("amount", F.col("amount").cast("decimal(38,4)")))
+            .withColumn("amount",
+                        F.col("amount").cast("decimal(38,4)").cast("double")))
 
 
 @query(
@@ -2514,8 +2533,8 @@ def q86_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
-             AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                AS DOUBLE) AS sum_value
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY 1
@@ -2588,11 +2607,11 @@ def q88_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.user_id, g.day_idx,
            COALESCE(e.n, 0) AS n_events,
-           CAST(COALESCE(e.sv, 0) AS DECIMAL(38,4)) AS sum_value
+           CAST(COALESCE(e.sv, 0) AS DOUBLE) AS sum_value
     FROM grid g
     LEFT JOIN (SELECT user_id, day_idx, COUNT(*) AS n,
-                      CAST(SUM(CAST(value AS DECIMAL(18,4)))
-                           AS DECIMAL(38,4)) AS sv
+                      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                           AS DECIMAL(38,4)) AS DOUBLE) AS sv
                FROM ev GROUP BY 1, 2) e
       ON e.user_id = g.user_id AND e.day_idx = g.day_idx
     """,
@@ -2619,8 +2638,7 @@ def q89_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grid.join(agg, ["user_id", "day_idx"], "left")
             .select("user_id", "day_idx",
                     F.coalesce("n", F.lit(0)).alias("n_events"),
-                    F.coalesce(F.col("sv"), F.lit(0).cast("decimal(38,4)"))
-                     .alias("sum_value")))
+                    F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value")))
 
 
 @query(
@@ -2712,7 +2730,7 @@ _Q93_SQL = """
                   AS DECIMAL(38,2)) AS value_
       FROM lineitem
       GROUP BY l_suppkey)
-    SELECT l_suppkey, value_
+    SELECT l_suppkey, CAST(value_ AS DOUBLE) AS value_
     FROM supplier_value
     WHERE CAST(value_ AS DOUBLE) >
           (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity
@@ -2746,8 +2764,8 @@ _Q94_SQL = """
       FROM events)
     SELECT w.win_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS sum_value
+           CAST(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_value
     FROM wins w
     JOIN pts p ON p.pt_ts BETWEEN w.lo AND w.hi
     GROUP BY w.win_id
