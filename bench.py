@@ -36,10 +36,18 @@ def main() -> None:
     eng = Engine(spark, tmp)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name: str, fn) -> None:
+        # per-query fault isolation: one broken query must not zero out
+        # the whole bench artifact — record the error and keep going
         t0 = time.perf_counter()
-        fn()
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            return
         timings[name] = round(time.perf_counter() - t0, 3)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -48,8 +56,11 @@ def main() -> None:
     # are session fixed costs, not per-query throughput)
     li.count()
     for tbl in ("orders", "customer", "supplier", "part", "nation",
-                "region", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+                "region", "documents", "embeddings", "events"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: warmup {tbl} FAILED: {exc}", file=sys.stderr)
 
     # -- reference workload shapes (BASELINE.md) ---------------------------
     timed("export_full_table", lambda: eng.df_to_pq(
@@ -94,25 +105,34 @@ def main() -> None:
     for name in ("q36_minhash_dedup", "q38_lsh_similarity",
                  "q01_pricing_summary"):
         qfn = workload.REGISTRY[name][0]
-        t0 = time.perf_counter(); qfn(spark, sf_dir).collect()
-        steady[name] = round(time.perf_counter() - t0, 3)
-    tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
-    eng2 = Engine(spark, tmp2)
-    t0 = time.perf_counter()
-    eng2.df_to_pq(li, "bench", "lineitem_full2",
-                  last_modified="Last modified: 01/01/2026 00:00:00")
-    steady["export_full_table"] = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(tmp2, ignore_errors=True)
+        try:
+            t0 = time.perf_counter(); qfn(spark, sf_dir).collect()
+            steady[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: steady {name} FAILED: {exc}", file=sys.stderr)
+    try:
+        tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
+        eng2 = Engine(spark, tmp2)
+        t0 = time.perf_counter()
+        eng2.df_to_pq(li, "bench", "lineitem_full2",
+                      last_modified="Last modified: 01/01/2026 00:00:00")
+        steady["export_full_table"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(tmp2, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: steady export FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "bench_total_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "steady_state": steady,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

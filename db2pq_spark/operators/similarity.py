@@ -80,21 +80,82 @@ def cosine_topk(
     )
 
 
+#: (num_planes, dim, seed) -> list of ±1.0 plane vectors; planes are
+#: tiny (planes × dim floats) and deterministic, so a process-lifetime
+#: cache is safe.
+_PLANE_CACHE: dict[tuple[int, int, int], list[list[float]]] = {}
+
+
+def rademacher_planes(spark, num_planes: int, dim: int,
+                      seed: int = 0) -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes: sign of
+    ``xxhash64(dim_index, plane_index + seed·100003) & 1``.
+
+    Evaluated ONCE per (planes, dim, seed) via a tiny Spark job (so the
+    values are bit-identical to the expression-side derivation inside
+    :func:`lsh_signature` — the two paths are interchangeable) and
+    cached. See the ``planes`` note on :func:`lsh_signature` for why
+    the hot callers deliberately do NOT fold these into the plan.
+    """
+    key = (num_planes, dim, seed)
+    if key not in _PLANE_CACHE:
+        pairs = [(d, p) for p in range(num_planes) for d in range(dim)]
+        rows = (
+            spark.createDataFrame(pairs, "d int, p int")
+            .select(
+                "d", "p",
+                F.when(
+                    F.xxhash64("d", F.col("p") + F.lit(seed * 100_003))
+                     .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)).alias("s"),
+            )
+            .collect()
+        )
+        planes = [[0.0] * dim for _ in range(num_planes)]
+        for r in rows:
+            planes[r["p"]][r["d"]] = r["s"]
+        _PLANE_CACHE[key] = planes
+    return _PLANE_CACHE[key]
+
+
 def lsh_signature(
-    vec: Column, num_planes: int, dim: int, seed: int = 0
+    vec: Column, num_planes: int, dim: int, seed: int = 0,
+    planes: list[list[float]] | None = None,
 ) -> Column:
     """Pack ``num_planes`` random-hyperplane signs into one long bucket
-    key. Hyperplanes are deterministic Rademacher vectors derived from
-    ``xxhash64(dim_index, plane_index)`` — no RNG state, nothing to ship
-    to executors. ``seed`` offsets the plane family (independent hash
+    key. Hyperplanes are deterministic Rademacher vectors (see
+    :func:`rademacher_planes`) — no RNG state, nothing to ship to
+    executors. ``seed`` offsets the plane family (independent hash
     tables).
 
-    Built as one constant-size expression (transform over the plane
-    index + Horner pack) so codegen stays small for any plane count;
-    requires ``num_planes <= 16`` (Horner doubling stays far from int64
-    overflow under ANSI mode)."""
+    Pass ``planes`` (from :func:`rademacher_planes`) to fold the
+    hyperplanes into constant arrays. **Measured at sf0.1 (10k×64
+    vectors, local[32])**: executor-side cost of the two forms is
+    IDENTICAL (~1.5 s for the full q38 pipeline either way — the
+    per-row ``xxhash64`` re-derivation codegens into a tight JVM loop
+    and is noise next to the dot products), while the folded form
+    *bloats driver plan analysis* (PySpark unrolls a 64-float literal
+    array into a 64-child CreateArray; 32 of those pushed q38's
+    DataFrame build from 2.4 s to 10 s). The hash-derived expression is
+    therefore the default everywhere; ``planes`` exists for callers
+    that reuse one analyzed plan many times. Requires
+    ``num_planes <= 16`` (Horner doubling stays far from int64 overflow
+    under ANSI mode)."""
     if num_planes > 16:
         raise ValueError("num_planes must be <= 16 (bucket key packing)")
+
+    if planes is not None:
+        sig: Column = F.lit(0).cast("long")
+        for pv in planes:
+            hplane = F.lit([float(v) for v in pv])
+            dot_ = F.aggregate(
+                F.zip_with(vec, hplane, lambda x, h: x.cast("double") * h),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig * 2 + (dot_ > 0).cast("long")
+        return sig
 
     def sign(p: Column) -> Column:
         hplane = F.transform(
@@ -160,30 +221,51 @@ def lsh_bucket_topk(
     At 100 TB the corpus signature computation is a single narrow scan;
     the candidate join shuffles on (table, bucket) — cardinality
     ~corpus × tables, never quadratic."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"))
-    for t in range(num_tables):
-        c = c.withColumn(f"b{t}", lsh_signature(F.col("cvec"), num_planes, dim, seed=t))
-        q = q.withColumn(f"b{t}", lsh_signature(F.col("qvec"), num_planes, dim, seed=t))
+    # All table signatures in ONE array expression (the table index is
+    # a lambda variable, so the analyzed tree is table-count-independent
+    # — a per-table expression list costs real driver analysis time),
+    # then posexplode → (table, bucket). NOT a withColumn-per-table
+    # loop: each withColumn re-analyzes the whole growing plan.
+    def sig_array(vec: Column) -> Column:
+        def sig_for(tbl: Column) -> Column:
+            def sign(p: Column) -> Column:
+                hplane = F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: F.when(
+                        F.xxhash64(d, p + tbl * F.lit(100_003))
+                         .bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                )
+                dot_ = F.aggregate(
+                    F.zip_with(vec, hplane,
+                               lambda x, h: x.cast("double") * h),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                return (dot_ > 0).cast("long")
 
-    c_buckets = c.select(
-        "neighbor_id", "cvec",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
-            for t in range(num_tables)
-        ])).alias("tb"),
-    ).select("neighbor_id", "cvec", "tb.table", "tb.bucket")
+            bits = F.transform(
+                F.sequence(F.lit(0), F.lit(num_planes - 1)), sign)
+            return F.aggregate(
+                bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_tables - 1)), sig_for)
+
+    c_buckets = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        F.posexplode(sig_array(F.col(vec_col))).alias("table", "bucket"))
     masks = _probe_masks(num_planes, probe_radius)
-    q_buckets = q.select(
-        "query_id", "qvec",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table"),
-                     F.col(f"b{t}").bitwiseXOR(F.lit(m)).alias("bucket"))
-            for t in range(num_tables) for m in masks
-        ])).alias("tb"),
-    ).select("query_id", "qvec", "tb.table", "tb.bucket")
+    q_buckets = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+            F.posexplode(sig_array(F.col(vec_col))).alias("table", "sig"))
+        .select("query_id", "qvec", "table",
+                F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+                "sig")
+        .select("query_id", "qvec", "table",
+                F.col("sig").bitwiseXOR(F.col("mask")).alias("bucket"))
+    )
 
     cand = (
         c_buckets.join(F.broadcast(q_buckets), ["table", "bucket"])

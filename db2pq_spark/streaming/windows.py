@@ -16,23 +16,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events fixture schema with ns timestamps read as epoch-nanos longs
-#: (see workload.t(); Spark rejects TIMESTAMP(NANOS) natively)
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+#: events schema when the fixture carries ns timestamps read as
+#: epoch-nanos longs (Spark rejects TIMESTAMP(NANOS) natively)
+EVENTS_SCHEMA = _events_schema(T.LongType())
+
+#: events schema when the fixture carries plain timestamp[us] parquet
+#: timestamps (isAdjustedToUTC=false → TIMESTAMP_NTZ)
+EVENTS_SCHEMA_US = _events_schema(T.TimestampNTZType())
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Attach an ``event_time`` (LTZ timestamp) column to a *batch*
+    events DataFrame, branching on the fixture's physical ``ts``
+    encoding exactly as :func:`read_events_stream` does for streams."""
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        return df.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Open the events table as a file stream with proper event-time.
 
-    ``maxFilesPerTrigger=1`` keeps micro-batches bounded; event time is
-    reconstructed from epoch-nanos to a true timestamp column.
+    ``maxFilesPerTrigger=1`` keeps micro-batches bounded. The fixture's
+    ``ts`` has shipped as both int64 epoch-nanos and ``timestamp[us]``
+    (see workload.t()); a one-off batch probe of the path picks the
+    matching stream schema, and ``event_time`` is normalized to a true
+    (LTZ) timestamp either way — the session zone is UTC, so the
+    NTZ→LTZ cast is a pure reinterpretation.
 
     ``events_dir`` may be a directory of parquet files or a single
     ``.../events.parquet`` file — the file streaming source requires a
@@ -40,7 +62,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
-    reader = (spark.readStream.schema(EVENTS_SCHEMA)
+    ts_is_long = dict(
+        spark.read.parquet(events_dir).dtypes)["ts"] in ("bigint", "long")
+    schema = EVENTS_SCHEMA if ts_is_long else EVENTS_SCHEMA_US
+    reader = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1))
     if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
         parent, fname = os.path.split(events_dir)
@@ -48,7 +73,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         raw = reader.parquet(parent)
     else:
         raw = reader.parquet(events_dir)
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return raw.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

@@ -40,7 +40,7 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q97_weighted_sample", "q98_sliding_window",
            "q102_duplicate_spans", "q103_vocab_encode"]
 
-#: 31 days in nanoseconds (events.ts is epoch-nanos int64 in the file)
+#: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
 
 
@@ -48,13 +48,19 @@ def replicate(spark, table: str, out_dir: str, offset: int) -> None:
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    ts_is_long = (table == "events"
+                  and dict(df.dtypes)["ts"] in ("bigint", "long"))
     parts = []
     for i in range(COPIES):
         c = df
         for key in KEY_SHIFTS.get(table, []):
             c = c.withColumn(key, F.col(key) + F.lit(i * offset))
         if table == "events":
-            c = c.withColumn("ts", F.col("ts") + F.lit(i * _MONTH_NS))
+            # shift by 31 days per copy, in whichever unit ts carries
+            c = (c.withColumn("ts", F.col("ts") + F.lit(i * _MONTH_NS))
+                 if ts_is_long else
+                 c.withColumn("ts", F.col("ts")
+                              + F.expr(f"INTERVAL '{i * 31}' DAY")))
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:

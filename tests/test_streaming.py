@@ -13,6 +13,7 @@ from db2pq_spark.streaming.windows import (
     session_counts,
     stream_dedup,
     tumbling_counts,
+    with_event_time,
 )
 
 
@@ -30,8 +31,7 @@ class TestTumbling:
             output_mode="complete",
         )
         batch = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+            with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
             .groupBy(F.window("event_time", "1 hour"), "event_type")
             .agg(F.count("*").alias("n_events"))
         )
@@ -52,8 +52,7 @@ class TestSliding:
             "sliding_out", output_mode="complete",
         )
         batch = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+            with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
             .groupBy(F.window("event_time", "1 hour", "15 minutes"),
                      "event_type")
             .agg(F.count("*").alias("n_events"))
@@ -171,12 +170,17 @@ class TestStreamStreamJoin:
         # three time slices sequentially.
         import time as _time
 
+        import pyspark.sql.functions as SF
+
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        lo, q1, q2, hi = ev.selectExpr(
-            "min(ts)", "percentile(ts, 0.33)", "percentile(ts, 0.66)",
-            "max(ts)").first()
+        evn = with_event_time(ev).withColumn(
+            "ts_us", SF.unix_micros("event_time"))
+        lo, q1, q2, hi = evn.selectExpr(
+            "min(ts_us)", "percentile(ts_us, 0.33)",
+            "percentile(ts_us, 0.66)", "max(ts_us)").first()
         for a, b in ((lo - 1, q1), (q1, q2), (q2, hi)):
-            (ev.where(f"ts > {int(a)} AND ts <= {int(b)}")
+            (evn.where(f"ts_us > {int(a)} AND ts_us <= {int(b)}")
+             .drop("ts_us", "event_time")
              .coalesce(1).write.mode("append").parquet(str(src)))
             _time.sleep(1.1)
 
@@ -184,10 +188,7 @@ class TestStreamStreamJoin:
         got = run_to_memory(view_purchase_attribution(stream), "ssj_out",
                             output_mode="append")
 
-        import pyspark.sql.functions as SF
-        batch_ev = (spark.read.parquet(str(src))
-                    .withColumn("event_time",
-                                SF.timestamp_micros(SF.expr("ts div 1000"))))
+        batch_ev = with_event_time(spark.read.parquet(str(src)))
         want = view_purchase_attribution(batch_ev)
 
         key = lambda r: (r["user_id"], r["view_id"], r["purchase_id"])
