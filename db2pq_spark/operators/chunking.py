@@ -84,20 +84,32 @@ def pack_offsets(
     single column has ties — a tied order makes the cumsum, and hence
     bin boundaries, partition-order-dependent). Pieces may straddle
     bin boundaries.
+
+    With ``group_col`` the cumsum window is partitioned by group
+    (parallel). Without it, the global prefix sum goes through the
+    two-stage construction in :mod:`db2pq_spark.operators.ranking` —
+    no single-partition window at any input size.
     """
     order = [order_col] if isinstance(order_col, str) else list(order_col)
-    w = Window.orderBy(*order)
-    if group_col is not None:
-        w = Window.partitionBy(group_col).orderBy(*order)
-    offset = F.sum(size_col).over(
-        w.rowsBetween(Window.unboundedPreceding, -1))
     # explicit floor: engines disagree on double→int cast (truncate vs
     # round-to-nearest), floor() is unambiguous everywhere
-    return df.withColumn(
-        "bin",
-        F.floor(F.coalesce(offset, F.lit(0)) / F.lit(budget))
-        .cast("bigint"),
-    )
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        offset = F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        return df.withColumn(
+            "bin",
+            F.floor(F.coalesce(offset, F.lit(0)) / F.lit(budget))
+            .cast("bigint"),
+        )
+    from db2pq_spark.operators.ranking import with_global_prefix_sum
+
+    staged = with_global_prefix_sum(
+        df, size_col, [F.asc(c) if isinstance(c, str) else c for c in order],
+        out_col="_offset")
+    return (staged.withColumn(
+        "bin", F.floor(F.col("_offset") / F.lit(budget)).cast("bigint"))
+        .drop("_offset"))
 
 
 def pack_next_fit(

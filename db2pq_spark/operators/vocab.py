@@ -11,12 +11,12 @@ Scale notes (100 TB mindset):
 - ``build_vocab`` is the heavy-hitters aggregation: explode →
   partial+final count (the only corpus-sized shuffle, keyed by token,
   map-side combine collapses each partition to its vocabulary first)
-  → rank. The global rank is a single-partition window over
-  *vocabulary-sized* data (natural-language vocabularies are zipfian
-  — millions of rows, kilobyte-wide), not corpus-sized data; for
-  corpora where even the vocabulary is huge, cap it with ``max_size``
-  (rank via TakeOrderedAndProject) — the standard "top-k vocab + OOV"
-  modeling choice.
+  → rank. The global frequency rank uses the two-stage construction
+  in :mod:`db2pq_spark.operators.ranking` (range repartition →
+  per-partition rank → offset merge), so even a huge vocabulary never
+  funnels through one partition; ``max_size`` additionally caps it to
+  the ``k`` most frequent tokens (TakeOrderedAndProject) — the
+  standard "top-k vocab + OOV" modeling choice.
 - ``encode_documents`` never collects the vocabulary to the driver:
   tokens are exploded with position, hash-joined against the vocab
   relation (vocab is broadcast when it fits — Catalyst/AQE sizes it),
@@ -26,7 +26,7 @@ Scale notes (100 TB mindset):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from db2pq_spark.operators.textstats import tokens
@@ -39,6 +39,8 @@ def build_vocab(df: DataFrame, text_col: str,
     deterministic and engine-portable. ``max_size`` keeps the ``k``
     most frequent tokens (everything else becomes OOV at encode
     time)."""
+    from db2pq_spark.operators.ranking import with_global_rank
+
     counts = (
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token").agg(F.count("*").alias("freq"))
@@ -46,10 +48,11 @@ def build_vocab(df: DataFrame, text_col: str,
     if max_size is not None:
         counts = counts.orderBy(F.desc("freq"), F.asc("token")) \
                        .limit(max_size)
-    rank = W.orderBy(F.desc("freq"), F.asc("token"))
-    return counts.select(
+    ranked = with_global_rank(
+        counts, [F.desc("freq"), F.asc("token")], rank_col="_rank")
+    return ranked.select(
         "token",
-        (F.row_number().over(rank) - 1).cast("bigint").alias("token_id"),
+        (F.col("_rank") - 1).cast("bigint").alias("token_id"),
         "freq",
     )
 

@@ -2677,14 +2677,25 @@ def q89_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q90_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decile binning of a feature column (equal-frequency
-    discretization) via NTILE with a total tie-broken ordering —
+    discretization): NTILE semantics with a total tie-broken ordering —
     deterministic across engines, unlike approxQuantile-based
-    Bucketizer setups. At 100 TB use the sketch (approx) variant; this
-    is the exact baseline the sketch is validated against. [extension]"""
-    c = t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return (c.select("c_acctbal",
-                     F.ntile(10).over(w).cast("bigint").alias("decile"))
+    Bucketizer setups — computed as arithmetic over the two-stage
+    distributed global rank (operators/ranking.py), so no
+    single-partition window at any size. At 100 TB use the sketch
+    (approx) variant; this is the exact baseline the sketch is
+    validated against. [extension]"""
+    from db2pq_spark.operators.ranking import (
+        global_rank_with_total,
+        ntile_expr,
+    )
+
+    c = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked, n = global_rank_with_total(
+        c, [F.asc("c_acctbal"), F.asc("c_custkey")], rank_col="_r")
+    return (ranked
+            .select("c_acctbal",
+                    ntile_expr(F.col("_r"), n, 10)
+                    .cast("bigint").alias("decile"))
             .groupBy("decile")
             .agg(F.count("*").alias("n"),
                  F.round(F.min("c_acctbal"), 2).alias("lo"),
