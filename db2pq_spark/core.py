@@ -62,7 +62,12 @@ class Engine:
     # -- read side ---------------------------------------------------------
 
     def read_pq(self, schema: str, table: str) -> DataFrame:
-        """Read a repository table back as a DataFrame."""
+        """Read a repository table back as a DataFrame (healing any
+        interrupted promote swap first — see
+        :func:`~db2pq_spark.sinks.parquet_sink.recover_parked`)."""
+        from db2pq_spark.sinks.parquet_sink import recover_parked
+
+        recover_parked(self.data_dir, schema, table)
         return self.spark.read.parquet(str(table_path(self.data_dir, schema, table)))
 
     # -- export flows ------------------------------------------------------
@@ -382,6 +387,29 @@ class Engine:
             max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
         modified = get_modified_pq(path)
 
+        # hive-partitioned table: the partition layout IS the pruning
+        # contract — preserve it. Partition columns are parsed from the
+        # on-disk directory names (col=value), rows are re-hashed so
+        # each partition value compacts to one file, and the rewrite
+        # goes back out with the same partitionBy.
+        pcols = [seg.split("=", 1)[0]
+                 for seg in Path(files[0]).relative_to(path).parts[:-1]
+                 if "=" in seg] if files else []
+        if pcols:
+            if cluster_by is not None:
+                raise ValueError(
+                    "cluster_by is not supported on hive-partitioned "
+                    "tables; the partition layout already provides "
+                    "pruning on " + ", ".join(pcols))
+            df = self.read_pq(schema, table).repartition(*pcols)
+            write_parquet(df, self.data_dir, schema, table,
+                          last_modified=modified, partition_by=pcols)
+            n_after = len(ds.dataset(str(path), format="parquet").files)
+            if self.verbose:
+                print(f"compacted {schema}.{table}: {len(files)} -> "
+                      f"{n_after} files (partitioned by {pcols})")
+            return len(files), n_after
+
         df = self.read_pq(schema, table)
         if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
             from db2pq_spark.operators.zorder import zorder
@@ -509,10 +537,14 @@ class Engine:
           dimension-sized tables.
         - **Partitioned** (``partition_cols`` of a hive-partitioned
           table, which must appear in ``updates``): only the partitions
-          containing updated keys are read (partition pruning), merged,
-          and swapped directory-by-directory; untouched partitions are
-          never read or written. This is what makes a 100 TB fact table
-          mergeable: cost scales with the touched slice, not the table.
+          containing updated keys — where updates land AND where those
+          keys currently live, so keys that *move* partitions leave no
+          stale copy behind — are read in full, merged, and swapped
+          directory-by-directory; untouched partitions are never
+          rewritten. Locating current key homes is a column-pruned
+          key+partition scan (no data columns). This is what makes a
+          100 TB fact table mergeable: rewrite cost scales with the
+          touched slice, not the table.
 
         ``validate`` checks update keys are unique (one extra
         aggregate). Returns the table path.
@@ -562,8 +594,18 @@ class Engine:
         missing = [c for c in partition_cols if c not in updates.columns]
         if missing:
             raise ValueError(f"updates lack partition columns {missing}")
-        touched = [tuple(r) for r in
-                   updates.select(*partition_cols).distinct().collect()]
+        # Touched = partitions updates land in ∪ partitions their keys
+        # CURRENTLY live in. The second set matters when an update moves
+        # a key across partitions (e.g. a status column that is also the
+        # partition key): without it the old partition keeps a stale
+        # copy. Finding it is a key+partition-column scan of the current
+        # table — column-pruned, no data columns read — not a full read.
+        touched = {tuple(r) for r in
+                   updates.select(*partition_cols).distinct().collect()}
+        touched |= {tuple(r) for r in
+                    current.join(keys, on=key_cols, how="left_semi")
+                           .select(*partition_cols).distinct().collect()}
+        touched = sorted(touched)
         for tup in touched:
             for v in tup:
                 if v is None:

@@ -61,6 +61,30 @@ def temp_path(data_dir: str | Path, schema: str, table: str) -> Path:
     return Path(data_dir) / schema / f".temp_{table}.parquet"
 
 
+def parked_path(data_dir: str | Path, schema: str, table: str) -> Path:
+    """Where the live table is parked during the two-rename swap."""
+    return Path(data_dir) / schema / f".old_{table}.parquet"
+
+
+def recover_parked(data_dir: str | Path, schema: str, table: str) -> bool:
+    """Heal the swap's crash window. POSIX rename cannot replace a
+    non-empty directory, so promotion is two renames (park old →
+    promote new); a crash between them leaves ``.old_<table>.parquet``
+    beside a *missing* table. Restore it (returns True). A parked copy
+    beside a *present* table is the post-promote leftover of a crash
+    before cleanup — remove it. Called before every write and read, so
+    no interrupted swap is ever user-visible."""
+    final = table_path(data_dir, schema, table)
+    parked = parked_path(data_dir, schema, table)
+    if not parked.exists():
+        return False
+    if final.exists():
+        _rm(parked)                     # stale: promote completed
+        return False
+    os.replace(parked, final)           # crash mid-swap: restore
+    return True
+
+
 def write_parquet(
     df: DataFrame,
     data_dir: str | Path,
@@ -96,6 +120,7 @@ def write_parquet(
     final = table_path(data_dir, schema, table)
     tmp = temp_path(data_dir, schema, table)
     final.parent.mkdir(parents=True, exist_ok=True)
+    recover_parked(data_dir, schema, table)
     _rm(tmp)
 
     writer = (
@@ -127,10 +152,10 @@ def write_parquet(
         # POSIX rename cannot replace a non-empty directory, so a true
         # single-syscall swap is impossible; minimize the exposure to
         # two renames (old table is parked, never rmtree'd while live).
-        # A crash between them leaves `.old_<table>.parquet` recoverable
-        # next to a missing table — strictly better than the previous
-        # rmtree-then-rename, whose crash window destroyed the data.
-        parked = final.parent / f".old_{table}.parquet"
+        # A crash between them leaves `.old_<table>.parquet` next to a
+        # missing table — recover_parked() (run on every read/write)
+        # restores it, so the window is self-healing.
+        parked = parked_path(data_dir, schema, table)
         _rm(parked)
         os.replace(final, parked)
         os.replace(tmp, final)

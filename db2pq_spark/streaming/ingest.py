@@ -60,7 +60,14 @@ def stream_to_pq(
         else str(final.parent / f".checkpoint_{table}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        tmp = final.parent / f".stream_tmp_{table}"
+        # per-batch + per-process temp dir: a shared name would let two
+        # concurrent queries (or an overlapping retry) clobber each
+        # other's half-written batch
+        import os as _os
+        import uuid as _uuid
+
+        tmp = final.parent / (f".stream_tmp_{table}_{batch_id}"
+                              f"_{_os.getpid()}_{_uuid.uuid4().hex[:8]}")
         batch_df.write.mode("overwrite").parquet(str(tmp))
         prefix = f"batch{batch_id:08d}_"
         for stale in final.glob(f"{prefix}*.parquet"):  # replay idempotence

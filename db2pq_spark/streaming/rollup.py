@@ -33,6 +33,13 @@ def _applied_batch(table_dir: Path) -> int | None:
     return json.loads(sidecar.read_text()).get("stream_batch_id")
 
 
+def _applied_checkpoint(table_dir: Path) -> str | None:
+    sidecar = table_dir / SIDECAR
+    if not sidecar.exists():
+        return None
+    return json.loads(sidecar.read_text()).get("stream_checkpoint")
+
+
 def stream_rollup(
     stream_df: DataFrame,
     engine,
@@ -53,15 +60,29 @@ def stream_rollup(
     final = table_path(engine.data_dir, schema, table)
     ckpt = str(checkpoint_dir) if checkpoint_dir is not None \
         else str(final.parent / f".checkpoint_rollup_{table}")
+    ckpt_id = str(Path(ckpt).resolve())
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # The batch-id guard is only meaningful within ONE checkpoint
+        # lineage: a fresh/reset checkpoint restarts ids at 0, and
+        # silently skipping those batches (old behavior) loses data,
+        # while folding them double-counts whatever the table already
+        # holds. Neither is recoverable after the fact — fail loudly.
+        applied_ckpt = _applied_checkpoint(final)
+        if applied_ckpt is not None and applied_ckpt != ckpt_id:
+            raise RuntimeError(
+                f"rollup {schema}.{table} was maintained from checkpoint "
+                f"{applied_ckpt!r} but this query uses {ckpt_id!r}; "
+                "reuse the original checkpoint, or drop/rebuild the "
+                "rollup table before switching checkpoints")
         applied = _applied_batch(final)
         if applied is not None and batch_id <= applied:
             return                      # replayed batch: already folded
         engine.refresh_rollup(
             batch_df, schema, table, keys, aggs,
             last_modified=last_modified,
-            sidecar_extra={"stream_batch_id": batch_id},
+            sidecar_extra={"stream_batch_id": batch_id,
+                           "stream_checkpoint": ckpt_id},
         )
 
     writer = stream_df.writeStream.foreachBatch(_fold) \

@@ -1,0 +1,163 @@
+"""Crash-window and concurrency durability of the repository sink:
+parked-table recovery, rollup checkpoint identity, partition-moving
+merge keys, partition-preserving compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db2pq_spark.core import Engine
+from db2pq_spark.sinks.parquet_sink import (
+    parked_path,
+    recover_parked,
+    table_path,
+)
+
+
+class TestParkedRecovery:
+    def test_crash_between_renames_is_healed_on_read(self, spark, tmp_path):
+        """Simulate a crash after park-old but before promote-new: the
+        table directory is missing, the parked copy holds the data.
+        read_pq must restore it transparently."""
+        eng = Engine(spark, tmp_path)
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        eng.df_to_pq(df, "s", "t")
+        final = table_path(tmp_path, "s", "t")
+        parked = parked_path(tmp_path, "s", "t")
+        os.replace(final, parked)       # the crash window, frozen
+
+        back = eng.read_pq("s", "t")
+        assert back.count() == 2
+        assert final.exists() and not parked.exists()
+
+    def test_crash_between_renames_is_healed_on_write(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        eng.df_to_pq(df, "s", "t")
+        final = table_path(tmp_path, "s", "t")
+        os.replace(final, parked_path(tmp_path, "s", "t"))
+
+        # next write must treat the parked copy as the live table
+        # (archive semantics etc. act on the recovered data)
+        eng.df_to_pq(spark.createDataFrame([(2, "b")], "k long, v string"),
+                     "s", "t")
+        assert eng.read_pq("s", "t").count() == 1
+        assert not parked_path(tmp_path, "s", "t").exists()
+
+    def test_stale_parked_beside_live_table_is_cleaned(self, spark, tmp_path):
+        """Crash AFTER promote but before cleanup: both exist; the
+        parked copy is stale and must be dropped, not restored."""
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(spark.createDataFrame([(1, "new")], "k long, v string"),
+                     "s", "t")
+        parked = parked_path(tmp_path, "s", "t")
+        parked.mkdir()
+        (parked / "junk.txt").write_text("stale")
+
+        assert recover_parked(tmp_path, "s", "t") is False
+        assert not parked.exists()
+        assert eng.read_pq("s", "t").first()["v"] == "new"
+
+
+class TestRollupCheckpointIdentity:
+    def _stream(self, spark, src):
+        from db2pq_spark.streaming.windows import read_events_stream
+
+        return read_events_stream(spark, src)
+
+    def test_checkpoint_switch_fails_loudly(self, spark, sf_dir, tmp_path):
+        """A rollup maintained from checkpoint A must refuse batches
+        from checkpoint B (fresh ids restart at 0 — skipping loses
+        data, folding double-counts)."""
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from db2pq_spark.streaming.rollup import stream_rollup
+
+        src = tmp_path / "events_src"
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(2).write.parquet(str(src)))
+        eng = Engine(spark, tmp_path / "repo")
+
+        q = stream_rollup(self._stream(spark, str(src)), eng, "s", "roll",
+                          ["event_type"], {"value": "sum"},
+                          checkpoint_dir=tmp_path / "ckptA")
+        q.awaitTermination()
+        n_before = eng.read_pq("s", "roll").agg(F.sum("n")).first()[0]
+
+        q2 = stream_rollup(self._stream(spark, str(src)), eng, "s", "roll",
+                           ["event_type"], {"value": "sum"},
+                           checkpoint_dir=tmp_path / "ckptB")
+        with pytest.raises(StreamingQueryException, match="checkpoint"):
+            q2.awaitTermination()
+        # and the table was not corrupted by the refused batch
+        assert eng.read_pq("s", "roll").agg(F.sum("n")).first()[0] == n_before
+
+
+class TestPartitionMovingMerge:
+    def test_moved_key_leaves_no_stale_copy(self, spark, tmp_path):
+        """An update that changes a key's partition column must remove
+        the row from its old partition directory."""
+        eng = Engine(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(1, "open", 10.0), (2, "open", 20.0), (3, "closed", 30.0)],
+            "id long, status string, amt double")
+        eng.merge_pq(base, "s", "fact", key_cols=["id"],
+                     partition_cols=["status"])
+
+        moved = spark.createDataFrame(
+            [(1, "closed", 11.0)], "id long, status string, amt double")
+        eng.merge_pq(moved, "s", "fact", key_cols=["id"],
+                     partition_cols=["status"])
+
+        out = eng.read_pq("s", "fact")
+        assert out.count() == 3                      # no duplicate of id=1
+        rows = {(r["id"], r["status"], r["amt"]) for r in out.collect()}
+        assert rows == {(1, "closed", 11.0), (2, "open", 20.0),
+                        (3, "closed", 30.0)}
+
+    def test_partition_emptied_by_move_is_removed(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "id long, part string, amt double")
+        eng.merge_pq(base, "s", "fact", key_cols=["id"],
+                     partition_cols=["part"])
+        eng.merge_pq(
+            spark.createDataFrame([(1, "b", 1.5)],
+                                  "id long, part string, amt double"),
+            "s", "fact", key_cols=["id"], partition_cols=["part"])
+        final = table_path(tmp_path, "s", "fact")
+        assert not (final / "part=a").exists()
+        assert eng.read_pq("s", "fact").count() == 2
+
+
+class TestPartitionedCompact:
+    def test_compact_preserves_hive_layout(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 else "y", float(i)) for i in range(100)],
+            "id long, part string, amt double")
+        # fragment: many small files per partition
+        eng.df_to_pq(df.repartition(8), "s", "fact", partition_by=["part"])
+        before, after = eng.compact("s", "fact")
+
+        final = table_path(tmp_path, "s", "fact")
+        assert (final / "part=x").exists() and (final / "part=y").exists()
+        assert after < before
+        out = eng.read_pq("s", "fact")
+        assert out.count() == 100
+        # pruning still works: a partition filter reads one directory
+        plan = (out.filter(F.col("part") == "x")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "part=y" not in plan
+
+    def test_compact_partitioned_rejects_cluster_by(self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        df = spark.createDataFrame([(1, "a", 1.0)],
+                                   "id long, part string, amt double")
+        eng.df_to_pq(df, "s", "fact", partition_by=["part"])
+        with pytest.raises(ValueError, match="hive-partitioned"):
+            eng.compact("s", "fact", cluster_by="amt")
