@@ -264,14 +264,28 @@ class Engine:
         dest_table: str | None = None,
         mode: str = "overwrite",
         truncate: bool = False,
+        method: str = "jdbc",
     ) -> None:
         """Reverse path: repository table → database (reference
         pq_update_pg / parquet_write_pg, db2pq/postgres/update.py:173-231,
-        570-691). Spark creates the destination from the DataFrame schema
-        and batch-INSERTs partition-parallel."""
+        570-691). ``method="jdbc"`` (default): Spark creates the
+        destination from the DataFrame schema and batch-INSERTs
+        partition-parallel. ``method="copy"``: binary-COPY fast path
+        (sinks/pg_copy.py, reference db2pq/postgres/copy.py:3-27) into
+        an EXISTING table — one parallel COPY stream per partition,
+        typically 5-10× faster than batch INSERT; requires psycopg on
+        executors."""
+        df = self.read_pq(schema, table)
+        if method == "copy":
+            from db2pq_spark.sinks.pg_copy import write_pg_copy
+
+            write_pg_copy(df, source, dest_schema or schema,
+                          dest_table or table)
+            return
+        if method != "jdbc":
+            raise ValueError(f"unknown method {method!r}; use 'jdbc' or 'copy'")
         from db2pq_spark.sources.jdbc import write_jdbc
 
-        df = self.read_pq(schema, table)
         write_jdbc(df, source, dest_schema or schema, dest_table or table,
                    mode=mode, truncate=truncate)
 

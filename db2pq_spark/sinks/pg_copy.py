@@ -1,0 +1,157 @@
+"""PostgreSQL binary-COPY writer — the bulk-load fast path.
+
+Reference behavior being re-expressed: the reference streams
+``COPY ... (FORMAT BINARY)`` between databases
+(db2pq/postgres/copy.py:3-27) and loads parquet into PG the same way;
+plain JDBC batch INSERT (our S10/S11 default, sources/jdbc.py:154) is
+typically 5-10× slower on real PG loads because every row round-trips
+the SQL layer.
+
+Spark-first adaptation: **each executor partition opens its own libpq
+connection** and streams its rows through one ``COPY ... FROM STDIN
+(FORMAT BINARY)`` — N partitions load in parallel (the reference is a
+single stream). The driver never materializes data; the per-partition
+closure receives rows lazily from the shuffle/scan.
+
+``psycopg`` (v3) does the binary wire encoding; it is not installed in
+this container, so the executor body import-gates it and the unit tests
+drive the framing logic (COPY SQL, type registration, row streaming)
+through a fake copy object. Integration tests are skip-gated on a live
+PG exactly like the reference's ``local_pg`` marker.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+#: Spark simpleString → PG type name for psycopg's binary dumpers
+#: (``Copy.set_types``). Anything unlisted falls back to text transfer
+#: for that column via ``None`` (psycopg infers per value).
+_SPARK_TO_PG: dict[str, str] = {
+    "boolean": "bool",
+    "tinyint": "int2",
+    "smallint": "int2",
+    "int": "int4",
+    "bigint": "int8",
+    "float": "float4",
+    "double": "float8",
+    "string": "text",
+    "binary": "bytea",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def pg_type_for(spark_type: str) -> str | None:
+    """PG wire type for a Spark ``simpleString`` type (None → let
+    psycopg infer; e.g. decimals map to ``numeric``)."""
+    s = spark_type.lower()
+    if s.startswith("decimal"):
+        return "numeric"
+    return _SPARK_TO_PG.get(s)
+
+
+def quote_ident(name: str) -> str:
+    """Quote a PG identifier (server-side quoting parity with the
+    reference's qident, db2pq/postgres/select_sql.py)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def copy_sql(schema: str, table: str, cols: list[str]) -> str:
+    """The exact COPY framing the reference uses
+    (db2pq/postgres/copy.py:20-23): explicit quoted column list,
+    binary format."""
+    cols_csv = ", ".join(quote_ident(c) for c in cols)
+    return (f"COPY {quote_ident(schema)}.{quote_ident(table)} "
+            f"({cols_csv}) FROM STDIN (FORMAT BINARY)")
+
+
+def stream_rows(copy: Any, rows: Iterable[tuple], types: list[str | None],
+                set_types: bool = True) -> int:
+    """Feed rows into an open psycopg ``Copy`` object; returns count.
+    Split out from the connection handling so unit tests can drive it
+    with a fake."""
+    if set_types and any(t is not None for t in types):
+        copy.set_types(types)
+    n = 0
+    for row in rows:
+        copy.write_row(tuple(row))
+        n += 1
+    return n
+
+
+def jdbc_url_to_dsn(url: str, user: str | None = None,
+                    password: str | None = None) -> str:
+    """``jdbc:postgresql://host:port/db?k=v`` → libpq connection string."""
+    if not url.startswith("jdbc:postgresql://"):
+        raise ValueError(f"not a PostgreSQL JDBC url: {url}")
+    rest = url[len("jdbc:postgresql://"):]
+    query = ""
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+    hostport, _, db = rest.partition("/")
+    host, _, port = hostport.partition(":")
+    parts = [f"host={host}"]
+    if port:
+        parts.append(f"port={port}")
+    if db:
+        parts.append(f"dbname={db}")
+    if user:
+        parts.append(f"user={user}")
+    if password:
+        parts.append(f"password={password}")
+    for kv in query.split("&"):
+        if kv and "=" in kv:
+            k, v = kv.split("=", 1)
+            parts.append(f"{k}={v}")
+    return " ".join(parts)
+
+
+def _copy_partition(rows: Iterator, dsn: str, sql: str,
+                    types: list[str | None]) -> None:
+    """Executor-side body: one connection + one COPY per partition.
+    Commit per partition — Spark task retries re-run the whole
+    partition, so pair this with an idempotent target (truncate/staging
+    table) for exactly-once loads."""
+    try:
+        import psycopg
+    except ImportError as exc:  # pragma: no cover - env without psycopg
+        raise ImportError(
+            "binary COPY requires psycopg (v3); install it on executors "
+            "or use write_jdbc (batch INSERT) instead") from exc
+
+    first = next(rows, None)
+    if first is None:
+        return
+    import itertools
+
+    with psycopg.connect(dsn) as conn:
+        with conn.cursor() as cur:
+            with cur.copy(sql) as copy:
+                stream_rows(copy, itertools.chain([first], rows), types)
+        conn.commit()
+
+
+def write_pg_copy(
+    df: DataFrame,
+    source,
+    schema: str,
+    table: str,
+) -> None:
+    """Bulk-load a DataFrame into an EXISTING PG table via parallel
+    binary COPY (one stream per partition).
+
+    Table creation/replacement stays on the JDBC path
+    (:func:`db2pq_spark.sources.jdbc.write_jdbc` or DDL via
+    ``execute_sql``) — COPY is append-only by design, matching the
+    reference's copy step which also targets a pre-created table.
+    """
+    cols = df.columns
+    types = [pg_type_for(t) for _, t in df.dtypes]
+    sql = copy_sql(schema, table, cols)
+    dsn = jdbc_url_to_dsn(source.url, source.user, source.password)
+    df.foreachPartition(
+        lambda rows: _copy_partition(iter(rows), dsn, sql, types))
