@@ -176,25 +176,66 @@ def wrds_sql_to_pq(
                          archive=archive, row_group_rows=row_group_size)
 
 
+def _ibis_backend_source(expr):
+    """Derive a :class:`JdbcSource` from an Ibis expression's bound
+    backend (PG connection params), mirroring how the reference pulls
+    the connection off the expression (db2pq/ibis.py:17-60). Returns
+    None when the backend shape is unrecognized — callers then require
+    an explicit ``source=``."""
+    from db2pq_spark.sources.jdbc import JdbcSource
+
+    try:
+        backend = expr._find_backend()
+        con = backend.con          # psycopg / psycopg2 connection
+        info = con.info
+        url = f"jdbc:postgresql://{info.host}:{info.port}/{info.dbname}"
+        return JdbcSource(url, user=info.user,
+                          password=info.password or None)
+    except Exception:
+        return None
+
+
 def ibis_to_pq(table, out_file, *, engine=None, row_group_size=1_048_576,
                threads=None, tz="UTC", adbc_batch_size_hint_bytes=None,
-               adbc_use_copy=None, **writer_kwargs):
+               adbc_use_copy=None, source=None, **writer_kwargs):
     """Deferred-expression export (reference db2pq/ibis.py:17-146).
 
-    Here a Spark DataFrame plays the role of the Ibis expression: it is
-    already a deferred, optimizable expression tree. ``out_file`` is the
-    destination parquet path (reference semantics)."""
+    Two expression dialects are accepted:
+
+    - a **Spark DataFrame** — this engine's native deferred expression
+      tree; exported through the full plan pipeline.
+    - a **genuine Ibis table expression** (when ``ibis`` is installed):
+      compiled to SQL with ``ibis.to_sql`` and executed **on the source
+      database** via the JDBC query path — exactly the reference's
+      compile-and-stream shape. The connection comes from the
+      expression's bound backend, or pass ``source=`` (a
+      :class:`~db2pq_spark.sources.jdbc.JdbcSource`) explicitly.
+
+    ``out_file`` is the destination parquet path (reference semantics).
+    """
     from pyspark.sql import DataFrame
 
-    if not isinstance(table, DataFrame):
-        raise TypeError(
-            "ibis_to_pq expects a Spark DataFrame (the engine's deferred "
-            "expression); compile genuine Ibis expressions to SQL and use "
-            "wrds_sql_to_pq / Engine.sql_to_pq instead")
     out = Path(out_file)
     eng = _engine(out.parent.parent if out.parent.name else None)
-    return eng.df_to_pq(table, out.parent.name, out.stem, tz=tz,
-                        row_group_rows=row_group_size, **writer_kwargs)
+    if isinstance(table, DataFrame):
+        return eng.df_to_pq(table, out.parent.name, out.stem, tz=tz,
+                            row_group_rows=row_group_size, **writer_kwargs)
+    try:
+        import ibis
+    except ImportError:
+        raise TypeError(
+            "ibis_to_pq expects a Spark DataFrame (the engine's deferred "
+            "expression) — or a genuine Ibis expression, which requires "
+            "the 'ibis-framework' package") from None
+    sql = str(ibis.to_sql(table))
+    src = source or _ibis_backend_source(table)
+    if src is None:
+        raise ValueError(
+            "could not derive a connection from the Ibis expression's "
+            "backend; pass source=JdbcSource(...) explicitly")
+    return eng.sql_to_pq(sql, out.parent.name, out.stem, source=src,
+                         tz=tz, row_group_rows=row_group_size,
+                         **writer_kwargs)
 
 
 def db_schema_to_pq(schema, *, user=None, host=None, dbname=None,

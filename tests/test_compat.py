@@ -101,6 +101,50 @@ class TestIbisToPq:
         with pytest.raises(TypeError):
             db2pq_spark.ibis_to_pq(object(), "/tmp/x/y.parquet")
 
+    def test_genuine_ibis_expression_compiles_to_source_sql(
+            self, spark, tmp_path, sf_dir, monkeypatch):
+        """A (faked) Ibis expression is compiled with ibis.to_sql and
+        executed on the source database via the JDBC query path —
+        reference db2pq/ibis.py compile-and-stream shape."""
+        import sys
+        import types as pytypes
+
+        import db2pq_spark.sources.jdbc as jdbc_mod
+        from db2pq_spark.sources.jdbc import JdbcSource
+
+        fake_ibis = pytypes.ModuleType("ibis")
+        fake_ibis.to_sql = lambda expr: "SELECT r_regionkey, r_name FROM region"
+        monkeypatch.setitem(sys.modules, "ibis", fake_ibis)
+
+        captured = {}
+
+        def fake_read_jdbc(spark_, options):
+            captured.update(options)
+            return spark.read.parquet(f"{sf_dir}/region.parquet") \
+                .select("r_regionkey", "r_name")
+
+        monkeypatch.setattr(jdbc_mod, "read_jdbc", fake_read_jdbc)
+        # core.sql_to_pq imports read_jdbc locally from the module —
+        # patching the module attribute covers it
+
+        out = tmp_path / "tpch" / "region_expr.parquet"
+        src = JdbcSource("jdbc:postgresql://h:5432/d", user="u")
+        path = db2pq_spark.ibis_to_pq(object(), out, source=src)
+        assert path is not None
+        assert "region" in captured.get("query", "")
+        assert captured["url"].startswith("jdbc:postgresql://h:5432/d")
+
+    def test_ibis_expression_without_backend_or_source_rejected(
+            self, monkeypatch, tmp_path):
+        import sys
+        import types as pytypes
+
+        fake_ibis = pytypes.ModuleType("ibis")
+        fake_ibis.to_sql = lambda expr: "SELECT 1"
+        monkeypatch.setitem(sys.modules, "ibis", fake_ibis)
+        with pytest.raises(ValueError, match="source=JdbcSource"):
+            db2pq_spark.ibis_to_pq(object(), tmp_path / "s" / "t.parquet")
+
 
 class TestJdbcBackedExports:
     """DB-less: stub read_jdbc to serve a local table and capture the
