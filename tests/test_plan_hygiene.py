@@ -182,6 +182,24 @@ class TestTrainingPipelinePlans:
     def test_q101_pii_scrub_zero_shuffles(self, spark, sf_correct_dir):
         plan = plan_of(spark, sf_correct_dir, "q101_pii_scrub")
         assert "Exchange" not in plan              # narrow projection
+
+    def test_q90_ntile_has_no_single_partition_stage(self, spark,
+                                                     sf_correct_dir):
+        # NTILE via two-stage global rank (operators/ranking.py): every
+        # window is partitioned; no Exchange SinglePartition anywhere
+        plan = plan_of(spark, sf_correct_dir, "q90_feature_binning")
+        assert "SinglePartition" not in plan
+        assert "rangepartitioning" in plan.lower()  # stage 1 of the rank
+
+    def test_vocab_rank_has_no_single_partition_stage(self, spark,
+                                                      sf_correct_dir):
+        from db2pq_spark.operators.vocab import build_vocab
+        from db2pq_spark.workload import t
+
+        docs = t(spark, sf_correct_dir, "documents")
+        plan = (build_vocab(docs, "text")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan
         assert "BatchEvalPython" not in plan       # pure codegen regex
 
     def test_q102_spans_never_materialize_pairs(self, spark, sf_correct_dir):
