@@ -19,7 +19,11 @@ classic two-stage construction here keeps every step partition-parallel:
 The result is the exact global rank for any total ordering, with no
 single-partition stage and no correctness dependence on where the
 range sampler places boundaries. Input is persisted (it is read twice:
-once for partition sizes, once for the ranked output).
+once for partition sizes, once for the ranked output) at
+MEMORY_AND_DISK — Spark spills/evicts under pressure, so a long-lived
+session running many rank jobs degrades to recompute, never OOM. Every
+step (range exchange, partition ids, offsets) is deterministic for a
+given input, so a recomputed cached block yields identical ranks.
 """
 
 from __future__ import annotations

@@ -1,0 +1,68 @@
+"""Two-stage distributed global rank / prefix sum
+(operators/ranking.py): exact parity with the single-window semantics,
+under skew, ties-adjacent keys, and empty input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.ranking import (
+    global_rank_with_total,
+    ntile_expr,
+    with_global_prefix_sum,
+)
+
+
+class TestGlobalRank:
+    def test_dense_and_order_correct_under_skew(self, spark):
+        df = spark.createDataFrame(
+            [(i % 7, i) for i in range(1000)], "k long, uid long")
+        ranked, total = global_rank_with_total(
+            df, [F.desc("k"), F.asc("uid")], "r")
+        rows = sorted((r["r"], r["k"], r["uid"]) for r in ranked.collect())
+        assert total == 1000
+        assert [r[0] for r in rows] == list(range(1, 1001))
+        expected = sorted(((-(i % 7), i) for i in range(1000)))
+        assert [(-(r[1]), r[2]) for r in rows] == expected
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "k long, uid long")
+        ranked, total = global_rank_with_total(df, [F.asc("uid")])
+        assert total == 0 and ranked.count() == 0
+
+    def test_single_row(self, spark):
+        df = spark.createDataFrame([(5, 1)], "k long, uid long")
+        ranked, total = global_rank_with_total(df, [F.asc("uid")], "r")
+        assert total == 1
+        assert ranked.first()["r"] == 1
+
+
+class TestPrefixSum:
+    def test_matches_sequential_fold(self, spark):
+        df = spark.createDataFrame(
+            [(i % 7, i) for i in range(1000)], "sz long, uid long")
+        ps = with_global_prefix_sum(df, "sz", [F.asc("uid")], "off")
+        got = {r["uid"]: r["off"] for r in ps.collect()}
+        acc = 0
+        for i in range(1000):
+            assert got[i] == acc
+            acc += i % 7
+
+
+class TestNtileExpr:
+    def test_matches_sql_ntile(self, spark):
+        """ntile_expr over a global rank must be row-for-row equal to
+        the window NTILE for sizes that do and don't divide evenly."""
+        for n, k in ((100, 10), (103, 10), (7, 10), (10, 10)):
+            df = spark.createDataFrame(
+                [(i,) for i in range(n)], "uid long")
+            ranked, total = global_rank_with_total(
+                df, [F.asc("uid")], "r")
+            got = {r["uid"]: r["t"] for r in ranked.select(
+                "uid", ntile_expr(F.col("r"), total, k).alias("t"))
+                .collect()}
+            want = {r["uid"]: r["t"] for r in spark.sql(
+                f"SELECT uid, NTILE({k}) OVER (ORDER BY uid) AS t "
+                f"FROM VALUES {','.join(f'({i})' for i in range(n))} "
+                "AS v(uid)").collect()}
+            assert got == want, (n, k)
