@@ -57,16 +57,32 @@ def global_rank_with_total(
     for pid, n in sizes:
         offsets[pid] = acc
         acc += n
+    w = W.partitionBy("_pid").orderBy(*order_by)
+    local_rank = F.row_number().over(w)
+    if len(offsets) > 256:
+        # thousands of shuffle partitions → a literal map would bloat
+        # the analyzed plan (driver-side cost, see q38 postmortem in
+        # operators/similarity.py); fold offsets in via a broadcast
+        # hash join on _pid instead — narrow, no extra shuffle
+        off_df = df.sparkSession.createDataFrame(
+            list(offsets.items()), "_pid int, _off long")
+        ranked = (
+            staged.withColumn("_lr", local_rank)
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(rank_col,
+                        (F.col("_off") + F.col("_lr")).cast("bigint"))
+            .drop("_pid", "_off", "_lr")
+        )
+        return ranked, acc
     if offsets:
         off_map = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv])
         offset_expr = off_map[F.col("_pid")].cast("bigint")
     else:  # empty input
         offset_expr = F.lit(0).cast("bigint")
-    w = W.partitionBy("_pid").orderBy(*order_by)
     ranked = (
         staged.withColumn(
-            rank_col, (offset_expr + F.row_number().over(w)).cast("bigint"))
+            rank_col, (offset_expr + local_rank).cast("bigint"))
         .drop("_pid")
     )
     return ranked, acc
@@ -104,16 +120,24 @@ def with_global_prefix_sum(
     for pid, s in sizes:
         offsets[pid] = acc
         acc += int(s or 0)
+    w = (W.partitionBy("_pid").orderBy(*order_by)
+         .rowsBetween(W.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(F.col(size_col).cast("bigint")).over(w),
+                       F.lit(0))
+    if len(offsets) > 256:   # see global_rank_with_total: plan-size guard
+        off_df = df.sparkSession.createDataFrame(
+            list(offsets.items()), "_pid int, _off long")
+        return (staged.withColumn("_local", local)
+                .join(F.broadcast(off_df), "_pid")
+                .withColumn(out_col,
+                            (F.col("_off") + F.col("_local")).cast("bigint"))
+                .drop("_pid", "_off", "_local"))
     if offsets:
         off_map = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv])
         offset_expr = off_map[F.col("_pid")].cast("bigint")
     else:
         offset_expr = F.lit(0).cast("bigint")
-    w = (W.partitionBy("_pid").orderBy(*order_by)
-         .rowsBetween(W.unboundedPreceding, -1))
-    local = F.coalesce(F.sum(F.col(size_col).cast("bigint")).over(w),
-                       F.lit(0))
     return (staged.withColumn(out_col, (offset_expr + local).cast("bigint"))
             .drop("_pid"))
 
