@@ -35,6 +35,7 @@ __all__ = [
     "hash_bucket",
     "hash_bucket_sql",
     "deterministic_sample",
+    "deterministic_shuffle",
     "split_assign",
     "split_assign_sql",
     "stratified_sample",
@@ -83,6 +84,35 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float,
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     threshold = int(round(fraction * n_buckets))
     return df.where(hash_bucket(key, n_buckets, salt) < threshold)
+
+
+def deterministic_shuffle(df: DataFrame, key: str, seed: str = "",
+                          order_col: str = "shuffle_order") -> DataFrame:
+    """Seeded pseudo-random *global* permutation of the corpus — the
+    "shuffle the training data" step, reproducible across runs, cluster
+    sizes, and engines.
+
+    Each row's position is the global rank of ``md5(seed || key)``
+    (tie-broken by the key itself, so the order is total even under
+    md5-prefix collisions). Different seeds give independent
+    permutations; the same seed always yields byte-identical order —
+    unlike ``df.orderBy(rand(seed))``, which is partition-layout-
+    dependent.
+
+    Scale shape: one narrow hash projection + the two-stage global rank
+    (:mod:`db2pq_spark.operators.ranking`) — range shuffle +
+    partition-parallel windows, no single-partition stage. Write the
+    result hive-partitioned on ``shuffle_order`` ranges (or feed it to
+    ``pack_offsets``) to materialize epoch files.
+    """
+    from db2pq_spark.operators.ranking import with_global_rank
+
+    hashed = df.withColumn(
+        "__shuf", F.md5(F.concat(F.lit(seed),
+                                 F.col(key).cast("string"))))
+    ranked = with_global_rank(
+        hashed, [F.asc("__shuf"), F.asc(key)], rank_col=order_col)
+    return ranked.drop("__shuf")
 
 
 def _split_thresholds(weights: dict[str, float],

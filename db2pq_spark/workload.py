@@ -2991,6 +2991,31 @@ REGISTRY["q97_weighted_sample"] = (q97_weighted_sample, _q97_sql())
 
 
 @query(
+    "q106_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS shuffle_order
+    FROM documents
+    """,
+)
+def q106_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global corpus permutation
+    (operators/sampling.py:deterministic_shuffle) — the reproducible
+    "shuffle the training data" step. Position = global rank of
+    md5(seed||key), computed by the two-stage distributed rank
+    (operators/ranking.py), so no single-partition stage at any corpus
+    size; the DuckDB oracle recomputes the identical permutation from
+    the identical hashes. [extension]"""
+    from db2pq_spark.operators.sampling import deterministic_shuffle
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed="epoch0") \
+        .select("doc_id", "shuffle_order")
+
+
+@query(
     "q99_repetition_profile",
     oracle=f"""
     WITH toks AS (
