@@ -64,10 +64,12 @@ class Engine:
     def read_pq(self, schema: str, table: str) -> DataFrame:
         """Read a repository table back as a DataFrame (healing any
         interrupted promote swap first — see
-        :func:`~db2pq_spark.sinks.parquet_sink.recover_parked`)."""
+        :func:`~db2pq_spark.sinks.parquet_sink.recover_parked`; the age
+        guard keeps a concurrent reader from touching a live writer's
+        in-flight swap)."""
         from db2pq_spark.sinks.parquet_sink import recover_parked
 
-        recover_parked(self.data_dir, schema, table)
+        recover_parked(self.data_dir, schema, table, min_age_seconds=10.0)
         return self.spark.read.parquet(str(table_path(self.data_dir, schema, table)))
 
     # -- export flows ------------------------------------------------------
@@ -277,6 +279,13 @@ class Engine:
         executors."""
         df = self.read_pq(schema, table)
         if method == "copy":
+            # COPY is append-only into an existing table; silently
+            # dropping overwrite/truncate semantics would double-load
+            if mode != "append" or truncate:
+                raise ValueError(
+                    "method='copy' only supports mode='append' without "
+                    "truncate — create/clear the destination first "
+                    "(execute_sql) or use method='jdbc'")
             from db2pq_spark.sinks.pg_copy import write_pg_copy
 
             write_pg_copy(df, source, dest_schema or schema,
@@ -392,6 +401,7 @@ class Engine:
         import math
 
         import pyarrow.dataset as ds
+        from pyspark.sql import functions as F
 
         path = table_path(self.data_dir, schema, table)
         dataset = ds.dataset(str(path), format="parquet")
@@ -403,9 +413,11 @@ class Engine:
 
         # hive-partitioned table: the partition layout IS the pruning
         # contract — preserve it. Partition columns are parsed from the
-        # on-disk directory names (col=value), rows are re-hashed so
-        # each partition value compacts to one file, and the rewrite
-        # goes back out with the same partitionBy.
+        # on-disk directory names (col=value); rows re-hash on the
+        # partition key plus (when the byte/file target asks for more
+        # output files than partition values) a small salt, so a huge
+        # partition value still splits across ~target-sized files
+        # instead of funneling through one task.
         pcols = [seg.split("=", 1)[0]
                  for seg in Path(files[0]).relative_to(path).parts[:-1]
                  if "=" in seg] if files else []
@@ -415,7 +427,23 @@ class Engine:
                     "cluster_by is not supported on hive-partitioned "
                     "tables; the partition layout already provides "
                     "pruning on " + ", ".join(pcols))
-            df = self.read_pq(schema, table).repartition(*pcols)
+            n_vals = len({Path(f).relative_to(path).parts[:-1]
+                          for f in files}) or 1
+            salt_k = max(1, math.ceil(n_out / n_vals))
+            df = self.read_pq(schema, table)
+            if salt_k > 1:
+                # explicit partition count: an unnumbered repartition
+                # would let AQE coalesce the salts back into one task,
+                # silently ignoring the caller's byte/file target
+                df = (df.withColumn(
+                        "_salt",
+                        F.pmod(F.monotonically_increasing_id(),
+                               F.lit(salt_k)))
+                      .repartition(max(n_out, salt_k * n_vals),
+                                   *pcols, "_salt")
+                      .drop("_salt"))
+            else:
+                df = df.repartition(*pcols)
             write_parquet(df, self.data_dir, schema, table,
                           last_modified=modified, partition_by=pcols)
             n_after = len(ds.dataset(str(path), format="parquet").files)
@@ -580,6 +608,12 @@ class Engine:
             upserts = updates.filter(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
+        # Heal an interrupted promote BEFORE the existence check: a
+        # parked table beside a missing final would otherwise route to
+        # the create branch and the upsert batch would replace (destroy)
+        # the recovered table inside write_parquet.
+        from db2pq_spark.sinks.parquet_sink import recover_parked
+        recover_parked(self.data_dir, schema, table)
         final = table_path(self.data_dir, schema, table)
         if not final.exists():
             return write_parquet(upserts, self.data_dir, schema, table,
@@ -619,12 +653,14 @@ class Engine:
         touched |= {tuple(r) for r in
                     current.join(keys, on=key_cols, how="left_semi")
                            .select(*partition_cols).distinct().collect()}
-        touched = sorted(touched)
+        # validate BEFORE sorting: None is unorderable against str/int
+        # and would turn this clean error into a bare TypeError
         for tup in touched:
             for v in tup:
                 if v is None:
                     raise ValueError("NULL partition values not supported "
                                      "in partition-scoped merge")
+        touched = sorted(touched)
         from functools import reduce
         in_touched = reduce(
             lambda a, b: a | b,
@@ -711,6 +747,11 @@ class Engine:
             F.count("*").alias(count_col),
             *[getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()],
         )
+        # heal an interrupted promote before deciding create-vs-merge
+        # (same data-loss hazard as merge_pq: the delta alone would
+        # replace the recovered rollup)
+        from db2pq_spark.sinks.parquet_sink import recover_parked
+        recover_parked(self.data_dir, schema, table)
         final = table_path(self.data_dir, schema, table)
         if not final.exists():
             return write_parquet(partial, self.data_dir, schema, table,
@@ -753,6 +794,11 @@ class Engine:
         newer → update; else skip.
         """
         src = modified_info("source", source_comment)
+        # heal an interrupted promote so the freshness check sees the
+        # real destination (a parked-but-missing table would read as
+        # "destination missing" and force a needless full re-export)
+        from db2pq_spark.sinks.parquet_sink import recover_parked
+        recover_parked(self.data_dir, schema, table)
         current = table_path(self.data_dir, schema, table)
         dst = modified_info(
             "dest", get_modified_pq(current) if current.exists() else None

@@ -20,16 +20,39 @@ The result is the exact global rank for any total ordering, with no
 single-partition stage and no correctness dependence on where the
 range sampler places boundaries. Input is persisted (it is read twice:
 once for partition sizes, once for the ranked output) at
-MEMORY_AND_DISK — Spark spills/evicts under pressure, so a long-lived
-session running many rank jobs degrades to recompute, never OOM. Every
-step (range exchange, partition ids, offsets) is deterministic for a
-given input, so a recomputed cached block yields identical ranks.
+MEMORY_AND_DISK; each new call releases the previous call's cache
+(``_LIVE_STAGED``), so a long-lived session holds at most one staged
+input per operator — never an unbounded leak. Every step (range
+exchange, partition ids, offsets) is deterministic for a given input,
+so an evicted or released cache block recomputes to identical ranks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+#: staged (persisted) inputs of the most recent rank/prefix-sum calls —
+#: each new call releases its predecessor, so a long-lived session holds
+#: at most one cached input per operator instead of leaking one per
+#: call. Releasing early only costs a deterministic recompute.
+_LIVE_STAGED: dict[str, DataFrame] = {}
+
+
+def _stage(op: str, df: DataFrame, order_by: list[Column]) -> DataFrame:
+    prev = _LIVE_STAGED.pop(op, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    staged = (
+        df.repartitionByRange(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    _LIVE_STAGED[op] = staged
+    return staged
 
 
 def global_rank_with_total(
@@ -42,11 +65,7 @@ def global_rank_with_total(
     The total comes free from the offsets pass — callers needing it
     (e.g. NTILE arithmetic) avoid a second count job.
     """
-    staged = (
-        df.repartitionByRange(*order_by)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    staged = _stage("rank", df, order_by)
     sizes = sorted(
         (r["_pid"], r["n"])
         for r in staged.groupBy("_pid").agg(F.count("*").alias("n"))
@@ -103,42 +122,43 @@ def with_global_prefix_sum(
     (a total order), with the same two-stage shape as
     :func:`global_rank_with_total`: per-partition window cumsum plus a
     driver-folded map of preceding-partition totals. No
-    single-partition stage."""
-    staged = (
-        df.repartitionByRange(*order_by)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    single-partition stage.
+
+    The sum keeps the input column's numeric type (long sizes → exact
+    long offsets; double sizes → double offsets) — no silent integer
+    truncation, matching the grouped-window path in ``pack_offsets``."""
+    staged = _stage("prefix_sum", df, order_by)
     sizes = sorted(
         (r["_pid"], r["s"])
         for r in staged.groupBy("_pid")
-                       .agg(F.sum(F.col(size_col).cast("bigint")).alias("s"))
+                       .agg(F.sum(F.col(size_col)).alias("s"))
                        .collect()
     )
-    offsets: dict[int, int] = {}
+    offsets: dict[int, float] = {}
     acc = 0
     for pid, s in sizes:
         offsets[pid] = acc
-        acc += int(s or 0)
+        acc += s or 0
     w = (W.partitionBy("_pid").orderBy(*order_by)
          .rowsBetween(W.unboundedPreceding, -1))
-    local = F.coalesce(F.sum(F.col(size_col).cast("bigint")).over(w),
-                       F.lit(0))
+    local = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
     if len(offsets) > 256:   # see global_rank_with_total: plan-size guard
+        integral = all(isinstance(o, int) for o in offsets.values())
         off_df = df.sparkSession.createDataFrame(
-            list(offsets.items()), "_pid int, _off long")
+            [(int(p), o if integral else float(o))
+             for p, o in offsets.items()],
+            f"_pid int, _off {'long' if integral else 'double'}")
         return (staged.withColumn("_local", local)
                 .join(F.broadcast(off_df), "_pid")
-                .withColumn(out_col,
-                            (F.col("_off") + F.col("_local")).cast("bigint"))
+                .withColumn(out_col, F.col("_off") + F.col("_local"))
                 .drop("_pid", "_off", "_local"))
     if offsets:
         off_map = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv])
-        offset_expr = off_map[F.col("_pid")].cast("bigint")
+        offset_expr = off_map[F.col("_pid")]
     else:
-        offset_expr = F.lit(0).cast("bigint")
-    return (staged.withColumn(out_col, (offset_expr + local).cast("bigint"))
+        offset_expr = F.lit(0)
+    return (staged.withColumn(out_col, offset_expr + local)
             .drop("_pid"))
 
 

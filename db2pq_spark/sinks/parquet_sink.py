@@ -66,18 +66,33 @@ def parked_path(data_dir: str | Path, schema: str, table: str) -> Path:
     return Path(data_dir) / schema / f".old_{table}.parquet"
 
 
-def recover_parked(data_dir: str | Path, schema: str, table: str) -> bool:
+def recover_parked(data_dir: str | Path, schema: str, table: str,
+                   min_age_seconds: float = 0.0) -> bool:
     """Heal the swap's crash window. POSIX rename cannot replace a
     non-empty directory, so promotion is two renames (park old →
     promote new); a crash between them leaves ``.old_<table>.parquet``
     beside a *missing* table. Restore it (returns True). A parked copy
     beside a *present* table is the post-promote leftover of a crash
-    before cleanup — remove it. Called before every write and read, so
-    no interrupted swap is ever user-visible."""
+    before cleanup — remove it.
+
+    ``min_age_seconds`` guards concurrent readers against racing a
+    *live* writer's swap (the two renames are microseconds apart; a
+    genuinely crashed swap leaves the parked copy untouched forever):
+    artifacts younger than the threshold are left alone. Writers — the
+    repository's single mutator per table — pass 0."""
+    import time
+
     final = table_path(data_dir, schema, table)
     parked = parked_path(data_dir, schema, table)
     if not parked.exists():
         return False
+    if min_age_seconds > 0:
+        try:
+            age = time.time() - parked.stat().st_mtime
+        except OSError:                 # vanished: writer finished
+            return False
+        if age < min_age_seconds:
+            return False                # possibly a live swap: hands off
     if final.exists():
         _rm(parked)                     # stale: promote completed
         return False

@@ -27,8 +27,10 @@ from typing import Any, Iterable, Iterator
 from pyspark.sql import DataFrame
 
 #: Spark simpleString → PG type name for psycopg's binary dumpers
-#: (``Copy.set_types``). Anything unlisted falls back to text transfer
-#: for that column via ``None`` (psycopg infers per value).
+#: (``Copy.set_types``). Anything unlisted maps to ``None``; if ANY
+#: column is unmapped, type registration is skipped wholesale and
+#: psycopg infers every dumper from the Python values (see
+#: :func:`stream_rows` — ``set_types`` rejects None entries).
 _SPARK_TO_PG: dict[str, str] = {
     "boolean": "bool",
     "tinyint": "int2",
@@ -73,8 +75,13 @@ def stream_rows(copy: Any, rows: Iterable[tuple], types: list[str | None],
                 set_types: bool = True) -> int:
     """Feed rows into an open psycopg ``Copy`` object; returns count.
     Split out from the connection handling so unit tests can drive it
-    with a fake."""
-    if set_types and any(t is not None for t in types):
+    with a fake.
+
+    ``Copy.set_types`` accepts only type names/OIDs — a None entry (an
+    unmapped Spark type) would crash it, so types are registered only
+    when EVERY column mapped; otherwise psycopg infers all dumpers from
+    the Python values."""
+    if set_types and all(t is not None for t in types) and types:
         copy.set_types(types)
     n = 0
     for row in rows:
@@ -110,8 +117,31 @@ def jdbc_url_to_dsn(url: str, user: str | None = None,
     return " ".join(parts)
 
 
+def utcize_row(row: tuple, ts_idx: list[int]) -> tuple:
+    """Attach UTC instants to the tz-naive datetimes PySpark hands the
+    Python worker for TimestampType columns.
+
+    ``TimestampType.fromInternal`` produces naive datetimes in the
+    worker's OS-local wall time; feeding those to a ``timestamptz``
+    binary dumper would either fail or shift the instant by the local
+    UTC offset. ``astimezone(utc)`` on a naive value interprets it as
+    local time — recovering the exact instant Spark stored — and yields
+    an aware datetime psycopg encodes correctly."""
+    import datetime as dt
+
+    if not ts_idx:
+        return tuple(row)
+    out = list(row)
+    for i in ts_idx:
+        v = out[i]
+        if isinstance(v, dt.datetime) and v.tzinfo is None:
+            out[i] = v.astimezone(dt.timezone.utc)
+    return tuple(out)
+
+
 def _copy_partition(rows: Iterator, dsn: str, sql: str,
-                    types: list[str | None]) -> None:
+                    types: list[str | None],
+                    ts_idx: list[int] | None = None) -> None:
     """Executor-side body: one connection + one COPY per partition.
     Commit per partition — Spark task retries re-run the whole
     partition, so pair this with an idempotent target (truncate/staging
@@ -128,10 +158,12 @@ def _copy_partition(rows: Iterator, dsn: str, sql: str,
         return
     import itertools
 
+    fixed = (utcize_row(r, ts_idx or []) for r in
+             itertools.chain([first], rows))
     with psycopg.connect(dsn) as conn:
         with conn.cursor() as cur:
             with cur.copy(sql) as copy:
-                stream_rows(copy, itertools.chain([first], rows), types)
+                stream_rows(copy, fixed, types)
         conn.commit()
 
 
@@ -151,7 +183,8 @@ def write_pg_copy(
     """
     cols = df.columns
     types = [pg_type_for(t) for _, t in df.dtypes]
+    ts_idx = [i for i, (_, t) in enumerate(df.dtypes) if t == "timestamp"]
     sql = copy_sql(schema, table, cols)
     dsn = jdbc_url_to_dsn(source.url, source.user, source.password)
     df.foreachPartition(
-        lambda rows: _copy_partition(iter(rows), dsn, sql, types))
+        lambda rows: _copy_partition(iter(rows), dsn, sql, types, ts_idx))

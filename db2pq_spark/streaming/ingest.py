@@ -58,6 +58,14 @@ def stream_to_pq(
     final.mkdir(parents=True, exist_ok=True)
     ckpt = str(checkpoint_dir) if checkpoint_dir is not None \
         else str(final.parent / f".checkpoint_{table}")
+    # sweep temp dirs orphaned by crashed batches (their names are
+    # unique per batch/process, so nothing else ever reclaims them;
+    # safe under the one-active-writer-per-table contract the
+    # checkpoint already implies)
+    import shutil as _shutil
+
+    for stale in final.parent.glob(f".stream_tmp_{table}_*"):
+        _shutil.rmtree(stale, ignore_errors=True)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         # per-batch + per-process temp dir: a shared name would let two

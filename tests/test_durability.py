@@ -28,6 +28,10 @@ class TestParkedRecovery:
         final = table_path(tmp_path, "s", "t")
         parked = parked_path(tmp_path, "s", "t")
         os.replace(final, parked)       # the crash window, frozen
+        # age the artifact past the reader-side guard (a real crash
+        # leaves it old; a live swap is microseconds)
+        old = os.stat(parked).st_mtime - 60
+        os.utime(parked, (old, old))
 
         back = eng.read_pq("s", "t")
         assert back.count() == 2
@@ -60,6 +64,69 @@ class TestParkedRecovery:
         assert recover_parked(tmp_path, "s", "t") is False
         assert not parked.exists()
         assert eng.read_pq("s", "t").first()["v"] == "new"
+
+
+class TestCrashWindowVsIncrementalPaths:
+    def test_merge_pq_heals_parked_table_before_branching(self, spark,
+                                                          tmp_path):
+        """merge_pq on a parked-but-missing table must merge into the
+        RECOVERED table, not treat the upsert batch as a brand-new
+        table (which would destroy all prior rows)."""
+        eng = Engine(spark, tmp_path)
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+        eng.merge_pq(base, "s", "t", key_cols=["id"])
+        final = table_path(tmp_path, "s", "t")
+        os.replace(final, parked_path(tmp_path, "s", "t"))
+
+        eng.merge_pq(spark.createDataFrame([(1, "a2")], "id long, v string"),
+                     "s", "t", key_cols=["id"])
+        rows = {(r["id"], r["v"]) for r in eng.read_pq("s", "t").collect()}
+        assert rows == {(1, "a2"), (2, "b"), (3, "c")}
+
+    def test_refresh_rollup_heals_parked_table_before_branching(
+            self, spark, tmp_path):
+        eng = Engine(spark, tmp_path)
+        d1 = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                                   "k string, x double")
+        eng.refresh_rollup(d1, "s", "r", ["k"], {"x": "sum"})
+        final = table_path(tmp_path, "s", "r")
+        os.replace(final, parked_path(tmp_path, "s", "r"))
+
+        eng.refresh_rollup(
+            spark.createDataFrame([("a", 4.0)], "k string, x double"),
+            "s", "r", ["k"], {"x": "sum"})
+        row = eng.read_pq("s", "r").first()
+        assert row["n"] == 3 and row["sum_x"] == 7.0
+
+    def test_fresh_parked_copy_is_left_alone_by_readers(self, spark,
+                                                        tmp_path):
+        """A just-created parked dir (a live writer mid-swap) must not
+        be touched by the reader-side age-guarded recovery."""
+        from db2pq_spark.sinks.parquet_sink import recover_parked
+
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(spark.createDataFrame([(1,)], "k long"), "s", "t")
+        final = table_path(tmp_path, "s", "t")
+        os.replace(final, parked_path(tmp_path, "s", "t"))
+        assert recover_parked(tmp_path, "s", "t",
+                              min_age_seconds=3600) is False
+        assert parked_path(tmp_path, "s", "t").exists()
+        # writer-side (no age guard) still heals it
+        assert recover_parked(tmp_path, "s", "t") is True
+
+    def test_merge_null_partition_value_raises_cleanly(self, spark,
+                                                       tmp_path):
+        eng = Engine(spark, tmp_path)
+        base = spark.createDataFrame([(1, "a", 1.0)],
+                                     "id long, part string, amt double")
+        eng.merge_pq(base, "s", "t", key_cols=["id"],
+                     partition_cols=["part"])
+        bad = spark.createDataFrame([(2, None, 2.0)],
+                                    "id long, part string, amt double")
+        with pytest.raises(ValueError, match="NULL partition values"):
+            eng.merge_pq(bad, "s", "t", key_cols=["id"],
+                         partition_cols=["part"])
 
 
 class TestRollupCheckpointIdentity:
@@ -153,6 +220,21 @@ class TestPartitionedCompact:
         plan = (out.filter(F.col("part") == "x")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "part=y" not in plan
+
+    def test_compact_partitioned_honors_target_files(self, spark, tmp_path):
+        """An explicit file target above the partition-value count must
+        split big partition values across multiple files (no
+        one-task-per-value funnel)."""
+        eng = Engine(spark, tmp_path)
+        df = spark.createDataFrame(
+            [(i, "only", float(i)) for i in range(10_000)],
+            "id long, part string, amt double")
+        eng.df_to_pq(df.repartition(6), "s", "big", partition_by=["part"])
+        _, after = eng.compact("s", "big", target_files=4)
+        assert after > 1                       # salted: not one giant file
+        out = eng.read_pq("s", "big")
+        assert out.count() == 10_000
+        assert (table_path(tmp_path, "s", "big") / "part=only").exists()
 
     def test_compact_partitioned_rejects_cluster_by(self, spark, tmp_path):
         eng = Engine(spark, tmp_path)

@@ -52,6 +52,29 @@ class TestFraming:
         stream_rows(fake, [(1,)], [None])
         assert fake.types is None
 
+    def test_stream_rows_skips_set_types_when_any_unmapped(self):
+        """psycopg's set_types rejects None entries — one unmapped
+        column must disable registration wholesale, not crash."""
+        fake = FakeCopy()
+        stream_rows(fake, [(1, [2.0])], ["int8", None])
+        assert fake.types is None
+
+    def test_utcize_row_pins_naive_timestamps_to_utc(self):
+        import datetime as dt
+
+        from db2pq_spark.sinks.pg_copy import utcize_row
+
+        naive = dt.datetime(2024, 6, 1, 12, 0, 0)
+        out = utcize_row((1, naive, "x"), [1])
+        assert out[0] == 1 and out[2] == "x"
+        assert out[1].tzinfo is not None
+        # same instant as interpreting the naive value as local time
+        assert out[1] == naive.astimezone(dt.timezone.utc)
+        # aware values and non-ts columns pass through untouched
+        aware = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+        assert utcize_row((aware,), [0])[0] is aware
+        assert utcize_row((5, "y"), []) == (5, "y")
+
 
 class TestTypeMapping:
     @pytest.mark.parametrize("spark_t,pg_t", [
@@ -100,9 +123,9 @@ class TestDataFramePlumbing:
             [(1, "a", 1.5)], "id bigint, name string, amt double")
         captured = {}
 
-        def fake_copy_partition(rows, dsn, sql, types):
+        def fake_copy_partition(rows, dsn, sql, types, ts_idx=None):
             captured["dsn"], captured["sql"] = dsn, sql
-            captured["types"] = types
+            captured["types"], captured["ts_idx"] = types, ts_idx
             captured.setdefault("rows", []).extend(tuple(r) for r in rows)
 
         monkeypatch.setattr(mod, "_copy_partition", fake_copy_partition)
@@ -117,5 +140,6 @@ class TestDataFramePlumbing:
         assert captured["sql"] == \
             'COPY "s"."t" ("id", "name", "amt") FROM STDIN (FORMAT BINARY)'
         assert captured["types"] == ["int8", "text", "float8"]
+        assert captured["ts_idx"] == []
         assert captured["dsn"] == "host=h port=5432 dbname=d user=u"
         assert captured["rows"] == [(1, "a", 1.5)]

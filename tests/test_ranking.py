@@ -49,6 +49,30 @@ class TestPrefixSum:
             acc += i % 7
 
 
+class TestPrefixSumTypes:
+    def test_double_sizes_are_not_truncated(self, spark):
+        """Fractional sizes must accumulate exactly like the grouped
+        window path (no per-row bigint truncation)."""
+        df = spark.createDataFrame(
+            [(0.75, i) for i in range(8)], "sz double, uid long")
+        ps = with_global_prefix_sum(df, "sz", [F.asc("uid")], "off")
+        got = {r["uid"]: r["off"] for r in ps.collect()}
+        assert got == {i: 0.75 * i for i in range(8)}
+
+    def test_pack_offsets_grouped_vs_global_agree_on_doubles(self, spark):
+        from db2pq_spark.operators.chunking import pack_offsets
+
+        df = spark.createDataFrame(
+            [(i, "g", 2.5) for i in range(40)],
+            "seq long, g string, sz double")
+        a = {r["seq"]: r["bin"] for r in
+             pack_offsets(df, "sz", "seq", budget=10).collect()}
+        b = {r["seq"]: r["bin"] for r in
+             pack_offsets(df, "sz", "seq", budget=10,
+                          group_col="g").collect()}
+        assert a == b
+
+
 class TestNtileExpr:
     def test_matches_sql_ntile(self, spark):
         """ntile_expr over a global rank must be row-for-row equal to
