@@ -227,10 +227,15 @@ class Engine:
           ``options={"mode": "FAILFAST"}`` for strict loads.
         """
         fmt = fmt.lower()
-        supported = {"csv", "json", "orc", "parquet", "text"}
+        supported = {"csv", "json", "orc", "parquet", "text", "binaryfile"}
         if fmt not in supported:
             raise ValueError(f"unsupported format {fmt!r}; "
                              f"expected one of {sorted(supported)}")
+        if fmt == "binaryfile":
+            if file_schema is not None:
+                raise ValueError("binaryFile has a fixed schema "
+                                 "(path, modificationTime, length, content)")
+            fmt = "binaryFile"
         opts = dict(options or {})
         if fmt == "csv":
             opts.setdefault("header", "true")
@@ -249,6 +254,22 @@ class Engine:
     def json_to_pq(self, path, schema: str, table: str, **kwargs) -> Path | None:
         """JSON-lines ingest (see :meth:`file_to_pq`)."""
         return self.file_to_pq(path, "json", schema, table, **kwargs)
+
+    def binary_to_pq(self, path, schema: str, table: str,
+                     glob: str | None = None, **kwargs) -> Path | None:
+        """Raw-file ingest for the multimodal pipeline: every file under
+        ``path`` (optionally filtered by ``glob``, e.g. ``*.jpg``)
+        becomes one row of (path, modificationTime, length, content
+        binary) — the repository-side twin of
+        :func:`db2pq_spark.operators.multimodal.binarize`. Files are
+        read executor-parallel; downstream decode/feature-extraction
+        runs over the stored ``content`` column via ``mapInPandas``.
+        [extension — Spark ``binaryFile`` source]"""
+        options = dict(kwargs.pop("options", {}) or {})
+        if glob is not None:
+            options["pathGlobFilter"] = glob
+        return self.file_to_pq(path, "binaryfile", schema, table,
+                               options=options, **kwargs)
 
     def register_views(self, schema: str, tables: Iterable[str]) -> None:
         """Expose repository tables as SQL views for Spark-side

@@ -89,3 +89,43 @@ class TestJson:
         eng = Engine(spark, repo)
         with pytest.raises(ValueError, match="unsupported format"):
             eng.file_to_pq(jsonl_file, "avro", "files", "x")
+
+
+class TestBinaryFiles:
+    def test_raw_files_land_as_binary_rows(self, spark, repo, tmp_path):
+        src = tmp_path / "imgs"
+        src.mkdir()
+        (src / "a.jpg").write_bytes(b"\xff\xd8JPEGDATA")
+        (src / "b.jpg").write_bytes(b"\xff\xd8MORE")
+        (src / "notes.txt").write_text("skip me")
+
+        eng = Engine(spark, repo)
+        path = eng.binary_to_pq(src, "files", "imgs", glob="*.jpg")
+        back = spark.read.parquet(str(path))
+        rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+                for r in back.collect()}
+        assert rows == {"a.jpg": b"\xff\xd8JPEGDATA",
+                        "b.jpg": b"\xff\xd8MORE"}
+        assert dict(back.dtypes)["content"] == "binary"
+        assert dict(back.dtypes)["length"] == "bigint"
+
+    def test_binary_rejects_user_schema(self, spark, repo, tmp_path):
+        eng = Engine(spark, repo)
+        with pytest.raises(ValueError, match="fixed schema"):
+            eng.file_to_pq(tmp_path, "binaryfile", "files", "x",
+                           file_schema="a INT")
+
+    def test_feature_extraction_composes(self, spark, repo, tmp_path):
+        """Stored binary rows feed the multimodal feature extractor
+        unchanged — the ingest-to-features path is one pipeline."""
+        from db2pq_spark.operators.multimodal import extract_features
+
+        src = tmp_path / "blobs"
+        src.mkdir()
+        (src / "x.bin").write_bytes(b"hello world payload")
+        eng = Engine(spark, repo)
+        path = eng.binary_to_pq(src, "files", "blobs")
+        back = spark.read.parquet(str(path)).selectExpr(
+            "xxhash64(path) AS doc_id", "content")
+        feats = extract_features(back).first()
+        assert feats["n_bytes"] == len(b"hello world payload")
