@@ -135,3 +135,41 @@ class TestPgpassProperties:
         esc = lambda s: s.replace("\\", "\\\\").replace(":", "\\:")
         line = ":".join(esc(f) for f in fields)
         assert _split_pgpass_line(line) == fields
+
+
+class TestPgCopyProperties:
+    @given(name=st.text(min_size=1, max_size=30))
+    @settings(max_examples=100)
+    def test_quote_ident_always_wrapped_and_escaped(self, name):
+        from db2pq_spark.sinks.pg_copy import quote_ident
+
+        q = quote_ident(name)
+        assert q[0] == '"' and q[-1] == '"'
+        # interior double-quotes are all doubled: stripping the doubling
+        # recovers the original name
+        assert q[1:-1].replace('""', '"') == name
+
+    @given(host=st.text(alphabet=string.ascii_lowercase + ".-",
+                        min_size=1, max_size=20),
+           port=st.integers(min_value=1, max_value=65535),
+           db=st.text(alphabet=string.ascii_lowercase, min_size=1,
+                      max_size=12))
+    @settings(max_examples=50)
+    def test_dsn_round_trips_url_components(self, host, port, db):
+        from db2pq_spark.sinks.pg_copy import jdbc_url_to_dsn
+
+        dsn = jdbc_url_to_dsn(f"jdbc:postgresql://{host}:{port}/{db}")
+        parts = dict(kv.split("=", 1) for kv in dsn.split(" "))
+        assert parts == {"host": host, "port": str(port), "dbname": db}
+
+    @given(ts=st.datetimes(min_value=dt.datetime(1971, 1, 1),
+                           max_value=dt.datetime(2100, 1, 1)))
+    @settings(max_examples=100)
+    def test_utcize_preserves_the_instant(self, ts):
+        from db2pq_spark.sinks.pg_copy import utcize_row
+
+        (out,) = utcize_row((ts,), [0])
+        assert out.tzinfo is not None
+        # same wall-clock instant expressed in UTC: converting back to
+        # the local zone recovers the naive value
+        assert out.astimezone().replace(tzinfo=None) == ts
