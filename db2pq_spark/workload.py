@@ -1642,9 +1642,9 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q33_cosine_topk",
-    oracle="""
+#: exact cosine top-5 for queries vec_id < 10 — the oracle for q33 and,
+#: with an exhaustive probe (n_probe == n_clusters), for q46 as well
+_COSINE_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1663,8 +1663,10 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("q33_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the exact ANN baseline): broadcast query
     set × corpus scan, JVM-side fold for the dot product, window rank.
@@ -1801,17 +1803,23 @@ def q45_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("q46_ivf_topk")  # approximate (k-means quantizer) → rows-only
+@query("q46_ivf_topk", oracle=_COSINE_TOPK_ORACLE)
 def q46_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: k-means inverted lists,
     n_probe nearest lists scored per query, exact re-rank — the
     third similarity path beside brute force (q33/q45) and LSH (q38).
-    [extension; rows-only]"""
+
+    The gate probes exhaustively (n_probe == n_clusters), which makes
+    the candidate set the full corpus regardless of where k-means put
+    the centroids — so the exact re-rank provably equals brute-force
+    top-k and q33's oracle applies verbatim. The approximate
+    configurations (n_probe < n_clusters) are what runs at scale;
+    their recall is measured in QUALITY.md. [extension]"""
     from db2pq_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                    n_clusters=8, n_probe=3)
+                    n_clusters=8, n_probe=8)
 
 
 @query(
@@ -1866,11 +1874,44 @@ def q48_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q36_minhash_dedup")  # approximate → rows-only check
+@query(
+    "q36_minhash_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_NORM} AS norm, {_TOKENS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM toks
+      WHERE len(toks) > 0 AND toks[1] <> ''
+    ),
+    j AS (
+      SELECT a.id AS id1, b.id AS id2,
+             len(list_intersect(a.grams, b.grams))
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))) AS jaccard
+      FROM sh a JOIN sh b ON a.id < b.id
+    )
+    SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.6
+    """,
+)
 def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verify; banding
     makes candidate generation shuffle-bound, never quadratic.
-    [extension; no SQL oracle — LSH banding is not SQL-expressible]"""
+
+    Oracle: exact all-pairs 3-shingle Jaccard (feasible in DuckDB at
+    gate scale; the operator itself never goes quadratic). The fixture's
+    near-dup pairs are high-similarity clones, where the 16-band/4-row
+    collision probability is ≈1 − (1−j⁴)¹⁶ → banding recall is 1.0 at
+    gate scale (measured in QUALITY.md), so the LSH output equals the
+    exact set. [extension]"""
     from db2pq_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(
@@ -1955,13 +1996,27 @@ def q69_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         frame_bytes=64, stride=4)
 
 
-@query("q68_stateful_stream")  # custom stateful streaming → rows-only
+@query(
+    "q68_stateful_stream",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks
+    FROM events GROUP BY user_id
+    """,
+)
 def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running totals folded across micro-batches, final state ==
-    batch groupBy (asserted in tests/test_streaming.py). Genuinely
-    non-SQL-expressible — state evolution across micro-batches has no
-    batch-SQL equivalent. [extension; rows-only]"""
+    per-user running totals folded across micro-batches. The stream's
+    *final* state must equal the batch groupBy over the same events
+    (also asserted in tests/test_streaming.py) — that batch aggregate
+    is the oracle. The update-mode sink holds every intermediate state
+    emission; ``n_events`` strictly increases per update, so the max-n
+    row per user is the final state. ``sum_value`` accumulates in
+    float64 on both sides and is rounded to 2 for the hash.
+    [extension]"""
     from db2pq_spark.streaming.windows import (
         read_events_stream,
         run_to_memory,
@@ -1969,8 +2024,15 @@ def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    return run_to_memory(running_user_totals(stream), "q68_stateful_out",
+    full = run_to_memory(running_user_totals(stream), "q68_stateful_out",
                          output_mode="update")
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        full.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events",
+                F.round("sum_value", 2).alias("sum_value"), "n_clicks")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3165,8 +3227,9 @@ def q102_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, i, toks[i] AS token FROM pos) p
       LEFT JOIN vocab v USING (token)
     )
-    SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
-           CAST(len(list(tid ORDER BY pos)) AS BIGINT) AS n_tokens
+    SELECT doc_id,
+           CAST(len(list(tid ORDER BY pos)) AS BIGINT) AS n_tokens,
+           array_to_string(list(tid ORDER BY pos), ' ') AS token_ids_str
     FROM enc GROUP BY doc_id
     """,
 )
@@ -3174,15 +3237,24 @@ def q103_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build + document encoding
     (operators/vocab.py): top-30 frequency-ranked token ids (total
     tie-broken order → deterministic ids), documents re-encoded as
-    ordered bigint-id arrays with OOV = −1 — the training-prep step
+    ordered bigint-id sequences with OOV = −1 — the training-prep step
     feeding sequence packing. Vocab never touches the driver: encode is
     explode → (broadcast-sized) vocab join → one doc-keyed reassembly
-    shuffle. [extension]"""
+    shuffle.
+
+    Gate shape: the id sequence is emitted space-joined
+    (``token_ids_str``) because the driver's canonicalizer cannot sort
+    array cells; real users call ``encode_documents`` and keep the
+    ``array<bigint>``. [extension]"""
     from db2pq_spark.operators.vocab import build_vocab, encode_documents
 
     docs = t(spark, sf_dir, "documents")
     vocab = build_vocab(docs, "text", max_size=30)
-    return encode_documents(docs, "text", "doc_id", vocab)
+    enc = encode_documents(docs, "text", "doc_id", vocab)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>"))
+         .alias("token_ids_str"))
 
 
 @query(
@@ -3246,10 +3318,14 @@ def q104_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                / COUNT(*) AS m,
              COUNT(*) AS c
       FROM pe GROUP BY label, i
+    ),
+    nv AS (
+      SELECT label, CAST(MAX(c) AS BIGINT) AS n_vectors
+      FROM comp GROUP BY label
     )
-    SELECT label, CAST(MAX(c) AS BIGINT) AS n_vectors,
-           list(ROUND(m, 6) ORDER BY dim) AS centroid
-    FROM comp GROUP BY label
+    SELECT label, n_vectors, CAST(dim AS INT) AS dim,
+           ROUND(m, 6) AS value
+    FROM comp JOIN nv USING (label)
     """,
 )
 def q105_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3258,11 +3334,18 @@ def q105_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     step of IVF/k-means training as a pure relational plan: posexplode
     fan-out (narrow) → exact-decimal partial+final aggregate
     (|labels|×|dims| rows shuffle, corpus never re-shuffles) → per-label
-    reassembly. [extension]"""
+    reassembly.
+
+    Gate shape: the centroid array is exploded to one (label, dim,
+    value) row per slot because the driver's canonicalizer cannot sort
+    array cells; real users call ``label_centroids`` and keep the
+    ``array<double>``. [extension]"""
     from db2pq_spark.operators.similarity import label_centroids
 
-    return label_centroids(t(spark, sf_dir, "embeddings"),
-                           "embedding", "label")
+    c = label_centroids(t(spark, sf_dir, "embeddings"),
+                        "embedding", "label")
+    return c.select("label", "n_vectors",
+                    F.posexplode("centroid").alias("dim", "value"))
 
 
 #: The driver's correctness gate checks the FIRST 50 entries of
