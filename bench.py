@@ -22,6 +22,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_ANALYTICAL = (
+    "q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
+    "q06_forecast_revenue", "q08_running_total",
+    "q19_tumbling_window", "q20_sessionization",
+    "q61_min_cost_supplier", "q64_waiting_supplier",
+    "q66_hash_split",
+)
+
+_EXTENSION = (
+    "q30_exact_dedup", "q31_text_profile", "q33_cosine_topk",
+    "q36_minhash_dedup", "q38_lsh_similarity",
+    "q94_range_join", "q95_validation", "q96_bm25",
+    "q102_duplicate_spans", "q103_vocab_encode",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,49 +92,52 @@ def main() -> None:
         li, "bench", "lineitem_head", obs=1000))
 
     # -- headline analytical queries ---------------------------------------
-    for name in ("q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
-                 "q06_forecast_revenue", "q08_running_total",
-                 "q19_tumbling_window", "q20_sessionization",
-                 "q61_min_cost_supplier", "q64_waiting_supplier",
-                 "q66_hash_split"):
+    for name in _ANALYTICAL:
         fn = workload.REGISTRY[name][0]
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     # -- extension operators ------------------------------------------------
-    for name in ("q30_exact_dedup", "q31_text_profile", "q33_cosine_topk",
-                 "q36_minhash_dedup", "q38_lsh_similarity",
-                 "q94_range_join", "q95_validation", "q96_bm25",
-                 "q102_duplicate_spans", "q103_vocab_encode"):
+    for name in _EXTENSION:
         fn = workload.REGISTRY[name][0]
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
-    shutil.rmtree(tmp, ignore_errors=True)
-
-    # Steady-state supplemental timings: the first (timed) execution of
-    # the expression-heavy extension operators pays several seconds of
-    # one-time whole-stage-codegen compilation (session fixed cost,
-    # data-independent — SCALE.md "Fixed costs"). A second run shows the
-    # per-query throughput a long-lived session/cluster actually gets.
-    # Reported separately; "value" keeps its cold-total semantics.
+    # Steady-state timings for EVERY benched query: the first (timed)
+    # execution pays one-time whole-stage-codegen compilation and plan
+    # analysis (session fixed cost, data-independent — SCALE.md "Fixed
+    # costs"); a second run shows the per-query throughput a long-lived
+    # session/cluster actually gets. Reporting both for all queries
+    # keeps JIT variance out of regression comparisons ("value" keeps
+    # its cold-total semantics).
     steady: dict[str, float] = {}
-    for name in ("q36_minhash_dedup", "q38_lsh_similarity",
-                 "q01_pricing_summary"):
-        qfn = workload.REGISTRY[name][0]
+
+    def steady_timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
         try:
-            t0 = time.perf_counter(); qfn(spark, sf_dir).collect()
-            steady[name] = round(time.perf_counter() - t0, 3)
+            fn()
         except Exception as exc:  # noqa: BLE001
             print(f"bench: steady {name} FAILED: {exc}", file=sys.stderr)
-    try:
-        tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
-        eng2 = Engine(spark, tmp2)
-        t0 = time.perf_counter()
-        eng2.df_to_pq(li, "bench", "lineitem_full2",
-                      last_modified="Last modified: 01/01/2026 00:00:00")
-        steady["export_full_table"] = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(tmp2, ignore_errors=True)
-    except Exception as exc:  # noqa: BLE001
-        print(f"bench: steady export FAILED: {exc}", file=sys.stderr)
+            return
+        steady[name] = round(time.perf_counter() - t0, 3)
+
+    tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
+    eng2 = Engine(spark, tmp2)
+    steady_timed("export_full_table", lambda: eng2.df_to_pq(
+        li, "bench", "lineitem_full",
+        last_modified="Last modified: 01/01/2026 00:00:00"))
+    steady_timed("export_filtered_projected", lambda: eng2.df_to_pq(
+        li, "bench", "lineitem_filtered",
+        keep=["^l_orderkey$", "^l_quantity$", "^l_extendedprice$",
+              "^l_shipdate$", "^l_returnflag$"],
+        rename={"l_returnflag": "flag"},
+        col_types={"l_quantity": "decimal(12,2)"},
+        where="l_quantity > 25"))
+    steady_timed("export_obs_1000_fixed_cost", lambda: eng2.df_to_pq(
+        li, "bench", "lineitem_head", obs=1000))
+    for name in _ANALYTICAL + _EXTENSION:
+        fn = workload.REGISTRY[name][0]
+        steady_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+    shutil.rmtree(tmp2, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -17,14 +17,24 @@ classic two-stage construction here keeps every step partition-parallel:
    folded back in as a literal map).
 
 The result is the exact global rank for any total ordering, with no
-single-partition stage and no correctness dependence on where the
-range sampler places boundaries. Input is persisted (it is read twice:
-once for partition sizes, once for the ranked output) at
-MEMORY_AND_DISK; each new call releases the previous call's cache
-(``_LIVE_STAGED``), so a long-lived session holds at most one staged
-input per operator — never an unbounded leak. Every step (range
-exchange, partition ids, offsets) is deterministic for a given input,
-so an evicted or released cache block recomputes to identical ranks.
+single-partition stage.
+
+The staged input is pinned with ``localCheckpoint(eager=True)``: the
+range sampler's boundaries (and therefore the partition ids the
+driver-collected offsets are keyed by) depend on the execution's RDD
+ids, so a re-execution could land rows in different partitions than
+the offsets assume. Checkpointing materializes one specific
+partitioning that both the sizes pass and the ranked output read —
+re-sampling is structurally impossible, concurrent calls share
+nothing, and the blocks are released by the ContextCleaner when the
+result DataFrame is garbage-collected (no session-lifetime leak). On
+executor loss the truncated lineage fails the job loudly instead of
+silently recomputing into different partitions.
+
+Small inputs: when the caller can bound the row count (``bounded=``),
+a ``coalesce(1)`` window is exact and skips the shuffle + checkpoint +
+offsets machinery entirely — the right plan for a capped vocabulary,
+wrong for anything data-sized.
 """
 
 from __future__ import annotations
@@ -32,31 +42,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-#: staged (persisted) inputs of the most recent rank/prefix-sum calls —
-#: each new call releases its predecessor, so a long-lived session holds
-#: at most one cached input per operator instead of leaking one per
-#: call. Releasing early only costs a deterministic recompute.
-_LIVE_STAGED: dict[str, DataFrame] = {}
+#: ``bounded`` values at or below this take the coalesce(1) fast path —
+#: a single partition of ≤100k skinny rows is cheaper than a range
+#: shuffle + checkpoint + offset fold, and exact either way.
+SMALL_INPUT_ROWS = 100_000
 
 
-def _stage(op: str, df: DataFrame, order_by: list[Column]) -> DataFrame:
-    prev = _LIVE_STAGED.pop(op, None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass
-    staged = (
+def _stage(df: DataFrame, order_by: list[Column]) -> DataFrame:
+    """Range-partition on the sort key, attach the partition id, and pin
+    the result (see module docstring for why pinning is load-bearing)."""
+    return (
         df.repartitionByRange(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    _LIVE_STAGED[op] = staged
-    return staged
 
 
 def global_rank_with_total(
     df: DataFrame, order_by: list[Column], rank_col: str = "rank",
+    bounded: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach the exact 1-based global ``row_number`` under
     ``order_by`` (which must be a TOTAL order — untied ranks are the
@@ -64,8 +68,20 @@ def global_rank_with_total(
 
     The total comes free from the offsets pass — callers needing it
     (e.g. NTILE arithmetic) avoid a second count job.
+
+    ``bounded``: an upper bound on the input's row count, when the
+    caller knows one (e.g. a ``limit(k)`` upstream). Small bounded
+    inputs rank in a single coalesced partition instead of paying the
+    two-stage machinery.
     """
-    staged = _stage("rank", df, order_by)
+    if bounded is not None and bounded <= SMALL_INPUT_ROWS:
+        # no driver-collected offsets here, so no pinning needed: a
+        # recompute of the single-partition window is deterministic
+        one = df.coalesce(1).withColumn(
+            rank_col, F.row_number().over(W.orderBy(*order_by))
+            .cast("bigint"))
+        return one, one.count()
+    staged = _stage(df, order_by)
     sizes = sorted(
         (r["_pid"], r["n"])
         for r in staged.groupBy("_pid").agg(F.count("*").alias("n"))
@@ -108,8 +124,14 @@ def global_rank_with_total(
 
 
 def with_global_rank(df: DataFrame, order_by: list[Column],
-                     rank_col: str = "rank") -> DataFrame:
-    """:func:`global_rank_with_total`, discarding the total."""
+                     rank_col: str = "rank",
+                     bounded: int | None = None) -> DataFrame:
+    """:func:`global_rank_with_total`, discarding the total (and, on
+    the bounded fast path, skipping its count job)."""
+    if bounded is not None and bounded <= SMALL_INPUT_ROWS:
+        return df.coalesce(1).withColumn(
+            rank_col, F.row_number().over(W.orderBy(*order_by))
+            .cast("bigint"))
     ranked, _ = global_rank_with_total(df, order_by, rank_col)
     return ranked
 
@@ -117,17 +139,24 @@ def with_global_rank(df: DataFrame, order_by: list[Column],
 def with_global_prefix_sum(
     df: DataFrame, size_col: str, order_by: list[Column],
     out_col: str = "offset",
+    bounded: int | None = None,
 ) -> DataFrame:
     """Exclusive global prefix sum of ``size_col`` under ``order_by``
     (a total order), with the same two-stage shape as
     :func:`global_rank_with_total`: per-partition window cumsum plus a
     driver-folded map of preceding-partition totals. No
-    single-partition stage.
+    single-partition stage (unless ``bounded`` permits the coalesce(1)
+    fast path).
 
     The sum keeps the input column's numeric type (long sizes → exact
     long offsets; double sizes → double offsets) — no silent integer
     truncation, matching the grouped-window path in ``pack_offsets``."""
-    staged = _stage("prefix_sum", df, order_by)
+    if bounded is not None and bounded <= SMALL_INPUT_ROWS:
+        w1 = (W.orderBy(*order_by)
+              .rowsBetween(W.unboundedPreceding, -1))
+        return df.coalesce(1).withColumn(
+            out_col, F.coalesce(F.sum(F.col(size_col)).over(w1), F.lit(0)))
+    staged = _stage(df, order_by)
     sizes = sorted(
         (r["_pid"], r["s"])
         for r in staged.groupBy("_pid")

@@ -94,7 +94,8 @@ def deterministic_shuffle(df: DataFrame, key: str, seed: str = "",
 
     Each row's position is the global rank of ``md5(seed || key)``
     (tie-broken by the key itself, so the order is total even under
-    md5-prefix collisions). Different seeds give independent
+    md5-prefix collisions; NULL keys raise at execution — a nullable
+    key cannot define a total order). Different seeds give independent
     permutations; the same seed always yields byte-identical order —
     unlike ``df.orderBy(rand(seed))``, which is partition-layout-
     dependent.
@@ -107,9 +108,20 @@ def deterministic_shuffle(df: DataFrame, key: str, seed: str = "",
     """
     from db2pq_spark.operators.ranking import with_global_rank
 
-    hashed = df.withColumn(
-        "__shuf", F.md5(F.concat(F.lit(seed),
-                                 F.col(key).cast("string"))))
+    # A NULL key would null-propagate through concat/md5: every
+    # NULL-key row would tie on (__shuf=NULL, key=NULL), the order
+    # would no longer be total, and the resulting positions would be
+    # partition-dependent — silently breaking the reproducibility
+    # contract. Fail loudly instead: a permutation key must identify
+    # the row.
+    keyed = F.when(
+        F.col(key).isNull(),
+        F.raise_error(F.lit(
+            f"deterministic_shuffle: NULL in key column {key!r} — the "
+            "shuffle key must be non-null (it defines the permutation's "
+            "total order)")),
+    ).otherwise(F.col(key).cast("string"))
+    hashed = df.withColumn("__shuf", F.md5(F.concat(F.lit(seed), keyed)))
     ranked = with_global_rank(
         hashed, [F.asc("__shuf"), F.asc(key)], rank_col=order_col)
     return ranked.drop("__shuf")

@@ -202,7 +202,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     num_planes: int = 8,
     num_tables: int = 4,
-    probe_radius: int = 1,
+    probe_radius: int = 2,
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent LSH tables of
     ``num_planes`` hyperplanes each; candidates = corpus vectors sharing
@@ -216,7 +216,9 @@ def lsh_bucket_topk(
     so the corpus-side cost is unchanged: one signature scan plus a
     ``tables``-way replication. Measured at sf0.1 (QUALITY.md): recall@10
     0.07 (radius 0) → 0.43 (radius 1) → 0.82 (radius 2) for the
-    default table family, at near-constant runtime.
+    default table family, at near-constant runtime (+0.3 s at sf0.1) —
+    which is why radius 2 is the default; drop to 1 only when recall
+    ~0.4 is acceptable.
 
     At 100 TB the corpus signature computation is a single narrow scan;
     the candidate join shuffles on (table, bucket) — cardinality

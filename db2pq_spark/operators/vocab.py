@@ -48,8 +48,12 @@ def build_vocab(df: DataFrame, text_col: str,
     if max_size is not None:
         counts = counts.orderBy(F.desc("freq"), F.asc("token")) \
                        .limit(max_size)
+    # a capped vocab is bounded by construction → the ranker's
+    # coalesce(1) fast path; unbounded vocabs take the two-stage
+    # distributed rank (no single-partition stage at corpus scale)
     ranked = with_global_rank(
-        counts, [F.desc("freq"), F.asc("token")], rank_col="_rank")
+        counts, [F.desc("freq"), F.asc("token")], rank_col="_rank",
+        bounded=max_size)
     return ranked.select(
         "token",
         (F.col("_rank") - 1).cast("bigint").alias("token_id"),

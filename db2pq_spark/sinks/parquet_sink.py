@@ -78,7 +78,10 @@ def recover_parked(data_dir: str | Path, schema: str, table: str,
     ``min_age_seconds`` guards concurrent readers against racing a
     *live* writer's swap (the two renames are microseconds apart; a
     genuinely crashed swap leaves the parked copy untouched forever):
-    artifacts younger than the threshold are left alone. Writers — the
+    artifacts younger than the threshold are left alone. The writer
+    stamps the parked directory's mtime at park time (rename alone
+    would keep the content-write mtime, which can be arbitrarily old),
+    so the age check measures the swap itself. Writers — the
     repository's single mutator per table — pass 0."""
     import time
 
@@ -173,6 +176,11 @@ def write_parquet(
         parked = parked_path(data_dir, schema, table)
         _rm(parked)
         os.replace(final, parked)
+        # rename(2) keeps the directory's old mtime (when its contents
+        # were written, typically long ago) — stamp the actual park time
+        # so recover_parked's min_age_seconds guard measures the swap's
+        # age, not the table's.
+        os.utime(parked)
         os.replace(tmp, final)
         _rm(parked)
         return final

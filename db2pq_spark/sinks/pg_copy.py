@@ -90,9 +90,48 @@ def stream_rows(copy: Any, rows: Iterable[tuple], types: list[str | None],
     return n
 
 
+#: keywords libpq itself accepts (PostgreSQL docs §32.1.2) — anything
+#: else in a JDBC url's query string is a JDBC-driver knob that libpq
+#: would reject at connect time, so it is translated or dropped.
+_LIBPQ_KEYS = frozenset({
+    "host", "hostaddr", "port", "dbname", "user", "password", "passfile",
+    "channel_binding", "connect_timeout", "client_encoding", "options",
+    "application_name", "fallback_application_name", "keepalives",
+    "keepalives_idle", "keepalives_interval", "keepalives_count",
+    "tcp_user_timeout", "replication", "gssencmode", "sslmode",
+    "requiressl", "sslcompression", "sslcert", "sslkey", "sslpassword",
+    "sslrootcert", "sslcrl", "sslcrldir", "sslsni", "requirepeer",
+    "ssl_min_protocol_version", "ssl_max_protocol_version", "krbsrvname",
+    "gsslib", "service", "target_session_attrs", "load_balance_hosts",
+})
+
+#: JDBC-only query keys with a libpq equivalent (keys lowercased)
+_JDBC_KEY_ALIASES = {
+    "logintimeout": "connect_timeout",
+    "connecttimeout": "connect_timeout",
+    "applicationname": "application_name",
+}
+
+
+def _quote_conninfo_value(v: str) -> str:
+    """Quote a conninfo value per libpq rules: empty values and values
+    containing whitespace, quotes, or backslashes are wrapped in single
+    quotes with ``\\`` and ``'`` backslash-escaped — otherwise a
+    password like ``x host=evil`` would inject conninfo parameters."""
+    if v == "" or any(c in v for c in " \t\n'\\"):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return v
+
+
 def jdbc_url_to_dsn(url: str, user: str | None = None,
                     password: str | None = None) -> str:
-    """``jdbc:postgresql://host:port/db?k=v`` → libpq connection string."""
+    """``jdbc:postgresql://host:port/db?k=v`` → libpq connection string.
+
+    Values are quoted per libpq conninfo rules; query keys are filtered
+    to what libpq accepts (``ssl=true`` → ``sslmode=require``,
+    ``loginTimeout`` → ``connect_timeout``; unknown JDBC-driver knobs
+    are dropped rather than handed to libpq, which rejects unknown
+    keywords at connect time)."""
     if not url.startswith("jdbc:postgresql://"):
         raise ValueError(f"not a PostgreSQL JDBC url: {url}")
     rest = url[len("jdbc:postgresql://"):]
@@ -101,20 +140,29 @@ def jdbc_url_to_dsn(url: str, user: str | None = None,
         rest, query = rest.split("?", 1)
     hostport, _, db = rest.partition("/")
     host, _, port = hostport.partition(":")
-    parts = [f"host={host}"]
+    pairs: list[tuple[str, str]] = [("host", host)]
     if port:
-        parts.append(f"port={port}")
+        pairs.append(("port", port))
     if db:
-        parts.append(f"dbname={db}")
-    if user:
-        parts.append(f"user={user}")
-    if password:
-        parts.append(f"password={password}")
+        pairs.append(("dbname", db))
+    if user is not None:
+        pairs.append(("user", user))
+    if password is not None:
+        pairs.append(("password", password))
     for kv in query.split("&"):
-        if kv and "=" in kv:
-            k, v = kv.split("=", 1)
-            parts.append(f"{k}={v}")
-    return " ".join(parts)
+        if not kv or "=" not in kv:
+            continue
+        k, v = kv.split("=", 1)
+        lk = k.lower()
+        if lk == "ssl":
+            if v.lower() in ("true", "1", "on", ""):
+                pairs.append(("sslmode", "require"))
+        elif lk in _JDBC_KEY_ALIASES:
+            pairs.append((_JDBC_KEY_ALIASES[lk], v))
+        elif lk in _LIBPQ_KEYS:
+            pairs.append((lk, v))
+        # else: JDBC-driver-only knob — no libpq meaning, dropped
+    return " ".join(f"{k}={_quote_conninfo_value(v)}" for k, v in pairs)
 
 
 def utcize_row(row: tuple, ts_idx: list[int]) -> tuple:

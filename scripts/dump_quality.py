@@ -65,9 +65,9 @@ def main() -> None:
          lambda: ivf_topk(emb, queries, k=K, n_probe=8)),
         ("lsh_bucket_topk (radius=0, single-probe)",
          lambda: lsh_bucket_topk(emb, queries, k=K, probe_radius=0)),
-        ("lsh_bucket_topk (radius=1 — default)",
+        ("lsh_bucket_topk (radius=1)",
          lambda: lsh_bucket_topk(emb, queries, k=K, probe_radius=1)),
-        ("lsh_bucket_topk (radius=2)",
+        ("lsh_bucket_topk (radius=2 — default)",
          lambda: lsh_bucket_topk(emb, queries, k=K, probe_radius=2)),
     ]:
         t0 = time.perf_counter()

@@ -5,6 +5,7 @@ merge keys, partition-preserving compaction."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -114,6 +115,63 @@ class TestCrashWindowVsIncrementalPaths:
         assert parked_path(tmp_path, "s", "t").exists()
         # writer-side (no age guard) still heals it
         assert recover_parked(tmp_path, "s", "t") is True
+
+    def test_age_guard_protects_old_tables_via_park_time_stamp(
+            self, spark, tmp_path):
+        """rename(2) preserves the directory's content mtime, which for
+        a long-lived table is arbitrarily old — the writer must stamp
+        the actual park time (os.utime) or the age guard would treat
+        every mid-swap park of an old table as crashed and race the
+        live writer's second rename."""
+        from db2pq_spark.sinks.parquet_sink import recover_parked
+
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(spark.createDataFrame([(1,)], "k long"), "s", "t")
+        final = table_path(tmp_path, "s", "t")
+        old = time.time() - 7 * 86400
+        os.utime(final, (old, old))                 # week-old table
+        parked = parked_path(tmp_path, "s", "t")
+        os.replace(final, parked)                   # park…
+        os.utime(parked)                            # …as write_parquet does
+        assert recover_parked(tmp_path, "s", "t",
+                              min_age_seconds=3600) is False
+        assert parked.exists()
+
+    def test_overwrite_swap_stamps_park_time(self, spark, tmp_path):
+        """End-to-end: after an overwrite of a backdated table, the
+        transient park must have carried a fresh mtime. Verified by
+        patching os.replace to capture the parked dir's mtime at the
+        moment of the second rename."""
+        import db2pq_spark.sinks.parquet_sink as sink
+
+        eng = Engine(spark, tmp_path)
+        eng.df_to_pq(spark.createDataFrame([(1,)], "k long"), "s", "t")
+        final = table_path(tmp_path, "s", "t")
+        old = time.time() - 7 * 86400
+        os.utime(final, (old, old))
+
+        parked = parked_path(tmp_path, "s", "t")
+        seen: list[float] = []
+        real_replace = os.replace
+
+        def spy(src, dst, *a, **kw):
+            # sample around every rename: at the second rename
+            # (tmp → final) the parked dir exists with its stamped mtime
+            if parked.exists():
+                seen.append(parked.stat().st_mtime)
+            r = real_replace(src, dst, *a, **kw)
+            if parked.exists():
+                seen.append(parked.stat().st_mtime)
+            return r
+
+        sink.os.replace = spy
+        try:
+            eng.df_to_pq(spark.createDataFrame([(2,)], "k long"),
+                         "s", "t")
+        finally:
+            sink.os.replace = real_replace
+        assert seen, "swap never parked the old table"
+        assert max(seen) > time.time() - 60
 
     def test_merge_null_partition_value_raises_cleanly(self, spark,
                                                        tmp_path):

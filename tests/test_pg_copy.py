@@ -111,6 +111,33 @@ class TestDsn:
         with pytest.raises(ValueError, match="not a PostgreSQL"):
             jdbc_url_to_dsn("jdbc:mysql://h/db")
 
+    def test_special_characters_are_conninfo_quoted(self):
+        # a raw "password=x host=evil" would inject a conninfo param
+        dsn = jdbc_url_to_dsn("jdbc:postgresql://h/db",
+                              user="a user", password="x host=evil")
+        assert "user='a user'" in dsn
+        assert "password='x host=evil'" in dsn
+
+    def test_quote_and_backslash_escaped(self):
+        dsn = jdbc_url_to_dsn("jdbc:postgresql://h/db",
+                              password="it's a\\trap")
+        assert r"password='it\'s a\\trap'" in dsn
+
+    def test_empty_password_quoted(self):
+        assert "password=''" in jdbc_url_to_dsn(
+            "jdbc:postgresql://h/db", password="")
+
+    def test_jdbc_only_keys_translated_or_dropped(self):
+        dsn = jdbc_url_to_dsn(
+            "jdbc:postgresql://h/db?ssl=true&loginTimeout=10"
+            "&reWriteBatchedInserts=true&ApplicationName=app")
+        assert "sslmode=require" in dsn
+        assert "connect_timeout=10" in dsn
+        assert "application_name=app" in dsn
+        # JDBC-driver-only knob libpq would reject: dropped
+        assert "reWriteBatchedInserts" not in dsn
+        assert "ssl=true" not in dsn
+
 
 class TestDataFramePlumbing:
     def test_types_and_sql_derive_from_dataframe(self, spark, monkeypatch):

@@ -186,10 +186,13 @@ class TestTrainingPipelinePlans:
     def test_q90_ntile_has_no_single_partition_stage(self, spark,
                                                      sf_correct_dir):
         # NTILE via two-stage global rank (operators/ranking.py): every
-        # window is partitioned; no Exchange SinglePartition anywhere
+        # window is partitioned; no Exchange SinglePartition anywhere.
+        # The range exchange itself runs inside the rank's pinning
+        # checkpoint job, so the final plan reads the checkpointed RDD
+        # (ExistingRDD) instead of showing rangepartitioning inline.
         plan = plan_of(spark, sf_correct_dir, "q90_feature_binning")
         assert "SinglePartition" not in plan
-        assert "rangepartitioning" in plan.lower()  # stage 1 of the rank
+        assert "existingrdd" in plan.lower()  # pinned staged input
 
     def test_vocab_rank_has_no_single_partition_stage(self, spark,
                                                       sf_correct_dir):

@@ -73,6 +73,70 @@ class TestPrefixSumTypes:
         assert a == b
 
 
+class TestInterleavedResults:
+    def test_two_unmaterialized_ranks_both_exact(self, spark):
+        """Two rank results built before either is collected must both
+        be exact — the checkpoint pins each call's partitioning, so a
+        later call can no longer invalidate an earlier result's
+        driver-collected offsets (pre-fix failure mode: duplicate or
+        gapped ranks after recompute re-sampled range bounds)."""
+        from db2pq_spark.operators.ranking import with_global_rank
+
+        a = spark.createDataFrame(
+            [(i % 13, i) for i in range(2000)], "k long, uid long")
+        b = spark.createDataFrame(
+            [(i % 5, i) for i in range(1500)], "k long, uid long")
+        ra = with_global_rank(a, [F.asc("k"), F.asc("uid")], "r")
+        rb = with_global_rank(b, [F.desc("k"), F.asc("uid")], "r")
+        # collect in reverse build order, then re-collect the first
+        got_b = sorted(r["r"] for r in rb.collect())
+        got_a = sorted(r["r"] for r in ra.collect())
+        got_a2 = sorted(r["r"] for r in ra.collect())
+        assert got_a == list(range(1, 2001))
+        assert got_b == list(range(1, 1501))
+        assert got_a2 == got_a
+
+
+class TestBoundedFastPath:
+    def test_bounded_rank_matches_two_stage(self, spark):
+        from db2pq_spark.operators.ranking import with_global_rank
+
+        df = spark.createDataFrame(
+            [(i % 7, i) for i in range(200)], "k long, uid long")
+        order = [F.desc("k"), F.asc("uid")]
+        fast = {(r["k"], r["uid"]): r["r"]
+                for r in with_global_rank(df, order, "r",
+                                          bounded=200).collect()}
+        slow = {(r["k"], r["uid"]): r["r"]
+                for r in with_global_rank(df, order, "r").collect()}
+        assert fast == slow
+
+    def test_bounded_skips_range_exchange(self, spark):
+        from db2pq_spark.operators.ranking import with_global_rank
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "uid long")
+        plan = (with_global_rank(df, [F.asc("uid")], "r", bounded=50)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_bounded_total_counts_actual_rows(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(30)], "uid long")
+        ranked, total = global_rank_with_total(
+            df, [F.asc("uid")], "r", bounded=1000)
+        assert total == 30
+        assert sorted(r["r"] for r in ranked.collect()) == \
+            list(range(1, 31))
+
+    def test_bounded_prefix_sum_matches(self, spark):
+        df = spark.createDataFrame(
+            [(i % 7, i) for i in range(200)], "sz long, uid long")
+        fast = {r["uid"]: r["off"] for r in with_global_prefix_sum(
+            df, "sz", [F.asc("uid")], "off", bounded=200).collect()}
+        slow = {r["uid"]: r["off"] for r in with_global_prefix_sum(
+            df, "sz", [F.asc("uid")], "off").collect()}
+        assert fast == slow
+
+
 class TestNtileExpr:
     def test_matches_sql_ntile(self, spark):
         """ntile_expr over a global rank must be row-for-row equal to

@@ -190,6 +190,16 @@ class TestDeterministicShuffle:
                  df.repartition(13), "id", seed="s").collect()}
         assert a == b
 
+    def test_null_key_raises(self, spark):
+        """NULL keys would null-propagate through md5 and break the
+        total order (partition-dependent positions) — they must fail
+        loudly instead."""
+        from db2pq_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(1,), (None,), (3,)], "id long")
+        with pytest.raises(Exception, match="NULL in key column"):
+            deterministic_shuffle(df, "id", seed="s").collect()
+
     def test_seeds_give_different_permutations(self, spark):
         from db2pq_spark.operators.sampling import deterministic_shuffle
 
