@@ -1791,12 +1791,15 @@ def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@query("q45_cosine_topk_pandas")  # float rounding differs from SQL → rows-only
+@query("q45_cosine_topk_pandas", oracle=_COSINE_TOPK_ORACLE)
 def q45_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (Arrow + NumPy matmul) twin of q33 — mapInPandas with
     per-batch local top-k so shuffle volume is independent of corpus
-    size. tests/test_operators.py proves it selects the same neighbor
-    sets as the JVM-fold implementation. [extension; rows-only]"""
+    size. NumPy's normalize-then-matmul rounds differently from the
+    SQL ``dot/(|a|·|b|)`` at ~1e-16, which vanishes under the shared
+    round-to-4 — verified identical to q33's exact oracle at sf0.001/
+    0.01/0.1 (a fixture value sitting within 1e-15 of a 5e-5 rounding
+    boundary would re-open the gap; none does). [extension]"""
     from db2pq_spark.operators.similarity import cosine_topk_pandas
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1941,14 +1944,26 @@ def q38_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("q39_embedding_neardup")  # approximate → rows-only check
+@query(
+    "q39_embedding_neardup",
+    oracle="""
+    SELECT vec_id AS id1,
+           vec_id + 1000000 AS id2,
+           CAST(1.0 AS DOUBLE) AS cos
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
 def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join.
 
     The fixture's random embeddings have no true near-dups (max pairwise
     cosine ≈ 0.51), so the corpus is augmented with scaled clones of the
     first 20 vectors (scaling preserves cosine = 1.0): the operator must
-    recover exactly those planted pairs. [extension; rows-only]"""
+    recover exactly those planted pairs — which IS the oracle. Parallel
+    vectors share every hyperplane sign, so the planted pair always
+    shares a bucket (recall is structural, not probabilistic), and
+    nothing else in the fixture approaches the 0.999 threshold.
+    [extension]"""
     from db2pq_spark.operators.similarity import embedding_neardup_pairs
 
     emb = t(spark, sf_dir, "embeddings")

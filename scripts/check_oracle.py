@@ -10,6 +10,11 @@ same parquet fixtures, then compare
   3. values, order-insensitively (rows sorted by their repr).
 
 Usage:  python scripts/check_oracle.py [query ...] [sf0.001|sf0.01|sf0.1]
+                                       [--json OUT.json]
+
+``--json`` additionally writes a per-query artifact (the FULLGATE_r{N}
+sweep): {"name": {"status": "pass|fail|rows_only", "rows": N,
+"problems": [...], "spark_s": x, "duck_s": y}}.
 """
 
 from __future__ import annotations
@@ -76,21 +81,18 @@ def norm_rows(cols: list[str], rows) -> list[tuple]:
     return out
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:]]
-    sf_dir = "/root/testdata/sf0.01"
-    names = []
-    for a in args:
-        if a.startswith("sf"):
-            sf_dir = f"/root/testdata/{a}"
-        else:
-            names.append(a)
-
+def run_sweep(names: list[str] | None = None,
+              sf_dir: str = "/root/testdata/sf0.01",
+              spark=None, verbose: bool = True) -> dict[str, dict]:
+    """Run the gate replica; returns {name: {status, rows, problems,
+    spark_s, duck_s}} with status in pass|fail|rows_only. Importable so
+    the fullgate pytest guard shares the exact comparison logic."""
     import duckdb
     import __spark_entry__ as entrymod
-    from db2pq_spark.session import get_spark
 
-    spark = get_spark(app_name="check_oracle")
+    if spark is None:
+        from db2pq_spark.session import get_spark
+        spark = get_spark(app_name="check_oracle")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if not names:
@@ -103,17 +105,30 @@ def main() -> int:
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
         )
 
-    n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
-        sdf = qs[name](spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001 — sweep must not abort
+            results[name] = {"status": "fail", "rows": None,
+                             "problems": [f"spark error: {exc}"[:300]],
+                             "spark_s": round(time.time() - t0, 2),
+                             "duck_s": None}
+            if verbose:
+                print(f"✗ {name:28s} SPARK ERROR: {exc}")
+            continue
         spark_s = time.time() - t0
 
         if name not in oracles:
-            n_rows_only += 1
-            print(f"  {name:28s} rows-only: {len(srows)} rows  [{spark_s:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(srows),
+                             "problems": [],
+                             "spark_s": round(spark_s, 2), "duck_s": None}
+            if verbose:
+                print(f"  {name:28s} rows-only: {len(srows)} rows  "
+                      f"[{spark_s:.1f}s]")
             continue
 
         t0 = time.time()
@@ -141,17 +156,55 @@ def main() -> int:
                 problems.append(
                     f"{len(diffs)} differing rows; first: spark={diffs[0][0]!r} "
                     f"duck={diffs[0][1]!r}")
-        if problems:
-            n_fail += 1
-            print(f"✗ {name:28s} FAIL: {'; '.join(problems)}")
-            print(f"    spark types: {sdf.dtypes}")
-            print(f"    duck  types: {list(zip(rel.columns, [str(t) for t in rel.types]))}")
-        else:
-            n_pass += 1
-            print(f"✓ {name:28s} {len(srows)} rows  "
-                  f"[spark {spark_s:.1f}s, duck {duck_s:.2f}s]")
+        results[name] = {
+            "status": "fail" if problems else "pass",
+            "rows": len(srows),
+            "problems": problems,
+            "spark_s": round(spark_s, 2),
+            "duck_s": round(duck_s, 2),
+        }
+        if verbose:
+            if problems:
+                print(f"✗ {name:28s} FAIL: {'; '.join(problems)}")
+                print(f"    spark types: {sdf.dtypes}")
+                print(f"    duck  types: "
+                      f"{list(zip(rel.columns, [str(t) for t in rel.types]))}")
+            else:
+                print(f"✓ {name:28s} {len(srows)} rows  "
+                      f"[spark {spark_s:.1f}s, duck {duck_s:.2f}s]")
+    return results
 
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = "/root/testdata/sf0.01"
+    names: list[str] = []
+    json_out = None
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--json":
+            json_out = args[i + 1]
+            i += 2
+            continue
+        if a.startswith("sf"):
+            sf_dir = f"/root/testdata/{a}"
+        else:
+            names.append(a)
+        i += 1
+
+    results = run_sweep(names or None, sf_dir)
+    n_pass = sum(1 for r in results.values() if r["status"] == "pass")
+    n_fail = sum(1 for r in results.values() if r["status"] == "fail")
+    n_rows_only = sum(1 for r in results.values()
+                      if r["status"] == "rows_only")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only  ({sf_dir})")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
