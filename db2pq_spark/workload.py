@@ -403,14 +403,29 @@ def q16_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_outer_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join + HAVING. part is the small side but outer
-    semantics need it preserved; broadcast the part side."""
+    """LEFT OUTER join + HAVING, aggregate-before-join.
+
+    The preserved side of an outer join cannot be the broadcast build
+    side (unmatched preserved rows would be emitted once per executor —
+    Spark ignores such a hint with a warning), so a naive
+    part⟕lineitem shuffles the whole fact table into a sort-merge
+    join. Instead the fact side pre-aggregates per partkey (map-side
+    combine; one shuffle of ~|part| rows), the outer join then runs
+    between two dimension-sized relations (AQE broadcasts the
+    aggregate when it is small enough), and the decimal partial sums
+    re-aggregate exactly — decimal addition is associative, so the
+    two-level sum is bit-equal to the flat ``dsum``."""
     p = t(spark, sf_dir, "part")
     li = t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.count("l_orderkey").alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
     return (
-        F.broadcast(p).join(li, li.l_partkey == p.p_partkey, "left_outer")
+        p.join(stats, p.p_partkey == stats.l_partkey, "left_outer")
         .groupBy("p_brand")
-        .agg(F.count("l_orderkey").alias("n_lines"), dsum("l_quantity", 2, "sum_qty"))
+        .agg(F.sum(F.coalesce("_n", F.lit(0))).alias("n_lines"),
+             F.sum("_q").cast("decimal(38,2)").cast("double")
+              .alias("sum_qty"))
         .filter(F.col("n_lines") > 50)
     )
 
