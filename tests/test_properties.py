@@ -27,6 +27,39 @@ names = st.lists(
 )
 
 
+def _parse_conninfo(dsn: str) -> dict[str, str]:
+    """Minimal libpq conninfo parser (keyword=value, values optionally
+    single-quoted with backslash escapes) — the inverse the quoting in
+    sinks/pg_copy.py must satisfy."""
+    out: dict[str, str] = {}
+    i, n = 0, len(dsn)
+    while i < n:
+        while i < n and dsn[i] == " ":
+            i += 1
+        if i >= n:
+            break
+        eq = dsn.index("=", i)
+        key = dsn[i:eq]
+        i = eq + 1
+        if i < n and dsn[i] == "'":
+            i += 1
+            val = []
+            while dsn[i] != "'":
+                if dsn[i] == "\\":
+                    i += 1
+                val.append(dsn[i])
+                i += 1
+            i += 1
+        else:
+            j = i
+            while j < n and dsn[j] != " ":
+                j += 1
+            val = [dsn[i:j]]
+            i = j
+        out[key] = "".join(val)
+    return out
+
+
 class TestFilterColumnsProperties:
     @given(cols=names)
     @settings(max_examples=50)
@@ -148,6 +181,20 @@ class TestPgCopyProperties:
         # interior double-quotes are all doubled: stripping the doubling
         # recovers the original name
         assert q[1:-1].replace('""', '"') == name
+
+    @given(password=st.text(min_size=0, max_size=30))
+    @settings(max_examples=200)
+    def test_dsn_password_quoting_round_trips(self, password):
+        """Any password — spaces, quotes, backslashes, conninfo-syntax
+        injections — must parse back to itself under libpq's conninfo
+        grammar (values single-quoted with \\ and ' backslash-escaped)."""
+        from db2pq_spark.sinks.pg_copy import jdbc_url_to_dsn
+
+        dsn = jdbc_url_to_dsn("jdbc:postgresql://h/db", user="u",
+                              password=password)
+        parsed = _parse_conninfo(dsn)
+        assert parsed["password"] == password
+        assert parsed["host"] == "h" and parsed["dbname"] == "db"
 
     @given(host=st.text(alphabet=string.ascii_lowercase + ".-",
                         min_size=1, max_size=20),

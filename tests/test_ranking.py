@@ -97,6 +97,39 @@ class TestInterleavedResults:
         assert got_a2 == got_a
 
 
+class TestThreadConcurrency:
+    def test_concurrent_rank_calls_are_exact(self, spark):
+        """Two threads ranking different inputs simultaneously — the
+        checkpoint-pinned design shares no module state, so neither
+        call can disturb the other's partitioning or offsets."""
+        import threading
+
+        from db2pq_spark.operators.ranking import with_global_rank
+
+        outs: dict[int, list[int]] = {}
+        errs: list[Exception] = []
+
+        def work(tag: int, n: int, mod: int) -> None:
+            try:
+                df = spark.createDataFrame(
+                    [(i % mod, i) for i in range(n)], "k long, uid long")
+                ranked = with_global_rank(
+                    df, [F.asc("k"), F.asc("uid")], "r")
+                outs[tag] = sorted(r["r"] for r in ranked.collect())
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [threading.Thread(target=work, args=(0, 1200, 11)),
+                   threading.Thread(target=work, args=(1, 900, 7))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errs, errs
+        assert outs[0] == list(range(1, 1201))
+        assert outs[1] == list(range(1, 901))
+
+
 class TestBoundedFastPath:
     def test_bounded_rank_matches_two_stage(self, spark):
         from db2pq_spark.operators.ranking import with_global_rank
