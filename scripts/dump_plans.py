@@ -24,6 +24,10 @@ SHOWCASE = {
                       "global sort",
     "q07_topk_per_group": "WindowGroupLimit pushes the per-group top-k "
                           "below the shuffle",
+    "q15_outer_join_having": "aggregate-before-join: the fact side "
+                             "pre-aggregates per partkey (the preserved "
+                             "outer side can't broadcast), then AQE "
+                             "broadcasts the aggregate",
     "q64_waiting_supplier": "EXISTS/NOT EXISTS decorrelated to "
                             "LeftSemi + LeftAnti joins",
     "q71_volume_shipping": "double-aliased dimension (nation ×2) still "
