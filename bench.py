@@ -38,6 +38,24 @@ _EXTENSION = (
 )
 
 
+def _q38_ann_default(spark, sf_dir: str):
+    """The sub-linear ANN configuration (operator defaults: 8 planes ×
+    4 tables, multi-probe radius 2) — what a 100 TB deployment runs.
+    The registry's q38 gate entry probes exhaustively so it can carry
+    an exact oracle; benchmarking THAT would time brute force, so the
+    bench pins the approximate config rounds 2-4 measured."""
+    from pyspark.sql import functions as F
+
+    from db2pq_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+#: bench-local overrides: query name -> callable(spark, sf_dir)
+_OVERRIDES = {"q38_lsh_similarity": _q38_ann_default}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -98,7 +116,7 @@ def main() -> None:
 
     # -- extension operators ------------------------------------------------
     for name in _EXTENSION:
-        fn = workload.REGISTRY[name][0]
+        fn = _OVERRIDES.get(name) or workload.REGISTRY[name][0]
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     # Steady-state timings for EVERY benched query: the first (timed)
@@ -134,7 +152,7 @@ def main() -> None:
     steady_timed("export_obs_1000_fixed_cost", lambda: eng2.df_to_pq(
         li, "bench", "lineitem_head", obs=1000))
     for name in _ANALYTICAL + _EXTENSION:
-        fn = workload.REGISTRY[name][0]
+        fn = _OVERRIDES.get(name) or workload.REGISTRY[name][0]
         steady_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
     shutil.rmtree(tmp2, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)

@@ -19,6 +19,7 @@ Determinism: hyperplanes derive from a seeded ``xxhash64`` of
 from __future__ import annotations
 
 from functools import reduce
+from itertools import combinations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -181,15 +182,23 @@ def lsh_signature(
 
 def _probe_masks(num_planes: int, probe_radius: int) -> list[int]:
     """XOR masks enumerating all bucket keys within Hamming distance
-    ``probe_radius`` of a signature (multi-probe LSH)."""
+    ``probe_radius`` of a signature (multi-probe LSH).
+
+    Any radius up to ``num_planes`` is allowed; ``probe_radius ==
+    num_planes`` enumerates every one of the ``2**num_planes`` buckets,
+    making the probe exhaustive — the candidate set is then the whole
+    corpus and the re-ranked output provably equals brute-force top-k
+    (this is how the q38 gate configuration earns an exact SQL oracle).
+    Mask count is ``sum(C(num_planes, r) for r <= probe_radius)``; the
+    fan-out lands on the broadcast query side only."""
+    if probe_radius > num_planes:
+        raise ValueError("probe_radius must be <= num_planes")
     masks = [0]
-    if probe_radius >= 1:
-        masks += [1 << i for i in range(num_planes)]
-    if probe_radius >= 2:
-        masks += [(1 << i) | (1 << j)
-                  for i in range(num_planes) for j in range(i + 1, num_planes)]
-    if probe_radius >= 3:
-        raise ValueError("probe_radius must be <= 2")
+    for r in range(1, probe_radius + 1):
+        masks += [
+            reduce(lambda acc, i: acc | (1 << i), combo, 0)
+            for combo in combinations(range(num_planes), r)
+        ]
     return masks
 
 
@@ -279,7 +288,7 @@ def lsh_bucket_topk(
     return (
         cand.select("query_id", "neighbor_id",
                     F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
 

@@ -1948,15 +1948,23 @@ def q37_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_hamming=6)
 
 
-@query("q38_lsh_similarity")  # approximate → rows-only check
+@query("q38_lsh_similarity", oracle=_COSINE_TOPK_ORACLE)
 def q38_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: random-hyperplane LSH buckets + exact re-rank —
     the sub-linear scale path next to q33's exact baseline.
-    [extension; rows-only]"""
+
+    Gate configuration probes exhaustively (probe_radius == num_planes
+    enumerates all 2^4 buckets), so the candidate pool is provably the
+    whole corpus and the re-ranked output EQUALS brute-force top-k —
+    which is why q33's exact oracle applies (same trick as q46's
+    n_probe == n_clusters). The sub-linear default (8 planes × 4
+    tables, radius 2, recall 0.82) stays benchmarked in QUALITY.md and
+    scripts/dump_quality.py. [extension]"""
     from db2pq_spark.operators.similarity import lsh_bucket_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                           num_planes=4, num_tables=1, probe_radius=4)
 
 
 @query(

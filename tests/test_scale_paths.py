@@ -103,8 +103,11 @@ class TestMultiProbeLsh:
         r2 = _probe_masks(8, 2)
         assert len(r2) == 1 + 8 + 28 and len(set(r2)) == len(r2)
         assert all(bin(m).count("1") <= 2 for m in r2)
+        # exhaustive probe: radius == num_planes covers every bucket key
+        full = _probe_masks(4, 4)
+        assert sorted(full) == list(range(16))
         with pytest.raises(ValueError):
-            _probe_masks(8, 3)
+            _probe_masks(8, 9)
 
     def test_exact_duplicate_always_found(self, spark, sf_dir):
         # identical vectors share every signature → found at radius 0
@@ -137,6 +140,24 @@ class TestMultiProbeLsh:
         # probing Hamming-1 buckets supersets the candidate pool
         assert r1 >= r0
         assert r1 >= 0.3, f"multi-probe recall@5 {r1} too low"
+
+    def test_exhaustive_probe_equals_brute_force(self, spark, sf_dir):
+        # probe_radius == num_planes probes every bucket → candidate set
+        # is the whole corpus → output must EQUAL exact top-k (the q38
+        # gate configuration's oracle claim)
+        from db2pq_spark.operators.similarity import lsh_bucket_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = sorted(tuple(r) for r in cosine_topk(emb, q, k=5)
+                       .select("query_id", "neighbor_id", "cos", "rank")
+                       .collect())
+        got = sorted(tuple(r) for r in
+                     lsh_bucket_topk(emb, q, k=5, num_planes=4,
+                                     num_tables=1, probe_radius=4)
+                     .select("query_id", "neighbor_id", "cos", "rank")
+                     .collect())
+        assert got == exact
 
 
 class TestApproxSketches:
