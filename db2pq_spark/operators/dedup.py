@@ -225,7 +225,26 @@ def minhash_dedup(
 _BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _token_hash(col: Column, algo: str) -> Column:
+    """Per-token 64-bit hash for SimHash voting.
+
+    ``xxhash64`` (default) is the fast JVM-side choice. ``md5_60`` maps
+    the first 15 hex chars of md5 to a 60-bit long — slower, but md5 is
+    computed identically by every engine, so a SimHash built on it can
+    be replayed bit-for-bit in plain SQL (the q37 gate oracle recomputes
+    the signatures in DuckDB this way). The 4 missing high bits are
+    constantly 0 on both sides, so Hamming distances are unaffected."""
+    if algo == "xxhash64":
+        return F.xxhash64(col)
+    if algo == "md5_60":
+        return F.conv(
+            F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown token_hash {algo!r}")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            token_hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document (id, simhash).
 
     Token hashes vote per bit position (+1/-1); votes accumulate in a
@@ -233,11 +252,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     +)``) and the sign vector packs back into one long. Fully **narrow**
     — no explode, no shuffle: each document's signature is computed
     where the document lives, which is exactly what you want scanning
-    100 TB of text."""
+    100 TB of text. ``token_hash`` picks the per-token hash — see
+    :func:`_token_hash`."""
     df = df.filter(F.col(text_col).isNotNull()
                    & (F.trim(F.col(text_col)) != ""))  # degenerate docs out
     toks = F.split(normalize_text(text_col), " ")
-    hashes = F.transform(toks, lambda t_: F.xxhash64(t_))
+    hashes = F.transform(toks, lambda t_: _token_hash(t_, token_hash))
     masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
     votes = F.aggregate(
         hashes,
@@ -271,6 +291,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     num_chunks: int = 4,
     max_bucket: int = 1000,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via chunk blocking.
 
@@ -285,7 +306,8 @@ def simhash_dedup(
 
     chunk_bits = 64 // num_chunks
     mask = (1 << chunk_bits) - 1
-    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (simhash(df, text_col, id_col, token_hash=token_hash)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     chunks = sh.select(
         "id",
         F.explode(F.array(*[

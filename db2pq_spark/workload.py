@@ -1938,14 +1938,55 @@ def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q37_simhash_dedup")  # approximate → rows-only check
+@query(
+    "q37_simhash_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_TOKENS} AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    th AS (SELECT id, unnest(toks) AS tok FROM toks),
+    h AS (
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM th
+    ),
+    votes AS (
+      SELECT id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY id, b.bit
+    ),
+    sig AS (
+      SELECT id,
+             SUM(CASE WHEN v > 0
+                      THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS s
+      FROM votes GROUP BY id
+    ),
+    pairs AS (
+      SELECT a.id AS id1, b.id AS id2,
+             CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.id < b.id
+    )
+    SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
 def q37_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk pigeonhole
-    blocking, bit_count Hamming verify. [extension; rows-only]"""
+    blocking, bit_count Hamming verify.
+
+    Gate configuration is EXACT, so it carries a full replay oracle:
+    with max_hamming (3) < num_chunks (4) the pigeonhole guarantee
+    makes blocking lossless — the output is precisely every pair at
+    Hamming ≤ 3 — and the md5-derived token hash (`token_hash=
+    'md5_60'`, operators/dedup.py) is computed identically by DuckDB,
+    which rebuilds the signatures bit-for-bit in SQL (unnest tokens →
+    60-bit md5 hash → per-bit ±1 votes → packed sign vector →
+    all-pairs bit_count(xor)). The xxhash64 default stays the fast
+    production path. [extension]"""
     from db2pq_spark.operators.dedup import simhash_dedup
 
     return simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id",
-                         max_hamming=6)
+                         max_hamming=3, num_chunks=4, token_hash="md5_60")
 
 
 @query("q38_lsh_similarity", oracle=_COSINE_TOPK_ORACLE)

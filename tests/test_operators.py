@@ -72,6 +72,34 @@ class TestSimhash:
         assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
         assert not any(4 in p for p in pairs)
 
+    def test_md5_60_token_hash_portable(self, spark):
+        # the portable hash must equal hashlib's md5 (and therefore any
+        # engine's): first 15 hex chars as a 60-bit int — the q37 gate
+        # oracle recomputes it in DuckDB
+        from db2pq_spark.operators.dedup import _token_hash
+
+        words = ["hello", "world", "a", "", "Ünïcode tøken"]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {r["w"]: r["h"]
+               for r in df.select(
+                   "w", _token_hash(F.col("w"), "md5_60").alias("h")
+               ).collect()}
+        for w in words:
+            exp = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            assert got[w] == exp, w
+
+    def test_md5_60_same_pairs_as_xxhash_for_exact_dups(self, docs):
+        # exact duplicates sit at hamming 0 under ANY token hash
+        pairs = {(r["id1"], r["id2"]): r["hamming"]
+                 for r in simhash_dedup(docs, "text", "doc_id",
+                                        max_hamming=3,
+                                        token_hash="md5_60").collect()}
+        assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+        assert not any(4 in p for p in pairs)
+        with pytest.raises(ValueError):
+            simhash_dedup(docs, "text", "doc_id",
+                          token_hash="nonsense").collect()
+
     def test_wider_chunks_widen_recall(self, docs):
         # (1,3) sits at hamming 10 — outside the 4-chunk guarantee but
         # inside the 16-chunk one (hamming < num_chunks)
