@@ -1876,19 +1876,50 @@ def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q48_approx_sketches")  # sketch algorithms differ per engine → rows-only
+@query(
+    "q48_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_cd_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q48_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch twins of the exact operators — what actually
     runs at 100 TB: approx_count_distinct (HyperLogLog++) and
-    percentile_approx (single-pass, mergeable). Engine-specific sketch
-    internals → rows-only check; tests bound the error vs exact.
-    [scale path]"""
+    percentile_approx (single-pass, mergeable).
+
+    Sketch internals are engine-specific, so raw approximate values can
+    never hash-match another engine. The gate shape instead asserts the
+    sketch-vs-exact contract IN the plan: both sketches and the exact
+    aggregates run in one groupBy, and the output carries the exact
+    values plus booleans — HLL within 10 % (2x its 5 % default rsd) of
+    the exact distinct count, approx median inside the exact p49..p51
+    band (rank error 1/10000 << 1 %). The oracle recomputes the exact
+    values and expects every tolerance flag TRUE, so a sketch drifting
+    out of its error bound IS a gate failure. [scale path]"""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000)
-         .alias("approx_median_price"),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey").alias("_acd"),
+            F.percentile_approx("l_extendedprice", 0.5, 10_000)
+             .alias("_amed"),
+            F.expr("percentile(l_extendedprice, 0.49)").alias("_p49"),
+            F.expr("percentile(l_extendedprice, 0.51)").alias("_p51"),
+        )
+        .select(
+            "l_returnflag", "n", "exact_orders",
+            ((F.abs(F.col("_acd") - F.col("exact_orders"))
+              / F.col("exact_orders")) <= 0.10).alias("approx_cd_ok"),
+            ((F.col("_amed") >= F.col("_p49"))
+             & (F.col("_amed") <= F.col("_p51"))).alias("approx_median_ok"),
+        )
     )
 
 

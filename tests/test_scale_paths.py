@@ -162,12 +162,14 @@ class TestMultiProbeLsh:
 
 class TestApproxSketches:
     def test_error_bounds_vs_exact(self, spark, sf_dir):
-        from db2pq_spark import workload
-
-        rows = {r["l_returnflag"]: r for r in
-                workload.REGISTRY["q48_approx_sketches"][0](
-                    spark, sf_dir).collect()}
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rows = {r["l_returnflag"]: r for r in
+                li.groupBy("l_returnflag")
+                .agg(F.approx_count_distinct("l_orderkey")
+                      .alias("approx_orders"),
+                     F.percentile_approx("l_extendedprice", 0.5, 10_000)
+                      .alias("approx_median_price"))
+                .collect()}
         exact = {r["l_returnflag"]: r for r in
                  li.groupBy("l_returnflag")
                  .agg(F.countDistinct("l_orderkey").alias("d"),
@@ -179,6 +181,15 @@ class TestApproxSketches:
                 <= 0.10 * exact[flag]["d"]
             assert abs(r["approx_median_price"] - exact[flag]["m"]) \
                 <= 0.05 * exact[flag]["m"]
+
+    def test_gate_shape_flags_all_true(self, spark, sf_dir):
+        # the q48 gate contract: exact values + in-plan tolerance flags
+        from db2pq_spark import workload
+
+        rows = workload.REGISTRY["q48_approx_sketches"][0](
+            spark, sf_dir).collect()
+        assert rows and all(
+            r["approx_cd_ok"] and r["approx_median_ok"] for r in rows)
 
 
 class TestPandasCosine:
