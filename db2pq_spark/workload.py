@@ -1910,15 +1910,19 @@ def q48_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_orderkey").alias("_acd"),
             F.percentile_approx("l_extendedprice", 0.5, 10_000)
              .alias("_amed"),
-            F.expr("percentile(l_extendedprice, 0.49)").alias("_p49"),
-            F.expr("percentile(l_extendedprice, 0.51)").alias("_p51"),
+            # one percentile aggregate for both band edges — two
+            # scalar percentile() calls would each buffer the full
+            # value set per group
+            F.expr("percentile(l_extendedprice, array(0.49, 0.51))")
+             .alias("_band"),
         )
         .select(
             "l_returnflag", "n", "exact_orders",
             ((F.abs(F.col("_acd") - F.col("exact_orders"))
               / F.col("exact_orders")) <= 0.10).alias("approx_cd_ok"),
-            ((F.col("_amed") >= F.col("_p49"))
-             & (F.col("_amed") <= F.col("_p51"))).alias("approx_median_ok"),
+            ((F.col("_amed") >= F.element_at("_band", 1))
+             & (F.col("_amed") <= F.element_at("_band", 2)))
+            .alias("approx_median_ok"),
         )
     )
 
