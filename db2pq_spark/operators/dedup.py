@@ -168,6 +168,19 @@ def _bucket_pairs(
     )
 
 
+def _band_key_entries(bands: int, rows_per_band: int) -> Column:
+    """Exploded (band, key) LSH band entries derived from a ``sig``
+    column: key = xxhash64 of the band's signature slice."""
+    return F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+             .alias("key"),
+        )
+        for b in range(bands)
+    ])).alias("bk")
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -196,14 +209,7 @@ def minhash_dedup(
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
-    band_entries = F.explode(F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
-             .alias("key"),
-        )
-        for b in range(bands)
-    ])).alias("bk")
+    band_entries = _band_key_entries(bands, rows_per_band)
     buckets = sigs.select("id", band_entries).select("id", "bk.band", "bk.key")
     cand = _bucket_pairs(buckets, ["band", "key"], max_bucket)
 
@@ -218,6 +224,90 @@ def minhash_dedup(
         .select("id1", "id2", "jaccard")
     )
     return verified
+
+
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Which NEW documents near-duplicate an EXISTING corpus —
+    (batch_id, corpus_id, jaccard) pairs at ``jaccard >= threshold``.
+
+    The daily-increment shape of dedup at 100 TB: you don't re-run
+    all-pairs dedup over corpus ∪ batch, you probe the (small) crawl
+    batch against the standing corpus. Plan shape is built around the
+    corpus NEVER shuffling:
+
+    - corpus band keys are a narrow projection of the corpus scan; the
+      batch's band keys **broadcast** into the bucket join,
+    - the skew guard aggregates only ``(band, key) → count`` (map-side
+      combine collapses to distinct keys) and anti-broadcasts the hot
+      keys, so degenerate buckets cost one tiny shuffle, not a blowup,
+    - exact-Jaccard verification broadcasts the candidate×batch-shingle
+      relation back into a second corpus scan — candidates are
+      threshold-bounded, so this stays small by construction.
+
+    The batch side must be broadcastable (same contract as the query
+    side of cosine_topk). ``corpus`` may be raw documents or a
+    precomputed ``minhash_signatures`` relation (id, shingles, sig) —
+    at scale you persist the signatures as parquet once and pass them
+    here each increment, making the marginal cost per batch one scan
+    of the signature table instead of re-shingling the corpus."""
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
+    bsig = (
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
+        .withColumnRenamed("id", "batch_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if {"id", "shingles", "sig"}.issubset(set(corpus.columns)):
+        csig = corpus  # precomputed signature relation
+    else:
+        csig = minhash_signatures(corpus, text_col, id_col,
+                                  num_hashes, shingle_n)
+
+    entries = _band_key_entries(bands, rows_per_band)
+    cbuckets = (csig.select(F.col("id").alias("corpus_id"), entries)
+                .select("corpus_id", "bk.band", "bk.key"))
+    bbuckets = (bsig.select("batch_id", entries)
+                .select("batch_id", "bk.band", "bk.key"))
+
+    if max_bucket is not None:
+        hot = (cbuckets.groupBy("band", "key").count()
+               .filter(F.col("count") > max_bucket)
+               .select("band", "key"))
+        cbuckets = cbuckets.join(F.broadcast(hot), ["band", "key"],
+                                 "left_anti")
+
+    cand = (
+        cbuckets.join(F.broadcast(bbuckets), ["band", "key"])
+        .filter(F.col("corpus_id") != F.col("batch_id"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+    # verify: candidates carry the batch shingles (broadcast), corpus
+    # shingles come from a second corpus scan that never shuffles
+    cand_b = cand.join(
+        bsig.select("batch_id", F.col("shingles").alias("bsh")), "batch_id")
+    csh = csig.select(F.col("id").alias("corpus_id"),
+                      F.col("shingles").alias("csh"))
+    inter = F.size(F.array_intersect("bsh", "csh"))
+    union_ = F.size(F.array_union("bsh", "csh"))
+    return (
+        csh.join(F.broadcast(cand_b), "corpus_id")
+        .withColumn("jaccard", inter / union_)
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
 
 
 #: literal 2^i bit masks (i=63 is the sign bit — stored as its two's-

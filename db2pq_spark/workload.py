@@ -3192,6 +3192,57 @@ def q106_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q107_incremental_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_NORM} AS norm, {_TOKENS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM toks
+      WHERE len(toks) > 0 AND toks[1] <> ''
+    ),
+    j AS (
+      SELECT b.id AS batch_id, c.id AS corpus_id,
+             len(list_intersect(b.grams, c.grams))
+               / (len(b.grams) + len(c.grams)
+                  - len(list_intersect(b.grams, c.grams))) AS jaccard
+      FROM sh b JOIN sh c ON b.id % 5 = 0 AND c.id % 5 <> 0
+    )
+    SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.6
+    """,
+)
+def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe a (small) new-crawl batch against the
+    standing corpus — the daily-increment shape of dedup at 100 TB,
+    where the corpus never shuffles (batch band keys broadcast in,
+    verification broadcasts candidates back into a corpus scan; see
+    operators/dedup.py:minhash_dedup_incremental).
+
+    Gate split: every 5th document plays the "new batch", the rest the
+    corpus. Oracle: exact batch×corpus 3-shingle Jaccard — the same
+    recall-1.0 banding argument as q36 (high-similarity clone pairs,
+    16 bands × 4 rows ⇒ collision probability ≈ 1 − (1−j⁴)¹⁶).
+    [extension]"""
+    from db2pq_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text", "doc_id",
+        num_hashes=64, bands=16, threshold=0.6,
+    )
+
+
+@query(
     "q99_repetition_profile",
     oracle=f"""
     WITH toks AS (

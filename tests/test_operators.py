@@ -64,6 +64,41 @@ class TestMinhash:
         assert row["s"] == ["hi there"]
 
 
+class TestIncrementalDedup:
+    def test_batch_probes_corpus(self, docs):
+        from db2pq_spark.operators.dedup import minhash_dedup_incremental
+
+        batch = docs.filter(F.col("doc_id").isin(1, 4))
+        corpus = docs.filter(~F.col("doc_id").isin(1, 4))
+        pairs = {(r["batch_id"], r["corpus_id"]): r["jaccard"]
+                 for r in minhash_dedup_incremental(
+                     batch, corpus, "text", "doc_id",
+                     threshold=0.5).collect()}
+        # doc 1's exact clones (2, 5) and near-dup (3) are in the corpus
+        assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0
+        assert (1, 3) in pairs
+        # doc 4 is unrelated — no corpus match, and corpus-corpus pairs
+        # (e.g. 2-5) must NOT appear
+        assert not any(b == 4 for b, _ in pairs)
+        assert all(b in (1, 4) for b, _ in pairs)
+
+    def test_precomputed_corpus_signatures(self, docs):
+        # production path: signatures persisted once, passed per batch
+        from db2pq_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+
+        batch = docs.filter(F.col("doc_id") == 1)
+        corpus = docs.filter(F.col("doc_id") != 1)
+        fresh = sorted(map(tuple, minhash_dedup_incremental(
+            batch, corpus, "text", "doc_id", threshold=0.5).collect()))
+        csig = minhash_signatures(corpus, "text", "doc_id")
+        reused = sorted(map(tuple, minhash_dedup_incremental(
+            batch, csig, "text", "doc_id", threshold=0.5).collect()))
+        assert fresh == reused and fresh
+
+
 class TestSimhash:
     def test_exact_dups_hamming_zero(self, docs):
         pairs = {(r["id1"], r["id2"]): r["hamming"]
