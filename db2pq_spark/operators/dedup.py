@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,42 @@ def exact_dedup(
         df.select(h, F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup_incremental(
+    batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """New-batch rows whose normalized content already exists in the
+    corpus — the exact-hash twin of :func:`minhash_dedup_incremental`.
+
+    Returns (id, content_hash, is_duplicate). One semi-join on the
+    128-bit content hash: both sides reduce to (hash) projections
+    before the join, the corpus side to *distinct* hashes (map-side
+    combined), so the shuffle carries one row per distinct corpus
+    document regardless of corpus bloat. At 100 TB you persist the
+    corpus hash set once and pass it as ``corpus`` (any relation with
+    a ``content_hash`` column is accepted verbatim)."""
+    h = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
+    if "content_hash" in corpus.columns:
+        chashes = corpus.select("content_hash")
+    else:
+        chashes = corpus.select(h.alias("content_hash"))
+    b = batch.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+    # corpus-side discipline: semi-filter the corpus scan by the
+    # BROADCAST batch hash set (output <= matched corpus rows), then
+    # broadcast the matched hashes back over the batch — the corpus
+    # relation itself never shuffles, and no corpus-wide distinct runs
+    matched = (
+        chashes.join(F.broadcast(b.select("content_hash").distinct()),
+                     "content_hash", "left_semi")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        b.join(F.broadcast(matched), "content_hash", "left")
+        .select("id", "content_hash",
+                F.coalesce(F.col("_dup"), F.lit(False)).alias("is_duplicate"))
     )
 
 
@@ -500,18 +536,34 @@ def duplicate_spans(
     ``dup_span_ratio`` — the standard "fraction of the document that is
     boilerplate shared with the rest of the corpus" filter signal.
 
-    Scale: single pass — a window count partitioned by span key (one
-    shuffle on the near-unique key; md5 keys bound shuffle width at 32
-    bytes regardless of ``n``), then a per-document aggregate (second
-    shuffle on the doc key). Never materializes pairs, never goes
-    quadratic."""
+    Scale: aggregate, don't sort. Span-key counts come from a hash
+    aggregate (map-side combined — duplicated keys collapse before the
+    shuffle; md5 keys bound shuffle width at 32 bytes regardless of
+    ``n``) and are filtered to ``count >= min_count`` BEFORE joining
+    back, so only the duplicated minority of keys — in a real corpus a
+    small fraction — rejoins the span stream, via a sort-free
+    shuffle-hash join (broadcast when small enough). A count(*) window
+    partitioned by the near-unique key would instead sort the entire
+    span relation: measured 11.7× at a 10× all-duplicate replica
+    (SCALE_SMOKE) versus ~linear for this shape. Never materializes
+    pairs, never goes quadratic."""
     g = _span_hashes(df, text_col, id_col, n)
-    hc = g.withColumn("_hc", F.count("*").over(W.partitionBy("h")))
-    dup = (F.col("_hc") >= min_count).cast("int")
+    dup_keys = (
+        g.groupBy("h").count()
+        .filter(F.col("count") >= min_count)
+        .select("h")
+    )
+    dups = (
+        g.join(dup_keys.hint("shuffle_hash"), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_spans"))
+    )
+    totals = g.groupBy(id_col).agg(F.count("*").alias("n_spans"))
     return (
-        hc.groupBy(id_col)
-        .agg(F.count("*").alias("n_spans"),
-             F.sum(dup).cast("bigint").alias("dup_spans"))
+        totals.join(dups, id_col, "left")
+        .select(F.col(id_col), "n_spans",
+                F.coalesce("dup_spans", F.lit(0)).cast("bigint")
+                 .alias("dup_spans"))
         .select(F.col(id_col), "n_spans", "dup_spans",
                 F.round(F.col("dup_spans") / F.col("n_spans"), 6)
                  .alias("dup_span_ratio"))
@@ -525,11 +577,14 @@ def duplicate_span_positions(
     """Positions of duplicated n-token spans: (id, pos, span_count) for
     every span whose corpus-wide count reaches ``min_count`` — the
     input a downstream substring-removal/cut pass consumes. Same
-    one-shuffle window plan as :func:`duplicate_spans`."""
+    sort-free aggregate-then-rejoin plan as :func:`duplicate_spans`."""
     g = _span_hashes(df, text_col, id_col, n)
+    dup_counts = (
+        g.groupBy("h").agg(F.count("*").alias("span_count"))
+        .filter(F.col("span_count") >= min_count)
+    )
     return (
-        g.withColumn("span_count", F.count("*").over(W.partitionBy("h")))
-        .where(F.col("span_count") >= min_count)
+        g.join(dup_counts.hint("shuffle_hash"), "h")
         .select(F.col(id_col), "pos", "span_count")
     )
 

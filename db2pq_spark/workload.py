@@ -3243,6 +3243,36 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q108_incremental_exact_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS id, md5({_NORM}) AS content_hash FROM documents
+    ),
+    b AS (SELECT * FROM h WHERE id % 5 = 0),
+    c AS (SELECT DISTINCT content_hash FROM h WHERE id % 5 <> 0)
+    SELECT b.id, b.content_hash,
+           (c.content_hash IS NOT NULL) AS is_duplicate
+    FROM b LEFT JOIN c ON b.content_hash = c.content_hash
+    """,
+)
+def q108_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash incremental dedup: flag new-batch documents whose
+    normalized content already exists in the corpus
+    (operators/dedup.py:exact_dedup_incremental). Same corpus-side
+    discipline as q107 — the corpus scan is semi-filtered by the
+    broadcast batch hash set and never shuffles. Oracle: the identical
+    md5-of-normalized-text comparison in DuckDB. [extension]"""
+    from db2pq_spark.operators.dedup import exact_dedup_incremental
+
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text", "doc_id",
+    )
+
+
+@query(
     "q99_repetition_profile",
     oracle=f"""
     WITH toks AS (

@@ -64,11 +64,19 @@ SHOWCASE = {
                           "then TakeOrderedAndProject — no global sort",
     "q101_pii_scrub": "PII redaction is a zero-shuffle codegen'd regex "
                       "projection",
-    "q102_duplicate_spans": "exact-substring dedup via window count on "
-                            "the 32-byte span key — no pair "
-                            "materialization, never quadratic",
+    "q102_duplicate_spans": "exact-substring dedup: hash aggregate on "
+                            "the 32-byte span key filtered to "
+                            "duplicates, rejoined sort-free "
+                            "(shuffle-hash) — no Sort/Window node, no "
+                            "pair materialization, never quadratic",
     "q103_vocab_encode": "vocab join broadcasts (AQE-sized); encode "
                          "reassembles docs with one doc-keyed shuffle",
+    "q107_incremental_dedup": "batch-vs-corpus dedup: the corpus never "
+                              "shuffles — batch band keys broadcast in, "
+                              "candidates broadcast back for the "
+                              "exact-Jaccard verify; the only exchanges "
+                              "are keys-only (hot-bucket count, "
+                              "candidate distinct)",
 }
 
 HEADER = """\

@@ -38,7 +38,8 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q64_waiting_supplier", "q66_hash_split",
            "q94_range_join", "q95_validation", "q96_bm25",
            "q97_weighted_sample", "q98_sliding_window",
-           "q102_duplicate_spans", "q103_vocab_encode"]
+           "q102_duplicate_spans", "q103_vocab_encode",
+           "q107_incremental_dedup"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -94,13 +95,21 @@ def main() -> None:
     rows_big = spark.read.parquet(f"{big}/lineitem.parquet").count()
 
     def run_all(sf_dir: str) -> dict[str, float]:
+        # min of 3 steady runs: single-shot steady timings on this box
+        # swing several × run-to-run (GC pauses, page-cache misses on
+        # the freshly-written replica), which fabricates phantom
+        # super-linear ratios; the minimum is the standard
+        # noise-robust estimator for a fixed workload
         out = {}
         for name in QUERIES:
             fn = workload.REGISTRY[name][0]
             fn(spark, sf_dir).collect()          # warm (codegen)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            out[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
         return out
 
     small = run_all(SF_DIR)

@@ -82,6 +82,26 @@ class TestIncrementalDedup:
         assert not any(b == 4 for b, _ in pairs)
         assert all(b in (1, 4) for b, _ in pairs)
 
+    def test_exact_incremental_flags(self, docs):
+        from db2pq_spark.operators.dedup import exact_dedup_incremental
+
+        batch = docs.filter(F.col("doc_id").isin(1, 4))
+        corpus = docs.filter(~F.col("doc_id").isin(1, 4))
+        flags = {r["id"]: r["is_duplicate"]
+                 for r in exact_dedup_incremental(
+                     batch, corpus, "text", "doc_id").collect()}
+        # doc 1 has exact clones (2, 5) in the corpus; doc 4 is unique
+        assert flags == {1: True, 4: False}
+        # precomputed hash-set path gives identical answers
+        h = corpus.select(
+            F.md5(F.encode(F.regexp_replace(
+                F.trim(F.lower("text")), r"\s+", " "), "UTF-8"))
+            .alias("content_hash"))
+        flags2 = {r["id"]: r["is_duplicate"]
+                  for r in exact_dedup_incremental(
+                      batch, h, "text", "doc_id").collect()}
+        assert flags2 == flags
+
     def test_precomputed_corpus_signatures(self, docs):
         # production path: signatures persisted once, passed per batch
         from db2pq_spark.operators.dedup import (

@@ -55,6 +55,24 @@ class TestJoinStrategy:
         assert "LeftSemi" in plan_of(spark, sf_correct_dir, "q04_semi_join")
         assert "LeftAnti" in plan_of(spark, sf_correct_dir, "q16_anti_join")
 
+    def test_q102_span_dedup_is_sort_free(self, spark, sf_correct_dir):
+        # a count(*) window on the near-unique span key would sort the
+        # whole span relation (measured 11.7x at a 10x replica); the
+        # aggregate-then-rejoin shape must stay Sort/Window-free
+        plan = plan_of(spark, sf_correct_dir, "q102_duplicate_spans",
+                       execute=True)
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan and "Sort [" not in plan
+
+    def test_q107_corpus_never_shuffles(self, spark, sf_correct_dir):
+        # incremental dedup: every corpus-touching join is broadcast —
+        # the only exchanges are keys-only (hot-bucket count) and the
+        # candidate distinct
+        plan = plan_of(spark, sf_correct_dir, "q107_incremental_dedup",
+                       execute=True)
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 3
+
 
 class TestCodegen:
     def test_q01_is_whole_stage_codegen(self, spark, sf_correct_dir):
@@ -207,8 +225,8 @@ class TestTrainingPipelinePlans:
 
     def test_q102_spans_never_materialize_pairs(self, spark, sf_correct_dir):
         plan = plan_of(spark, sf_correct_dir, "q102_duplicate_spans")
-        # window-count on the span key, not a self-join
-        assert "Window" in plan
+        # aggregate + key-filtered rejoin on the span key, not a
+        # pair-producing self-join
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
     def test_q103_vocab_join_broadcasts(self, spark, sf_correct_dir):
