@@ -54,9 +54,12 @@ def main() -> None:
 
     results = []
 
-    t0 = time.perf_counter()
-    exact = topk_sets(cosine_topk(emb, queries, k=K))
-    t_exact = time.perf_counter() - t0
+    exact = topk_sets(cosine_topk(emb, queries, k=K))  # warm
+    t_exact = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        topk_sets(cosine_topk(emb, queries, k=K))
+        t_exact = min(t_exact, time.perf_counter() - t0)
 
     for name, fn in [
         ("ivf_topk (n_clusters=16, n_probe=4)",
@@ -70,9 +73,16 @@ def main() -> None:
         ("lsh_bucket_topk (radius=2 — default)",
          lambda: lsh_bucket_topk(emb, queries, k=K, probe_radius=2)),
     ]:
-        t0 = time.perf_counter()
+        # warm once (codegen + any per-call training), then report the
+        # best of 2 steady runs — the cold first execution otherwise
+        # charges session-wide JIT warmup to whichever variant runs
+        # first and scrambles cross-variant comparisons
         approx = topk_sets(fn())
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            topk_sets(fn())
+            dt = min(dt, time.perf_counter() - t0)
         results.append((name, recall_vs_exact(exact, approx), dt))
 
     # minhash vs exact n-gram jaccard ground truth (threshold 0.7)
@@ -109,6 +119,14 @@ def main() -> None:
         "sets, so precision is structural (candidates below threshold "
         "are filtered); recall is governed by the band/row "
         "probability curve.\n",
+        "\nCorrectness vs quality: these tables benchmark the "
+        "*approximate production defaults*. The gate/oracle entries "
+        "for the same operators (q37/q38/q46/q48) run provably-exact "
+        "configurations — lossless pigeonhole SimHash blocking, "
+        "exhaustive LSH/IVF probes, in-plan sketch-vs-exact tolerance "
+        "flags — so the algorithms are hash-verified against DuckDB "
+        "(FULLGATE: all queries green) while this file tracks the "
+        "recall/latency dial a 100 TB deployment actually uses.\n",
     ]
     with open("/root/repo/QUALITY.md", "w") as fh:
         fh.writelines(lines)
