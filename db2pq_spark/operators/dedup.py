@@ -328,14 +328,30 @@ def minhash_dedup_incremental(
         .filter(F.col("corpus_id") != F.col("batch_id"))
         .select("batch_id", "corpus_id")
         .distinct()
+        # cand feeds two verify branches (shingle-prune + pair join);
+        # persisting the small candidate set keeps the corpus band
+        # scan single-execution
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # verify: candidates carry the batch shingles (broadcast), corpus
-    # shingles come from a second corpus scan that never shuffles
+    # verify: candidates carry the batch shingles (broadcast); corpus
+    # shingles come from a second corpus scan that is semi-filtered by
+    # the broadcast candidate ids BEFORE shingling — only the
+    # threshold-bounded candidate minority is ever re-shingled, the
+    # corpus-wide relation is never shingled twice and never shuffles
+    cand_ids = cand.select(F.col("corpus_id").alias("id")).distinct()
+    if csig is corpus:  # precomputed signatures: shingles already stored
+        pruned = csig.join(F.broadcast(cand_ids), "id", "left_semi")
+        csh_rel = pruned.select("id", "shingles")
+    else:
+        pruned_docs = corpus.join(
+            F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
+            id_col, "left_semi")
+        csh_rel = with_shingles(pruned_docs, text_col, id_col, shingle_n)
     cand_b = cand.join(
         bsig.select("batch_id", F.col("shingles").alias("bsh")), "batch_id")
-    csh = csig.select(F.col("id").alias("corpus_id"),
-                      F.col("shingles").alias("csh"))
+    csh = csh_rel.select(F.col("id").alias("corpus_id"),
+                         F.col("shingles").alias("csh"))
     inter = F.size(F.array_intersect("bsh", "csh"))
     union_ = F.size(F.array_union("bsh", "csh"))
     return (
