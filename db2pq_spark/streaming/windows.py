@@ -140,6 +140,43 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None,
     )
 
 
+def stream_dedup_incremental(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    on_batch,
+    threshold: float = 0.7,
+    **minhash_kw,
+):
+    """Streaming near-dup screening against a standing corpus: each
+    micro-batch of incoming documents runs
+    :func:`db2pq_spark.operators.dedup.minhash_dedup_incremental` via
+    ``foreachBatch``, and ``on_batch(pairs_df, epoch_id)`` receives the
+    verified (batch_id, corpus_id, jaccard) pairs — route them to a
+    quarantine table or an anti-join filter downstream.
+
+    This is the batch operator's design point wearing its streaming
+    hat: the micro-batch IS the "small broadcastable batch" side, so
+    the corpus never shuffles on any trigger, and a precomputed
+    ``minhash_signatures`` relation passed as ``corpus`` makes the
+    per-trigger cost one signature-table scan. Returns the configured
+    ``DataStreamWriter`` — call ``.trigger(...)`` / ``.start()``
+    (``availableNow=True`` for catch-up runs).
+
+    [extension — the reference has no streaming surface, SURVEY §2.12]
+    """
+    from db2pq_spark.operators.dedup import minhash_dedup_incremental
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = minhash_dedup_incremental(
+            batch_df, corpus, text_col, id_col,
+            threshold=threshold, **minhash_kw)
+        on_batch(pairs, epoch_id)
+
+    return docs_stream.writeStream.foreachBatch(_process)
+
+
 def running_user_totals(events: DataFrame,
                         watermark: str = "2 hours") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user

@@ -195,3 +195,43 @@ class TestStreamStreamJoin:
         got_keys = sorted(key(r) for r in got.collect())
         want_keys = sorted(key(r) for r in want.collect())
         assert got_keys == want_keys and len(got_keys) > 0
+
+
+class TestStreamIncrementalDedup:
+    def test_matches_batch_operator(self, spark, sf_correct_dir, tmp_path):
+        # the streamed micro-batches must reproduce exactly the batch
+        # operator's pairs over the same finite input, across >1 trigger
+        from db2pq_spark.operators.dedup import minhash_dedup_incremental
+        from db2pq_spark.streaming.windows import stream_dedup_incremental
+
+        docs = spark.read.parquet(f"{sf_correct_dir}/documents.parquet")
+        batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+        src = str(tmp_path / "doc_stream_src")
+        batch_docs.repartition(4).write.parquet(src)
+        stream = (spark.readStream.schema(batch_docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        got: list[tuple] = []
+        epochs: set[int] = set()
+
+        def sink(pairs, epoch_id):
+            epochs.add(epoch_id)
+            got.extend((r["batch_id"], r["corpus_id"])
+                       for r in pairs.collect())
+
+        q = (stream_dedup_incremental(stream, corpus, "text", "doc_id",
+                                      sink, threshold=0.6)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.awaitTermination()
+
+        expect = {(r["batch_id"], r["corpus_id"])
+                  for r in minhash_dedup_incremental(
+                      batch_docs, corpus, "text", "doc_id",
+                      threshold=0.6).collect()}
+        assert expect and set(got) == expect
+        assert len(got) == len(set(got))  # no pair double-emitted
+        assert len(epochs) > 1  # genuinely exercised multiple triggers
