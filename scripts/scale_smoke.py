@@ -1,17 +1,20 @@
 #!/usr/bin/env python
-"""Scale smoke: replicate sf0.1 10× (~6 M-row lineitem) and check that
-headline queries scale ~linearly — the local evidence that the plans
-hold when data outgrows the fixtures. Writes SCALE_SMOKE.md.
+"""Scale smoke: replicate sf0.1 N× (default 10×, ~6 M-row lineitem) and
+check that headline queries scale ~linearly — the local evidence that
+the plans hold when data outgrows the fixtures. Writes SCALE_SMOKE.md
+(10×) or SCALE_SMOKE_{N}x.md.
 
 Replication shifts the join keys per copy so key cardinality grows with
 the data (a pure union of identical copies would degenerate the joins:
-10× duplicate keys instead of 10× data).
+N× duplicate keys instead of N× data).
 
-Usage: python scripts/scale_smoke.py  (~3-5 min on local[32])
+Usage: python scripts/scale_smoke.py            (~5 min on local[32])
+       SMOKE_COPIES=100 python scripts/scale_smoke.py   (~60 M rows)
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
@@ -19,7 +22,10 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = int(os.environ.get("SMOKE_COPIES", "10"))
+#: fewer steady repetitions at big factors — individual runs are long
+#: enough to be stable there
+RUNS = 3 if COPIES <= 10 else 2
 
 #: key columns to shift per table so each replica has distinct keys
 KEY_SHIFTS = {
@@ -40,6 +46,13 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q97_weighted_sample", "q98_sliding_window",
            "q102_duplicate_spans", "q103_vocab_encode",
            "q107_incremental_dedup"]
+
+# q107's OUTPUT grows quadratically in the copy count (every replica of
+# a batch near-dup matches every replica of its corpus partners — an
+# artifact of content-identical replication, not of the operator), so
+# it only runs at the 10× factor
+if COPIES > 10:
+    QUERIES = [q for q in QUERIES if q != "q107_incremental_dedup"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -105,7 +118,7 @@ def main() -> None:
             fn = workload.REGISTRY[name][0]
             fn(spark, sf_dir).collect()          # warm (codegen)
             best = float("inf")
-            for _ in range(3):
+            for _ in range(RUNS):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
@@ -115,26 +128,28 @@ def main() -> None:
     small = run_all(SF_DIR)
     large = run_all(big)
 
+    out_md = ("/root/repo/SCALE_SMOKE.md" if COPIES == 10
+              else f"/root/repo/SCALE_SMOKE_{COPIES}x.md")
     lines = [
-        "# SCALE_SMOKE — 10× replica run (auto-generated)\n",
+        f"# SCALE_SMOKE — {COPIES}× replica run (auto-generated)\n",
         f"\nlineitem rows: {rows_small:,} (sf0.1) → {rows_big:,} "
-        f"(10× replica, join keys shifted per copy); replica build "
+        f"({COPIES}× replica, join keys shifted per copy); replica build "
         f"{build_s:.0f}s. Steady-state timings (codegen warmed), "
         f"local[32].\n",
-        "\n| query | sf0.1 s | 10× s | ratio |\n|---|---|---|---|\n",
+        f"\n| query | sf0.1 s | {COPIES}× s | ratio |\n|---|---|---|---|\n",
     ]
     for name in QUERIES:
         r = large[name] / small[name] if small[name] > 0 else float("inf")
         lines.append(f"| {name} | {small[name]} | {large[name]} "
                      f"| {r:.1f}× |\n")
     lines.append(
-        "\nA ratio ≲ 10× means the plan scales at-or-better than "
+        f"\nA ratio ≲ {COPIES}× means the plan scales at-or-better than "
         "linearly in rows (broadcast dims unchanged, partial aggs "
         "absorb the fan-in); super-linear ratios would flag a shuffle "
         "or skew problem to fix.\n")
-    with open("/root/repo/SCALE_SMOKE.md", "w") as fh:
+    with open(out_md, "w") as fh:
         fh.writelines(lines)
-    print(f"wrote SCALE_SMOKE.md  (lineitem {rows_big:,} rows)")
+    print(f"wrote {out_md}  (lineitem {rows_big:,} rows)")
     for name in QUERIES:
         print(f"  {name}: {small[name]}s -> {large[name]}s")
 
