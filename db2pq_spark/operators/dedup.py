@@ -172,20 +172,25 @@ def minhash_signatures(
 
 
 def _bucket_pairs(
-    buckets: DataFrame, bucket_cols: list[str], max_bucket: int
+    buckets: DataFrame, bucket_cols: list[str], max_bucket: int | None
 ) -> DataFrame:
     """Distinct candidate id pairs (id1 < id2) from bucket membership.
 
     One aggregation instead of a bucket self-join: collect each bucket's
-    member ids, drop oversized buckets (skew guard), then enumerate the
-    in-bucket combinations JVM-side with nested array transforms. The
-    only shuffles are the groupBy and the final distinct — the
-    two-sided exploded join this replaces shuffled the membership table
-    twice and joined it."""
+    member ids, drop oversized buckets (skew guard; ``max_bucket=None``
+    disables the cap — used by gate configurations whose exactness
+    claim must be unconditional), then enumerate the in-bucket
+    combinations JVM-side with nested array transforms. The only
+    shuffles are the groupBy and the final distinct — the two-sided
+    exploded join this replaces shuffled the membership table twice and
+    joined it."""
+    size_ok = F.size("ids") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("ids") <= max_bucket)
     grouped = (
         buckets.groupBy(*bucket_cols)
         .agg(F.collect_set("id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .filter(size_ok)
         .select(F.array_sort("ids").alias("ids"))
     )
     k = F.size("ids")
@@ -225,7 +230,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
@@ -271,7 +276,7 @@ def minhash_dedup_incremental(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Which NEW documents near-duplicate an EXISTING corpus —
     (batch_id, corpus_id, jaccard) pairs at ``jaccard >= threshold``.
@@ -285,7 +290,8 @@ def minhash_dedup_incremental(
       batch's band keys **broadcast** into the bucket join,
     - the skew guard aggregates only ``(band, key) → count`` (map-side
       combine collapses to distinct keys) and anti-broadcasts the hot
-      keys, so degenerate buckets cost one tiny shuffle, not a blowup,
+      keys, so degenerate buckets cost one tiny shuffle, not a blowup
+      (``max_bucket=None`` disables the guard — exactness gates),
     - exact-Jaccard verification broadcasts the candidate×batch-shingle
       relation back into a second corpus scan — candidates are
       threshold-bounded, so this stays small by construction.
@@ -295,7 +301,32 @@ def minhash_dedup_incremental(
     precomputed ``minhash_signatures`` relation (id, shingles, sig) —
     at scale you persist the signatures as parquet once and pass them
     here each increment, making the marginal cost per batch one scan
-    of the signature table instead of re-shingling the corpus."""
+    of the signature table instead of re-shingling the corpus. A
+    precomputed relation's signature width is validated against
+    ``num_hashes`` (one limit-1 read) — a mismatched width would
+    silently derail every band key."""
+    out, _ = _minhash_dedup_incremental_cached(
+        batch, corpus, text_col, id_col, num_hashes, bands,
+        shingle_n, threshold, max_bucket)
+    return out
+
+
+def _minhash_dedup_incremental_cached(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = 1000,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """:func:`minhash_dedup_incremental` plus the intermediate persisted
+    DataFrames, so repeated callers (the streaming wrapper runs this
+    every micro-batch) can ``unpersist()`` after materializing the
+    result — otherwise the session's cache grows by two entries per
+    call."""
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
@@ -306,6 +337,12 @@ def minhash_dedup_incremental(
     )
     if {"id", "shingles", "sig"}.issubset(set(corpus.columns)):
         csig = corpus  # precomputed signature relation
+        head = csig.select(F.size("sig").alias("n")).head(1)
+        if head and head[0]["n"] != num_hashes:
+            raise ValueError(
+                f"precomputed corpus signatures carry {head[0]['n']} "
+                f"minhashes but num_hashes={num_hashes} was requested — "
+                "band keys would be derived from mismatched slices")
     else:
         csig = minhash_signatures(corpus, text_col, id_col,
                                   num_hashes, shingle_n)
@@ -354,12 +391,13 @@ def minhash_dedup_incremental(
                          F.col("shingles").alias("csh"))
     inter = F.size(F.array_intersect("bsh", "csh"))
     union_ = F.size(F.array_union("bsh", "csh"))
-    return (
+    out = (
         csh.join(F.broadcast(cand_b), "corpus_id")
         .withColumn("jaccard", inter / union_)
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+    return out, [bsig, cand]
 
 
 #: literal 2^i bit masks (i=63 is the sign bit — stored as its two's-
@@ -432,7 +470,7 @@ def simhash_dedup(
     id_col: str,
     max_hamming: int = 3,
     num_chunks: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via chunk blocking.
@@ -557,8 +595,9 @@ def duplicate_spans(
     shuffle; md5 keys bound shuffle width at 32 bytes regardless of
     ``n``) and are filtered to ``count >= min_count`` BEFORE joining
     back, so only the duplicated minority of keys — in a real corpus a
-    small fraction — rejoins the span stream, via a sort-free
-    shuffle-hash join (broadcast when small enough). A count(*) window
+    small fraction — rejoins the span stream: broadcast when AQE sees
+    it small, shuffled-hash otherwise (the session prefers hash over
+    sort-merge), never a sort. A count(*) window
     partitioned by the near-unique key would instead sort the entire
     span relation: measured 11.7× at a 10× all-duplicate replica
     (SCALE_SMOKE) versus ~linear for this shape. Never materializes
@@ -569,8 +608,12 @@ def duplicate_spans(
         .filter(F.col("count") >= min_count)
         .select("h")
     )
+    # no join hint: AQE broadcasts dup_keys when it is small (the
+    # common corpus — zero shuffle of the span stream) and otherwise
+    # picks a shuffled-hash join because the session prefers hash over
+    # sort-merge (session.py) — either way the spans are never sorted
     dups = (
-        g.join(dup_keys.hint("shuffle_hash"), "h")
+        g.join(dup_keys, "h")
         .groupBy(id_col)
         .agg(F.count("*").alias("dup_spans"))
     )
@@ -600,7 +643,7 @@ def duplicate_span_positions(
         .filter(F.col("span_count") >= min_count)
     )
     return (
-        g.join(dup_counts.hint("shuffle_hash"), "h")
+        g.join(dup_counts, "h")  # broadcast-or-hash, never sorted
         .select(F.col(id_col), "pos", "span_count")
     )
 

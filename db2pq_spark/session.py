@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # when a join can't broadcast, prefer a shuffled-hash join over
+        # sort-merge: neither input gets sorted, and the planner only
+        # picks hash when the build side fits a per-partition map
+        # (canBuildLocalHashMap), so huge-by-huge joins still fall back
+        # to sort-merge. Lets AQE choose broadcast/hash by runtime size
+        # without per-operator join hints pinning a strategy.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # snappy: matches the reference's pyarrow default and writes ~1.8×

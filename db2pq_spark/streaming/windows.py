@@ -164,15 +164,24 @@ def stream_dedup_incremental(
     ``DataStreamWriter`` — call ``.trigger(...)`` / ``.start()``
     (``availableNow=True`` for catch-up runs).
 
+    ``on_batch`` must materialize the pairs before returning (collect,
+    write, merge): each trigger's intermediate caches are released as
+    soon as it returns — an unbounded stream would otherwise grow the
+    session cache by two entries per micro-batch.
+
     [extension — the reference has no streaming surface, SURVEY §2.12]
     """
-    from db2pq_spark.operators.dedup import minhash_dedup_incremental
+    from db2pq_spark.operators.dedup import _minhash_dedup_incremental_cached
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        pairs = minhash_dedup_incremental(
+        pairs, caches = _minhash_dedup_incremental_cached(
             batch_df, corpus, text_col, id_col,
             threshold=threshold, **minhash_kw)
-        on_batch(pairs, epoch_id)
+        try:
+            on_batch(pairs, epoch_id)
+        finally:
+            for c in caches:
+                c.unpersist()
 
     return docs_stream.writeStream.foreachBatch(_process)
 

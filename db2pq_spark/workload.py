@@ -1960,16 +1960,19 @@ def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes candidate generation shuffle-bound, never quadratic.
 
     Oracle: exact all-pairs 3-shingle Jaccard (feasible in DuckDB at
-    gate scale; the operator itself never goes quadratic). The fixture's
-    near-dup pairs are high-similarity clones, where the 16-band/4-row
-    collision probability is ≈1 − (1−j⁴)¹⁶ → banding recall is 1.0 at
-    gate scale (measured in QUALITY.md), so the LSH output equals the
-    exact set. [extension]"""
+    gate scale; the operator itself never goes quadratic). The gate
+    banding is 32 bands × 2 rows, whose collision probability
+    1 − (1−j²)³² is ≥ 1 − 6.3e−7 for every pair at or above the 0.6
+    threshold — recall is structural across the whole retained range,
+    not a property of the fixture's near-clone pairs — and the skew
+    cap is disabled (max_bucket=None) so no bucket can silently drop
+    a true pair. Production keeps the default 16×4 banding (steeper
+    precision curve) and the cap. [extension]"""
     from db2pq_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(
         t(spark, sf_dir, "documents"), "text", "doc_id",
-        num_hashes=64, bands=16, threshold=0.6,
+        num_hashes=64, bands=32, threshold=0.6, max_bucket=None,
     )
 
 
@@ -2016,12 +2019,16 @@ def q37_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'md5_60'`, operators/dedup.py) is computed identically by DuckDB,
     which rebuilds the signatures bit-for-bit in SQL (unnest tokens →
     60-bit md5 hash → per-bit ±1 votes → packed sign vector →
-    all-pairs bit_count(xor)). The xxhash64 default stays the fast
-    production path. [extension]"""
+    all-pairs bit_count(xor)). The skew cap is disabled
+    (max_bucket=None) so the losslessness claim is unconditional —
+    a >1000-doc chunk bucket would otherwise silently drop true
+    pairs. The xxhash64 default and the cap stay the production
+    path. [extension]"""
     from db2pq_spark.operators.dedup import simhash_dedup
 
     return simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id",
-                         max_hamming=3, num_chunks=4, token_hash="md5_60")
+                         max_hamming=3, num_chunks=4, max_bucket=None,
+                         token_hash="md5_60")
 
 
 @query("q38_lsh_similarity", oracle=_COSINE_TOPK_ORACLE)
@@ -3227,10 +3234,12 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:minhash_dedup_incremental).
 
     Gate split: every 5th document plays the "new batch", the rest the
-    corpus. Oracle: exact batch×corpus 3-shingle Jaccard — the same
-    recall-1.0 banding argument as q36 (high-similarity clone pairs,
-    16 bands × 4 rows ⇒ collision probability ≈ 1 − (1−j⁴)¹⁶).
-    [extension]"""
+    corpus. Oracle: exact batch×corpus 3-shingle Jaccard — structural
+    recall like q36's gate: 32 bands × 2 rows collide with
+    probability 1 − (1−j²)³² ≥ 1 − 6.3e−7 for every pair at or above
+    the 0.6 threshold, and the hot-bucket guard is off
+    (max_bucket=None) so nothing is silently dropped. Production
+    defaults (16×4, capped) stay on the operator. [extension]"""
     from db2pq_spark.operators.dedup import minhash_dedup_incremental
 
     docs = t(spark, sf_dir, "documents")
@@ -3238,7 +3247,7 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 == 0),
         docs.filter(F.col("doc_id") % 5 != 0),
         "text", "doc_id",
-        num_hashes=64, bands=16, threshold=0.6,
+        num_hashes=64, bands=32, threshold=0.6, max_bucket=None,
     )
 
 

@@ -118,6 +118,22 @@ class TestIncrementalDedup:
             batch, csig, "text", "doc_id", threshold=0.5).collect()))
         assert fresh == reused and fresh
 
+    def test_mismatched_precomputed_signature_width_raises(self, docs):
+        # signatures persisted with a different num_hashes would derive
+        # band keys from mismatched slices — must fail loudly
+        from db2pq_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+
+        batch = docs.filter(F.col("doc_id") == 1)
+        corpus = docs.filter(F.col("doc_id") != 1)
+        csig32 = minhash_signatures(corpus, "text", "doc_id",
+                                    num_hashes=32)
+        with pytest.raises(ValueError, match="32 minhashes"):
+            minhash_dedup_incremental(batch, csig32, "text", "doc_id",
+                                      num_hashes=64)
+
 
 class TestSimhash:
     def test_exact_dups_hamming_zero(self, docs):
