@@ -123,6 +123,11 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 3)
+            # operators that persist intermediates (q36/q107) build a
+            # NEW cache entry per invocation — left in place, dozens of
+            # stale entries pressure executor storage memory and show
+            # up as multi-second spikes in whatever query runs later
+            spark.catalog.clearCache()
         return out
 
     small = run_all(SF_DIR)
@@ -152,6 +157,8 @@ def main() -> None:
     print(f"wrote {out_md}  (lineitem {rows_big:,} rows)")
     for name in QUERIES:
         print(f"  {name}: {small[name]}s -> {large[name]}s")
+    import shutil
+    shutil.rmtree(big, ignore_errors=True)
 
 
 if __name__ == "__main__":
