@@ -590,39 +590,43 @@ def duplicate_spans(
     ``dup_span_ratio`` — the standard "fraction of the document that is
     boilerplate shared with the rest of the corpus" filter signal.
 
-    Scale: aggregate, don't sort. Span-key counts come from a hash
-    aggregate (map-side combined — duplicated keys collapse before the
-    shuffle; md5 keys bound shuffle width at 32 bytes regardless of
-    ``n``) and are filtered to ``count >= min_count`` BEFORE joining
-    back, so only the duplicated minority of keys — in a real corpus a
-    small fraction — rejoins the span stream: broadcast when AQE sees
-    it small, shuffled-hash otherwise (the session prefers hash over
-    sort-merge), never a sort. A count(*) window
-    partitioned by the near-unique key would instead sort the entire
-    span relation: measured 11.7× at a 10× all-duplicate replica
-    (SCALE_SMOKE) versus ~linear for this shape. Never materializes
-    pairs, never goes quadratic."""
+    Scale: aggregate, don't sort. The span stream first collapses to
+    per-(document, key) counts ``per`` in one map-side-combined hash
+    aggregate (md5 keys bound shuffle width at 32 bytes regardless of
+    ``n``); BOTH downstream facts derive from that collapsed relation —
+    corpus-wide key totals (a second, much smaller aggregate over
+    ``per``) and per-document stats (one final doc-keyed aggregate
+    after a left join that marks duplicated keys). The duplicated-key
+    side is filtered to ``sum >= min_count`` before joining back, so
+    only the duplicated minority of keys travels: broadcast when AQE
+    sees it small, shuffled-hash otherwise (the session prefers hash
+    over sort-merge), never a sort. Versus the naive three-branch shape
+    (count-by-key, join, count-by-doc — each branch re-exploding the
+    corpus because a lambda inside ``Generate`` defeats Spark's
+    exchange-reuse canonicalization), this runs one fewer corpus
+    explode and shuffles collapsed pairs instead of raw spans: measured
+    ~0.65× at sf0.1. A count(*) window partitioned by the near-unique
+    key would instead sort the entire span relation: measured 11.7× at
+    a 10× all-duplicate replica (SCALE_SMOKE) versus ~linear for this
+    shape. Never materializes pairs, never goes quadratic."""
     g = _span_hashes(df, text_col, id_col, n)
+    per = g.groupBy(id_col, "h").agg(F.count("*").alias("c"))
     dup_keys = (
-        g.groupBy("h").count()
-        .filter(F.col("count") >= min_count)
-        .select("h")
+        per.groupBy("h").agg(F.sum("c").alias("tot"))
+        .filter(F.col("tot") >= min_count)
+        .select("h", F.lit(1).alias("_dup"))
     )
     # no join hint: AQE broadcasts dup_keys when it is small (the
-    # common corpus — zero shuffle of the span stream) and otherwise
-    # picks a shuffled-hash join because the session prefers hash over
-    # sort-merge (session.py) — either way the spans are never sorted
-    dups = (
-        g.join(dup_keys, "h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("dup_spans"))
-    )
-    totals = g.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    # common corpus — zero extra shuffle of the collapsed pairs) and
+    # otherwise picks a shuffled-hash join because the session prefers
+    # hash over sort-merge (session.py) — either way nothing is sorted
     return (
-        totals.join(dups, id_col, "left")
-        .select(F.col(id_col), "n_spans",
-                F.coalesce("dup_spans", F.lit(0)).cast("bigint")
-                 .alias("dup_spans"))
+        per.join(dup_keys, "h", "left")
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("bigint").alias("n_spans"),
+             F.coalesce(
+                 F.sum(F.when(F.col("_dup") == 1, F.col("c"))),
+                 F.lit(0)).cast("bigint").alias("dup_spans"))
         .select(F.col(id_col), "n_spans", "dup_spans",
                 F.round(F.col("dup_spans") / F.col("n_spans"), 6)
                  .alias("dup_span_ratio"))
