@@ -82,6 +82,12 @@ def main() -> None:
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             return
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist intermediates (LSH candidates, staged
+        # ranks) never unpersist them — across 20+ sequential queries
+        # the leaked blocks fill the heap and later queries GC-thrash
+        # (measured: q36 4s → 20s late in a run). Isolate each timing
+        # by dropping cached blocks OUTSIDE the timed region.
+        spark.catalog.clearCache()
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # warm the JVM + file cache outside the timed region (all tables the
@@ -122,20 +128,27 @@ def main() -> None:
     # Steady-state timings for EVERY benched query: the first (timed)
     # execution pays one-time whole-stage-codegen compilation and plan
     # analysis (session fixed cost, data-independent — SCALE.md "Fixed
-    # costs"); a second run shows the per-query throughput a long-lived
-    # session/cluster actually gets. Reporting both for all queries
-    # keeps JIT variance out of regression comparisons ("value" keeps
-    # its cold-total semantics).
+    # costs"); subsequent runs show the per-query throughput a
+    # long-lived session/cluster actually gets. Steady is min-of-2 —
+    # single-shot timings on this box swing several-× on GC/page-cache
+    # noise (the same warm-then-min pattern every other timing
+    # instrument here uses). "value" keeps its cold-total semantics.
     steady: dict[str, float] = {}
 
     def steady_timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        try:
-            fn()
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench: steady {name} FAILED: {exc}", file=sys.stderr)
-            return
-        steady[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: steady {name} FAILED: {exc}",
+                      file=sys.stderr)
+                return
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()  # same isolation as the cold loop
+        steady[name] = round(best, 3)
 
     tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
     eng2 = Engine(spark, tmp2)

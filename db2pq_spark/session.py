@@ -57,7 +57,12 @@ def get_spark(
         # faster than zstd on this workload; flip to zstd via extra_conf
         # when storage/scan I/O dominates (typical at 100 TB).
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 32g: the extension operators materialize wide shingle/array
+        # intermediates; at 16g a long bench session spends whole
+        # seconds in GC (q36 measured 4s → 20s late in a run). On a
+        # cluster this maps to ordinary executor sizing, not a driver
+        # requirement.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # Whole-stage codegen emits one JIT-compiled class per stage; a
         # long-lived session running this engine's 100+-query surface
         # overflows the JVM's default 240 MB code cache, after which the
