@@ -64,13 +64,21 @@ SHOWCASE = {
                           "then TakeOrderedAndProject — no global sort",
     "q101_pii_scrub": "PII redaction is a zero-shuffle codegen'd regex "
                       "projection",
-    "q102_duplicate_spans": "exact-substring dedup: hash aggregate on "
-                            "the 32-byte span key filtered to "
-                            "duplicates, rejoined sort-free "
-                            "(shuffle-hash) — no Sort/Window node, no "
+    "q102_duplicate_spans": "exact-substring dedup: the span stream "
+                            "collapses to per-(doc, key) counts in one "
+                            "map-side-combined aggregate; corpus key "
+                            "totals and per-doc stats both derive from "
+                            "the collapsed relation (duplicate keys "
+                            "broadcast back) — no Sort/Window node, no "
                             "pair materialization, never quadratic",
     "q103_vocab_encode": "vocab join broadcasts (AQE-sized); encode "
                          "reassembles docs with one doc-keyed shuffle",
+    "q36_minhash_dedup": "MinHash-LSH: signatures materialize once "
+                         "(persist) through one Arrow-batched kernel "
+                         "(ArrowEvalPython — the only Python stage); "
+                         "banding, bucket pairs, and exact-Jaccard "
+                         "verify are all aggregates/broadcasts on the "
+                         "persisted relation — never quadratic",
     "q107_incremental_dedup": "batch-vs-corpus dedup: the corpus never "
                               "shuffles — batch band keys broadcast in, "
                               "candidates broadcast back for the "
