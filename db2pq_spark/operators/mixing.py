@@ -1,0 +1,186 @@
+"""Corpus mixing — weighted source composition to a size budget.
+
+[extension — not in the reference] The last step before training-data
+materialization: given per-source mixing weights (the Pile / Dolma /
+DataComp recipe shape) and a total token/char budget, choose how much
+of each source to keep — *down*-sampling oversized sources and
+*up*-sampling (repeating, bounded) undersized high-value ones — and
+emit the mixed corpus with an ``epoch`` column.
+
+Reproducibility contract (same as :mod:`.sampling`): every decision is
+a pure function of the row key and the per-source totals — no RNG
+state, no partition-order dependence. The fractional part of a
+source's sampling rate keeps rows whose md5 bucket clears a threshold,
+so re-running over a grown corpus keeps previously chosen rows unless
+the rates themselves moved.
+
+Exactness across engines: the per-source rate is held as an INTEGER
+number of bucket-units (``units = target_size * n_buckets //
+available_size``), so full-epoch counts (``units // n_buckets``) and
+the fractional threshold (``units % n_buckets``) involve no float
+comparison anywhere near a row decision — DuckDB/Trino replicate the
+arithmetic bit-for-bit (the q109 oracle does), and the only float step
+(``floor(budget * w / total_w)``) is IEEE-754 double multiply/divide,
+identical in every engine.
+
+Scale shape: one map-side-combined aggregate collapses the corpus to
+one row per source (driver fold bounded by the source vocabulary, like
+the ranking offsets); decisions then apply as a narrow
+broadcast-join + filter + bounded ``explode(sequence)`` — the corpus
+shuffles zero times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.sampling import (
+    DEFAULT_BUCKETS,
+    hash_bucket,
+    hash_bucket_sql,
+)
+
+__all__ = ["mix_plan", "mix_corpus", "mix_report", "mix_units_sql"]
+
+
+def mix_plan(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    weights: dict[str, float],
+    budget: int,
+    max_epochs: int = 4,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> list[tuple[str, int, int, int]]:
+    """Resolve per-source sampling decisions:
+    ``[(source, full_epochs, frac_threshold, available_size), ...]``.
+
+    ``weights`` are relative (normalized internally); sources absent
+    from the map are dropped, weighted sources absent from the data are
+    ignored. A source's target is ``floor(budget * w / total_w)``; its
+    rate in integer bucket-units is ``target * n_buckets // available``
+    capped at ``max_epochs`` epochs (upsampling a tiny source hundreds
+    of times would just clone boilerplate — cap and let the caller
+    re-weight). The driver-side fold is one row per source (bounded
+    vocabulary, same discipline as the ranking offset fold)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("mixing weights must sum to a positive number")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixing weights must be non-negative")
+    avail = {
+        r["s"]: r["sz"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+                   .agg(F.sum(F.col(size_col).cast("bigint")).alias("sz"))
+                   .collect()
+    }
+    plan = []
+    for source, w in weights.items():
+        a = avail.get(source)
+        if not a or a <= 0:
+            continue
+        target = int(float(budget) * w / total_w)  # floor; exact in SQL
+        units = min(target * n_buckets // a, max_epochs * n_buckets)
+        plan.append((source, int(units // n_buckets),
+                     int(units % n_buckets), int(a)))
+    return plan
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    budget: int,
+    salt: str = "",
+    max_epochs: int = 4,
+    n_buckets: int = DEFAULT_BUCKETS,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """The mixed corpus: every input column plus ``epoch`` (0-based).
+
+    A row of source s with rate ``full + frac/n_buckets`` appears in
+    epochs ``0 .. full-1`` unconditionally and in epoch ``full`` iff
+    its salted md5 bucket is below the fractional threshold. Rows of
+    unweighted sources (and sources rated to zero) disappear.
+
+    Plan: broadcast the (tiny) per-source decision table, one filter,
+    one ``explode(sequence(0, copies-1))`` whose fan-out is bounded by
+    ``max_epochs`` — narrow end-to-end; the corpus never shuffles."""
+    plan = mix_plan(df, source_col, size_col, weights, budget,
+                    max_epochs, n_buckets)
+    spark = df.sparkSession
+    if not plan:
+        return (df.withColumn(epoch_col, F.lit(0).cast("bigint"))
+                  .where(F.lit(False)))
+    rates = spark.createDataFrame(
+        [(s, fe, ft) for s, fe, ft, _ in plan],
+        f"`{source_col}` string, _full int, _frac int")
+    copies = (
+        F.col("_full")
+        + F.when(hash_bucket(id_col, n_buckets, salt) < F.col("_frac"),
+                 1).otherwise(0)
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("_copies", copies)
+        .where(F.col("_copies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 (F.col("_copies") - 1).cast("bigint"))))
+        .drop("_full", "_frac", "_copies")
+    )
+
+
+def mix_report(
+    mixed: DataFrame, source_col: str, size_col: str
+) -> DataFrame:
+    """Achieved composition of a :func:`mix_corpus` output: per source,
+    ``n_rows`` (row-epochs), ``n_distinct_rows``, ``achieved_size`` and
+    ``share`` of the emitted total — the audit table you compare
+    against the requested weights. One aggregate + a broadcast total."""
+    per = mixed.groupBy(source_col).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("epoch").alias("n_epochs"),
+        F.sum(F.col(size_col).cast("bigint")).alias("achieved_size"),
+    )
+    total = per.agg(F.sum("achieved_size").alias("_t"))
+    return (per.crossJoin(F.broadcast(total))
+            .withColumn("share",
+                        F.round(F.col("achieved_size") / F.col("_t"), 6))
+            .drop("_t"))
+
+
+def mix_units_sql(
+    source_expr: str,
+    size_sum_expr: str,
+    weights: dict[str, float],
+    budget: int,
+    max_epochs: int = 4,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> str:
+    """ANSI twin of the rate arithmetic in :func:`mix_plan`: a CASE
+    expression yielding the integer bucket-units for ``source_expr``
+    given ``size_sum_expr`` (the source's total size). Used by the
+    oracles; NULL for unweighted sources."""
+    total_w = float(sum(weights.values()))
+    arms = " ".join(
+        f"WHEN {source_expr} = '{s}' THEN least("
+        f"(CAST(floor({float(budget)!r} * {float(w)!r} / {total_w!r}) "
+        f"AS BIGINT) * {n_buckets}) // {size_sum_expr}, "
+        f"{max_epochs * n_buckets})"
+        for s, w in weights.items())
+    return f"CASE {arms} ELSE NULL END"
+
+
+def mix_frac_keep_sql(key_expr: str, frac_expr: str, salt: str = "",
+                      n_buckets: int = DEFAULT_BUCKETS) -> str:
+    """ANSI twin of the fractional-epoch keep decision."""
+    return f"({hash_bucket_sql(key_expr, n_buckets, salt)} < {frac_expr})"

@@ -3552,6 +3552,69 @@ def q105_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.posexplode("centroid").alias("dim", "value"))
 
 
+def _q109_oracle() -> str:
+    from db2pq_spark.operators.mixing import (
+        mix_units_sql, mix_frac_keep_sql)
+
+    units = mix_units_sql("source", "tot", _MIX_WEIGHTS, _MIX_BUDGET,
+                          max_epochs=4)
+    keep = mix_frac_keep_sql("doc_id", "frac", salt=_MIX_SALT)
+    return f"""
+    WITH sz AS (
+      SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, {units} AS units FROM sz
+    ),
+    d AS (
+      SELECT doc_id, dd.source, n_chars,
+             units // 1000000 AS full_e, units % 1000000 AS frac
+      FROM documents dd JOIN u USING (source)
+      WHERE units IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             full_e + CASE WHEN {keep} THEN 1 ELSE 0 END AS copies
+      FROM d
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(unnest(generate_series(CAST(0 AS BIGINT),
+                                       CAST(copies - 1 AS BIGINT)))
+                AS BIGINT) AS epoch
+    FROM c WHERE copies > 0
+    """
+
+
+#: q109 config: src0 heavily over-weighted (exercises integer upsampling
+#: epochs + fractional threshold), src2/src3 under-weighted
+#: (downsampling); absolute budget so each fixture scale lands in a
+#: different regime (sf0.001 hits the max_epochs cap, sf0.1 is pure
+#: downsampling) — all on the same arithmetic.
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 40_000
+_MIX_SALT = "mix1"
+
+
+@query("q109_source_mix", oracle=_q109_oracle())
+def q109_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixing (operators/mixing.py:mix_corpus): Pile /
+    Dolma-style per-source weights resolved against a character budget
+    — oversized sources deterministically downsample, undersized ones
+    repeat for up to 4 epochs (integer bucket-unit rates, so the
+    Spark plan and the SQL oracle agree bit-for-bit). One tiny
+    per-source aggregate; the corpus itself never shuffles — broadcast
+    decision join + md5-threshold filter + bounded explode.
+    [extension]"""
+    from db2pq_spark.operators.mixing import mix_corpus
+
+    mixed = mix_corpus(
+        t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id",
+        _MIX_WEIGHTS, _MIX_BUDGET, salt=_MIX_SALT, max_epochs=4)
+    return mixed.select("doc_id", "source",
+                        F.col("n_chars").cast("bigint").alias("n_chars"),
+                        "epoch")
+
+
 #: The driver's correctness gate checks the FIRST 50 entries of
 #: ``queries()``. Order them explicitly so every SURVEY §2 family AND
 #: every LLM-pipeline operator family has ≥1 representative inside the

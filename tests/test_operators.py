@@ -913,3 +913,83 @@ class TestLabelCentroids:
         plan = label_centroids(df, "embedding", "label") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestMixing:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [(i, f"src{i % 3}", 100) for i in range(30)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long")
+
+    def test_downsample_and_upsample(self, spark, corpus):
+        from db2pq_spark.operators.mixing import mix_corpus, mix_plan
+
+        # src0 avail=1000 chars. target(src0)=3000 -> 3 full epochs;
+        # target(src1)=1000 -> exactly 1 epoch; src2 unweighted -> gone
+        weights = {"src0": 3.0, "src1": 1.0}
+        plan = dict((s, (fe, ft)) for s, fe, ft, _ in
+                    mix_plan(corpus, "source", "n_chars", weights, 4000))
+        assert plan["src0"] == (3, 0)
+        assert plan["src1"] == (1, 0)
+        mixed = mix_corpus(corpus, "source", "n_chars", "doc_id",
+                           weights, 4000).collect()
+        by_src = {}
+        for r in mixed:
+            by_src.setdefault(r["source"], []).append(r["epoch"])
+        assert sorted(set(by_src["src0"])) == [0, 1, 2]
+        assert len(by_src["src0"]) == 30  # 10 docs x 3 epochs
+        assert sorted(set(by_src["src1"])) == [0]
+        assert "src2" not in by_src
+
+    def test_fractional_rate_is_deterministic(self, corpus):
+        from db2pq_spark.operators.mixing import mix_corpus
+
+        # target(src0) = 500 of 1000 avail -> rate 0.5: a strict,
+        # stable subset of docs in epoch 0 only
+        a = sorted(r["doc_id"] for r in mix_corpus(
+            corpus, "source", "n_chars", "doc_id",
+            {"src0": 1.0}, 500).collect())
+        b = sorted(r["doc_id"] for r in mix_corpus(
+            corpus, "source", "n_chars", "doc_id",
+            {"src0": 1.0}, 500).collect())
+        assert a == b
+        assert 0 < len(a) < 10
+
+    def test_max_epochs_cap(self, corpus):
+        from db2pq_spark.operators.mixing import mix_plan
+
+        plan = mix_plan(corpus, "source", "n_chars",
+                        {"src0": 1.0}, 10_000_000, max_epochs=4)
+        assert plan == [("src0", 4, 0, 1000)]
+
+    def test_report_shares(self, corpus):
+        from db2pq_spark.operators.mixing import mix_corpus, mix_report
+
+        mixed = mix_corpus(corpus, "source", "n_chars", "doc_id",
+                           {"src0": 1.0, "src1": 1.0}, 2000)
+        rep = {r["source"]: r for r in
+               mix_report(mixed, "source", "n_chars").collect()}
+        assert rep["src0"]["achieved_size"] == 1000
+        assert abs(rep["src0"]["share"] - 0.5) < 1e-6
+
+    def test_narrow_plan(self, corpus):
+        from db2pq_spark.operators.mixing import mix_corpus
+
+        plan = mix_corpus(corpus, "source", "n_chars", "doc_id",
+                          {"src0": 2.0}, 1500) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # corpus side never shuffles: only the broadcast of the tiny
+        # decision table appears
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 0
+
+    def test_input_validation(self, corpus):
+        from db2pq_spark.operators.mixing import mix_plan
+
+        with pytest.raises(ValueError):
+            mix_plan(corpus, "source", "n_chars", {"src0": 1.0}, 0)
+        with pytest.raises(ValueError):
+            mix_plan(corpus, "source", "n_chars", {"src0": -1.0}, 10)
+        with pytest.raises(ValueError):
+            mix_plan(corpus, "source", "n_chars", {}, 10)
