@@ -180,6 +180,38 @@ def lsh_signature(
     )
 
 
+def _lsh_sigs_udf(num_planes: int, num_tables: int, planes_flat):
+    """Arrow-vectorized LSH signatures: embedding → one bucket key per
+    table, computed as a single NumPy matmul against the stacked
+    ``num_tables × num_planes`` Rademacher plane matrix (the same
+    cached family the expression path derives per-row, so the two
+    implementations agree except on exact-zero dot products — a
+    measure-zero tie either way for an approximate operator). Spark
+    evaluates the expression path's nested lambdas interpreted —
+    dim × planes × tables multiply-adds plus as many xxhash64 calls
+    per row — which dominates the whole ANN pipeline; the kernel does
+    the identical arithmetic at BLAS speed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes_flat, dtype=np.float64)  # (T*planes, dim)
+    wts = 2 ** np.arange(num_planes - 1, -1, -1, dtype=np.int64)
+
+    def sigs(vec: pd.Series) -> pd.Series:
+        n = len(vec)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        B = (V @ P.T) > 0
+        S = (B.reshape(n, -1, num_planes) * wts).sum(
+            axis=2, dtype=np.int64)
+        return pd.Series(list(S))
+
+    sigs.__annotations__ = {"vec": pd.Series, "return": pd.Series}
+    return pandas_udf(sigs, "array<bigint>")
+
+
 def _probe_masks(num_planes: int, probe_radius: int) -> list[int]:
     """XOR masks enumerating all bucket keys within Hamming distance
     ``probe_radius`` of a signature (multi-probe LSH).
@@ -212,6 +244,7 @@ def lsh_bucket_topk(
     num_planes: int = 8,
     num_tables: int = 4,
     probe_radius: int = 2,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent LSH tables of
     ``num_planes`` hyperplanes each; candidates = corpus vectors sharing
@@ -231,7 +264,13 @@ def lsh_bucket_topk(
 
     At 100 TB the corpus signature computation is a single narrow scan;
     the candidate join shuffles on (table, bucket) — cardinality
-    ~corpus × tables, never quadratic."""
+    ~corpus × tables, never quadratic.
+
+    ``impl="arrow"`` (default) computes all table signatures in one
+    Arrow-batched NumPy matmul (see :func:`_lsh_sigs_udf` — the
+    expression path's nested lambdas evaluate interpreted and dominate
+    the pipeline); ``impl="expr"`` keeps the pure-JVM expression for
+    Python-worker-free deployments. Same plane family either way."""
     # All table signatures in ONE array expression (the table index is
     # a lambda variable, so the analyzed tree is table-count-independent
     # — a per-table expression list costs real driver analysis time),
@@ -262,6 +301,16 @@ def lsh_bucket_topk(
 
         return F.transform(
             F.sequence(F.lit(0), F.lit(num_tables - 1)), sig_for)
+
+    if impl == "arrow":
+        planes_flat = []
+        for tbl in range(num_tables):
+            planes_flat += rademacher_planes(
+                corpus.sparkSession, num_planes, dim, seed=tbl)
+        sig_udf = _lsh_sigs_udf(num_planes, num_tables, planes_flat)
+        sig_array = sig_udf  # same call shape: vec column -> array<long>
+    elif impl != "expr":
+        raise ValueError(f"unknown lsh impl {impl!r}")
 
     c_buckets = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
