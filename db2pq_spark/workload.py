@@ -3615,6 +3615,51 @@ def q109_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "epoch")
 
 
+@query(
+    "q110_quantize_embeddings",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, embedding,
+             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(i - 1 AS INT) AS dim,
+           CAST(CASE WHEN scale > 0
+                     THEN round(CAST(embedding[i] AS DOUBLE) / scale, 0)
+                     ELSE 0.0 END AS INT) AS code,
+           round(scale, 9) AS scale_r
+    FROM sc, unnest(generate_series(1, len(embedding))) AS t(i)
+    """,
+)
+def q110_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 embedding quantization
+    (operators/quantize.py) — the 4× storage cut for vector columns at
+    rest, bounded error scale/2 per component. Pure narrow codegen
+    projections, zero shuffles; arithmetic is engine-portable
+    (round-half-away-from-zero on float64), which is exactly what the
+    oracle verifies.
+
+    Gate shape: codes explode to (vec_id, dim, code) scalars (driver
+    canon cannot sort array cells); real users keep the
+    ``array<tinyint>`` + scale columns. [extension]"""
+    from db2pq_spark.operators.quantize import quantize_embeddings
+
+    q = quantize_embeddings(t(spark, sf_dir, "embeddings"), "embedding")
+    return q.select(
+        "vec_id",
+        F.posexplode("qvec").alias("dim", "code"),
+        F.round("qscale", 9).alias("scale_r"),
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"),
+             F.col("code").cast("int").alias("code"), "scale_r")
+
+
 #: The driver's correctness gate checks the FIRST 50 entries of
 #: ``queries()``. Order them explicitly so every SURVEY §2 family AND
 #: every LLM-pipeline operator family has ≥1 representative inside the

@@ -993,3 +993,45 @@ class TestMixing:
             mix_plan(corpus, "source", "n_chars", {"src0": -1.0}, 10)
         with pytest.raises(ValueError):
             mix_plan(corpus, "source", "n_chars", {}, 10)
+
+
+class TestQuantize:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [(1, [1.0, -0.5, 0.25, 0.0]),
+                (2, [0.0, 0.0, 0.0, 0.0]),
+                (3, [127.0, -127.0, 63.5, 1.0]),
+                (4, None)]
+        return spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+
+    def test_roundtrip_error_bound(self, vecs):
+        from db2pq_spark.operators.quantize import (
+            quantize_embeddings, quantization_error)
+
+        q = quantize_embeddings(vecs.where("embedding is not null"),
+                                "embedding")
+        errs = quantization_error(q, "embedding").collect()
+        for r in errs:
+            bound = (r["qscale"] or 0.0) / 2 + 1e-12
+            assert r["abs_err_max"] <= bound, (r["vec_id"], r)
+
+    def test_codes_in_int8_range_and_extremes(self, vecs):
+        from db2pq_spark.operators.quantize import quantize_embeddings
+
+        got = {r["vec_id"]: r for r in
+               quantize_embeddings(vecs, "embedding").collect()}
+        assert got[1]["qvec"][0] == 127          # amax component -> ±127
+        assert got[3]["qvec"][1] == -127
+        assert all(-127 <= c <= 127 for c in got[3]["qvec"])
+        assert got[2]["qvec"] == [0, 0, 0, 0]    # all-zero vector
+        assert got[2]["qscale"] == 0.0
+        assert got[4]["qvec"] is None            # NULL stays NULL
+
+    def test_no_shuffle_no_udf(self, vecs):
+        from db2pq_spark.operators.quantize import quantize_embeddings
+
+        plan = quantize_embeddings(vecs, "embedding") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
