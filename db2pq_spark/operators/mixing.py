@@ -171,11 +171,27 @@ def mix_units_sql(
     given ``size_sum_expr`` (the source's total size). Used by the
     oracles; NULL for unweighted sources."""
     total_w = float(sum(weights.values()))
+    # Two portability traps the property suite guards
+    # (tests/test_properties.py::TestMixingArithmeticProperties):
+    # - plain numeric literals parse as DECIMAL in ANSI engines, and
+    #   BOTH decimal arithmetic AND the decimal→double cast diverge
+    #   from Python's float64 by an ulp (measured: the cast computes
+    #   mantissa/10^scale as a double division, not strtod) — so
+    #   literals are emitted in E-notation, which parses directly as
+    #   DOUBLE via strtod and round-trips repr() exactly;
+    # - the target × n_buckets product can exceed int64 for data-scale
+    #   budgets (Python's bigints are exact) — the multiply runs in
+    #   HUGEINT (int128) and the capped result (≤ max_epochs ×
+    #   n_buckets) casts back losslessly.
+    def dbl(x: float) -> str:
+        r = repr(float(x))
+        return r if ("e" in r or "E" in r) else f"{r}e0"
+
     arms = " ".join(
-        f"WHEN {source_expr} = '{s}' THEN least("
-        f"(CAST(floor({float(budget)!r} * {float(w)!r} / {total_w!r}) "
-        f"AS BIGINT) * {n_buckets}) // {size_sum_expr}, "
-        f"{max_epochs * n_buckets})"
+        f"WHEN {source_expr} = '{s}' THEN CAST(least("
+        f"(CAST(floor({dbl(budget)} * {dbl(w)} / {dbl(total_w)}) "
+        f"AS HUGEINT) * {n_buckets}) // {size_sum_expr}, "
+        f"{max_epochs * n_buckets}) AS BIGINT)"
         for s, w in weights.items())
     return f"CASE {arms} ELSE NULL END"
 

@@ -220,3 +220,57 @@ class TestPgCopyProperties:
         # same wall-clock instant expressed in UTC: converting back to
         # the local zone recovers the naive value
         assert out.astimezone().replace(tzinfo=None) == ts
+
+
+class TestMixingArithmeticProperties:
+    """The corpus-mixing rate arithmetic (operators/mixing.py) claims
+    bit-for-bit engine portability: the integer bucket-unit rate must
+    match what DuckDB computes from the same literal SQL."""
+
+    @given(
+        w=st.floats(min_value=0.01, max_value=100.0,
+                    allow_nan=False, allow_infinity=False),
+        w2=st.floats(min_value=0.01, max_value=1000.0,
+                     allow_nan=False, allow_infinity=False),
+        budget=st.integers(1, 10**12),
+        avail=st.integers(1, 10**12),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_units_match_duckdb(self, w, w2, budget, avail):
+        import duckdb
+
+        from db2pq_spark.operators.mixing import mix_units_sql
+
+        weights = {"s": w, "t": w2}
+        n_buckets, max_epochs = 1_000_000, 4
+        total_w = float(sum(weights.values()))
+        target = int(float(budget) * w / total_w)
+        units_py = min(target * n_buckets // avail,
+                       max_epochs * n_buckets)
+        sql = mix_units_sql("'s'", str(avail), weights, budget,
+                            max_epochs=max_epochs)
+        (units_sql,) = duckdb.sql(f"SELECT {sql}").fetchone()
+        assert units_py == units_sql
+
+    @given(
+        budget=st.integers(1, 10**9),
+        avails=st.lists(st.integers(1, 10**9), min_size=1, max_size=5),
+        ws=st.lists(st.floats(min_value=0.01, max_value=10.0,
+                              allow_nan=False), min_size=1, max_size=5),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_units_invariants(self, budget, avails, ws):
+        n = min(len(avails), len(ws))
+        n_buckets, max_epochs = 1_000_000, 4
+        total_w = sum(ws[:n])
+        for w, avail in zip(ws[:n], avails[:n]):
+            target = int(float(budget) * w / total_w)
+            units = min(target * n_buckets // avail,
+                        max_epochs * n_buckets)
+            assert 0 <= units <= max_epochs * n_buckets
+            full, frac = units // n_buckets, units % n_buckets
+            assert 0 <= full <= max_epochs
+            assert 0 <= frac < n_buckets
+            # a source with avail >= budget can never be upsampled
+            if avail >= budget:
+                assert full <= 1
