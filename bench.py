@@ -81,13 +81,17 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             return
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries that persist intermediates (LSH candidates, staged
-        # ranks) never unpersist them — across 20+ sequential queries
-        # the leaked blocks fill the heap and later queries GC-thrash
-        # (measured: q36 4s → 20s late in a run). Isolate each timing
-        # by dropping cached blocks OUTSIDE the timed region.
-        spark.catalog.clearCache()
+        finally:
+            # queries that persist intermediates (LSH candidates,
+            # staged ranks) never unpersist them — across 20+
+            # sequential queries the leaked blocks fill the heap and
+            # later queries GC-thrash (measured: q36 4s → 20s late in
+            # a run). Isolate each timing by dropping cached blocks
+            # OUTSIDE the timed region — also on failure, which can
+            # leak too.
+            dt_ = time.perf_counter() - t0
+            spark.catalog.clearCache()
+        timings[name] = round(dt_, 3)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # warm the JVM + file cache outside the timed region (all tables the
@@ -97,14 +101,10 @@ def main() -> None:
     # spawn + warm the Python/Arrow worker pool (reused for the whole
     # session — spark.python.worker.reuse) so the first Arrow-kernel
     # query isn't charged the one-time fork/import cost
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
+    from db2pq_spark.functions.arrow import series_pandas_udf
 
     spark.range(32).select(
-        F.pandas_udf(_warm, "long")("id")).count()
+        series_pandas_udf(lambda s: s, "long")("id")).count()
     for tbl in ("orders", "customer", "supplier", "part", "nation",
                 "region", "documents", "embeddings", "events"):
         try:
@@ -156,9 +156,10 @@ def main() -> None:
                 print(f"bench: steady {name} FAILED: {exc}",
                       file=sys.stderr)
                 return
-            dt = time.perf_counter() - t0
+            finally:
+                dt = time.perf_counter() - t0
+                spark.catalog.clearCache()  # isolation, also on failure
             best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()  # same isolation as the cold loop
         steady[name] = round(best, 3)
 
     tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")

@@ -148,7 +148,8 @@ def _minhash_from_hashes_udf(num_hashes: int):
     stream of the slot index: deterministic, no driver randomness."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+
+    from db2pq_spark.functions.arrow import series_pandas_udf
 
     def _mix(z):  # splitmix64 finalizer
         z = (z + np.uint64(0x9E3779B97F4A7C15))
@@ -172,25 +173,24 @@ def _minhash_from_hashes_udf(num_hashes: int):
             out[:] = sentinel
             return pd.Series(list(out.view(np.int64)))
         flat = np.concatenate(arrs).view(np.uint64)
-        offsets = np.zeros(n_rows, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        # reduceat misreads zero-length segments (returns the element
-        # at the offset); clamp the offsets and overwrite those rows
+        # reduceat misreads zero-length segments (it returns — or for a
+        # trailing empty row, STEALS from — the neighboring segment),
+        # so empty rows are excluded from the reduce entirely and get
+        # the sentinel; non-empty rows reduce over exact offsets
         empty = lens == 0
-        safe = np.minimum(offsets, total - 1)
+        ne_lens = lens[~empty]
+        offsets = np.zeros(len(ne_lens), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=offsets[1:])
+        ne_out = np.empty((len(ne_lens), num_hashes), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for j in range(num_hashes):
-                out[:, j] = np.minimum.reduceat(_mix(flat ^ seeds[j]),
-                                                safe)
-        if empty.any():
-            out[empty] = sentinel
+                ne_out[:, j] = np.minimum.reduceat(
+                    _mix(flat ^ seeds[j]), offsets)
+        out[~empty] = ne_out
+        out[empty] = sentinel
         return pd.Series(list(out.view(np.int64)))
 
-    # pandas type hints live in local scope, so pass the eval type
-    # explicitly instead of relying on annotation inference
-    minhash_from_hashes.__annotations__ = {
-        "hs": pd.Series, "return": pd.Series}
-    return pandas_udf(minhash_from_hashes, "array<bigint>")
+    return series_pandas_udf(minhash_from_hashes, "array<bigint>")
 
 
 def minhash_signatures(
@@ -315,6 +315,7 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
@@ -324,7 +325,8 @@ def minhash_dedup(
     ``max_bucket`` are dropped (skew guard — a degenerate band key would
     otherwise create a quadratic reducer)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              impl=impl)
     # The signature relation feeds four plan branches (two sides of the
     # bucket self-join, two sides of the verify join). Without
     # materialization Spark recomputes shingling+hashing per branch —
@@ -361,6 +363,7 @@ def minhash_dedup_incremental(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Which NEW documents near-duplicate an EXISTING corpus —
     (batch_id, corpus_id, jaccard) pairs at ``jaccard >= threshold``.
@@ -391,7 +394,7 @@ def minhash_dedup_incremental(
     silently derail every band key."""
     out, _ = _minhash_dedup_incremental_cached(
         batch, corpus, text_col, id_col, num_hashes, bands,
-        shingle_n, threshold, max_bucket)
+        shingle_n, threshold, max_bucket, impl=impl)
     return out
 
 
@@ -405,6 +408,7 @@ def _minhash_dedup_incremental_cached(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
+    impl: str = "arrow",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """:func:`minhash_dedup_incremental` plus the intermediate persisted
     DataFrames, so repeated callers (the streaming wrapper runs this
@@ -415,7 +419,8 @@ def _minhash_dedup_incremental_cached(
 
     rows_per_band = num_hashes // bands
     bsig = (
-        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n,
+                           impl=impl)
         .withColumnRenamed("id", "batch_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -429,7 +434,7 @@ def _minhash_dedup_incremental_cached(
                 "band keys would be derived from mismatched slices")
     else:
         csig = minhash_signatures(corpus, text_col, id_col,
-                                  num_hashes, shingle_n)
+                                  num_hashes, shingle_n, impl=impl)
 
     entries = _band_key_entries(bands, rows_per_band)
     cbuckets = (csig.select(F.col("id").alias("corpus_id"), entries)

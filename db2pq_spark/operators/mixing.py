@@ -140,15 +140,21 @@ def mix_corpus(
 
 
 def mix_report(
-    mixed: DataFrame, source_col: str, size_col: str
+    mixed: DataFrame, source_col: str, size_col: str, id_col: str,
+    epoch_col: str = "epoch",
 ) -> DataFrame:
     """Achieved composition of a :func:`mix_corpus` output: per source,
-    ``n_rows`` (row-epochs), ``n_distinct_rows``, ``achieved_size`` and
-    ``share`` of the emitted total — the audit table you compare
-    against the requested weights. One aggregate + a broadcast total."""
+    ``n_rows`` (row-epochs emitted), ``n_distinct_rows`` (distinct
+    documents — ``n_rows / n_distinct_rows`` is the achieved
+    duplication factor), ``n_epochs``, ``achieved_size`` (size column
+    summed over emitted row-epochs) and ``share`` of the emitted total
+    — the audit table you compare against the requested weights. One
+    aggregate + a broadcast total. ``epoch_col`` must match the name
+    given to :func:`mix_corpus`."""
     per = mixed.groupBy(source_col).agg(
         F.count("*").alias("n_rows"),
-        F.countDistinct("epoch").alias("n_epochs"),
+        F.countDistinct(id_col).alias("n_distinct_rows"),
+        F.countDistinct(epoch_col).alias("n_epochs"),
         F.sum(F.col(size_col).cast("bigint")).alias("achieved_size"),
     )
     total = per.agg(F.sum("achieved_size").alias("_t"))

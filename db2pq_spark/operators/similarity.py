@@ -193,7 +193,8 @@ def _lsh_sigs_udf(num_planes: int, num_tables: int, planes_flat):
     the identical arithmetic at BLAS speed."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+
+    from db2pq_spark.functions.arrow import series_pandas_udf
 
     P = np.asarray(planes_flat, dtype=np.float64)  # (T*planes, dim)
     wts = 2 ** np.arange(num_planes - 1, -1, -1, dtype=np.int64)
@@ -208,8 +209,7 @@ def _lsh_sigs_udf(num_planes: int, num_tables: int, planes_flat):
             axis=2, dtype=np.int64)
         return pd.Series(list(S))
 
-    sigs.__annotations__ = {"vec": pd.Series, "return": pd.Series}
-    return pandas_udf(sigs, "array<bigint>")
+    return series_pandas_udf(sigs, "array<bigint>")
 
 
 def _probe_masks(num_planes: int, probe_radius: int) -> list[int]:

@@ -969,8 +969,10 @@ class TestMixing:
         mixed = mix_corpus(corpus, "source", "n_chars", "doc_id",
                            {"src0": 1.0, "src1": 1.0}, 2000)
         rep = {r["source"]: r for r in
-               mix_report(mixed, "source", "n_chars").collect()}
+               mix_report(mixed, "source", "n_chars", "doc_id").collect()}
         assert rep["src0"]["achieved_size"] == 1000
+        assert rep["src0"]["n_distinct_rows"] == 10
+        assert rep["src0"]["n_rows"] == 10
         assert abs(rep["src0"]["share"] - 0.5) < 1e-6
 
     def test_narrow_plan(self, corpus):
@@ -1035,3 +1037,25 @@ class TestQuantize:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestMinhashKernelEdges:
+    def test_trailing_empty_array_does_not_corrupt_neighbor(self, spark):
+        """Regression: np.minimum.reduceat with a clamped offset for a
+        trailing zero-length segment STEALS the last element from the
+        preceding row's segment — empty rows must be excluded from the
+        reduce, not clamped."""
+        from db2pq_spark.operators.dedup import _minhash_from_hashes_udf
+
+        udf = _minhash_from_hashes_udf(4)
+        rows = [(1, [11, 22, 33]), (2, []), (3, [11, 22, 33])]
+        df = spark.createDataFrame(rows, "id long, hs array<long>") \
+                  .repartition(1)
+        got = {r["id"]: r["sig"] for r in
+               df.select("id", udf("hs").alias("sig")).collect()}
+        max_long = (1 << 63) - 1
+        # row 2 (empty) gets the sentinel; rows 1 and 3 are identical
+        # inputs and must produce identical signatures even though only
+        # row 1 precedes the empty row
+        assert got[2] == [max_long] * 4
+        assert got[1] == got[3]
