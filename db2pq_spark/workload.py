@@ -3660,6 +3660,40 @@ def q110_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("code").cast("int").alias("code"), "scale_r")
 
 
+def _q111_oracle() -> str:
+    from db2pq_spark.operators.bloom import bloom_member_sql
+
+    member = bloom_member_sql(
+        "doc_id", "SELECT doc_id AS key FROM documents "
+                  "WHERE source IN ('src0', 'src1')",
+        n_bits=1 << 16, k=4, salt="bloom1")
+    return f"""
+    SELECT doc_id, source, {member} AS might_contain
+    FROM documents
+    """
+
+
+@query("q111_bloom_probe", oracle=_q111_oracle())
+def q111_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/bloom.py): build a fixed-size
+    bitmap over the src0/src1 document ids, probe every document.
+    Zero false negatives by construction (asserted in tests); the
+    md5-derived bit positions replay bit-for-bit in the oracle, so
+    even the false POSITIVES match — the filter itself is verified,
+    not just its lower bound. Build is one bounded word-OR aggregate;
+    probe broadcasts the single bitmap row — the 100 TB
+    "shrink the broadcast side" primitive for the incremental dedup /
+    decontamination joins. [extension]"""
+    from db2pq_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = t(spark, sf_dir, "documents")
+    bloom = bloom_build(
+        docs.where(F.col("source").isin("src0", "src1")), "doc_id",
+        n_bits=1 << 16, k=4, salt="bloom1")
+    return bloom_probe(docs, "doc_id", bloom) \
+        .select("doc_id", "source", "might_contain")
+
+
 #: The driver's correctness gate checks the FIRST 50 entries of
 #: ``queries()``. Order them explicitly so every SURVEY §2 family AND
 #: every LLM-pipeline operator family has ≥1 representative inside the

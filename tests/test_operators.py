@@ -1059,3 +1059,59 @@ class TestMinhashKernelEdges:
         # row 1 precedes the empty row
         assert got[2] == [max_long] * 4
         assert got[1] == got[3]
+
+
+class TestBloom:
+    @pytest.fixture(scope="class")
+    def built(self, spark):
+        from db2pq_spark.operators.bloom import bloom_build
+
+        keys = spark.createDataFrame(
+            [(i,) for i in range(0, 200, 2)], "k long")  # evens
+        return bloom_build(keys, "k", n_bits=1 << 12, k=4, salt="t")
+
+    def test_no_false_negatives(self, spark, built):
+        from db2pq_spark.operators.bloom import bloom_probe
+
+        probe = spark.createDataFrame([(i,) for i in range(200)],
+                                      "k long")
+        got = {r["k"]: r["might_contain"] for r in
+               bloom_probe(probe, "k", built).collect()}
+        for i in range(0, 200, 2):
+            assert got[i] is True, f"false negative for member {i}"
+
+    def test_fpr_is_bounded(self, spark, built):
+        from db2pq_spark.operators.bloom import bloom_fpr, bloom_probe
+
+        probe = spark.createDataFrame(
+            [(i,) for i in range(1001, 20001, 2)], "k long")  # non-members
+        fp = sum(r["might_contain"] for r in
+                 bloom_probe(probe, "k", built).collect())
+        expected = bloom_fpr(100, 1 << 12, 4)
+        # generous 3x margin over the analytic rate
+        assert fp / 9500 < max(3 * expected, 0.02), (fp, expected)
+
+    def test_bitmap_is_fixed_size(self, built):
+        row = built.head()
+        assert len(row["bitmap"]) == (1 << 12) // 64
+        assert row["n_bits"] == 1 << 12 and row["k"] == 4
+
+    def test_probe_never_shuffles(self, spark, built):
+        from db2pq_spark.operators.bloom import bloom_probe
+
+        probe = spark.createDataFrame([(1,)], "k long")
+        plan = bloom_probe(probe, "k", built) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # probe side: broadcast of the one-row bitmap only
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        pr = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in pr
+
+    def test_validation(self, spark):
+        from db2pq_spark.operators.bloom import bloom_build
+
+        keys = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            bloom_build(keys, "k", n_bits=100)   # not a multiple of 64
+        with pytest.raises(ValueError):
+            bloom_build(keys, "k", k=0)
