@@ -295,15 +295,20 @@ def _bucket_pairs(
 
 def _band_key_entries(bands: int, rows_per_band: int) -> Column:
     """Exploded (band, key) LSH band entries derived from a ``sig``
-    column: key = xxhash64 of the band's signature slice."""
-    return F.explode(F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
-             .alias("key"),
-        )
-        for b in range(bands)
-    ])).alias("bk")
+    column: key = xxhash64 of the band's signature slice.
+
+    The band index is a lambda variable, not an unrolled per-band
+    expression list — the analyzed/generated tree is constant-size in
+    ``bands`` (32 unrolled xxhash64(slice) branches cost real one-time
+    janino compilation; the per-row slice work is identical either
+    way, verified key-for-key)."""
+    return F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice("sig", b * rows_per_band + 1,
+                               rows_per_band)).alias("key")),
+    )).alias("bk")
 
 
 def minhash_dedup(
