@@ -195,3 +195,69 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
           .otherwise(F.lit("es"))).alias("lang_pred"),
         F.md5(F.encode(F.concat_ws(" ", toks), "UTF-8")).alias("fingerprint"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str, id_col: str,
+    reference: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality signal, relationally: per
+    document, the mean unigram surprisal ``-log2 p(token)`` under the
+    corpus's own (or a ``reference`` corpus's) unigram distribution —
+    low = repetitive/boilerplate-like, high = rare-token-heavy/noisy;
+    the standard band filter keeps the middle.
+
+    Returns ``(id, n_tokens, sum_surprisal, mean_surprisal)`` —
+    ``sum_surprisal`` is the exact DECIMAL accumulation (the
+    engine-portable value the oracle hash-compares; a rounded double
+    mean sits on rounding boundaries an ulp apart across engines),
+    ``mean_surprisal`` the double convenience for band filters.
+
+    Plan shape (the vocab pattern from :mod:`.vocab` / BM25): one
+    explode → map-side-combined token-count aggregate (collapses to
+    the zipf-bounded vocabulary), a scalar total via one more tiny
+    aggregate, then the exploded tokens hash-join the (AQE-broadcast)
+    probability relation and re-aggregate per document. The corpus
+    pays one explode and one doc-keyed shuffle; nothing is ever
+    quadratic and the vocabulary never visits the driver.
+
+    Exactness discipline: per-token surprisal is rounded to
+    ``round_digits`` and accumulated as DECIMAL (the q105 pattern), so
+    the per-document sum is order-independent and engines agree
+    bit-for-bit wherever their ``log2`` doubles agree.
+
+    Smoothing: when scoring against a separate ``reference``, unseen
+    tokens get add-one probability ``1/(N+1)`` (self-scoring has no
+    OOV)."""
+    toked = df.select(F.col(id_col).alias("id"),
+                      tokens(text_col).alias("_toks"))
+    exploded = toked.select("id", F.explode("_toks").alias("tok"))
+    ref = reference if reference is not None else df
+    rtoks = (ref.select(F.explode(tokens(text_col)).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("c")))
+    totals = rtoks.agg(F.sum("c").alias("n_ref"))
+    probs = rtoks.crossJoin(F.broadcast(totals))
+    surprise = F.round(
+        -F.log2(F.col("c") / F.col("n_ref")), round_digits
+    ).cast("decimal(28,10)")
+    probs = probs.select("tok", surprise.alias("s"), "n_ref")
+    joined = (exploded.join(probs, "tok", "left")
+              .join(F.broadcast(totals.select(
+                  F.col("n_ref").alias("_nr"))), how="cross")
+              .select("id", F.coalesce(
+                  F.col("s"),
+                  F.round(F.log2(F.col("_nr") + 1), round_digits)
+                   .cast("decimal(28,10)")).alias("s")))
+    return (joined.groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("s").alias("_sum"))
+            .select(F.col("id"), F.col("n_tokens").cast("bigint")
+                    .alias("n_tokens"),
+                    F.col("_sum").cast("decimal(38,10)")
+                     .alias("sum_surprisal"),
+                    # double mean for humans/filters; NOT the value the
+                    # oracle compares (round-on-double differs by an
+                    # ulp across engines at exact .5 expansions)
+                    (F.col("_sum").cast("double") / F.col("n_tokens"))
+                     .alias("mean_surprisal")))

@@ -3694,6 +3694,52 @@ def q111_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "might_contain")
 
 
+@query(
+    "q112_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok FROM toks
+    ),
+    vocab AS (
+      SELECT tok, COUNT(*) AS c FROM e GROUP BY tok
+    ),
+    tot AS (SELECT SUM(c) AS n_ref FROM vocab),
+    s AS (
+      SELECT tok,
+             CAST(round(-log2(CAST(c AS DOUBLE)
+                              / CAST(n_ref AS DOUBLE)), 6)
+                  AS DECIMAL(28,10)) AS s
+      FROM vocab, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS DECIMAL(38,10)) AS sum_surprisal
+    FROM e JOIN s USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q112_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal
+    (operators/textstats.py:unigram_surprisal): mean per-token
+    ``-log2 p`` under the corpus's own unigram distribution — the
+    relational form of perplexity-band filtering. One explode + one
+    vocabulary aggregate + an AQE-broadcast probability join + one
+    doc-keyed re-aggregate; per-token surprisals are rounded then
+    DECIMAL-accumulated so the sum is order-independent and the DuckDB
+    oracle replays it exactly (the gate compares the exact decimal
+    SUM — a rounded double mean sits on rounding boundaries an ulp
+    apart across engines; users read ``mean_surprisal``). [extension]"""
+    from db2pq_spark.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(
+        t(spark, sf_dir, "documents"), "text", "doc_id") \
+        .withColumnRenamed("id", "doc_id") \
+        .select("doc_id", "n_tokens", "sum_surprisal")
+
+
 #: The driver's correctness gate checks the FIRST 50 entries of
 #: ``queries()``. Order them explicitly so every SURVEY §2 family AND
 #: every LLM-pipeline operator family has ≥1 representative inside the

@@ -1115,3 +1115,41 @@ class TestBloom:
             bloom_build(keys, "k", n_bits=100)   # not a multiple of 64
         with pytest.raises(ValueError):
             bloom_build(keys, "k", k=0)
+
+
+class TestUnigramSurprisal:
+    def test_uniform_corpus(self, spark):
+        from db2pq_spark.operators.textstats import unigram_surprisal
+
+        # 4 tokens, each appearing once -> p = 1/4, surprisal = 2 bits
+        df = spark.createDataFrame(
+            [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string")
+        got = {r["id"]: r for r in
+               unigram_surprisal(df, "text", "doc_id").collect()}
+        for i in (1, 2):
+            assert got[i]["n_tokens"] == 2
+            assert abs(got[i]["mean_surprisal"] - 2.0) < 1e-9
+
+    def test_frequent_tokens_are_less_surprising(self, spark):
+        from db2pq_spark.operators.textstats import unigram_surprisal
+
+        df = spark.createDataFrame(
+            [(1, "the the the the"), (2, "rare")],
+            "doc_id long, text string")
+        got = {r["id"]: r["mean_surprisal"] for r in
+               unigram_surprisal(df, "text", "doc_id").collect()}
+        assert got[1] < got[2]
+
+    def test_reference_corpus_with_oov(self, spark):
+        from db2pq_spark.operators.textstats import unigram_surprisal
+
+        ref = spark.createDataFrame([(10, "aa aa bb cc")],
+                                    "doc_id long, text string")
+        batch = spark.createDataFrame([(1, "aa zz")],
+                                      "doc_id long, text string")
+        import math
+        (row,) = unigram_surprisal(batch, "text", "doc_id",
+                                   reference=ref).collect()
+        # aa: -log2(2/4) = 1; zz unseen: add-one log2(N+1) = log2(5)
+        expect = (1.0 + math.log2(5)) / 2
+        assert abs(row["mean_surprisal"] - expect) < 1e-5
