@@ -73,6 +73,17 @@ SHOWCASE = {
                             "pair materialization, never quadratic",
     "q103_vocab_encode": "vocab join broadcasts (AQE-sized); encode "
                          "reassembles docs with one doc-keyed shuffle",
+    "q109_source_mix": "corpus mixing: per-source aggregate + "
+                       "broadcast decision join + bounded explode — "
+                       "the corpus never shuffles",
+    "q111_bloom_probe": "bloom probe: the one-row bitmap broadcasts; "
+                        "the probe side is a narrow projection, no "
+                        "Exchange on either side of the membership "
+                        "check",
+    "q112_unigram_surprisal": "LM surprisal: explode → zipf-bounded "
+                              "vocabulary aggregate → AQE-broadcast "
+                              "probability join → one doc-keyed "
+                              "re-aggregate",
     "q36_minhash_dedup": "MinHash-LSH: signatures materialize once "
                          "(persist) through one Arrow-batched kernel "
                          "(ArrowEvalPython — the only Python stage); "
