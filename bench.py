@@ -189,6 +189,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "steady_state": steady,
+        # headline twin of "value" without one-time codegen/analysis
+        # noise: sum of the min-of-2 steady timings — the number that
+        # tracks real per-query throughput across rounds
+        "steady_total": round(sum(steady.values()), 3),
         "sf": sf,
     }
     if errors:
