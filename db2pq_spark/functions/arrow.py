@@ -17,7 +17,9 @@ from __future__ import annotations
 def series_pandas_udf(fn, return_type: str):
     """Wrap a ``pd.Series -> pd.Series`` kernel as a scalar pandas UDF
     of ``return_type``, immune to PEP 563 string annotations (see
-    module docstring)."""
+    module docstring). Mutates ``fn.__annotations__`` in place — pass
+    a dedicated kernel function or lambda, not one shared with other
+    callers."""
     import inspect
 
     import pandas as pd

@@ -104,12 +104,11 @@ def bloom_probe(
     n_bits, k, salt = row[0]["n_bits"], row[0]["k"], row[0]["salt"]
     probed = df.join(F.broadcast(
         bloom.select("bitmap")), how="cross")
-    for j, p in enumerate(_positions(key, n_bits, k, salt)):
-        probed = probed.withColumn(f"__bp{j}", p)
     cond = F.lit(True)
-    for j in range(k):
+    for j, p in enumerate(_positions(key, n_bits, k, salt)):
         # per-row shift count needs the SQL form (F.shiftleft takes
-        # only a literal count)
+        # only a literal count), hence the named position column
+        probed = probed.withColumn(f"__bp{j}", p)
         bit = F.expr(
             f"element_at(bitmap, CAST(__bp{j} / 64 AS INT) + 1) & "
             f"shiftleft(CAST(1 AS BIGINT), CAST(__bp{j} % 64 AS INT))")

@@ -41,7 +41,8 @@ from db2pq_spark.operators.sampling import (
     hash_bucket_sql,
 )
 
-__all__ = ["mix_plan", "mix_corpus", "mix_report", "mix_units_sql"]
+__all__ = ["mix_plan", "mix_corpus", "mix_report", "mix_units_sql",
+           "mix_frac_keep_sql"]
 
 
 def mix_plan(
