@@ -3740,6 +3740,82 @@ def q112_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "sum_surprisal")
 
 
+def _q113_oracle() -> str:
+    from db2pq_spark.operators.mixing import (
+        mix_frac_keep_sql, mix_units_sql)
+
+    units = mix_units_sql("source", "tot", _PIPE_WEIGHTS, _PIPE_BUDGET,
+                          max_epochs=4)
+    keep = mix_frac_keep_sql("doc_id", "frac", salt=_PIPE_SALT)
+    return f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5({_NORM})
+    ),
+    filt AS (
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM documents d JOIN keepers USING (doc_id)
+      WHERE d.n_chars BETWEEN 150 AND 450
+    ),
+    sz AS (
+      SELECT source, SUM(n_chars) AS tot FROM filt GROUP BY source
+    ),
+    u AS (SELECT source, {units} AS units FROM sz),
+    d AS (
+      SELECT doc_id, ff.source, n_chars,
+             units // 1000000 AS full_e, units % 1000000 AS frac
+      FROM filt ff JOIN u USING (source)
+      WHERE units IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             full_e + CASE WHEN {keep} THEN 1 ELSE 0 END AS copies
+      FROM d
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(unnest(generate_series(CAST(0 AS BIGINT),
+                                       CAST(copies - 1 AS BIGINT)))
+                AS BIGINT) AS epoch
+    FROM c WHERE copies > 0
+    """
+
+
+#: q113 pipeline config: dedup → quality band → mix (src0 upsampled,
+#: src1/src2 near- or below-parity); absolute budget, same regime
+#: spread across fixture scales as q109.
+_PIPE_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+_PIPE_BUDGET = 20_000
+_PIPE_SALT = "pipe1"
+
+
+@query("q113_training_pipeline", oracle=_q113_oracle())
+def q113_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-prep composition — the operators chained
+    the way a real corpus build runs them: exact dedup (keep the min
+    id per normalized content), a quality band filter (n_chars in
+    [150, 450]), then weighted source mixing to a character budget
+    (operators/dedup.py:exact_dedup + operators/mixing.py:mix_corpus).
+    Every stage stays narrow or key-shuffled: dedup is one content-hash
+    aggregate + a semi join, the filter folds into the scan, mixing is
+    a broadcast decision join — nothing quadratic, nothing
+    driver-bound. One exact oracle hash-verifies the whole chain, not
+    just the stages in isolation. [extension]"""
+    from db2pq_spark.operators.dedup import exact_dedup
+    from db2pq_spark.operators.mixing import mix_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs, "text", "doc_id") \
+        .select(F.col("keep_id").alias("doc_id"))
+    filtered = (docs.join(keepers, "doc_id", "left_semi")
+                .where(F.col("n_chars").between(150, 450)))
+    mixed = mix_corpus(filtered, "source", "n_chars", "doc_id",
+                       _PIPE_WEIGHTS, _PIPE_BUDGET, salt=_PIPE_SALT,
+                       max_epochs=4)
+    return mixed.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"), "epoch")
+
+
 #: The driver's correctness gate checks the FIRST 50 entries of
 #: ``queries()``. Order them explicitly so every SURVEY §2 family AND
 #: every LLM-pipeline operator family has ≥1 representative inside the
