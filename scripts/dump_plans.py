@@ -73,6 +73,11 @@ SHOWCASE = {
                             "pair materialization, never quadratic",
     "q103_vocab_encode": "vocab join broadcasts (AQE-sized); encode "
                          "reassembles docs with one doc-keyed shuffle",
+    "q113_training_pipeline": "composed corpus build (dedup → quality "
+                              "band → mix): content-hash aggregate + "
+                              "semi join, filter folded into the scan, "
+                              "broadcast decision join — one plan, "
+                              "nothing quadratic or driver-bound",
     "q109_source_mix": "corpus mixing: per-source aggregate + "
                        "broadcast decision join + bounded explode — "
                        "the corpus never shuffles",
