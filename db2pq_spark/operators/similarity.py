@@ -533,3 +533,39 @@ def label_centroids(df: DataFrame, vec_col: str, label_col: str,
                 F.transform("_o", lambda s: F.round(s["_m"], out_scale))
                  .alias("centroid"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **neardup_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, re-expressed relationally): embedding-cosine
+    near-duplicate pairs (:func:`embedding_neardup_pairs` — LSH
+    buckets, never all-pairs) → connected components → one keeper per
+    cluster (the minimum id).
+
+    Returns ``(id_col, cluster, is_kept)`` for EVERY corpus row —
+    singletons are their own kept cluster. Filter ``is_kept`` to
+    materialize the deduplicated corpus; keep the cluster column when
+    you want the duplicate groups for auditing.
+
+    Scale: pair generation is bucket-bounded (``max_bucket`` skew
+    guard), the hash-min component iteration touches only the
+    near-dup subgraph (tiny relative to the corpus at any sane
+    threshold), and the final labeling is one left join — the corpus
+    itself never shuffles beyond that join."""
+    from db2pq_spark.operators.components import connected_components
+
+    pairs = embedding_neardup_pairs(
+        corpus, threshold, id_col, vec_col, **neardup_kwargs)
+    comp = connected_components(pairs)
+    labeled = corpus.select(F.col(id_col)).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left")
+    cluster = F.coalesce("comp", F.col(id_col))
+    return labeled.select(
+        F.col(id_col), cluster.alias("cluster"),
+        (cluster == F.col(id_col)).alias("is_kept"))

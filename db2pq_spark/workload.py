@@ -3816,6 +3816,53 @@ def q113_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"), "epoch")
 
 
+@query(
+    "q114_semantic_dedup",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id FROM embeddings WHERE vec_id < 20
+    ),
+    members AS (
+      SELECT vec_id + s.s AS vec_id, vec_id AS cluster
+      FROM planted, (VALUES (0), (1000000), (2000000)) s(s)
+    )
+    SELECT e.vec_id,
+           COALESCE(m.cluster, e.vec_id) AS cluster,
+           COALESCE(m.cluster, e.vec_id) = e.vec_id AS is_kept
+    FROM (SELECT vec_id FROM embeddings
+          UNION ALL
+          SELECT vec_id + s.s FROM planted,
+                 (VALUES (1000000), (2000000)) s(s)) e
+    LEFT JOIN members m USING (vec_id)
+    """,
+)
+def q114_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup
+    (operators/similarity.py:semantic_dedup, after arXiv:2303.09540):
+    embedding near-dup pairs → connected components → one keeper per
+    cluster, every corpus row labeled.
+
+    Fixture augmentation mirrors q39: the random embeddings have no
+    true near-dups, so each of the first 20 vectors gets TWO scaled
+    clones (cosine exactly 1.0 — parallel vectors share every
+    hyperplane sign, so recall is structural). The oracle derives the
+    component fixpoint in closed form: each planted triple clusters to
+    its base id, everything else is its own kept singleton.
+    [extension]"""
+    from db2pq_spark.operators.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    planted = emb
+    for shift, scale in ((1_000_000, 1.25), (2_000_000, 0.8)):
+        planted = planted.unionByName(
+            emb.filter(F.col("vec_id") < 20)
+            .select((F.col("vec_id") + shift).alias("vec_id"),
+                    F.transform("embedding",
+                                lambda x: x * F.lit(scale))
+                     .alias("embedding"), "label"))
+    return semantic_dedup(planted, threshold=0.999)
+
+
 #: The driver's correctness gate checks the FIRST 50 entries of
 #: ``queries()``. Order them explicitly so every SURVEY §2 family AND
 #: every LLM-pipeline operator family has ≥1 representative inside the

@@ -1153,3 +1153,30 @@ class TestUnigramSurprisal:
         # aa: -log2(2/4) = 1; zz unseen: add-one log2(N+1) = log2(5)
         expect = (1.0 + math.log2(5)) / 2
         assert abs(row["mean_surprisal"] - expect) < 1e-5
+
+
+class TestSemanticDedup:
+    def test_clusters_and_keepers(self, spark):
+        from db2pq_spark.operators.similarity import semantic_dedup
+
+        # 1 & 2 parallel (cos 1.0); 3 orthogonal singleton
+        rows = [(1, [1.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0]),
+                (3, [0.0, 1.0, 0.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r for r in
+               semantic_dedup(df, threshold=0.999, dim=3).collect()}
+        assert got[1]["cluster"] == 1 and got[1]["is_kept"] is True
+        assert got[2]["cluster"] == 1 and got[2]["is_kept"] is False
+        assert got[3]["cluster"] == 3 and got[3]["is_kept"] is True
+
+    def test_kept_filter_is_a_dedup(self, spark):
+        from db2pq_spark.operators.similarity import semantic_dedup
+
+        rows = [(i, [float(i % 2), 1.0 - (i % 2), 0.0]) for i in range(6)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        kept = [r["vec_id"] for r in
+                semantic_dedup(df, threshold=0.999, dim=3)
+                .where("is_kept").collect()]
+        assert sorted(kept) == [0, 1]  # one keeper per direction
