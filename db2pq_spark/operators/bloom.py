@@ -98,10 +98,24 @@ def bloom_probe(
     probe side never shuffles. Parameters (n_bits, k, salt) ride in
     the bloom row itself, so a persisted filter can't silently be
     probed with mismatched hashing."""
-    row = bloom.head(1)
-    if not row:
+    rows = bloom.head(2)
+    if not rows:
         raise ValueError("bloom relation is empty")
-    n_bits, k, salt = row[0]["n_bits"], row[0]["k"], row[0]["salt"]
+    if len(rows) > 1:
+        # >1 row would CROSS-JOIN and silently multiply every probe row
+        # (e.g. an accidental union of two builds, or a raw relation
+        # passed by mistake)
+        raise ValueError(
+            "bloom relation must be exactly one bloom_build() row, "
+            "got >= 2 rows — refusing to cross-join a multi-row "
+            "relation into the probe side")
+    n_bits, k, salt = rows[0]["n_bits"], rows[0]["k"], rows[0]["salt"]
+    clash = [c for c in df.columns
+             if c == "bitmap" or c.startswith("__bp")]
+    if clash:
+        raise ValueError(
+            f"probe DataFrame already has column(s) {clash} which "
+            "bloom_probe uses internally — rename them before probing")
     probed = df.join(F.broadcast(
         bloom.select("bitmap")), how="cross")
     cond = F.lit(True)

@@ -231,13 +231,17 @@ def minhash_signatures(
     The two families produce different signature VALUES but the same
     statistical guarantees; band-collision recall bounds (q36 gate
     docstring) hold for either. Never mix implementations across a
-    precomputed-signature corpus and an increment."""
+    precomputed-signature corpus and an increment — the output carries
+    a ``_sig_impl`` stamp column and the incremental entry points
+    ENFORCE it (a corpus persisted under ``fold`` band-matches nothing
+    against an ``arrow``-signed batch, silently returning zero dups)."""
     base = with_shingles(df, text_col, id_col, shingle_n)
+    stamp = F.lit(impl).alias("_sig_impl")
 
     if impl == "arrow":
         hs = F.transform("shingles", lambda s: F.xxhash64(s))
         sig = _minhash_from_hashes_udf(num_hashes)(hs).alias("sig")
-        return base.select("id", "shingles", sig)
+        return base.select("id", "shingles", sig, stamp)
     if impl != "fold":
         raise ValueError(f"unknown minhash impl {impl!r}")
 
@@ -252,7 +256,7 @@ def minhash_signatures(
             lambda x, y: F.least(x, y),
         ),
     ).alias("sig")
-    return base.select("id", "shingles", sig)
+    return base.select("id", "shingles", sig, stamp)
 
 
 def _bucket_pairs(
@@ -431,12 +435,36 @@ def _minhash_dedup_incremental_cached(
     )
     if {"id", "shingles", "sig"}.issubset(set(corpus.columns)):
         csig = corpus  # precomputed signature relation
-        head = csig.select(F.size("sig").alias("n")).head(1)
+        has_stamp = "_sig_impl" in csig.columns
+        probe = [F.size("sig").alias("n")]
+        if has_stamp:
+            probe.append(F.col("_sig_impl").alias("si"))
+        head = csig.select(*probe).head(1)
         if head and head[0]["n"] != num_hashes:
             raise ValueError(
                 f"precomputed corpus signatures carry {head[0]['n']} "
                 f"minhashes but num_hashes={num_hashes} was requested — "
                 "band keys would be derived from mismatched slices")
+        # signature VALUES differ between impls (arrow: splitmix64 mix,
+        # fold: xxhash64(h, j)) — a mixed corpus/batch pair band-matches
+        # NOTHING and silently reports zero duplicates, so the stamp is
+        # enforced, not just documented
+        if head and has_stamp and head[0]["si"] != impl:
+            raise ValueError(
+                f"precomputed corpus signatures were built with "
+                f"impl={head[0]['si']!r} but the batch would be signed "
+                f"with impl={impl!r} — mixed implementations share no "
+                "band keys and would silently match zero duplicates; "
+                f"pass impl={head[0]['si']!r}")
+        if not has_stamp:
+            import warnings
+
+            warnings.warn(
+                "precomputed corpus signatures carry no _sig_impl stamp "
+                f"(pre-round-6 relation?) — assuming impl={impl!r}; "
+                "re-persist via minhash_signatures() to make the "
+                "implementation mismatch check effective",
+                stacklevel=3)
     else:
         csig = minhash_signatures(corpus, text_col, id_col,
                                   num_hashes, shingle_n, impl=impl)

@@ -194,10 +194,15 @@ def mix_units_sql(
         r = repr(float(x))
         return r if ("e" in r or "E" in r) else f"{r}e0"
 
+    # source names come from data/metadata — escape single quotes so a
+    # quoted (or malicious) name can't break out of the SQL literal,
+    # and parenthesize the // denominator so a compound size_sum_expr
+    # keeps its intended precedence
     arms = " ".join(
-        f"WHEN {source_expr} = '{s}' THEN CAST(least("
+        f"WHEN {source_expr} = '{s.replace(chr(39), chr(39) * 2)}' "
+        f"THEN CAST(least("
         f"(CAST(floor({dbl(budget)} * {dbl(w)} / {dbl(total_w)}) "
-        f"AS HUGEINT) * {n_buckets}) // {size_sum_expr}, "
+        f"AS HUGEINT) * {n_buckets}) // ({size_sum_expr}), "
         f"{max_epochs * n_buckets}) AS BIGINT)"
         for s, w in weights.items())
     return f"CASE {arms} ELSE NULL END"

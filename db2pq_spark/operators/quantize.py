@@ -40,7 +40,11 @@ def quantize_embeddings(
     ``code * scale`` (:func:`dequantize`), component error ≤ scale/2."""
     vec = F.col(vec_col)
     amax = _amax(vec)
-    scale = F.when(amax > 0, amax / F.lit(float(_QMAX))) \
+    # NULL vector ⇒ NULL scale (guarded first — amax over NULL is NULL,
+    # which would otherwise fall through when() to the 0.0 arm and make
+    # a NULL vector indistinguishable from an all-zero one by scale)
+    scale = F.when(vec.isNull(), F.lit(None).cast("double")) \
+             .when(amax > 0, amax / F.lit(float(_QMAX))) \
              .otherwise(F.lit(0.0))
     codes = F.transform(
         vec,

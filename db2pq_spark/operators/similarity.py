@@ -184,9 +184,14 @@ def _lsh_sigs_udf(num_planes: int, num_tables: int, planes_flat):
     """Arrow-vectorized LSH signatures: embedding → one bucket key per
     table, computed as a single NumPy matmul against the stacked
     ``num_tables × num_planes`` Rademacher plane matrix (the same
-    cached family the expression path derives per-row, so the two
-    implementations agree except on exact-zero dot products — a
-    measure-zero tie either way for an approximate operator). Spark
+    cached plane family the expression path derives per-row). The two
+    implementations compute the same mathematical dot products, but
+    BLAS sums in a different floating-point ORDER than the sequential
+    expression fold, so a dot product near zero can round to opposite
+    signs and flip that bit's bucket key — bucket contents may differ
+    slightly between impls (fine for an approximate operator whose
+    candidates are exactly re-ranked, but don't compare bucket keys
+    across impls, and re-measure recall when switching). Spark
     evaluates the expression path's nested lambdas interpreted —
     dim × planes × tables multiply-adds plus as many xxhash64 calls
     per row — which dominates the whole ANN pipeline; the kernel does
@@ -302,6 +307,20 @@ def lsh_bucket_topk(
         return F.transform(
             F.sequence(F.lit(0), F.lit(num_tables - 1)), sig_for)
 
+    if impl == "arrow":
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+        except ImportError as e:
+            import warnings
+
+            warnings.warn(
+                f"impl='arrow' needs numpy/pandas/pyarrow ({e}); "
+                "falling back to the pure-JVM expression path "
+                "(bucket contents may differ slightly — FP summation "
+                "order, see docstring)", stacklevel=2)
+            impl = "expr"
     if impl == "arrow":
         planes_flat = []
         for tbl in range(num_tables):

@@ -134,6 +134,45 @@ class TestIncrementalDedup:
             minhash_dedup_incremental(batch, csig32, "text", "doc_id",
                                       num_hashes=64)
 
+    def test_mismatched_precomputed_signature_impl_raises(self, docs):
+        # arrow and fold signatures share no band keys — a corpus
+        # persisted under fold probed by an arrow batch would silently
+        # report zero duplicates; the _sig_impl stamp must fail loudly
+        from db2pq_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+
+        batch = docs.filter(F.col("doc_id") == 1)
+        corpus = docs.filter(F.col("doc_id") != 1)
+        csig_fold = minhash_signatures(corpus, "text", "doc_id",
+                                       impl="fold")
+        assert "_sig_impl" in csig_fold.columns
+        with pytest.raises(ValueError, match="impl='fold'"):
+            minhash_dedup_incremental(batch, csig_fold, "text", "doc_id",
+                                      impl="arrow")
+        # matching impl passes through
+        assert minhash_dedup_incremental(
+            batch, csig_fold, "text", "doc_id", impl="fold",
+            threshold=0.5).count() > 0
+
+    def test_unstamped_precomputed_signatures_warn(self, docs):
+        import warnings as _w
+
+        from db2pq_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+
+        batch = docs.filter(F.col("doc_id") == 1)
+        corpus = docs.filter(F.col("doc_id") != 1)
+        legacy = minhash_signatures(corpus, "text", "doc_id") \
+            .drop("_sig_impl")  # pre-round-6 persisted relation
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            minhash_dedup_incremental(batch, legacy, "text", "doc_id")
+        assert any("_sig_impl" in str(c.message) for c in caught)
+
 
 class TestSimhash:
     def test_exact_dups_hamming_zero(self, docs):
@@ -1029,6 +1068,8 @@ class TestQuantize:
         assert got[2]["qvec"] == [0, 0, 0, 0]    # all-zero vector
         assert got[2]["qscale"] == 0.0
         assert got[4]["qvec"] is None            # NULL stays NULL
+        # NULL vector => NULL scale too (distinguishable from all-zero)
+        assert got[4]["qscale"] is None
 
     def test_no_shuffle_no_udf(self, vecs):
         from db2pq_spark.operators.quantize import quantize_embeddings
@@ -1115,6 +1156,25 @@ class TestBloom:
             bloom_build(keys, "k", n_bits=100)   # not a multiple of 64
         with pytest.raises(ValueError):
             bloom_build(keys, "k", k=0)
+
+    def test_multi_row_bloom_refused(self, spark, built):
+        # a union of two builds would cross-join and silently multiply
+        # every probe row — must fail loudly
+        from db2pq_spark.operators.bloom import bloom_probe
+
+        probe = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="exactly one"):
+            bloom_probe(probe, "k", built.union(built))
+
+    def test_probe_column_collision_refused(self, spark, built):
+        from db2pq_spark.operators.bloom import bloom_probe
+
+        probe = spark.createDataFrame([(1, 2)], "k long, bitmap long")
+        with pytest.raises(ValueError, match="bitmap"):
+            bloom_probe(probe, "k", built)
+        probe2 = spark.createDataFrame([(1, 2)], "k long, __bp0 long")
+        with pytest.raises(ValueError, match="__bp0"):
+            bloom_probe(probe2, "k", built)
 
 
 class TestUnigramSurprisal:

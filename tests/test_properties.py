@@ -252,6 +252,29 @@ class TestMixingArithmeticProperties:
         (units_sql,) = duckdb.sql(f"SELECT {sql}").fetchone()
         assert units_py == units_sql
 
+    def test_quoted_source_name_is_escaped(self):
+        # a source named with an embedded quote must not break (or
+        # alter) the generated SQL
+        import duckdb
+
+        from db2pq_spark.operators.mixing import mix_units_sql
+
+        weights = {"o'reilly": 1.0, "plain": 1.0}
+        sql = mix_units_sql("'o''reilly'", "100", weights, 100)
+        (units,) = duckdb.sql(f"SELECT {sql}").fetchone()
+        assert units == 500_000  # target 50 * 1e6 buckets // 100
+
+    def test_compound_size_expr_precedence(self):
+        # size_sum_expr may be compound (e.g. "a + b"); the //
+        # denominator must parenthesize it
+        import duckdb
+
+        from db2pq_spark.operators.mixing import mix_units_sql
+
+        sql = mix_units_sql("'s'", "60 + 40", {"s": 1.0}, 100)
+        (units,) = duckdb.sql(f"SELECT {sql}").fetchone()
+        assert units == 1_000_000  # 100*1e6 // 100, NOT 60 + 40*...
+
     @given(
         budget=st.integers(1, 10**9),
         avails=st.lists(st.integers(1, 10**9), min_size=1, max_size=5),
