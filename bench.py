@@ -35,6 +35,10 @@ _EXTENSION = (
     "q36_minhash_dedup", "q38_lsh_similarity",
     "q94_range_join", "q95_validation", "q96_bm25",
     "q102_duplicate_spans", "q103_vocab_encode",
+    # round-5 operator tier — benched so regressions are visible
+    "q109_source_mix", "q110_quantize_embeddings", "q111_bloom_probe",
+    "q112_unigram_surprisal", "q113_training_pipeline",
+    "q114_semantic_dedup",
 )
 
 
@@ -52,8 +56,60 @@ def _q38_ann_default(spark, sf_dir: str):
     return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _q36_minhash_default(spark, sf_dir: str):
+    """The production MinHash-LSH configuration (operator defaults:
+    16 bands × 4 rows, skew cap on, Arrow signature kernel). The
+    registry's q36 gate entry runs the exactness config (32×2 banding,
+    cap OFF) so its oracle claim is structural; that config generates
+    strictly more candidates, so benchmarking it conflates the
+    gate-exactness surcharge with operator throughput — rounds ≤4
+    benched the production shape, this pins it explicitly (the r4→r5
+    'regression' was exactly this config drift)."""
+    from db2pq_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, "text", "doc_id", num_hashes=64,
+                         bands=16, threshold=0.7, max_bucket=1000,
+                         impl="arrow")
+
+
+def _q110_quantize_real_shape(spark, sf_dir: str):
+    """The production output shape: (vec_id, qvec array<tinyint>,
+    qscale). The registry's q110 gate entry posexplodes every code to
+    scalars because the driver canon can't sort array cells — at sf0.1
+    that's an |vecs|×dim row collect, which times driver transfer of
+    the exploded relation, not the operator (pure narrow codegen)."""
+    from db2pq_spark.operators.quantize import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb, "embedding") \
+        .select("vec_id", "qvec", "qscale")
+
+
 #: bench-local overrides: query name -> callable(spark, sf_dir)
-_OVERRIDES = {"q38_lsh_similarity": _q38_ann_default}
+_OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
+              "q36_minhash_dedup": _q36_minhash_default,
+              "q110_quantize_embeddings": _q110_quantize_real_shape}
+
+#: executed-configuration provenance, recorded verbatim in the JSON so
+#: a future timing shift can be attributed to config vs plan changes
+_CONFIGS = {
+    "q36_minhash_dedup": {
+        "signature_impl": "arrow", "bands": "16x4", "max_bucket": 1000,
+        "note": "production defaults; gate entry uses 32x2/no-cap "
+                "exactness config",
+    },
+    "q38_lsh_similarity": {
+        "signature_impl": "arrow", "planes_tables": "8x4",
+        "probe_radius": 2,
+        "note": "production ANN defaults; gate entry probes "
+                "exhaustively",
+    },
+    "q110_quantize_embeddings": {
+        "note": "production array shape (qvec+qscale); gate entry "
+                "explodes to scalars for driver canon",
+    },
+}
 
 
 def main() -> None:
@@ -194,6 +250,12 @@ def main() -> None:
         # tracks real per-query throughput across rounds
         "steady_total": round(sum(steady.values()), 3),
         "sf": sf,
+        # which implementation/config each overridden query executed —
+        # python.worker.reuse is set by get_spark, so Arrow kernels run
+        # on the pre-warmed worker pool in every timed region
+        "configs": _CONFIGS,
+        "worker_reuse": spark.conf.get("spark.python.worker.reuse",
+                                       "true"),
     }
     if errors:
         out["errors"] = errors

@@ -234,8 +234,16 @@ def minhash_signatures(
     precomputed-signature corpus and an increment — the output carries
     a ``_sig_impl`` stamp column and the incremental entry points
     ENFORCE it (a corpus persisted under ``fold`` band-matches nothing
-    against an ``arrow``-signed batch, silently returning zero dups)."""
-    base = with_shingles(df, text_col, id_col, shingle_n)
+    against an ``arrow``-signed batch, silently returning zero dups).
+
+    The input is pre-spread to the session's parallelism when the scan
+    plans fewer partitions than cores (one small file ⇒ one partition ⇒
+    the whole shingle+signature kernel on one core; see
+    :func:`..skew.ensure_parallelism` — a no-op at any real scale)."""
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    base = with_shingles(ensure_parallelism(df), text_col, id_col,
+                         shingle_n)
     stamp = F.lit(impl).alias("_sig_impl")
 
     if impl == "arrow":
@@ -336,14 +344,19 @@ def minhash_dedup(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                               impl=impl)
-    # The signature relation feeds four plan branches (two sides of the
-    # bucket self-join, two sides of the verify join). Without
-    # materialization Spark recomputes shingling+hashing per branch —
-    # persist makes the dedup linear in corpus size. MEMORY_AND_DISK:
-    # signatures are ~1 KB/doc, spilling is safe at any scale.
-    from pyspark import StorageLevel
-
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # The signature relation feeds multiple plan branches (bucket
+    # self-join, two verify sides). Without materialization Spark
+    # recomputes shingling+hashing per branch — staging makes the
+    # dedup linear in corpus size. localCheckpoint (serialized row
+    # blocks, MEMORY_AND_DISK) rather than DataFrame.persist: the
+    # columnar InMemoryRelation build is expensive for array<string>
+    # shingle columns (measured 1.71 s vs 1.35 s for the whole op at
+    # sf0.1 — the cache build cost more than it saved). Tradeoff:
+    # truncated lineage means an executor loss fails the job loudly
+    # instead of recomputing (same documented stance as
+    # operators/ranking.py); blocks are freed by the ContextCleaner
+    # when the result is garbage-collected.
+    sigs = sigs.localCheckpoint(eager=False)
 
     band_entries = _band_key_entries(bands, rows_per_band)
     buckets = sigs.select("id", band_entries).select("id", "bk.band", "bk.key")
@@ -555,7 +568,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     — no explode, no shuffle: each document's signature is computed
     where the document lives, which is exactly what you want scanning
     100 TB of text. ``token_hash`` picks the per-token hash — see
-    :func:`_token_hash`."""
+    :func:`_token_hash`. Under-partitioned small scans are pre-spread
+    so the vote fold uses every core (no-op at scale — see
+    :func:`..skew.ensure_parallelism`)."""
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    df = ensure_parallelism(df)
     df = df.filter(F.col(text_col).isNotNull()
                    & (F.trim(F.col(text_col)) != ""))  # degenerate docs out
     toks = F.split(normalize_text(text_col), " ")
@@ -682,13 +700,15 @@ def _span_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     contribute nothing. The transform lambda only slices+joins strings;
     the md5 runs codegen'd in the post-explode projection, once per
     span row."""
+    from db2pq_spark.operators.skew import ensure_parallelism
+
     toks = F.split(normalize_text(text_col), " ")
     spans = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - n + 1),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
     )
     return (
-        df.select(F.col(id_col), toks.alias("_toks"))
+        ensure_parallelism(df).select(F.col(id_col), toks.alias("_toks"))
         .where(F.size("_toks") >= n)
         .select(F.col(id_col), F.posexplode(spans).alias("pos", "_span"))
         .select(F.col(id_col), "pos",

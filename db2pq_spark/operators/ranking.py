@@ -32,7 +32,8 @@ executor loss the truncated lineage fails the job loudly instead of
 silently recomputing into different partitions.
 
 Small inputs: when the caller can bound the row count (``bounded=``),
-a ``coalesce(1)`` window is exact and skips the shuffle + checkpoint +
+a constant-key single-partition window is exact and skips the shuffle +
+checkpoint +
 offsets machinery entirely — the right plan for a capped vocabulary,
 wrong for anything data-sized.
 """
@@ -42,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-#: ``bounded`` values at or below this take the coalesce(1) fast path —
+#: ``bounded`` values at or below this take the one-partition fast path —
 #: a single partition of ≤100k skinny rows is cheaper than a range
 #: shuffle + checkpoint + offset fold, and exact either way.
 SMALL_INPUT_ROWS = 100_000
@@ -76,11 +77,21 @@ def global_rank_with_total(
     """
     if bounded is not None and bounded <= SMALL_INPUT_ROWS:
         # no driver-collected offsets here, so no pinning needed: a
-        # recompute of the single-partition window is deterministic
+        # recompute of the single-partition window is deterministic.
+        # The count doubles as the bounded-contract check — a caller
+        # passing a bound the data exceeds would silently get a
+        # data-sized single-partition window otherwise.
+        total = df.count()
+        if total > bounded:
+            raise ValueError(
+                f"bounded={bounded} but the input has {total} rows — "
+                "the single-partition fast path is only safe for "
+                "genuinely bounded inputs; drop `bounded` to use the "
+                "distributed two-stage rank")
         one = df.coalesce(1).withColumn(
             rank_col, F.row_number().over(W.orderBy(*order_by))
             .cast("bigint"))
-        return one, one.count()
+        return one, total
     staged = _stage(df, order_by)
     sizes = sorted(
         (r["_pid"], r["n"])
@@ -145,7 +156,7 @@ def with_global_prefix_sum(
     (a total order), with the same two-stage shape as
     :func:`global_rank_with_total`: per-partition window cumsum plus a
     driver-folded map of preceding-partition totals. No
-    single-partition stage (unless ``bounded`` permits the coalesce(1)
+    single-partition stage (unless ``bounded`` permits the one-partition
     fast path).
 
     The sum keeps the input column's numeric type (long sizes → exact

@@ -331,6 +331,12 @@ def lsh_bucket_topk(
     elif impl != "expr":
         raise ValueError(f"unknown lsh impl {impl!r}")
 
+    # spread an under-partitioned corpus scan across cores before the
+    # signature kernel (no-op at scale — one small file plans as one
+    # partition and would compute every signature on one core)
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     c_buckets = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         F.posexplode(sig_array(F.col(vec_col))).alias("table", "bucket"))

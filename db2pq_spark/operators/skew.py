@@ -1,4 +1,4 @@
-"""Skew-handling join utilities.
+"""Skew- and parallelism-shaping utilities.
 
 At 100 TB a handful of hot keys (a viral document, a default user id, a
 NULL-substitute sentinel) can put an entire sort-merge join on one
@@ -18,6 +18,28 @@ reducer. Two remedies, composable:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def ensure_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition an under-partitioned input up to the
+    session's default parallelism before a compute-heavy narrow stage.
+
+    The expensive per-document kernels (MinHash signatures, SimHash
+    votes, LSH plane products) inherit the SCAN's partitioning — a
+    single small parquet file (or one row group) plans as ONE partition,
+    so on a 32-core executor the whole kernel runs on one core. At real
+    scale every scan has far more partitions than cores and this is a
+    no-op (the partition-count check is plan-side only, no job); when
+    it does fire, the input is by construction small (few scan splits ⇒
+    few bytes), so the one round-robin shuffle is trivially cheap next
+    to the kernel it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def salted_join(

@@ -49,7 +49,7 @@ def build_vocab(df: DataFrame, text_col: str,
         counts = counts.orderBy(F.desc("freq"), F.asc("token")) \
                        .limit(max_size)
     # a capped vocab is bounded by construction → the ranker's
-    # coalesce(1) fast path; unbounded vocabs take the two-stage
+    # one-partition fast path; unbounded vocabs take the two-stage
     # distributed rank (no single-partition stage at corpus scale)
     ranked = with_global_rank(
         counts, [F.desc("freq"), F.asc("token")], rank_col="_rank",

@@ -160,6 +160,24 @@ class TestBoundedFastPath:
         assert sorted(r["r"] for r in ranked.collect()) == \
             list(range(1, 31))
 
+    def test_bound_exceeded_raises(self, spark):
+        # a wrong bound must not silently funnel a data-sized input
+        # through one partition
+        import pytest
+
+        df = spark.createDataFrame([(i,) for i in range(30)], "uid long")
+        with pytest.raises(ValueError, match="bounded=10"):
+            global_rank_with_total(df, [F.asc("uid")], "r", bounded=10)
+
+    def test_windowexec_warning_suppressed(self, spark):
+        # the bounded fast path's coalesce(1) window is the intended
+        # plan, but WindowExec's single-partition warning pollutes
+        # bench/driver logs; get_spark raises that class's threshold
+        jvm = spark.sparkContext._jvm
+        lvl = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec").getLevel()
+        assert str(lvl) == "ERROR"
+
     def test_bounded_prefix_sum_matches(self, spark):
         df = spark.createDataFrame(
             [(i % 7, i) for i in range(200)], "sz long, uid long")
