@@ -493,15 +493,35 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     max_bucket: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join.
 
-    Same bucket → candidate pair → exact cosine ≥ threshold. High
-    thresholds collapse near-identical vectors into the same bucket with
-    high probability."""
+    Same bucket → candidate pair → exact cosine ≥ threshold.
+    Exactly-parallel vectors (cos 1.0) share every hyperplane sign, so
+    true clones ALWAYS share a bucket — recall for exact duplicates is
+    structural at any plane count. For merely-near pairs the per-plane
+    collision probability is ``1 − θ/π``, so recall decays with plane
+    count — this operator is the clone-collapse primitive (SemDeDup);
+    for high-recall approximate search use the multi-table, multi-probe
+    :func:`lsh_bucket_topk`.
+
+    ``num_planes=None`` (default) sizes the bucket space from the
+    corpus: ``clamp(ceil(log2(n / 64)), 8, 16)`` — one count job, mean
+    bucket ≈ 64. A FIXED plane count is a scale ceiling: 8 planes is
+    256 buckets, so bucket population grows linearly with the corpus
+    and in-bucket candidate pairs quadratically; auto-sizing keeps the
+    expected bucket constant, pairs linear. Beyond 2^16 buckets (the
+    packing limit) the ``max_bucket`` cap is the remaining guard —
+    shard the corpus (e.g. by an IVF coarse quantizer) before
+    all-in-one dedup at that size."""
+    if num_planes is None:
+        import math
+
+        n = corpus.count()
+        num_planes = max(8, min(16, math.ceil(math.log2(max(n, 2) / 64))))
     sigs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         lsh_signature(F.col(vec_col), num_planes, dim).alias("bucket"),

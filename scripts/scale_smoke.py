@@ -6,9 +6,28 @@ the plans hold when data outgrows the fixtures. Writes SCALE_SMOKE.md
 
 Replication shifts the join keys per copy so key cardinality grows with
 the data (a pure union of identical copies would degenerate the joins:
-N× duplicate keys instead of N× data).
+N× duplicate keys instead of N× data). CONTENT columns are perturbed
+per copy too:
 
-Usage: python scripts/scale_smoke.py            (~5 min on local[32])
+- ``documents.text``: every token gets a per-copy suffix, so replicas
+  are NOT near-duplicates of each other. Without this, every document
+  has N−1 exact clones and the dedup family's OUTPUT grows
+  quadratically in N — an artifact of content-identical replication,
+  not an operator property; with it, duplicate structure (and therefore
+  output) grows linearly, which is the realistic "corpus grows with new
+  content" regime.
+- ``embeddings.embedding``: a per-copy deterministic Rademacher sign
+  pattern (component-wise ±1) — norm-preserving, decorrelates replicas
+  (expected cosine ≈ 0), so ANN/semantic-dedup candidates scale with
+  corpus size instead of every vector having N−1 parallel clones.
+
+Dedup/ANN entries run the PRODUCTION operator configurations (16×4
+capped MinHash banding, default SimHash chunking, 8×4 multi-probe LSH)
+— the registry's gate entries pin exactness configs for their oracles,
+which do strictly more work; scale behavior of the deployed defaults is
+what this smoke certifies (same override pattern as bench.py).
+
+Usage: python scripts/scale_smoke.py            (~6 min on local[32])
        SMOKE_COPIES=100 python scripts/scale_smoke.py   (~60 M rows)
 """
 
@@ -37,6 +56,7 @@ KEY_SHIFTS = {
     # deepen every window 10×, a different regime)
     "events": ["event_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
@@ -45,17 +65,39 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q94_range_join", "q95_validation", "q96_bm25",
            "q97_weighted_sample", "q98_sliding_window",
            "q102_duplicate_spans", "q103_vocab_encode",
-           "q107_incremental_dedup"]
-
-# q107's OUTPUT grows quadratically in the copy count (every replica of
-# a batch near-dup matches every replica of its corpus partners — an
-# artifact of content-identical replication, not of the operator), so
-# it only runs at the 10× factor
-if COPIES > 10:
-    QUERIES = [q for q in QUERIES if q != "q107_incremental_dedup"]
+           "q107_incremental_dedup",
+           # dedup / ANN family at production configs (overrides below)
+           "q36_minhash_dedup", "q37_simhash_dedup",
+           "q38_lsh_similarity", "q114_semantic_dedup"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
+
+
+def _overrides():
+    """Production-config shapes for the approximate operators — the
+    registry gate entries run exactness configs (exhaustive probes,
+    uncapped 32×2 banding) whose extra work is an oracle surcharge,
+    not deployed behavior. Mirrors bench.py's override pattern."""
+    from pyspark.sql import functions as F
+
+    from db2pq_spark.operators.dedup import minhash_dedup, simhash_dedup
+    from db2pq_spark.operators.similarity import lsh_bucket_topk
+
+    def q36(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_dedup(docs, "text", "doc_id")  # 16×4, cap 1000
+
+    def q37(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash_dedup(docs, "text", "doc_id")  # xxhash64, 4 chunks
+
+    def q38(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
+            "q38_lsh_similarity": q38}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:
@@ -75,6 +117,22 @@ def replicate(spark, table: str, out_dir: str, offset: int) -> None:
                  if ts_is_long else
                  c.withColumn("ts", F.col("ts")
                               + F.expr(f"INTERVAL '{i * 31}' DAY")))
+        if table == "documents" and i > 0:
+            # per-copy token suffix: replicas stop being near-dups of
+            # each other (see module docstring)
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1_c{i}"))
+        if table == "embeddings" and i > 0:
+            # per-copy Rademacher sign pattern: norm-preserving,
+            # decorrelates replicas (expected cross-copy cosine ≈ 0)
+            idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+            c = c.withColumn(
+                "embedding",
+                F.zip_with(
+                    "embedding", idx,
+                    lambda x, d: F.when(
+                        F.xxhash64(d, F.lit(i))
+                         .bitwiseAND(F.lit(1)) == 1, x).otherwise(-x)))
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:
@@ -96,7 +154,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for tbl in ("lineitem", "orders", "customer", "supplier", "part",
                 "nation", "region", "documents", "embeddings", "events"):
-        if tbl in KEY_SHIFTS or tbl == "orders":
+        if tbl in KEY_SHIFTS:
             replicate(spark, tbl, big, offset)
         else:
             # dimensions/fixtures stay as-is (broadcast sides)
@@ -106,16 +164,17 @@ def main() -> None:
 
     rows_small = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     rows_big = spark.read.parquet(f"{big}/lineitem.parquet").count()
+    overrides = _overrides()
 
     def run_all(sf_dir: str) -> dict[str, float]:
-        # min of 3 steady runs: single-shot steady timings on this box
+        # min of N steady runs: single-shot steady timings on this box
         # swing several × run-to-run (GC pauses, page-cache misses on
         # the freshly-written replica), which fabricates phantom
         # super-linear ratios; the minimum is the standard
         # noise-robust estimator for a fixed workload
         out = {}
         for name in QUERIES:
-            fn = workload.REGISTRY[name][0]
+            fn = overrides.get(name) or workload.REGISTRY[name][0]
             fn(spark, sf_dir).collect()          # warm (codegen)
             best = float("inf")
             for _ in range(RUNS):
@@ -123,10 +182,11 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 3)
-            # operators that persist intermediates (q36/q107) build a
-            # NEW cache entry per invocation — left in place, dozens of
-            # stale entries pressure executor storage memory and show
-            # up as multi-second spikes in whatever query runs later
+            # operators that stage intermediates (q36/q107) build NEW
+            # cache/checkpoint blocks per invocation — left in place,
+            # dozens of stale entries pressure executor storage memory
+            # and show up as multi-second spikes in whatever query runs
+            # later
             spark.catalog.clearCache()
         return out
 
@@ -138,9 +198,12 @@ def main() -> None:
     lines = [
         f"# SCALE_SMOKE — {COPIES}× replica run (auto-generated)\n",
         f"\nlineitem rows: {rows_small:,} (sf0.1) → {rows_big:,} "
-        f"({COPIES}× replica, join keys shifted per copy); replica build "
-        f"{build_s:.0f}s. Steady-state timings (codegen warmed), "
-        f"local[32].\n",
+        f"({COPIES}× replica; join keys shifted, document text and "
+        f"embeddings perturbed per copy so duplicate/near-dup structure "
+        f"grows linearly); replica build {build_s:.0f}s. Steady-state "
+        f"timings (codegen warmed, min of {RUNS}), local[32]. "
+        f"Dedup/ANN rows run production operator configs "
+        f"(see script docstring).\n",
         f"\n| query | sf0.1 s | {COPIES}× s | ratio |\n|---|---|---|---|\n",
     ]
     for name in QUERIES:
