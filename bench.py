@@ -101,7 +101,7 @@ _CONFIGS = {
     },
     "q38_lsh_similarity": {
         "signature_impl": "arrow", "planes_tables": "8x4",
-        "probe_radius": 2,
+        "probe_radius": "3 (derived from target_recall=0.9)",
         "note": "production ANN defaults; gate entry probes "
                 "exhaustively",
     },

@@ -239,6 +239,44 @@ def _probe_masks(num_planes: int, probe_radius: int) -> list[int]:
     return masks
 
 
+def derive_probe_radius(
+    target_recall: float,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    assumed_neighbor_cos: float = 0.4,
+) -> int:
+    """Smallest multi-probe radius whose ANALYTIC recall meets
+    ``target_recall`` under the random-hyperplane model.
+
+    For a query/neighbor pair at angle θ, each plane's bit differs
+    independently with probability q = θ/π (Goemans–Williamson), so one
+    table finds the pair iff their signatures differ in ≤ radius bits:
+    ``P_table(r) = Σ_{j≤r} C(p,j) q^j (1−q)^(p−j)``, and ``num_tables``
+    independent tables give ``1 − (1 − P_table)^T``.
+
+    ``assumed_neighbor_cos`` sets θ for the *hardest* neighbor the
+    config must still find. The default 0.4 is the measured rank-10
+    cosine of the random-Gaussian fixture — the WORST regime for LSH
+    (real embedding corpora have far more parallel near-neighbors, so
+    the derived radius is conservative there). Measured vs analytic at
+    sf0.1 (QUALITY.md): analytic 0.74 vs measured 0.82 at r=2, 0.97 vs
+    ≥0.9 at r=3 — the model tracks reality well enough to size the
+    dial."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0,1), "
+                         f"got {target_recall}")
+    import math
+
+    q = math.acos(max(-1.0, min(1.0, assumed_neighbor_cos))) / math.pi
+    p_table = 0.0
+    for r in range(num_planes + 1):
+        p_table += (math.comb(num_planes, r)
+                    * q ** r * (1.0 - q) ** (num_planes - r))
+        if 1.0 - (1.0 - p_table) ** num_tables >= target_recall:
+            return r
+    return num_planes  # exhaustive — target unreachable under the model
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -248,7 +286,8 @@ def lsh_bucket_topk(
     dim: int = 64,
     num_planes: int = 8,
     num_tables: int = 4,
-    probe_radius: int = 2,
+    probe_radius: int | None = None,
+    target_recall: float = 0.9,
     impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent LSH tables of
@@ -259,13 +298,15 @@ def lsh_bucket_topk(
     cass/papers/mplsh_vldb07.pdf>`_): each query also probes buckets
     within Hamming distance ``probe_radius`` of its signature. The
     fan-out lands entirely on the (tiny, broadcast) query side —
-    ``tables × (1 + planes [+ C(planes,2)])`` probe rows per query —
-    so the corpus-side cost is unchanged: one signature scan plus a
-    ``tables``-way replication. Measured at sf0.1 (QUALITY.md): recall@10
-    0.07 (radius 0) → 0.43 (radius 1) → 0.82 (radius 2) for the
-    default table family, at near-constant runtime (+0.3 s at sf0.1) —
-    which is why radius 2 is the default; drop to 1 only when recall
-    ~0.4 is acceptable.
+    ``Σ_{j≤r} C(planes,j)`` probe rows per (query, table) — so the
+    corpus-side cost is unchanged: one signature scan plus a
+    ``tables``-way replication.
+
+    ``probe_radius=None`` (default) derives the radius from
+    ``target_recall`` via :func:`derive_probe_radius` — the default
+    0.9 target yields radius 3 for the 8×4 family (measured recall@10
+    ≥0.9 at sf0.1, QUALITY.md; radius 2 measured 0.82, radius 1 0.43).
+    Pass an explicit radius to pin the cost instead.
 
     At 100 TB the corpus signature computation is a single narrow scan;
     the candidate join shuffles on (table, bucket) — cardinality
@@ -276,6 +317,9 @@ def lsh_bucket_topk(
     expression path's nested lambdas evaluate interpreted and dominate
     the pipeline); ``impl="expr"`` keeps the pure-JVM expression for
     Python-worker-free deployments. Same plane family either way."""
+    if probe_radius is None:
+        probe_radius = derive_probe_radius(
+            target_recall, num_planes, num_tables)
     # All table signatures in ONE array expression (the table index is
     # a lambda variable, so the analyzed tree is table-count-independent
     # — a per-table expression list costs real driver analysis time),

@@ -20,3901 +20,32 @@ Determinism rules (so value hashes match across engines):
   timestamps load as TIMESTAMP_NTZ in Spark and naive TIMESTAMP in
   DuckDB, so results are independent of either engine's session zone.
 """
-
 from __future__ import annotations
 
-from typing import Callable
-
-import pandas as pd  # noqa: F401 — pandas_udf resolves the postponed
-# 'pd.Series' annotations against this module's globals
-
-from pyspark.sql import DataFrame, SparkSession, Window as W
-from pyspark.sql import functions as F
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-#: name -> (spark_fn, oracle_sql | None). Populated by @query below.
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a named query with its DuckDB oracle SQL (None → the
-    driver records a weaker rows-only check)."""
-
-    def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a fixture table. Parquet scan → column pruning + predicate
-    pushdown happen in Catalyst; at cluster scale this is the same code
-    path reading a partitioned directory.
-
-    The ``events`` fixture's ``ts`` column has shipped in two physical
-    encodings across fixture generations: nanosecond parquet timestamps
-    (which Spark loads as int64 epoch-nanos under the legacy conf) and
-    plain ``timestamp[us]`` (which Spark loads as TIMESTAMP_NTZ). Either
-    way we standardize to an epoch-micros ``ts_us`` long: integer `div`
-    for int64 nanos; for NTZ, ``unix_micros`` after an NTZ→LTZ cast —
-    the session zone is UTC (session.py), so the cast is a pure
-    reinterpretation and matches DuckDB's ``epoch_us`` of the same naive
-    value. All downstream event queries do integer arithmetic on
-    ``ts_us``, so results are engine- and timezone-independent.
-    """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes)["ts"] in ("bigint", "long"):
-            return df.withColumn("ts_us", F.expr("ts div 1000"))
-        return df.withColumn(
-            "ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def dsum(col, scale: int = 4, alias: str | None = None):
-    """Exact (decimal) sum of a double column — see module docstring.
-
-    Accumulation is exact decimal (order-independent); the *final* value
-    is cast to DOUBLE so the output representation is a plain IEEE
-    float64 in every engine. Identical decimal sums → identical doubles,
-    and the driver's canonicalization hashes doubles identically across
-    Spark and DuckDB (decimal objects hash differently per engine even
-    when value-equal)."""
-    c = (F.sum(F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str)
-               else col.cast(f"decimal(18,{scale})"))
-         .cast(f"decimal(38,{scale})").cast("double"))
-    return c.alias(alias) if alias else c
-
-
-def _dsum_sql(expr: str, scale: int = 4) -> str:
-    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale})))"
-            f" AS DECIMAL(38,{scale})) AS DOUBLE)")
-
-
-#: normalized-text / token-list SQL fragments shared by text oracles
-_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
-_TOKENS = f"string_split({_NORM}, ' ')"
-
-
-# ---------------------------------------------------------------------------
-# Aggregations (SURVEY §2.4 — reference delegates to source SQL; native here)
-# ---------------------------------------------------------------------------
-
-@query(
-    "q01_pricing_summary",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {_dsum_sql('l_quantity', 2)} AS sum_qty,
-           {_dsum_sql('l_extendedprice', 2)} AS sum_base_price,
-           {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
-           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-           CAST({_dsum_sql('l_quantity', 2)} AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST({_dsum_sql('l_extendedprice', 2)} AS DOUBLE) / COUNT(*) AS avg_price,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan → filter (pushed to parquet) → partial+final
-    hash aggregate. One shuffle on the (tiny-cardinality) group keys;
-    AQE coalesces post-shuffle partitions. Scale-safe: no driver state."""
-    li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", 2, "sum_qty"),
-            dsum("l_extendedprice", 2, "sum_base_price"),
-            dsum(disc_price, 4, "sum_disc_price"),
-            dsum(charge, 6, "sum_charge"),
-            (dsum("l_quantity", 2).cast("double") / F.count("*")).alias("avg_qty"),
-            (dsum("l_extendedprice", 2).cast("double") / F.count("*")).alias("avg_price"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@query(
-    "q02_export_plan",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity,
-           l_extendedprice AS price,
-           CAST(l_shipdate AS DATE) AS shipdate
-    FROM lineitem
-    WHERE l_returnflag = 'R' AND l_quantity > 40
-    """,
-)
-def q02_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship ETL export plan (reference db_to_pq SELECT planning,
-    db2pq/postgres/select_sql.py:107-155): keep/rename/cast/where through
-    the engine's QueryPlan. Projection + predicate push into the scan.
-    The plan's decimal(12,2) cast (P3) stays exercised; the gate output
-    re-casts it to DOUBLE so both engines hash a plain float64."""
-    from db2pq_spark.plans.plan import build_plan
-
-    li = t(spark, sf_dir, "lineitem")
-    plan = build_plan(
-        li.columns,
-        keep=["^l_orderkey$", "^l_linenumber$", "^l_quantity$",
-              "^l_extendedprice$", "^l_shipdate$"],
-        rename={"l_quantity": "quantity", "l_extendedprice": "price",
-                "l_shipdate": "shipdate"},
-        col_types={"quantity": "decimal(12,2)", "shipdate": "date"},
-        where="l_returnflag = 'R' AND l_quantity > 40",
-    )
-    return plan.apply(li).withColumn("quantity", F.col("quantity").cast("double"))
-
-
-@query(
-    "q03_top_orders",
-    oracle=f"""
-    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-    """,
-)
-def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
-    customer is small relative to lineitem → explicit broadcast avoids
-    shuffling the fact table for the first join; the orders⋈lineitem join
-    shuffles on orderkey (both sides already keyed). Top-k via
-    TakeOrderedAndProject — no global sort."""
-    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz"))
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz"))
-    return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
-                li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-@query(
-    "q05_region_revenue",
-    oracle=f"""
-    SELECT n.n_name,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
-    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
-                  JOIN customer c ON c.c_nationkey = n.n_nationkey
-                  JOIN orders o   ON o.o_custkey  = c.c_custkey
-                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-                  JOIN supplier s ON s.s_suppkey  = l.l_suppkey
-                                 AND s.s_nationkey = c.c_nationkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
-)
-def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join. All dimensions (region/nation/customer/
-    supplier) broadcast; only orders⋈lineitem shuffles. At 100 TB the
-    dims stay broadcast-able (< a few GB) so the plan holds."""
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = t(spark, sf_dir, "nation")
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")))
-    li = t(spark, sf_dir, "lineitem")
-    s = t(spark, sf_dir, "supplier")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s),
-              (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
-    )
-
-
-@query(
-    "q06_forecast_revenue",
-    oracle=f"""
-    SELECT {_dsum_sql('l_extendedprice * l_discount', 6)} AS revenue,
-           COUNT(*) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes
-    to the parquet reader (min/max row-group pruning at scale)."""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24))
-        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6, "revenue"),
-             F.count("*").alias("n_rows"))
-    )
-
-
-@query(
-    "q11_rollup",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           {_dsum_sql('l_quantity', 2)} AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets — single shuffle, expand handled by Catalyst."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), dsum("l_quantity", 2, "sum_qty"))
-    )
-
-
-@query(
-    "q12_cube",
-    oracle=f"""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           {_dsum_sql('o_totalprice', 2)} AS sum_price
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), dsum("o_totalprice", 2, "sum_price"))
-    )
-
-
-@query(
-    "q13_distinct",
-    oracle="""
-    SELECT c_mktsegment,
-           COUNT(DISTINCT c_nationkey) AS n_nations,
-           COUNT(*) AS n_customers
-    FROM customer GROUP BY c_mktsegment
-    """,
-)
-def q13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT DISTINCT — Spark expands to a two-phase aggregate
-    automatically (partial distinct per partition, then final)."""
-    return (
-        t(spark, sf_dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(F.countDistinct("c_nationkey").alias("n_nations"),
-             F.count("*").alias("n_customers"))
-    )
-
-
-@query(
-    "q23_count_clamp",
-    oracle="""
-    SELECT LEAST(COUNT(*), 1000) AS n
-    FROM lineitem WHERE l_quantity > 30
-    """,
-)
-def q23_count_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference A1: COUNT(*) with WHERE and LIMIT clamp min(count, obs)
-    (db2pq/postgres/select_sql.py:27-49)."""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_quantity") > 30)
-        .agg(F.least(F.count("*"), F.lit(1000).cast("bigint")).alias("n"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Joins (SURVEY §2.5 — [absent in reference, Spark built-in])
-# ---------------------------------------------------------------------------
-
-@query(
-    "q04_semi_join",
-    oracle="""
-    SELECT o.o_orderpriority, COUNT(*) AS n_orders
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
-    GROUP BY o.o_orderpriority
-    """,
-)
-def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS → left-semi join (no row multiplication, early out)."""
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-    )
-
-
-@query(
-    "q16_anti_join",
-    oracle="""
-    SELECT c.c_mktsegment, COUNT(*) AS n_customers_without_orders
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c.c_mktsegment
-    """,
-)
-def q16_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers_without_orders"))
-    )
-
-
-@query(
-    "q15_outer_join_having",
-    oracle=f"""
-    SELECT p.p_brand, COUNT(l.l_orderkey) AS n_lines,
-           {_dsum_sql('l.l_quantity', 2)} AS sum_qty
-    FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
-    GROUP BY p.p_brand
-    HAVING COUNT(l.l_orderkey) > 50
-    """,
-)
-def q15_outer_join_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join + HAVING, aggregate-before-join.
-
-    The preserved side of an outer join cannot be the broadcast build
-    side (unmatched preserved rows would be emitted once per executor —
-    Spark ignores such a hint with a warning), so a naive
-    part⟕lineitem shuffles the whole fact table into a sort-merge
-    join. Instead the fact side pre-aggregates per partkey (map-side
-    combine; one shuffle of ~|part| rows), the outer join then runs
-    between two dimension-sized relations (AQE broadcasts the
-    aggregate when it is small enough), and the decimal partial sums
-    re-aggregate exactly — decimal addition is associative, so the
-    two-level sum is bit-equal to the flat ``dsum``."""
-    p = t(spark, sf_dir, "part")
-    li = t(spark, sf_dir, "lineitem")
-    stats = li.groupBy("l_partkey").agg(
-        F.count("l_orderkey").alias("_n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
-    return (
-        p.join(stats, p.p_partkey == stats.l_partkey, "left_outer")
-        .groupBy("p_brand")
-        .agg(F.sum(F.coalesce("_n", F.lit(0))).alias("n_lines"),
-             F.sum("_q").cast("decimal(38,2)").cast("double")
-              .alias("sum_qty"))
-        .filter(F.col("n_lines") > 50)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Windows, sorts, set ops (SURVEY §2.6 — [absent in reference])
-# ---------------------------------------------------------------------------
-
-@query(
-    "q07_topk_per_group",
-    oracle="""
-    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
-      SELECT c_mktsegment, c_custkey, c_acctbal,
-             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                ORDER BY c_acctbal DESC, c_custkey) AS rn
-      FROM customer) WHERE rn <= 3
-    """,
-)
-def q07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via row_number. Total order inside each partition
-    (tie-break on key) keeps it deterministic. At scale Spark 3.5+ pushes
-    a per-partition rank limit before the shuffle (WindowGroupLimit)."""
-    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        t(spark, sf_dir, "customer")
-        .select("c_mktsegment", "c_custkey", "c_acctbal",
-                F.row_number().over(w).cast("bigint").alias("rn"))
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@query(
-    "q08_running_total",
-    oracle="""
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS DOUBLE) AS running_qty
-    FROM lineitem WHERE l_suppkey <= 10
-    """,
-)
-def q08_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative window frame; deterministic total order per partition."""
-    w = (W.partitionBy("l_suppkey")
-         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey") <= 10)
-        .select("l_suppkey", "l_orderkey", "l_linenumber",
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
-                 .cast("decimal(38,2)").cast("double").alias("running_qty"))
-    )
-
-
-@query(
-    "q09_lag_delta",
-    oracle="""
-    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
-           value - LAG(value) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS delta
-    FROM events WHERE user_id < 10
-    """,
-)
-def q09_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAG with per-user ordering; double subtraction of identical
-    operands is bit-stable across engines. Ordering on epoch-micros
-    (+ event_id tiebreak) matches DuckDB's µs timestamp ordering."""
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    return (
-        t(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 10)
-        .select("user_id", "event_id", "ts_us", "value",
-                (F.col("value") - F.lag("value").over(w)).alias("delta"))
-    )
-
-
-@query(
-    "q10_set_ops",
-    oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
-    UNION
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-                                     AND c_acctbal < 0
-    EXCEPT
-    SELECT c_custkey FROM customer WHERE c_nationkey = 3
-    """,
-)
-def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / UNION(distinct) / EXCEPT chain, left-associative like
-    the SQL (no precedence surprises: ANSI gives INTERSECT higher
-    precedence — so it runs first here too)."""
-    c = t(spark, sf_dir, "customer")
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
-    mach_neg = c.filter((F.col("c_mktsegment") == "MACHINERY")
-                        & (F.col("c_acctbal") < 0)).select("c_custkey")
-    nation3 = c.filter(F.col("c_nationkey") == 3).select("c_custkey")
-    return (
-        building.intersect(rich).union(mach_neg).distinct().exceptAll(nation3.distinct())
-    )
-
-
-@query(
-    "q25_order_limit",
-    oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
-    """,
-)
-def q25_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
-    heap + driver merge), never a full sort at scale."""
-    return (
-        t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(25)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scalar functions (SURVEY §2.7) + boolean coercion (T3)
-# ---------------------------------------------------------------------------
-
-@query(
-    "q14_scalar_functions",
-    oracle="""
-    SELECT p_partkey,
-           UPPER(p_brand) AS brand_upper,
-           SUBSTRING(p_name, 1, 8) AS name_prefix,
-           LENGTH(p_name) AS name_len,
-           CONCAT(p_brand, ':', p_type) AS brand_type,
-           REPLACE(p_type, ' ', '_') AS type_slug,
-           ROUND(p_retailprice, 1) AS price_round,
-           ABS(p_size - 25) AS size_dev,
-           CAST(p_size % 7 AS INTEGER) AS size_mod
-    FROM part WHERE p_partkey <= 500
-    """,
-)
-def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/math scalar battery — all whole-stage-codegen built-ins
-    (the reference delegates scalar SQL to the source DB; SURVEY §2.7)."""
-    p = t(spark, sf_dir, "part")
-    return p.filter(F.col("p_partkey") <= 500).select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_upper"),
-        F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.length("p_name").cast("bigint").alias("name_len"),
-        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
-        F.round("p_retailprice", 1).alias("price_round"),
-        F.abs(F.col("p_size") - 25).alias("size_dev"),
-        (F.col("p_size") % 7).cast("int").alias("size_mod"),
-    )
-
-
-@query(
-    "q17_date_functions",
-    oracle="""
-    SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
-           EXTRACT(MONTH FROM o_orderdate) AS order_month,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY 1, 2
-    """,
-)
-def q17_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"),
-                  F.month("o_orderdate").cast("bigint").alias("order_month"))
-        .agg(F.count("*").alias("n_orders"))
-    )
-
-
-@query(
-    "q18_safe_boolean",
-    oracle="""
-    SELECT flag_txt,
-           CASE WHEN LOWER(TRIM(flag_txt)) IN ('t','true','y','yes','1','1.0') THEN TRUE
-                WHEN LOWER(TRIM(flag_txt)) IN ('f','false','n','no','0','0.0') THEN FALSE
-                ELSE NULL END AS flag,
-           COUNT(*) AS n
-    FROM (SELECT CASE CAST(l_linenumber % 5 AS INTEGER)
-                   WHEN 0 THEN 't' WHEN 1 THEN 'yes' WHEN 2 THEN '0'
-                   WHEN 3 THEN 'junk' ELSE NULL END AS flag_txt
-          FROM lineitem)
-    GROUP BY 1, 2
-    """,
-)
-def q18_safe_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Safe boolean coercion (reference T3,
-    db2pq/postgres/select_sql.py:55-65) over a derived truthy/falsy/junk
-    column — engine implementation is one codegen'd CASE expression."""
-    from db2pq_spark.functions.booleans import safe_boolean
-
-    li = t(spark, sf_dir, "lineitem")
-    flag_txt = (
-        F.when(F.col("l_linenumber") % 5 == 0, F.lit("t"))
-        .when(F.col("l_linenumber") % 5 == 1, F.lit("yes"))
-        .when(F.col("l_linenumber") % 5 == 2, F.lit("0"))
-        .when(F.col("l_linenumber") % 5 == 3, F.lit("junk"))
-        .otherwise(F.lit(None).cast("string"))
-    )
-    return (
-        li.select(flag_txt.alias("flag_txt"))
-        .select("flag_txt", safe_boolean("flag_txt").alias("flag"))
-        .groupBy("flag_txt", "flag")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@query(
-    "q24_numeric_modes",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_decimal,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price_float64,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_text
-    FROM lineitem WHERE l_orderkey <= 100
-    """,
-)
-def q24_numeric_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three numeric modes (reference _resolve_numeric_mode,
-    db2pq/core.py:8-15) materialized side by side: decimal / float64 /
-    text renderings of the same column. The decimal mode is emitted as
-    its exact string rendering ('123.4500' — full scale in both Spark
-    and DuckDB) so the gate hashes a plain string, not engine-specific
-    decimal objects."""
-    li = t(spark, sf_dir, "lineitem")
-    dec = F.col("l_extendedprice").cast("decimal(18,4)")
-    return li.filter(F.col("l_orderkey") <= 100).select(
-        "l_orderkey", "l_linenumber",
-        dec.cast("string").alias("price_decimal"),
-        dec.cast("double").alias("price_float64"),
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price_text"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Events: time windows + sessionization (streaming-shape, batch-checked)
-# ---------------------------------------------------------------------------
-
-@query(
-    "q19_tumbling_window",
-    oracle=f"""
-    SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
-           event_type,
-           COUNT(*) AS n_events,
-           {_dsum_sql('value', 2)} AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregate — the batch twin of the
-    structured-streaming windowed agg in db2pq_spark.streaming. The
-    window key is computed with integer arithmetic on epoch-micros
-    (hour bucket = us div 3600e6 * 3600), engine- and tz-independent."""
-    e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.expr("(ts_us div 3600000000) * 3600").alias("hour_epoch"),
-            "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
-    )
-
-
-@query(
-    "q20_sessionization",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-      SELECT user_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
-      FROM marked
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def q20_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: gap > 30 min starts a new session. Classic
-    lag + cumulative-sum composition — two window passes over the same
-    partitioning, one shuffle. Gap math in epoch-micros longs."""
-    e = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wsum = (W.partitionBy("user_id").orderBy("ts_us", "event_id")
-            .rowsBetween(W.unboundedPreceding, W.currentRow))
-    marked = e.select(
-        "user_id", "ts_us", "event_id",
-        F.when(F.lag("ts_us").over(w).isNull()
-               | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
-               F.lit(1)).otherwise(F.lit(0)).alias("is_new"))
-    return (
-        marked.select("user_id",
-                      F.sum("is_new").over(wsum).cast("bigint").alias("session_id"))
-        .groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"))
-    )
-
-
-@query(
-    "q21_window_battery",
-    oracle="""
-    SELECT s_suppkey, s_acctbal,
-           LEAD(s_acctbal) OVER w AS next_bal,
-           FIRST_VALUE(s_name) OVER w AS first_name,
-           PERCENT_RANK() OVER w AS pct_rank,
-           NTILE(4) OVER w AS quartile,
-           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
-                OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
-                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS DOUBLE) AS cum_bal
-    FROM supplier
-    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
-    """,
-)
-def q21_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead / first_value / percent_rank / ntile / range frame — one
-    window partitioning, single shuffle for all five functions."""
-    s = t(spark, sf_dir, "supplier")
-    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
-    wr = w.rangeBetween(W.unboundedPreceding, W.currentRow)
-    return s.select(
-        "s_suppkey", "s_acctbal",
-        F.lead("s_acctbal").over(w).alias("next_bal"),
-        F.first("s_name").over(w).alias("first_name"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(wr)
-         .cast("decimal(38,2)").cast("double").alias("cum_bal"),
-    )
-
-
-@query(
-    "q22_pivot",
-    oracle=f"""
-    SELECT o_orderpriority,
-           {_dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)} AS open_total,
-           {_dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)} AS finished_total,
-           {_dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", 2)} AS pending_total
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot on order status. Uses .pivot() with explicit values — never
-    let Spark scan for distinct pivot values at scale."""
-    o = t(spark, sf_dir, "orders")
-    out = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(dsum("o_totalprice", 2))
-    )
-    return out.select(
-        "o_orderpriority",
-        F.col("O").alias("open_total"),
-        F.col("F").alias("finished_total"),
-        F.col("P").alias("pending_total"),
-    )
-
-
-@query(
-    "q26_percentiles",
-    oracle="""
-    SELECT c_mktsegment,
-           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
-           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
-           ROUND(MIN(c_acctbal), 4) AS min_bal,
-           ROUND(MAX(c_acctbal), 4) AS max_bal
-    FROM customer GROUP BY c_mktsegment
-    """,
-)
-def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``). At 100 TB prefer ``percentile_approx``
-    (mergeable sketch, one pass) — kept exact here for the oracle."""
-    c = t(spark, sf_dir, "customer")
-    return (
-        c.groupBy("c_mktsegment")
-        .agg(F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
-             F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
-             F.round(F.min("c_acctbal"), 4).alias("min_bal"),
-             F.round(F.max("c_acctbal"), 4).alias("max_bal"))
-    )
-
-
-@query(
-    "q27_bag_set_ops",
-    oracle="""
-    SELECT l_orderkey FROM lineitem WHERE l_quantity > 48
-    UNION ALL
-    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 48
-    EXCEPT ALL
-    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F' AND l_quantity > 48
-    """,
-)
-def q27_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-semantics set ops (UNION ALL / EXCEPT ALL) — duplicate
-    multiplicities must match exactly."""
-    li = t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_quantity") > 48).select("l_orderkey")
-    b = li.filter((F.col("l_returnflag") == "R")
-                  & (F.col("l_quantity") > 48)).select("l_orderkey")
-    c = li.filter((F.col("l_linestatus") == "F")
-                  & (F.col("l_quantity") > 48)).select("l_orderkey")
-    return a.unionAll(b).exceptAll(c)
-
-
-@query(
-    "q28_null_handling",
-    oracle="""
-    SELECT o.o_orderkey,
-           COALESCE(agg.n_lines, 0) AS n_lines,
-           CASE WHEN agg.o_orderkey IS NULL THEN 'no_lines' ELSE 'has_lines' END
-             AS line_status,
-           NULLIF(o.o_orderstatus, 'O') AS status_or_null,
-           IFNULL(NULLIF(o.o_orderstatus, 'O'), 'open') AS status_filled
-    FROM orders o
-    LEFT JOIN (SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_lines
-               FROM lineitem WHERE l_quantity > 49 GROUP BY 1) agg
-      USING (o_orderkey)
-    WHERE o.o_orderkey <= 2000
-    """,
-)
-def q28_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-propagation battery over an outer join: coalesce / nullif /
-    ifnull / IS NULL classification."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
-    agg = (
-        t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
-        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(F.count("*").alias("n_lines"))
-    )
-    joined = o.join(agg, "o_orderkey", "left_outer")
-    return joined.select(
-        "o_orderkey",
-        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-        F.when(agg["n_lines"].isNull(), "no_lines").otherwise("has_lines")
-         .alias("line_status"),
-        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
-        F.ifnull(F.nullif("o_orderstatus", F.lit("O")), F.lit("open"))
-         .alias("status_filled"),
-    )
-
-
-@query(
-    "q29_string_agg",
-    oracle="""
-    SELECT n_regionkey,
-           array_to_string(list_sort(list(n_name)), ',') AS nations,
-           COUNT(*) AS n_nations
-    FROM nation GROUP BY n_regionkey
-    """,
-)
-def q29_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic string aggregation: collect → sort → join (raw
-    collect_list order is partition-dependent; the sort restores
-    determinism on both engines)."""
-    n = t(spark, sf_dir, "nation")
-    return (
-        n.groupBy("n_regionkey")
-        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
-              .alias("nations"),
-             F.count("*").alias("n_nations"))
-    )
-
-
-@query(
-    "q40_sql_api",
-    oracle=f"""
-    SELECT p.p_type, COUNT(*) AS n,
-           {_dsum_sql('l.l_extendedprice', 2)} AS total
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_size >= 40
-    GROUP BY p.p_type
-    """,
-)
-def q40_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's SQL entry point (reference wrds_sql_to_pq semantics,
-    Spark-side execution over registered views — SURVEY §3.3): identical
-    Catalyst plan to the DataFrame API."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql("""
-        SELECT p.p_type, COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS DOUBLE) AS total
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_size >= 40
-        GROUP BY p.p_type
-    """)
-
-
-@query(
-    "q41_date_arithmetic",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS d,
-           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
-           CAST(date_diff('day', CAST(o_orderdate AS DATE),
-                          DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
-           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
-    FROM orders WHERE o_orderkey <= 1000
-    """,
-)
-def q41_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
-    d = F.col("o_orderdate").cast("date")
-    return o.select(
-        "o_orderkey",
-        d.alias("d"),
-        F.date_add(d, 30).cast("timestamp_ntz").alias("due_date"),
-        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
-        F.last_day(d).alias("month_end"),
-        F.date_trunc("quarter", "o_orderdate").cast("date")
-         .alias("quarter_start"),
-    )
-
-
-@query(
-    "q42_conditional_agg",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
-           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
-             AS n_discounted,
-           BOOL_OR(l_quantity > 49) AS any_max_qty,
-           BOOL_AND(l_quantity > 0) AS all_positive
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q42_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count_if(F.col("l_quantity") > 25).alias("n_heavy"),
-        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
-        F.bool_or(F.col("l_quantity") > 49).alias("any_max_qty"),
-        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
-    )
-
-
-@query(
-    "q49_string_battery2",
-    oracle="""
-    SELECT s_suppkey,
-           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded_key,
-           split_part(s_name, '#', 2) AS name_num,
-           translate(s_name, '#', '-') AS name_dashed,
-           reverse(s_name) AS name_rev,
-           repeat('ab', 3) AS rep,
-           CAST(levenshtein(s_name, 'Supplier#1') AS BIGINT) AS lev,
-           CAST(instr(s_name, '#') AS BIGINT) AS hash_pos
-    FROM supplier
-    """,
-)
-def q49_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second string battery: padding, splitting, translate, reverse,
-    repeat, Levenshtein distance (fuzzy-matching primitive), position,
-    initcap — all codegen'd built-ins."""
-    s = t(spark, sf_dir, "supplier")
-    return s.select(
-        "s_suppkey",
-        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
-        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
-        F.translate("s_name", "#", "-").alias("name_dashed"),
-        F.reverse("s_name").alias("name_rev"),
-        F.repeat(F.lit("ab"), 3).alias("rep"),
-        F.levenshtein("s_name", F.lit("Supplier#1")).cast("bigint").alias("lev"),
-        F.instr("s_name", "#").cast("bigint").alias("hash_pos"),
-    )
-
-
-@query(
-    "q50_array_ops",
-    oracle="""
-    SELECT c_nationkey,
-           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv,
-           len(list(c_custkey)) AS n,
-           list_sort(list(c_custkey))[1] AS smallest,
-           list_contains(list(c_custkey), 1) AS has_cust_1
-    FROM customer
-    WHERE c_custkey <= 200
-    GROUP BY c_nationkey
-    """,
-)
-def q50_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed results: collect → sort → join/index/contains. Nested
-    types flow through the whole stack (Spark arrays ↔ DuckDB lists ↔
-    parquet lists) — the reference passes them through opaquely
-    (SURVEY §1.2), here they're first-class. The sorted array is emitted
-    as its CSV rendering (array_join) because the gate's pandas
-    canonicalization cannot sort list-typed cells; the array ops
-    themselves (collect_list/array_sort/index/contains) stay exercised."""
-    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
-    arr = F.array_sort(F.collect_list("c_custkey"))
-    return (
-        c.groupBy("c_nationkey")
-        .agg(F.array_join(arr, ",").alias("custkeys_csv"),
-             F.count("*").alias("n"),
-             arr[0].alias("smallest"),
-             F.array_contains(F.collect_list("c_custkey"), 1).alias("has_cust_1"))
-    )
-
-
-@query(
-    "q51_explode",
-    oracle="""
-    WITH grouped AS (
-      SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
-      FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey
-    )
-    SELECT l_orderkey,
-           unnest(lines) AS l_linenumber,
-           CAST(unnest(generate_series(1, len(lines))) - 1 AS INTEGER) AS pos
-    FROM grouped
-    """,
-)
-def q51_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posexplode round-trip: group to arrays, unnest back with
-    ordinality — the lateral-view pattern for nested data."""
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
-    grouped = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("lines"))
-    return grouped.select(
-        "l_orderkey",
-        F.posexplode("lines").alias("pos", "l_linenumber"),
-    ).select("l_orderkey", "l_linenumber", F.col("pos").cast("int").alias("pos"))
-
-
-@query(
-    "q52_math_battery",
-    oracle="""
-    SELECT p_partkey,
-           ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
-           ROUND(LN(p_retailprice), 6) AS ln_price,
-           ROUND(EXP(p_size / 25.0), 6) AS exp_size,
-           ROUND(POW(p_size, 2), 6) AS size_sq,
-           CAST(SIGN(p_size - 25) AS BIGINT) AS size_sign,
-           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
-           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
-           p_size & 15 AS size_and,
-           p_size | 16 AS size_or,
-           xor(p_size, 21) AS size_xor
-    FROM part WHERE p_partkey <= 500
-    """,
-)
-def q52_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math + bitwise battery. Transcendentals (ln/exp/sqrt) round to 6
-    digits — JVM Math and C libm agree to well beyond that."""
-    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
-    return p.select(
-        "p_partkey",
-        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
-        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
-        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("exp_size"),
-        F.round(F.pow("p_size", F.lit(2)), 6).alias("size_sq"),
-        F.signum(F.col("p_size") - 25).cast("bigint").alias("size_sign"),
-        F.floor("p_retailprice").alias("price_floor"),
-        F.ceil("p_retailprice").alias("price_ceil"),
-        F.col("p_size").bitwiseAND(15).alias("size_and"),
-        F.col("p_size").bitwiseOR(16).alias("size_or"),
-        F.col("p_size").bitwiseXOR(21).alias("size_xor"),
-    )
-
-
-@query(
-    "q53_json_extract",
-    oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-           COUNT(*) AS n,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS min_k
-    FROM events
-    GROUP BY 1
-    """,
-)
-def q53_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured columns: extract from the JSON ``props`` string,
-    cast, aggregate — get_json_object is the row-wise JSON path Spark
-    evaluates without parsing the document into a tree."""
-    e = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        e.groupBy((k % 10).alias("k_mod"))
-        .agg(F.count("*").alias("n"), F.min(k).cast("bigint").alias("min_k"))
-    )
-
-
-@query(
-    "q54_pandas_udf_scalar",
-    oracle="""
-    SELECT doc_id,
-           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
-           UPPER(SUBSTRING(text, 1, 5)) AS head_upper
-    FROM documents
-    """,
-)
-def q54_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-vectorized scalar pandas UDF (the sanctioned Python escape
-    hatch — SURVEY §2.12): the Python computes semantics the oracle
-    replays in SQL exactly, proving the Arrow round-trip is lossless."""
-
-    @F.pandas_udf("long")
-    def n_spaces(s: pd.Series) -> pd.Series:
-        return s.str.count(" ").astype("int64")
-
-    @F.pandas_udf("string")
-    def head_upper(s: pd.Series) -> pd.Series:
-        return s.str.slice(0, 5).str.upper()
-
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", n_spaces("text").alias("n_spaces"),
-                    head_upper("text").alias("head_upper"))
-
-
-@query(
-    "q55_corpus_pipeline",
-    oracle=f"""
-    WITH hashed AS (
-      SELECT doc_id, lang, n_chars, md5({_NORM}) AS h,
-             len(list_filter({_TOKENS},
-                 x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
-               AS sw,
-             len({_TOKENS}) AS n_tok
-      FROM documents
-    ),
-    deduped AS (
-      SELECT * FROM hashed
-      WHERE doc_id = (SELECT MIN(h2.doc_id) FROM hashed h2 WHERE h2.h = hashed.h)
-    ),
-    filtered AS (
-      SELECT * FROM deduped
-      WHERE n_chars >= 100 AND (CASE WHEN n_tok > 0
-                                     THEN CAST(sw AS DOUBLE) / n_tok
-                                     ELSE 0.0 END) >= 0.0
-    )
-    SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM filtered GROUP BY lang
-    """,
-)
-def q55_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end training-data pipeline composition: exact dedup
-    (keep min doc_id per content hash) → quality/length filter → per-
-    language corpus stats. Every stage is one of the engine's operators;
-    the whole thing is two shuffles (dedup hash, final groupBy)."""
-    from db2pq_spark.operators.dedup import exact_dedup, normalize_text
-
-    d = t(spark, sf_dir, "documents")
-    keep = exact_dedup(d, "text", "doc_id").select(
-        F.col("keep_id").alias("doc_id"))
-    toks = F.split(normalize_text("text"), " ")
-    staged = (
-        d.join(keep, "doc_id")
-        .select("doc_id", "lang", "n_chars", toks.alias("_toks"))
-        .select(
-            "doc_id", "lang", "n_chars",
-            F.size("_toks").alias("n_tok"),
-            F.size(F.filter("_toks", lambda x: x.isin(
-                "the", "and", "of", "to", "a", "in", "is", "that", "it", "for"
-            ))).alias("sw"),
-        )
-    )
-    filtered = staged.filter(
-        (F.col("n_chars") >= 100)
-        & (F.when(F.col("n_tok") > 0,
-                  F.col("sw").cast("double") / F.col("n_tok"))
-            .otherwise(F.lit(0.0)) >= 0.0)
-    )
-    return filtered.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("total_tokens"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-    )
-
-
-@query(
-    "q56_statistics",
-    oracle="""
-    SELECT c_mktsegment,
-           ROUND(stddev_samp(c_acctbal), 6) AS bal_stddev,
-           ROUND(var_samp(c_acctbal), 4) AS bal_var,
-           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS bal_key_corr,
-           ROUND(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6)
-             AS bal_nation_covar,
-           ROUND(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 8)
-             AS bal_per_key
-    FROM customer GROUP BY c_mktsegment
-    """,
-)
-def q56_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: stddev/variance/correlation/covariance/
-    regression slope. Rounded — the engines use different (numerically
-    equivalent) update formulas."""
-    c = t(spark, sf_dir, "customer")
-    key_d = F.col("c_custkey").cast("double")
-    nat_d = F.col("c_nationkey").cast("double")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.stddev_samp("c_acctbal"), 6).alias("bal_stddev"),
-        F.round(F.var_samp("c_acctbal"), 4).alias("bal_var"),
-        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("bal_key_corr"),
-        F.round(F.covar_samp(F.col("c_acctbal"), nat_d), 6)
-         .alias("bal_nation_covar"),
-        F.round(F.regr_slope(F.col("c_acctbal"), key_d), 8)
-         .alias("bal_per_key"),
-    )
-
-
-@query(
-    "q57_grouped_pandas",
-    oracle="""
-    SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE)
-             AS running_value
-    FROM events WHERE user_id < 10
-    """,
-)
-def q57_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas (the per-group Arrow UDF modality):
-    each user's events arrive as one pandas DataFrame, sorted and
-    cumsum'd in Python. Accumulation runs in integer cents (the values
-    carry 2 decimals) because float running sums are NOT
-    order/algorithm-stable across engines — DuckDB's window sum uses a
-    segment tree, pandas a sequential accumulate, and they differ in
-    the last ulp; exact integers sidestep it, matching the oracle's
-    decimal-cast window sum."""
-    import pandas as pd
-
-    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        cents = (pdf["value"] * 100).round().astype("int64")
-        pdf["running_value"] = cents.cumsum() / 100.0
-        return pdf[["user_id", "event_id", "running_value"]]
-
-    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
-    return (
-        e.select("user_id", "event_id", "ts_us", "value")
-        .groupBy("user_id")
-        .applyInPandas(cumsum,
-                       schema="user_id long, event_id long, running_value double")
-    )
-
-
-_Q58_SQL = """
-    SELECT o.o_orderkey,
-           (SELECT MAX(l.l_quantity) FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey) AS max_qty,
-           (SELECT COUNT(*) FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
-             AS n_discounted
-    FROM orders o
-    WHERE o.o_orderkey <= 2000
-"""
-
-
-@query("q58_correlated_scalar_subquery", oracle=_Q58_SQL)
-def q58_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subqueries — Catalyst decorrelates both into
-    left outer aggregate joins (no per-row re-execution; the reference
-    relies on the source DB for this, SURVEY §4)."""
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q58_SQL)
-
-
-_Q59_SQL = """
-    SELECT c.c_custkey, c.c_mktsegment
-    FROM customer c
-    WHERE c.c_custkey IN (SELECT o.o_custkey FROM orders o
-                          WHERE o.o_totalprice > 400000)
-      AND c.c_custkey NOT IN (SELECT o.o_custkey FROM orders o
-                              WHERE o.o_orderstatus = 'P')
-"""
-
-
-@query("q59_in_subqueries", oracle=_Q59_SQL)
-def q59_in_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN / NOT IN subqueries → left-semi + null-aware anti join."""
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_Q59_SQL)
-
-
-_Q60_SQL = """
-    SELECT s.s_suppkey, s.s_name
-    FROM supplier s
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_suppkey = s.s_suppkey
-                    AND l.l_quantity > 49
-                    AND l.l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
-"""
-
-
-@query("q60_correlated_exists", oracle=_Q60_SQL)
-def q60_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS with extra predicates → decorrelated semi join."""
-    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q60_SQL)
-
-
-# ---------------------------------------------------------------------------
-# TPC-H-deep subquery battery (q61-q65) — the five hardest decorrelation
-# shapes from the TPC-H spec, adapted to the fixture schema (no partsupp
-# table; min-cost comes from lineitem unit prices). The reference reaches
-# these only by shipping user SQL to PostgreSQL/DuckDB
-# (db2pq/core.py:529-661); here Catalyst decorrelates natively.
-# Determinism: double sums go through decimal casts; AVG thresholds are
-# computed as exact decimal-sum / count so both engines compare against
-# bit-identical doubles.
-# ---------------------------------------------------------------------------
-
-_Q61_SQL = """
-    SELECT p.p_partkey, p.p_name, l.l_suppkey,
-           l.l_extendedprice / l.l_quantity AS unit_price
-    FROM part p
-    JOIN lineitem l ON l.l_partkey = p.p_partkey
-    WHERE p.p_size <= 5
-      AND l.l_extendedprice / l.l_quantity = (
-            SELECT MIN(l2.l_extendedprice / l2.l_quantity)
-            FROM lineitem l2
-            WHERE l2.l_partkey = p.p_partkey)
-"""
-
-
-@query("q61_min_cost_supplier", oracle=_Q61_SQL)
-def q61_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: correlated MIN subquery selecting the cheapest
-    supplier per part. Catalyst decorrelates into an aggregate + join on
-    p_partkey (one shuffle); MIN over doubles is order-independent so the
-    equality filter is deterministic across engines."""
-    t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q61_SQL)
-
-
-_Q62_SQL = f"""
-    SELECT p.p_brand,
-           {_dsum_sql('l.l_extendedprice', 2)} AS small_qty_revenue,
-           COUNT(*) AS n_small
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_quantity < (
-            SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
-                               AS DOUBLE) / COUNT(*))
-            FROM lineitem l2
-            WHERE l2.l_partkey = l.l_partkey)
-    GROUP BY p.p_brand
-"""
-
-
-@query("q62_small_quantity_revenue", oracle=_Q62_SQL)
-def q62_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: per-part correlated AVG threshold → decorrelated
-    aggregate join, then a brand-level rollup. The AVG is computed as
-    exact-decimal-sum / count so the `<` comparison sees identical IEEE
-    doubles in Spark and DuckDB."""
-    t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q62_SQL)
-
-
-_Q63_SQL = """
-    SELECT s.s_suppkey, s.s_name
-    FROM supplier s
-    WHERE s.s_suppkey IN (
-            SELECT l.l_suppkey
-            FROM lineitem l
-            WHERE l.l_partkey IN (SELECT p.p_partkey FROM part p
-                                  WHERE p.p_name LIKE 'red%')
-            GROUP BY l.l_suppkey
-            HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 100)
-"""
-
-
-@query("q63_nested_in_having", oracle=_Q63_SQL)
-def q63_nested_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: IN over a grouped-HAVING subquery that itself
-    contains an IN subquery. Two-level decorrelation → semi joins; the
-    part-name filter broadcasts (tiny dimension)."""
-    for name in ("supplier", "lineitem", "part"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q63_SQL)
-
-
-_Q64_SQL = """
-    SELECT s.s_name, COUNT(*) AS numwait
-    FROM supplier s
-    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
-    JOIN orders o ON o.o_orderkey = l1.l_orderkey
-    WHERE o.o_orderstatus = 'F'
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > l1.l_shipdate)
-    GROUP BY s.s_name
-"""
-
-
-@query("q64_waiting_supplier", oracle=_Q64_SQL)
-def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact table with
-    inequality correlation — the heaviest decorrelation case in the
-    spec.
-
-    Plan: instead of letting the decorrelator emit a semi join plus an
-    inequality anti join (three lineitem legs, each its own fact-table
-    shuffle — the old shape's 100× smoke ratio was the worst in the
-    suite), the correlated pair collapses into aggregates:
-
-    - per (orderkey, suppkey): this supplier's latest shipdate ``smax``
-      and the (order-bounded, ≤7-element) list of its shipdates — ONE
-      fact-level shuffle with map-side combine;
-    - per orderkey over that collapsed relation: supplier count, the
-      top ``smax`` (m1), whether its argmax is unique, and the runner-up
-      (m2) — a second, already-small aggregate;
-    - a line l1 satisfies the NOT EXISTS iff no OTHER supplier ships
-      after it, i.e. ``l1.shipdate >= max_other`` where ``max_other`` is
-      m1, or m2 when this supplier uniquely attains m1; the EXISTS is
-      ``n_supp > 1``. Both evaluate on the collapsed relation — the
-      fact table is never joined against itself.
-
-    The supplier dimension broadcasts. Equality with the decorrelated
-    SQL verified row-for-row at sf0.1 and on a 10× key-shifted replica;
-    measured 6.2 s → 3.8 s (0.61×) at 10×."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate")
-    o = t(spark, sf_dir, "orders") \
-        .where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    lf = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
-    g = lf.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("smax"),
-        F.collect_list("l_shipdate").alias("ships"))
-    per_o = (
-        g.groupBy("l_orderkey").agg(
-            F.count("*").alias("n_supp"),
-            F.max(F.struct("smax", "l_suppkey")).alias("_top"),
-            F.sort_array(F.collect_list("smax"), asc=False).alias("_sm"))
-        .select(
-            "l_orderkey", "n_supp",
-            F.col("_top.smax").alias("m1"),
-            F.col("_sm")[1].alias("m2"),
-            F.size(F.filter("_sm", lambda x: x == F.col("_top.smax")))
-             .alias("n_at_m1"))
-    )
-    j = g.join(per_o, "l_orderkey").where(F.col("n_supp") > 1)
-    max_other = F.when(
-        (F.col("smax") == F.col("m1")) & (F.col("n_at_m1") == 1),
-        F.col("m2")).otherwise(F.col("m1"))
-    waiting = (
-        j.select("l_suppkey",
-                 F.size(F.filter("ships", lambda d: d >= max_other))
-                  .alias("w"))
-        .where(F.col("w") > 0)
-    )
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (waiting.join(F.broadcast(s),
-                         waiting.l_suppkey == s.s_suppkey)
-            .groupBy("s_name").agg(F.sum("w").alias("numwait"))
-            .select("s_name",
-                    F.col("numwait").cast("bigint").alias("numwait")))
-
-
-def _q66_sql() -> str:
-    from db2pq_spark.operators.sampling import split_assign_sql
-    case = split_assign_sql("o_orderkey",
-                            {"train": 0.8, "val": 0.1, "test": 0.1})
-    return f"""
-    SELECT {case} AS split, o_orderstatus,
-           COUNT(*) AS n_orders,
-           {_dsum_sql('o_totalprice', 2)} AS sum_price
-    FROM orders
-    GROUP BY 1, 2
-    """
-
-
-@query("q66_hash_split", oracle=None)  # oracle injected below (needs import)
-def q66_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split by md5 hash of the key —
-    reproducible across runs, cluster sizes, and engines (the oracle
-    computes the identical md5 buckets in DuckDB). Narrow assignment +
-    one aggregation shuffle. [extension]"""
-    from db2pq_spark.operators.sampling import split_assign
-
-    orders = split_assign(t(spark, sf_dir, "orders"), "o_orderkey",
-                          {"train": 0.8, "val": 0.1, "test": 0.1})
-    return (orders.groupBy("split", "o_orderstatus")
-            .agg(F.count("*").alias("n_orders"),
-                 dsum("o_totalprice", 2, "sum_price")))
-
-
-def _q67_sql() -> str:
-    from db2pq_spark.operators.sampling import hash_bucket_sql
-    b = hash_bucket_sql("doc_id")
-    return f"""
-    SELECT doc_id, lang
-    FROM documents
-    WHERE {b} < (CASE WHEN lang = 'en' THEN 500000
-                      WHEN lang = 'de' THEN 250000
-                      ELSE 0 END)
-    """
-
-
-@query("q67_stratified_sample", oracle=None)  # oracle injected below
-def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (per-language quotas: 50% en,
-    25% de, drop the rest) as a single narrow CASE-threshold filter —
-    no shuffle, reproducible, unlike df.stat.sampleBy. The oracle
-    returns the exact same rows. [extension]"""
-    from db2pq_spark.operators.sampling import stratified_sample
-
-    docs = t(spark, sf_dir, "documents")
-    return (stratified_sample(docs, "doc_id", "lang",
-                              {"en": 0.5, "de": 0.25})
-            .select("doc_id", "lang"))
-
-
-# late-bind the sampling oracles (they need the operator module's SQL
-# builders; REGISTRY stores plain strings)
-REGISTRY["q66_hash_split"] = (q66_hash_split, _q66_sql())
-REGISTRY["q67_stratified_sample"] = (q67_stratified_sample, _q67_sql())
-
-
-_Q65_SQL = """
-    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
-    FROM customer c
-    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
-                                     AS DOUBLE) / COUNT(*)
-                         FROM customer c2 WHERE c2.c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 350000)
-"""
-
-
-@query("q65_quiet_rich_customers", oracle=_Q65_SQL)
-def q65_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: uncorrelated scalar AVG threshold (broadcast one
-    row) + correlated NOT EXISTS → anti join. The AVG uses the exact
-    decimal-sum form for cross-engine determinism."""
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_Q65_SQL)
-
-
-# ---------------------------------------------------------------------------
-# Extension operators (LLM-pipeline: dedup / similarity / text / multimodal)
-# ---------------------------------------------------------------------------
-
-
-
-@query(
-    "q30_exact_dedup",
-    oracle=f"""
-    SELECT md5({_NORM}) AS content_hash,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_dups
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by normalized-content hash (one shuffle, map-side
-    partial agg). [extension]"""
-    from db2pq_spark.operators.dedup import exact_dedup
-
-    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-@query(
-    "q31_text_profile",
-    oracle=f"""
-    WITH feat AS (
-      SELECT doc_id, text,
-             {_TOKENS} AS toks,
-             len({_TOKENS}) AS n_tokens,
-             CAST(CEIL(LENGTH(text) / 4) AS BIGINT) AS n_subwords,
-             LENGTH(text) AS total_chars,
-             LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
-               AS punct_chars,
-             len(list_filter({_TOKENS},
-                 x -> x IN ('the','and','of','to','a','in','is','that','it','for')))
-               AS sw_en,
-             len(list_filter({_TOKENS},
-                 x -> x IN ('der','die','das','und','ist','von','mit','den','ein','zu')))
-               AS sw_de,
-             len(list_filter({_TOKENS},
-                 x -> x IN ('le','la','les','et','de','un','une','est','que','pour')))
-               AS sw_fr,
-             len(list_filter({_TOKENS},
-                 x -> x IN ('el','la','los','las','y','de','que','es','un','para')))
-               AS sw_es
-      FROM documents
-    )
-    SELECT doc_id, n_tokens, n_subwords,
-           CASE WHEN n_tokens > 0
-                THEN list_aggregate(list_transform(toks, x -> LENGTH(x)), 'sum')
-                     / n_tokens
-                ELSE 0.0 END AS mean_token_len,
-           CASE WHEN total_chars > 0 THEN punct_chars / total_chars
-                ELSE 0.0 END AS punct_ratio,
-           CASE WHEN n_tokens > 0 THEN sw_en / n_tokens ELSE 0.0 END
-             AS stopword_ratio_en,
-           ROUND(
-             0.4 * (CASE WHEN n_tokens > 0 THEN sw_en / n_tokens ELSE 0.0 END) * 5.0
-             + 0.3 * (CASE WHEN LENGTH(text) BETWEEN 100 AND 10000
-                           THEN 1.0 ELSE 0.0 END)
-             + 0.3 * (1.0 - LEAST((CASE WHEN total_chars > 0
-                                        THEN punct_chars / total_chars
-                                        ELSE 0.0 END) * 10.0, 1.0)),
-             6) AS quality,
-           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-                WHEN GREATEST(sw_en, sw_de, sw_fr, sw_es) = 0 THEN 'und'
-                WHEN sw_en = GREATEST(sw_en, sw_de, sw_fr, sw_es) THEN 'en'
-                WHEN sw_de = GREATEST(sw_en, sw_de, sw_fr, sw_es) THEN 'de'
-                WHEN sw_fr = GREATEST(sw_en, sw_de, sw_fr, sw_es) THEN 'fr'
-                ELSE 'es' END AS lang_pred,
-           md5({_NORM}) AS fingerprint
-    FROM feat
-    """,
-)
-def q31_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full text-analysis battery: token counts, BPE-ish subword
-    estimate, punctuation/stopword ratios, quality score, stopword-vote
-    language ID, content fingerprint. All codegen'd expressions —
-    the oracle SQL replays the identical decision functions. [extension]"""
-    from db2pq_spark.operators.textstats import text_profile
-
-    return text_profile(t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-@query(
-    "q32_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id AS id, lang AS block,
-             CASE WHEN len({_TOKENS}) >= 3
-                  THEN list_distinct(list_transform(
-                         generate_series(1, len({_TOKENS}) - 2),
-                         i -> concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1],
-                                        {_TOKENS}[i+2])))
-                  ELSE [{_NORM}] END AS grams
-      FROM documents
-    )
-    SELECT a.id AS id1, b.id AS id2,
-           len(list_intersect(a.grams, b.grams))
-             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-             AS jaccard
-    FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
-    WHERE len(list_intersect(a.grams, b.grams))
-          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-          >= 0.5
-    """,
-)
-def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs, blocked by language —
-    quadratic within a block only. [extension]"""
-    from db2pq_spark.operators.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id",
-        block_col="lang", n=3, threshold=0.5,
-    )
-
-
-#: exact cosine top-5 for queries vec_id < 10 — the oracle for q33 and,
-#: with an exhaustive probe (n_probe == n_clusters), for q46 as well
-_COSINE_TOPK_ORACLE = """
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(
-               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
-               / (SQRT(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-                  * SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
-               4) AS cos
-      FROM embeddings c, q
-      WHERE c.vec_id != q.vec_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
-    """
-
-
-@query("q33_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
-def q33_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (the exact ANN baseline): broadcast query
-    set × corpus scan, JVM-side fold for the dot product, window rank.
-    [extension]"""
-    from db2pq_spark.operators.similarity import cosine_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-
-
-@query(
-    "q34_asof_join",
-    oracle="""
-    WITH ev AS (
-      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-      FROM events WHERE user_id < 20
-    ),
-    signups AS (
-      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-      FROM events WHERE event_type = 'signup'
-    )
-    SELECT ev.event_id, ev.user_id, ev.ts_us, s.ts_us AS ts_us_asof
-    FROM ev ASOF LEFT JOIN signups s
-      ON ev.user_id = s.user_id AND ev.ts_us >= s.ts_us
-    """,
-)
-def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (operator Spark lacks): latest signup at-or-before each
-    event, via the union + last-non-null window composition — one
-    shuffle, no range-join explosion. Oracle: DuckDB native ASOF JOIN.
-    [extension]"""
-    from db2pq_spark.operators.asof import asof_join
-
-    ev = t(spark, sf_dir, "events")
-    left = ev.filter(F.col("user_id") < 20).select("event_id", "user_id", "ts_us")
-    right = ev.filter(F.col("event_type") == "signup").select("user_id", "ts_us")
-    return asof_join(left, right, on="user_id",
-                     left_time="ts_us", right_time="ts_us",
-                     value_cols=["ts_us"])
-
-
-@query(
-    "q35_multimodal_features",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha256
-    FROM documents
-    """,
-)
-def q35_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column + Arrow-batched
-    mapInPandas feature extraction (byte-level stand-in for a codec
-    worker — container ships no media libs). [extension]"""
-    from db2pq_spark.operators.multimodal import binarize, extract_features
-
-    docs = binarize(t(spark, sf_dir, "documents"), "text", "doc_id")
-    return extract_features(docs).select("doc_id", "n_bytes", "sha256")
-
-
-@query(
-    "q43_fingerprints",
-    oracle=f"""
-    SELECT doc_id,
-           CASE WHEN LENGTH(text) > 0 THEN
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(text, ''),
-                              c -> CAST(unicode(c) AS BIGINT))),
-               (a, b) -> (a * 31 + b) % 1000000007)
-           ELSE 0 END AS rolling_hash,
-           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_wordpieces,
-           md5({_NORM}) AS md5_fingerprint
-    FROM documents
-    """,
-)
-def q43_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting three ways: polynomial rolling hash over
-    code points (sequential fold, engine-replayable), BPE-ish regex
-    wordpiece count, md5 content hash. [extension]"""
-    from db2pq_spark.operators.dedup import normalize_text
-    from db2pq_spark.operators.textstats import (
-        rolling_fingerprint,
-        wordpiece_count,
-    )
-
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        rolling_fingerprint("text").alias("rolling_hash"),
-        wordpiece_count("text").alias("n_wordpieces"),
-        F.md5(F.encode(normalize_text("text"), "UTF-8")).alias("md5_fingerprint"),
-    )
-
-
-@query(
-    "q44_grouping_sets",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
-           CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
-           COUNT(*) AS n,
-           {_dsum_sql('l_extendedprice', 2)} AS total
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
-                            (l_returnflag, l_linestatus))
-    """,
-)
-def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping() indicator columns — via
-    the SQL API (the DataFrame API exposes only cube/rollup)."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
-               COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS DOUBLE) AS total
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
-                                (l_returnflag, l_linestatus))
-    """)
-
-
-@query("q45_cosine_topk_pandas", oracle=_COSINE_TOPK_ORACLE)
-def q45_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized (Arrow + NumPy matmul) twin of q33 — mapInPandas with
-    per-batch local top-k so shuffle volume is independent of corpus
-    size. NumPy's normalize-then-matmul rounds differently from the
-    SQL ``dot/(|a|·|b|)`` at ~1e-16, which vanishes under the shared
-    round-to-4 — verified identical to q33's exact oracle at sf0.001/
-    0.01/0.1 (a fixture value sitting within 1e-15 of a 5e-5 rounding
-    boundary would re-open the gap; none does). [extension]"""
-    from db2pq_spark.operators.similarity import cosine_topk_pandas
-
-    emb = t(spark, sf_dir, "embeddings")
-    return cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
-
-
-@query("q46_ivf_topk", oracle=_COSINE_TOPK_ORACLE)
-def q46_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors: k-means inverted lists,
-    n_probe nearest lists scored per query, exact re-rank — the
-    third similarity path beside brute force (q33/q45) and LSH (q38).
-
-    The gate probes exhaustively (n_probe == n_clusters), which makes
-    the candidate set the full corpus regardless of where k-means put
-    the centroids — so the exact re-rank provably equals brute-force
-    top-k and q33's oracle applies verbatim. The approximate
-    configurations (n_probe < n_clusters) are what runs at scale;
-    their recall is measured in QUALITY.md. [extension]"""
-    from db2pq_spark.operators.similarity import ivf_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                    n_clusters=8, n_probe=8)
-
-
-@query(
-    "q47_range_join",
-    oracle=f"""
-    SELECT o.o_orderkey,
-           COUNT(l.l_orderkey) AS n_shipped_within_90d,
-           {_dsum_sql('l.l_quantity', 2)} AS qty_within_90d
-    FROM orders o
-    JOIN lineitem l
-      ON l.l_orderkey = o.o_orderkey
-     AND l.l_shipdate >= o.o_orderdate
-     AND l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
-    WHERE o.o_orderkey <= 3000
-    GROUP BY o.o_orderkey
-    """,
-)
-def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join (equi key + time-interval predicate): the equi
-    component keeps it a hash/sort-merge join — the range condition
-    evaluates post-match, so no quadratic explosion. Pure range joins
-    (no equi key) should bucketize the range key first (see
-    operators/asof.py for the as-of composition)."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
-    li = t(spark, sf_dir, "lineitem")
-    cond = (
-        (li.l_orderkey == o.o_orderkey)
-        & (li.l_shipdate >= o.o_orderdate)
-        & (li.l_shipdate < F.timestamp_add("DAY", F.lit(90), o.o_orderdate))
-    )
-    return (
-        o.join(li, cond)
-        .groupBy("o_orderkey")
-        .agg(F.count("l_orderkey").alias("n_shipped_within_90d"),
-             dsum("l_quantity", 2, "qty_within_90d"))
-    )
-
-
-@query(
-    "q48_approx_sketches",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n,
-           COUNT(DISTINCT l_orderkey) AS exact_orders,
-           TRUE AS approx_cd_ok,
-           TRUE AS approx_median_ok
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q48_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mergeable-sketch twins of the exact operators — what actually
-    runs at 100 TB: approx_count_distinct (HyperLogLog++) and
-    percentile_approx (single-pass, mergeable).
-
-    Sketch internals are engine-specific, so raw approximate values can
-    never hash-match another engine. The gate shape instead asserts the
-    sketch-vs-exact contract IN the plan: both sketches and the exact
-    aggregates run in one groupBy, and the output carries the exact
-    values plus booleans — HLL within 10 % (2x its 5 % default rsd) of
-    the exact distinct count, approx median inside the exact p49..p51
-    band (rank error 1/10000 << 1 %). The oracle recomputes the exact
-    values and expects every tolerance flag TRUE, so a sketch drifting
-    out of its error bound IS a gate failure. [scale path]"""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.approx_count_distinct("l_orderkey").alias("_acd"),
-            F.percentile_approx("l_extendedprice", 0.5, 10_000)
-             .alias("_amed"),
-            # one percentile aggregate for both band edges — two
-            # scalar percentile() calls would each buffer the full
-            # value set per group
-            F.expr("percentile(l_extendedprice, array(0.49, 0.51))")
-             .alias("_band"),
-        )
-        .select(
-            "l_returnflag", "n", "exact_orders",
-            ((F.abs(F.col("_acd") - F.col("exact_orders"))
-              / F.col("exact_orders")) <= 0.10).alias("approx_cd_ok"),
-            ((F.col("_amed") >= F.element_at("_band", 1))
-             & (F.col("_amed") <= F.element_at("_band", 2)))
-            .alias("approx_median_ok"),
-        )
-    )
-
-
-@query(
-    "q36_minhash_dedup",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id AS id, {_NORM} AS norm, {_TOKENS} AS toks
-      FROM documents
-    ),
-    sh AS (
-      SELECT id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(
-                         generate_series(1, len(toks) - 2),
-                         i -> concat_ws(' ', toks[i], toks[i+1],
-                                        toks[i+2])))
-                  ELSE [norm] END AS grams
-      FROM toks
-      WHERE len(toks) > 0 AND toks[1] <> ''
-    ),
-    j AS (
-      SELECT a.id AS id1, b.id AS id2,
-             len(list_intersect(a.grams, b.grams))
-               / (len(a.grams) + len(b.grams)
-                  - len(list_intersect(a.grams, b.grams))) AS jaccard
-      FROM sh a JOIN sh b ON a.id < b.id
-    )
-    SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.6
-    """,
-)
-def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with exact-Jaccard verify; banding
-    makes candidate generation shuffle-bound, never quadratic.
-
-    Oracle: exact all-pairs 3-shingle Jaccard (feasible in DuckDB at
-    gate scale; the operator itself never goes quadratic). The gate
-    banding is 32 bands × 2 rows, whose collision probability
-    1 − (1−j²)³² is ≥ 1 − 6.3e−7 for every pair at or above the 0.6
-    threshold — recall is structural across the whole retained range,
-    not a property of the fixture's near-clone pairs — and the skew
-    cap is disabled (max_bucket=None) so no bucket can silently drop
-    a true pair. Production keeps the default 16×4 banding (steeper
-    precision curve) and the cap. [extension]"""
-    from db2pq_spark.operators.dedup import minhash_dedup
-
-    return minhash_dedup(
-        t(spark, sf_dir, "documents"), "text", "doc_id",
-        num_hashes=64, bands=32, threshold=0.6, max_bucket=None,
-    )
-
-
-@query(
-    "q37_simhash_dedup",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id AS id, {_TOKENS} AS toks
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
-    ),
-    th AS (SELECT id, unnest(toks) AS tok FROM toks),
-    h AS (
-      SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-      FROM th
-    ),
-    votes AS (
-      SELECT id, b.bit,
-             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
-      GROUP BY id, b.bit
-    ),
-    sig AS (
-      SELECT id,
-             SUM(CASE WHEN v > 0
-                      THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS s
-      FROM votes GROUP BY id
-    ),
-    pairs AS (
-      SELECT a.id AS id1, b.id AS id2,
-             CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-      FROM sig a JOIN sig b ON a.id < b.id
-    )
-    SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3
-    """,
-)
-def q37_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk pigeonhole
-    blocking, bit_count Hamming verify.
-
-    Gate configuration is EXACT, so it carries a full replay oracle:
-    with max_hamming (3) < num_chunks (4) the pigeonhole guarantee
-    makes blocking lossless — the output is precisely every pair at
-    Hamming ≤ 3 — and the md5-derived token hash (`token_hash=
-    'md5_60'`, operators/dedup.py) is computed identically by DuckDB,
-    which rebuilds the signatures bit-for-bit in SQL (unnest tokens →
-    60-bit md5 hash → per-bit ±1 votes → packed sign vector →
-    all-pairs bit_count(xor)). The skew cap is disabled
-    (max_bucket=None) so the losslessness claim is unconditional —
-    a >1000-doc chunk bucket would otherwise silently drop true
-    pairs. The xxhash64 default and the cap stay the production
-    path. [extension]"""
-    from db2pq_spark.operators.dedup import simhash_dedup
-
-    return simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id",
-                         max_hamming=3, num_chunks=4, max_bucket=None,
-                         token_hash="md5_60")
-
-
-@query("q38_lsh_similarity", oracle=_COSINE_TOPK_ORACLE)
-def q38_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane LSH buckets + exact re-rank —
-    the sub-linear scale path next to q33's exact baseline.
-
-    Gate configuration probes exhaustively (probe_radius == num_planes
-    enumerates all 2^4 buckets), so the candidate pool is provably the
-    whole corpus and the re-ranked output EQUALS brute-force top-k —
-    which is why q33's exact oracle applies (same trick as q46's
-    n_probe == n_clusters). The sub-linear default (8 planes × 4
-    tables, radius 2, recall 0.82) stays benchmarked in QUALITY.md and
-    scripts/dump_quality.py. [extension]"""
-    from db2pq_spark.operators.similarity import lsh_bucket_topk
-
-    emb = t(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                           num_planes=4, num_tables=1, probe_radius=4)
-
-
-@query(
-    "q39_embedding_neardup",
-    oracle="""
-    SELECT vec_id AS id1,
-           vec_id + 1000000 AS id2,
-           CAST(1.0 AS DOUBLE) AS cos
-    FROM embeddings WHERE vec_id < 20
-    """,
-)
-def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join.
-
-    The fixture's random embeddings have no true near-dups (max pairwise
-    cosine ≈ 0.51), so the corpus is augmented with scaled clones of the
-    first 20 vectors (scaling preserves cosine = 1.0): the operator must
-    recover exactly those planted pairs — which IS the oracle. Parallel
-    vectors share every hyperplane sign, so the planted pair always
-    shares a bucket (recall is structural, not probabilistic), and
-    nothing else in the fixture approaches the 0.999 threshold.
-    [extension]"""
-    from db2pq_spark.operators.similarity import embedding_neardup_pairs
-
-    emb = t(spark, sf_dir, "embeddings")
-    clones = (
-        emb.filter(F.col("vec_id") < 20)
-        .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
-                F.transform("embedding", lambda x: x * F.lit(1.25))
-                 .alias("embedding"),
-                "label")
-    )
-    return embedding_neardup_pairs(emb.unionByName(clones), threshold=0.999)
-
-
-@query(
-    "q69_frame_sample",
-    oracle="""
-    WITH payload AS (
-      SELECT doc_id, text AS s FROM documents
-      WHERE text IS NOT NULL
-        AND octet_length(encode(text)) = length(text)
-    ), idx AS (
-      SELECT doc_id, s,
-             unnest(range(0, CAST(ceil(length(s)/64.0) AS BIGINT), 4)) AS fi
-      FROM payload
-    )
-    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-           md5(substring(s, CAST(fi*64+1 AS BIGINT), 64)) AS frame_md5,
-           CAST(length(substring(s, CAST(fi*64+1 AS BIGINT), 64)) AS INT)
-             AS frame_bytes
-    FROM idx
-    """,
-)
-def q69_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling: payload → fixed-size frames → every
-    4th frame, via Arrow-batched mapInPandas (1 row in → N rows out).
-    The oracle replays the byte math with VARCHAR substrings — valid
-    because the fixture is pure ASCII (the query filters to ASCII docs
-    so byte and char offsets provably agree). [extension]"""
-    from db2pq_spark.operators.multimodal import binarize, frame_sample
-
-    docs = t(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-        & (F.octet_length(F.col("text")) == F.length(F.col("text"))))
-    return frame_sample(binarize(docs, "text", "doc_id"),
-                        frame_bytes=64, stride=4)
-
-
-@query(
-    "q68_stateful_stream",
-    oracle="""
-    SELECT user_id,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_clicks
-    FROM events GROUP BY user_id
-    """,
-)
-def q68_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running totals folded across micro-batches. The stream's
-    *final* state must equal the batch groupBy over the same events
-    (also asserted in tests/test_streaming.py) — that batch aggregate
-    is the oracle. The update-mode sink holds every intermediate state
-    emission; ``n_events`` strictly increases per update, so the max-n
-    row per user is the final state. ``sum_value`` accumulates in
-    float64 on both sides and is rounded to 2 for the hash.
-    [extension]"""
-    from db2pq_spark.streaming.windows import (
-        read_events_stream,
-        run_to_memory,
-        running_user_totals,
-    )
-
-    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    full = run_to_memory(running_user_totals(stream), "q68_stateful_out",
-                         output_mode="update")
-    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        full.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "n_events",
-                F.round("sum_value", 2).alias("sum_value"), "n_clicks")
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H wide battery (the remaining classic shapes) + UDTF / UDAF surfaces
-# ---------------------------------------------------------------------------
-
-_Q70_SQL = """
-    SELECT o.o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o.o_orderpriority
-"""
-
-
-@query("q70_priority_exists", oracle=_Q70_SQL)
-def q70_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS against the fact table → Catalyst rewrites
-    to a left-semi join on l_orderkey; the date filter is pushed to the
-    orders scan, so the semi join probes only the 6-month slice."""
-    for name in ("orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q70_SQL)
-
-
-_Q71_REV = "l.l_extendedprice * (1 - l.l_discount)"
-
-_Q71_SQL = f"""
-    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           {_dsum_sql(_Q71_REV, 4)} AS revenue
-    FROM lineitem l
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
-    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
-    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
-    GROUP BY 1, 2, 3
-"""
-
-
-@query("q71_volume_shipping", oracle=_Q71_SQL)
-def q71_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bi-directional nation-pair trade volume by year.
-    DataFrame build: nation joined twice under different aliases; all
-    dimensions broadcast, the only shuffle is lineitem⋈orders + the
-    final aggregation. The OR-pair predicate lands after both nation
-    joins, where it prunes to the two nation pairs."""
-    li = t(spark, sf_dir, "lineitem").alias("l")
-    o = t(spark, sf_dir, "orders").alias("o")
-    c = t(spark, sf_dir, "customer").alias("c")
-    s = t(spark, sf_dir, "supplier").alias("s")
-    n = t(spark, sf_dir, "nation")
-    nc, ns = n.alias("nc"), n.alias("ns")
-    supp_n, cust_n = F.col("ns.n_name"), F.col("nc.n_name")
-    return (
-        li.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
-        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
-        .join(F.broadcast(s), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
-        .join(F.broadcast(nc), F.col("nc.n_nationkey") == F.col("c.c_nationkey"))
-        .join(F.broadcast(ns), F.col("ns.n_nationkey") == F.col("s.s_nationkey"))
-        .where(((supp_n == "NATION_1") & (cust_n == "NATION_2"))
-               | ((supp_n == "NATION_2") & (cust_n == "NATION_1")))
-        .groupBy(supp_n.alias("supp_nation"), cust_n.alias("cust_nation"),
-                 F.year("l.l_shipdate").cast("bigint").alias("l_year"))
-        .agg(dsum(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")),
-                  4, "revenue"))
-    )
-
-
-_Q72_SQL = """
-    WITH sales AS (
-      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
-               AS volume,
-             ns.n_name AS supp_nation
-      FROM lineitem l
-      JOIN part p ON p.p_partkey = l.l_partkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = nc.n_regionkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
-      WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA')
-    SELECT o_year,
-           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                              ELSE CAST(0 AS DECIMAL(18,4)) END)
-                     AS DECIMAL(38,4)) AS DOUBLE)
-           / CAST(CAST(SUM(volume) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
-    FROM sales
-    GROUP BY o_year
-"""
-
-
-@query("q72_market_share", oracle=_Q72_SQL)
-def q72_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: a nation's share of regional order volume per
-    year, as a conditional-sum ratio (one aggregation, no self-join).
-    Both sums accumulate in exact decimal; the final division sees
-    identical IEEE operands in Spark and DuckDB."""
-    for name in ("lineitem", "part", "orders", "customer", "nation",
-                 "region", "supplier"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q72_SQL)
-
-
-_Q73_SQL = """
-    SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         - p.p_retailprice * l.l_quantity
-                           * CAST(0.1 AS DOUBLE)
-                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
-             AS sum_profit
-    FROM lineitem l
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
-    WHERE p.p_name LIKE '%red%'
-    GROUP BY 1, 2
-"""
-
-
-@query("q73_product_profit", oracle=_Q73_SQL)
-def q73_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit by supplier nation and year (supply cost
-    proxied as 10% of retail price — the fixture has no partsupp).
-    Filter on p_name prunes parts before the fact join; supplier,
-    part, nation broadcast."""
-    for name in ("lineitem", "supplier", "part", "orders", "nation"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q73_SQL)
-
-
-_Q74_SQL = f"""
-    SELECT c.c_custkey, c.c_name, n.n_name,
-           {_dsum_sql(_Q71_REV, 4)} AS revenue
-    FROM customer c
-    JOIN orders o ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
-    GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-"""
-
-
-@query("q74_returned_items", oracle=_Q74_SQL)
-def q74_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
-    quarter. DataFrame build; revenue is an exact decimal so the
-    DESC + custkey ordering is total and engine-independent. The final
-    top-20 is a TakeOrderedAndProject — no global sort materializes."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")))
-    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    n = t(spark, sf_dir, "nation")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                  4, "revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-_Q75_SQL = """
-    SELECT c_count, COUNT(*) AS custdist
-    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-          FROM customer c
-          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-                            AND o.o_orderpriority <> '1-URGENT'
-          GROUP BY c.c_custkey) per_cust
-    GROUP BY c_count
-"""
-
-
-@query("q75_customer_distribution", oracle=_Q75_SQL)
-def q75_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: two-level aggregation over a filtered left outer
-    join (customers with zero qualifying orders must appear as
-    c_count=0). First groupBy shuffles on c_custkey; the second input is
-    tiny (distinct counts), coalesced by AQE."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
-
-
-_Q76_SQL = """
-    SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(18,4))
-                         ELSE CAST(0 AS DECIMAL(18,4)) END)
-                     AS DECIMAL(38,4)) AS DOUBLE)
-         / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                              AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
-           AS promo_share,
-           COUNT(*) AS n_items
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
-"""
-
-
-@query("q76_promo_share", oracle=_Q76_SQL)
-def q76_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo-type revenue share for one month — global
-    (ungrouped) conditional aggregate; the month filter pushes to the
-    lineitem scan and part broadcasts."""
-    for name in ("lineitem", "part"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q76_SQL)
-
-
-_Q77_SQL = """
-    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
-                AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
-    FROM customer c
-    JOIN orders o ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2
-                           GROUP BY l2.l_orderkey
-                           HAVING SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
-                                  > 250)
-    GROUP BY 1, 2, 3, 4
-"""
-
-
-@query("q77_large_volume_customer", oracle=_Q77_SQL)
-def q77_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
-    via IN over a grouped-HAVING subquery → semi join against a partial
-    aggregate of the same fact table. Exact decimal sums keep the
-    HAVING cut identical across engines."""
-    for name in ("customer", "orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q77_SQL)
-
-
-_Q78_SQL = f"""
-    SELECT {_dsum_sql(_Q71_REV, 4)} AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 5 AND 20)
-       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
-           AND l.l_quantity BETWEEN 10 AND 30)
-       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
-           AND l.l_quantity BETWEEN 20 AND 40)
-"""
-
-
-@query("q78_disjunctive_predicates", oracle=_Q78_SQL)
-def q78_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: OR of three conjunctive brand/size/quantity
-    bands across the join. DataFrame build: the disjunction references
-    both sides so it evaluates post-join; part broadcasts and the
-    common p_partkey equi-key keeps the join hash-based."""
-    li = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part")
-    band = (
-        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15)
-         & F.col("l_quantity").between(5, 20))
-        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(10, 30)
-           & F.col("l_quantity").between(10, 30))
-        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50)
-           & F.col("l_quantity").between(20, 40))
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .where(band)
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                  4, "revenue"),
-             F.count("*").alias("n_items"))
-    )
-
-
-_Q79_SQL = """
-    SELECT p.p_brand, p.p_type, p.p_size,
-           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'Brand#2'
-      AND p.p_size IN (1, 5, 11, 20, 28, 37)
-      AND l.l_suppkey NOT IN (SELECT s.s_suppkey FROM supplier s
-                              WHERE s.s_acctbal < 0)
-    GROUP BY 1, 2, 3
-"""
-
-
-@query("q79_supplier_count", oracle=_Q79_SQL)
-def q79_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: distinct-supplier counts per part attribute with
-    a NOT IN exclusion list → null-aware anti join against the (tiny,
-    broadcast) supplier blocklist, then a two-phase distinct
-    aggregation (partial distinct before the shuffle)."""
-    for name in ("lineitem", "part", "supplier"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q79_SQL)
-
-
-@query(
-    "q80_udtf_tokens",
-    oracle="""
-    SELECT token, COUNT(*) AS n
-    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
-          FROM documents
-          WHERE text IS NOT NULL
-            AND octet_length(encode(text)) = length(text)) u
-    WHERE token <> ''
-    GROUP BY token
-    """,
-)
-def q80_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF (table-valued function) surface: a tokenizer that
-    emits one row per token, consumed through a LATERAL join and
-    aggregated into corpus token counts. Restricted to ASCII documents
-    so Python ``str.lower``/split and the oracle's ``lower``/
-    ``string_split`` agree byte-for-byte. The UDTF runs
-    partition-parallel; only the count aggregation shuffles.
-    [extension — reference has no UDF/UDTF surface, SURVEY §2.12]"""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="token string")
-    class SpaceTokenize:
-        def eval(self, text: str):
-            if text is None:
-                return
-            for tok in text.lower().split(" "):
-                if tok:
-                    yield (tok,)
-
-    spark.udtf.register("space_tokenize", SpaceTokenize)
-    docs = t(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
-        & (F.octet_length(F.col("text")) == F.length(F.col("text"))))
-    docs.createOrReplaceTempView("docs_ascii")
-    return spark.sql("""
-        SELECT tk.token, COUNT(*) AS n
-        FROM docs_ascii AS d, LATERAL space_tokenize(d.text) AS tk
-        GROUP BY tk.token
-    """)
-
-
-@query(
-    "q81_grouped_agg_udaf",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
-           COUNT(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q81_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom aggregate (pandas GROUPED_AGG UDAF): Arrow-batched
-    per-group reduction in Python. Accumulates in int64 (quantities are
-    whole numbers) so the result is exact and order-independent —
-    the determinism requirement any distributed UDAF must meet.
-    [extension — reference has no UDAF surface, SURVEY §2.12]"""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def qty_total_udaf(v: pd.Series) -> int:
-        return int(v.astype("int64").sum())
-
-    @pandas_udf("long")
-    def row_count_udaf(v: pd.Series) -> int:
-        # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
-        # aggregates in one agg(), so the count is a pandas UDAF too.
-        return int(len(v))
-
-    li = t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(qty_total_udaf(F.col("l_quantity")).alias("qty_total"),
-                 row_count_udaf(F.col("l_quantity")).alias("n_rows")))
-
-
-@query(
-    "q82_dup_clusters",
-    oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-      UNION ALL
-      SELECT doc_id + 1000000, text FROM documents
-      WHERE text IS NOT NULL AND doc_id < 15
-      UNION ALL
-      SELECT doc_id + 2000000, text FROM documents
-      WHERE text IS NOT NULL AND doc_id < 15
-    ), hashed AS (
-      SELECT doc_id, md5({_NORM}) AS h
-      FROM docs
-    ), grp AS (
-      SELECT doc_id,
-             MIN(doc_id) OVER (PARTITION BY h) AS comp,
-             COUNT(*) OVER (PARTITION BY h) AS n
-      FROM hashed)
-    SELECT doc_id AS id, comp
-    FROM grp
-    WHERE n >= 2
-    """,
-)
-def q82_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over duplicate pairs → cluster ids.
-
-    The fixture has no natural exact duplicates (a vacuous 0-row check),
-    so the corpus is augmented with two clones of each of the first 15
-    docs under shifted ids — every group is then a 3-member *chain*
-    (each doc linked only to the next doc id with the same content
-    hash), so the hash-min iteration genuinely has to propagate labels
-    across multiple hops. The oracle computes the fixpoint in closed
-    form (min doc_id per content-hash group) — an independent
-    derivation the iterative operator must agree with. [extension]"""
-    from db2pq_spark.operators.components import dedup_clusters
-    from db2pq_spark.operators.dedup import normalize_text
-
-    base = (t(spark, sf_dir, "documents")
-            .where(F.col("text").isNotNull()).select("doc_id", "text"))
-    docs = base
-    for shift in (1_000_000, 2_000_000):
-        docs = docs.unionByName(
-            base.where(F.col("doc_id") < 15)
-            .select((F.col("doc_id") + shift).alias("doc_id"), "text"))
-    hashed = docs.select("doc_id", F.md5(normalize_text("text")).alias("h"))
-    nxt = F.lead("doc_id").over(
-        W.partitionBy("h").orderBy("doc_id"))
-    edges = (hashed.select("doc_id", nxt.alias("next_id"))
-             .where(F.col("next_id").isNotNull()))
-    return dedup_clusters(edges, "doc_id", "next_id")
-
-
-@query(
-    "q83_interval_join",
-    oracle="""
-    SELECT v.user_id,
-           v.event_id AS view_id,
-           p.event_id AS purchase_id,
-           CAST(v.ts AS TIMESTAMP) AS view_time,
-           CAST(p.ts AS TIMESTAMP) AS purchase_time,
-           p.value AS purchase_value
-    FROM events v
-    JOIN events p
-      ON p.user_id = v.user_id
-     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
-     AND CAST(p.ts AS TIMESTAMP)
-         <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
-    WHERE v.event_type = 'view'
-      AND p.event_type = 'purchase'
-    """,
-)
-def q83_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval join (batch twin of the stream-stream attribution join,
-    streaming/windows.py:view_purchase_attribution): purchases joined to
-    the same user's views within the preceding hour. The equi-key on
-    user_id keeps this a hash join with a residual range predicate —
-    not a cartesian. [extension]"""
-    from db2pq_spark.streaming.windows import view_purchase_attribution
-
-    ev = t(spark, sf_dir, "events").withColumn(
-        "event_time", F.timestamp_micros(F.col("ts_us")))
-    return view_purchase_attribution(ev)
-
-
-@query(
-    "q84_unpivot",
-    oracle="""
-    WITH wide AS (
-      SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                  AS DECIMAL(38,2)) AS qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                  AS DECIMAL(38,2)) AS price,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,4)))
-                  AS DECIMAL(38,4)) AS disc
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, metric,
-           CAST(CAST(amount AS DECIMAL(38,4)) AS DOUBLE) AS amount
-    FROM wide
-    UNPIVOT (amount FOR metric IN (qty, price, disc))
-    """,
-)
-def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt) — the inverse reshape of q22's pivot: a wide
-    per-flag aggregate melted to (flag, metric, amount) rows via the
-    native ``unpivot`` operator (an Expand node — no shuffle beyond the
-    aggregation). Amounts unify to decimal(38,4) exactly as DuckDB's
-    UNPIVOT unifies its value column. [Spark built-in; reference
-    delegates reshapes to source SQL]"""
-    li = t(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-         .cast("decimal(38,2)").alias("qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-         .cast("decimal(38,2)").alias("price"),
-        F.sum(F.col("l_discount").cast("decimal(18,4)"))
-         .cast("decimal(38,4)").alias("disc"),
-    )
-    return (wide.unpivot("l_returnflag", ["qty", "price", "disc"],
-                         "metric", "amount")
-            .withColumn("amount",
-                        F.col("amount").cast("decimal(38,4)").cast("double")))
-
-
-@query(
-    "q85_chunking",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, text,
-             GREATEST(1, CAST(ceil((length(text) - 64) / 448.0) AS INT))
-               AS n_chunks
-      FROM documents WHERE text IS NOT NULL)
-    SELECT doc_id AS id, CAST(i AS INT) AS chunk_idx,
-           substring(text, CAST(i * 448 + 1 AS BIGINT), 512) AS chunk_text,
-           CAST(length(substring(text, CAST(i * 448 + 1 AS BIGINT), 512))
-                AS INT) AS chunk_chars_
-    FROM d, UNNEST(range(0, CAST(n_chunks AS BIGINT))) AS t(i)
-    """,
-)
-def q85_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document chunking: overlapping 512-char windows (stride 448) via
-    sequence + posexplode + substring — one row in, N out, zero UDFs,
-    zero shuffles (a narrow map at any scale). [extension]"""
-    from db2pq_spark.operators.chunking import chunk_documents
-
-    return chunk_documents(t(spark, sf_dir, "documents"), "text", "doc_id",
-                           chunk_chars=512, overlap=64)
-
-
-@query(
-    "q86_packing",
-    oracle="""
-    WITH sized AS (
-      SELECT doc_id, lang, n_chars,
-             COALESCE(SUM(n_chars) OVER (
-               PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS offset_
-      FROM documents)
-    SELECT doc_id, lang, n_chars,
-           CAST(floor(offset_ / 8192) AS BIGINT) AS bin
-    FROM sized
-    """,
-)
-def q86_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (offset binning): per-language cumulative size →
-    bin = floor(offset/budget). One window cumsum per group; engine- and
-    partitioning-independent (the oracle recomputes the same window).
-    The exact next-fit variant is pack_next_fit (applyInPandas,
-    tested for no-straddle semantics in pytest). [extension]"""
-    from db2pq_spark.operators.chunking import pack_offsets
-
-    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    return pack_offsets(docs, "n_chars", "doc_id", budget=8192,
-                        group_col="lang")
-
-
-@query(
-    "q87_variant",
-    oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
-                AS DOUBLE) AS sum_value
-    FROM events
-    WHERE event_type = 'purchase'
-    GROUP BY 1
-    """,
-)
-def q87_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VARIANT semi-structured path: ``parse_json`` once into Spark's
-    binary VARIANT encoding, then typed ``variant_get`` extraction —
-    the columnar-shredding-friendly alternative to per-access string
-    parsing (q53). At scale, parse-once beats N× get_json_object when
-    several fields are touched. [Spark 4 built-in; reference delegates
-    JSON to source SQL]"""
-    e = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    v = F.parse_json("props")
-    k = F.variant_get(v, "$.k", "bigint")
-    return (e.groupBy(k.alias("k"))
-            .agg(F.count("*").alias("n"),
-                 dsum("value", 4, "sum_value")))
-
-
-@query(
-    "q88_asof_forward",
-    oracle="""
-    WITH ev AS (
-      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-      FROM events WHERE user_id < 20
-    ),
-    purchases AS (
-      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
-      FROM events WHERE event_type = 'purchase'
-    )
-    SELECT ev.event_id, ev.user_id, ev.ts_us, p.ts_us AS ts_us_asof
-    FROM ev ASOF LEFT JOIN purchases p
-      ON ev.user_id = p.user_id AND ev.ts_us <= p.ts_us
-    """,
-)
-def q88_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join: earliest purchase at-or-after each event
-    (next-event attribution). Same one-shuffle union+carry composition
-    as q34, time ordering reversed. Oracle: DuckDB ASOF with ``<=``.
-    [extension]"""
-    from db2pq_spark.operators.asof import asof_join
-
-    ev = t(spark, sf_dir, "events")
-    left = ev.filter(F.col("user_id") < 20).select("event_id", "user_id",
-                                                   "ts_us")
-    right = ev.filter(F.col("event_type") == "purchase").select("user_id",
-                                                                "ts_us")
-    return asof_join(left, right, on="user_id",
-                     left_time="ts_us", right_time="ts_us",
-                     value_cols=["ts_us"], direction="forward")
-
-
-@query(
-    "q89_resample_gapfill",
-    oracle="""
-    WITH ev AS (
-      SELECT user_id,
-             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_idx,
-             value
-      FROM events WHERE user_id < 8
-    ),
-    bounds AS (
-      SELECT user_id, MIN(day_idx) AS lo, MAX(day_idx) AS hi
-      FROM ev GROUP BY user_id
-    ),
-    grid AS (
-      SELECT b.user_id, CAST(g.d AS BIGINT) AS day_idx
-      FROM bounds b, UNNEST(range(b.lo, b.hi + 1)) AS g(d)
-    )
-    SELECT g.user_id, g.day_idx,
-           COALESCE(e.n, 0) AS n_events,
-           CAST(COALESCE(e.sv, 0) AS DOUBLE) AS sum_value
-    FROM grid g
-    LEFT JOIN (SELECT user_id, day_idx, COUNT(*) AS n,
-                      CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
-                           AS DECIMAL(38,4)) AS DOUBLE) AS sv
-               FROM ev GROUP BY 1, 2) e
-      ON e.user_id = g.user_id AND e.day_idx = g.day_idx
-    """,
-)
-def q89_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series resampling with gap filling: per-user daily rollup
-    over a dense day grid (days with no events appear as zero rows).
-    The grid is generated from each user's own [min, max] span with
-    ``sequence`` + ``explode`` — no driver-side calendar, no cross
-    join; the grid build and the left join share the user_id
-    partitioning. [extension — hypertable-style rollup]"""
-    ev = (t(spark, sf_dir, "events")
-          .where(F.col("user_id") < 8)
-          .select("user_id",
-                  F.expr("ts_us div 86400000000").alias("day_idx"),
-                  "value"))
-    agg = (ev.groupBy("user_id", "day_idx")
-           .agg(F.count("*").alias("n"),
-                dsum("value", 4, "sv")))
-    grid = (ev.groupBy("user_id")
-            .agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
-            .select("user_id",
-                    F.explode(F.sequence("lo", "hi")).alias("day_idx")))
-    return (grid.join(agg, ["user_id", "day_idx"], "left")
-            .select("user_id", "day_idx",
-                    F.coalesce("n", F.lit(0)).alias("n_events"),
-                    F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value")))
-
-
-@query(
-    "q90_feature_binning",
-    oracle="""
-    SELECT decile, COUNT(*) AS n,
-           ROUND(MIN(c_acctbal), 2) AS lo,
-           ROUND(MAX(c_acctbal), 2) AS hi
-    FROM (SELECT c_acctbal,
-                 NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)
-                   AS decile
-          FROM customer) b
-    GROUP BY decile
-    """,
-)
-def q90_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact decile binning of a feature column (equal-frequency
-    discretization): NTILE semantics with a total tie-broken ordering —
-    deterministic across engines, unlike approxQuantile-based
-    Bucketizer setups — computed as arithmetic over the two-stage
-    distributed global rank (operators/ranking.py), so no
-    single-partition window at any size. At 100 TB use the sketch
-    (approx) variant; this is the exact baseline the sketch is
-    validated against. [extension]"""
-    from db2pq_spark.operators.ranking import (
-        global_rank_with_total,
-        ntile_expr,
-    )
-
-    c = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
-    ranked, n = global_rank_with_total(
-        c, [F.asc("c_acctbal"), F.asc("c_custkey")], rank_col="_r")
-    return (ranked
-            .select("c_acctbal",
-                    ntile_expr(F.col("_r"), n, 10)
-                    .cast("bigint").alias("decile"))
-            .groupBy("decile")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.min("c_acctbal"), 2).alias("lo"),
-                 F.round(F.max("c_acctbal"), 2).alias("hi")))
-
-
-_Q91_SQL = f"""
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
-               AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-      GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
-    FROM supplier s
-    JOIN revenue r ON r.supplier_no = s.s_suppkey
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-"""
-
-
-@query("q91_top_supplier", oracle=_Q91_SQL)
-def q91_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: the revenue 'view' is aggregated once, then an
-    uncorrelated scalar MAX subquery selects the top supplier —
-    exact-decimal revenue makes the MAX equality deterministic. The CTE
-    is referenced twice; Spark executes the scalar branch as a
-    one-row subquery, not a rejoin of the full view."""
-    for name in ("lineitem", "supplier"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q91_SQL)
-
-
-_Q92_SQL = """
-    SELECT o.o_orderpriority,
-           CAST(SUM(CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END)
-                AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN l.l_quantity < 25 THEN 1 ELSE 0 END)
-                AS BIGINT) AS low_line_count
-    FROM orders o
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY o.o_orderpriority
-"""
-
-
-@query("q92_priority_classes", oracle=_Q92_SQL)
-def q92_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: two-class conditional counts per priority (the
-    fixture has no l_shipmode; quantity bands play its role). One
-    join + one aggregation; the year filter pushes to the lineitem
-    scan."""
-    for name in ("orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q92_SQL)
-
-
-_Q93_SQL = """
-    WITH supplier_value AS (
-      SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
-                  AS DECIMAL(38,2)) AS value_
-      FROM lineitem
-      GROUP BY l_suppkey)
-    SELECT l_suppkey, CAST(value_ AS DOUBLE) AS value_
-    FROM supplier_value
-    WHERE CAST(value_ AS DOUBLE) >
-          (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity
-                               AS DECIMAL(18,2))) AS DOUBLE)
-                  * CAST(0.001 AS DOUBLE)
-           FROM lineitem l2)
-"""
-
-
-@query("q93_value_concentration", oracle=_Q93_SQL)
-def q93_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: suppliers holding more than a fixed fraction of
-    global value — a grouped aggregate filtered by an uncorrelated
-    scalar subquery over the SAME table (two aggregation passes, the
-    scalar one a single row broadcast into the HAVING). Both sums
-    accumulate in exact decimal; the threshold multiply happens in
-    identical double operands on both engines."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q93_SQL)
-
-
-_Q94_SQL = """
-    WITH wins AS (
-      SELECT event_id AS win_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) - 600000000 AS lo,
-             epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS hi
-      FROM events
-      WHERE event_type = 'purchase' AND value >= 100),
-    pts AS (
-      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt_ts, value
-      FROM events)
-    SELECT w.win_id,
-           COUNT(*) AS n_events,
-           CAST(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                AS DOUBLE) AS sum_value
-    FROM wins w
-    JOIN pts p ON p.pt_ts BETWEEN w.lo AND w.hi
-    GROUP BY w.win_id
-"""
-
-
-@query("q94_range_join", oracle=_Q94_SQL)
-def q94_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyless range join via bin bucketing
-    (operators/rangejoin.py:range_join): ±10-minute activity windows
-    around high-value purchases joined to ALL events by time
-    containment alone. Without the bin rewrite Spark's only plan for a
-    pure inequality join is a nested-loop/cartesian product; the
-    operator turns it into an equi hash join on
-    ``floor(ts / 20min)`` bins with the exact range predicate as a
-    residual, so it scales as hash-join, not |windows|×|events|.
-    [extension]"""
-    from db2pq_spark.operators.rangejoin import range_join
-
-    ev = t(spark, sf_dir, "events")
-    pts = ev.select(F.col("event_id").alias("pt_id"),
-                    F.col("ts_us").alias("pt_ts"),
-                    F.col("value").alias("pt_value"))
-    wins = (ev.filter((F.col("event_type") == "purchase")
-                      & (F.col("value") >= 100))
-            .select(F.col("event_id").alias("win_id"),
-                    (F.col("ts_us") - F.lit(600_000_000)).alias("lo"),
-                    (F.col("ts_us") + F.lit(600_000_000)).alias("hi")))
-    joined = range_join(pts, wins, "pt_ts", "lo", "hi",
-                        bin_width=1_200_000_000)
-    return joined.groupBy("win_id").agg(
-        F.count("*").alias("n_events"),
-        dsum("pt_value", 2, "sum_value"))
-
-
-_Q95_SQL = """
-    WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
-    c(rule, violations) AS (
-      SELECT 'not_null(l_orderkey)', COUNT(*)
-      FROM lineitem WHERE l_orderkey IS NULL
-      UNION ALL
-      SELECT 'in_range(l_quantity,1,30)', COUNT(*)
-      FROM lineitem WHERE l_quantity < 1 OR l_quantity > 30
-      UNION ALL
-      SELECT 'accepted_values(l_returnflag)', COUNT(*)
-      FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')
-      UNION ALL
-      SELECT 'positive_price', COUNT(*)
-      FROM lineitem WHERE l_extendedprice <= 0
-      UNION ALL
-      SELECT 'unique(l_orderkey,l_linenumber)',
-             COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
-      FROM lineitem
-      UNION ALL
-      SELECT 'fk(l_orderkey)', COUNT(*)
-      FROM lineitem l
-      WHERE l.l_orderkey IS NOT NULL
-        AND NOT EXISTS (SELECT 1 FROM orders o
-                        WHERE o.o_orderkey = l.l_orderkey)
-    )
-    SELECT c.rule, c.violations, n.n_rows, c.violations = 0 AS passed
-    FROM c CROSS JOIN n
-"""
-
-
-@query("q95_validation", oracle=_Q95_SQL)
-def q95_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality suite (operators/validate.py): five
-    row-level/uniqueness rules share ONE scan+aggregate of lineitem
-    (adding a rule adds zero I/O), the FK check adds one anti-join
-    against orders (broadcast at this scale). The audit result is a
-    6-row DataFrame gating the pipeline. [extension]"""
-    from db2pq_spark.operators.validate import (
-        accepted_values, expr_check, foreign_key, in_range, not_null,
-        unique_key, validate,
-    )
-
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    return validate(li, [
-        not_null("l_orderkey"),
-        in_range("l_quantity", 1, 30),
-        accepted_values("l_returnflag", ["A", "N", "R"]),
-        expr_check("positive_price", "l_extendedprice <= 0"),
-        unique_key("l_orderkey", "l_linenumber"),
-        foreign_key("l_orderkey", orders, "o_orderkey"),
-    ])
-
-
-_Q96_SQL = """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         t -> t <> '') AS terms
-      FROM documents),
-    d AS (SELECT doc_id, len(terms) AS dl FROM toks),
-    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
-    matched AS (
-      SELECT t.doc_id, u.term
-      FROM toks t, UNNEST(t.terms) AS u(term)
-      WHERE u.term IN ('join', 'vector', 'stream')),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM matched GROUP BY 1, 2),
-    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dft FROM tf GROUP BY 1)
-    SELECT tf.doc_id,
-           ROUND(SUM(  ln(1 + (s.n_docs - f.dft + 0.5) / (f.dft + 0.5))
-                     * tf.tf * (1.2 + 1)
-                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))),
-                 4) AS bm25
-    FROM tf
-    JOIN dfreq f USING (term)
-    JOIN d USING (doc_id)
-    CROSS JOIN stats s
-    GROUP BY tf.doc_id
-"""
-
-
-@query("q96_bm25", oracle=_Q96_SQL)
-def q96_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (operators/retrieval.py) for a 3-term
-    query over the documents corpus — tokenize, corpus stats, pruned
-    explode, tf/df aggregates, Robertson idf scoring; all JVM-side.
-    The DuckDB oracle recomputes the identical formula from the same
-    tokenization. [extension]"""
-    from db2pq_spark.operators.retrieval import bm25_scores
-
-    docs = t(spark, sf_dir, "documents")
-    return bm25_scores(docs, "text", "doc_id", ["join", "vector", "stream"])
-
-
-_Q98_SQL = f"""
-    SELECT CAST(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k.k) * 900
-                AS BIGINT) AS window_start_epoch,
-           event_type,
-           COUNT(*) AS n_events,
-           {_dsum_sql('value', 2)} AS sum_value
-    FROM events
-    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
-    GROUP BY 1, 2
-"""
-
-
-@query("q98_sliding_window", oracle=_Q98_SQL)
-def q98_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1-hour/15-minute window aggregate — batch twin of
-    streaming/windows.py:sliding_counts. Spark's native ``window(...,
-    slide)`` expands each event into window/slide = 4 rows (an Expand
-    node, narrow) before the windowed agg; the oracle derives the same
-    4 aligned window starts arithmetically. Window start is reported as
-    epoch seconds (tz-independent)."""
-    e = t(spark, sf_dir, "events") \
-        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
-    return (
-        e.groupBy(F.window("event_time", "1 hour", "15 minutes"),
-                  "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
-        .select(F.col("window.start").cast("bigint")
-                .alias("window_start_epoch"),
-                "event_type", "n_events", "sum_value")
-    )
-
-
-def _q97_sql() -> str:
-    from db2pq_spark.operators.sampling import weighted_score_sql
-    score = weighted_score_sql("o_orderkey", "o_totalprice")
-    return f"""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice > 0
-    ORDER BY {score} DESC, o_orderkey
-    LIMIT 500
-    """
-
-
-@query("q97_weighted_sample", oracle=None)  # oracle injected below
-def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement
-    (operators/sampling.py:weighted_sample — Efraimidis–Spirakis keys
-    from md5-derived uniforms): 500 orders drawn proportionally-ish to
-    o_totalprice. Engine-portable: the DuckDB oracle computes the
-    identical ranking keys and selects the identical 500 rows. Narrow
-    score + TakeOrderedAndProject — no full sort at any scale.
-    [extension]"""
-    from db2pq_spark.operators.sampling import weighted_sample
-
-    orders = t(spark, sf_dir, "orders")
-    return weighted_sample(orders, "o_orderkey", "o_totalprice", 500) \
-        .select("o_orderkey", "o_totalprice")
-
-
-REGISTRY["q97_weighted_sample"] = (q97_weighted_sample, _q97_sql())
-
-
-@query(
-    "q106_deterministic_shuffle",
-    oracle="""
-    SELECT doc_id,
-           ROW_NUMBER() OVER (
-             ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id)
-             AS shuffle_order
-    FROM documents
-    """,
-)
-def q106_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded global corpus permutation
-    (operators/sampling.py:deterministic_shuffle) — the reproducible
-    "shuffle the training data" step. Position = global rank of
-    md5(seed||key), computed by the two-stage distributed rank
-    (operators/ranking.py), so no single-partition stage at any corpus
-    size; the DuckDB oracle recomputes the identical permutation from
-    the identical hashes. [extension]"""
-    from db2pq_spark.operators.sampling import deterministic_shuffle
-
-    docs = t(spark, sf_dir, "documents").select("doc_id")
-    return deterministic_shuffle(docs, "doc_id", seed="epoch0") \
-        .select("doc_id", "shuffle_order")
-
-
-@query(
-    "q107_incremental_dedup",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id AS id, {_NORM} AS norm, {_TOKENS} AS toks
-      FROM documents
-    ),
-    sh AS (
-      SELECT id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(
-                         generate_series(1, len(toks) - 2),
-                         i -> concat_ws(' ', toks[i], toks[i+1],
-                                        toks[i+2])))
-                  ELSE [norm] END AS grams
-      FROM toks
-      WHERE len(toks) > 0 AND toks[1] <> ''
-    ),
-    j AS (
-      SELECT b.id AS batch_id, c.id AS corpus_id,
-             len(list_intersect(b.grams, c.grams))
-               / (len(b.grams) + len(c.grams)
-                  - len(list_intersect(b.grams, c.grams))) AS jaccard
-      FROM sh b JOIN sh c ON b.id % 5 = 0 AND c.id % 5 <> 0
-    )
-    SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.6
-    """,
-)
-def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: probe a (small) new-crawl batch against the
-    standing corpus — the daily-increment shape of dedup at 100 TB,
-    where the corpus never shuffles (batch band keys broadcast in,
-    verification broadcasts candidates back into a corpus scan; see
-    operators/dedup.py:minhash_dedup_incremental).
-
-    Gate split: every 5th document plays the "new batch", the rest the
-    corpus. Oracle: exact batch×corpus 3-shingle Jaccard — structural
-    recall like q36's gate: 32 bands × 2 rows collide with
-    probability 1 − (1−j²)³² ≥ 1 − 6.3e−7 for every pair at or above
-    the 0.6 threshold, and the hot-bucket guard is off
-    (max_bucket=None) so nothing is silently dropped. Production
-    defaults (16×4, capped) stay on the operator. [extension]"""
-    from db2pq_spark.operators.dedup import minhash_dedup_incremental
-
-    docs = t(spark, sf_dir, "documents")
-    return minhash_dedup_incremental(
-        docs.filter(F.col("doc_id") % 5 == 0),
-        docs.filter(F.col("doc_id") % 5 != 0),
-        "text", "doc_id",
-        num_hashes=64, bands=32, threshold=0.6, max_bucket=None,
-    )
-
-
-@query(
-    "q108_incremental_exact_dedup",
-    oracle=f"""
-    WITH h AS (
-      SELECT doc_id AS id, md5({_NORM}) AS content_hash FROM documents
-    ),
-    b AS (SELECT * FROM h WHERE id % 5 = 0),
-    c AS (SELECT DISTINCT content_hash FROM h WHERE id % 5 <> 0)
-    SELECT b.id, b.content_hash,
-           (c.content_hash IS NOT NULL) AS is_duplicate
-    FROM b LEFT JOIN c ON b.content_hash = c.content_hash
-    """,
-)
-def q108_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-hash incremental dedup: flag new-batch documents whose
-    normalized content already exists in the corpus
-    (operators/dedup.py:exact_dedup_incremental). Same corpus-side
-    discipline as q107 — the corpus scan is semi-filtered by the
-    broadcast batch hash set and never shuffles. Oracle: the identical
-    md5-of-normalized-text comparison in DuckDB. [extension]"""
-    from db2pq_spark.operators.dedup import exact_dedup_incremental
-
-    docs = t(spark, sf_dir, "documents")
-    return exact_dedup_incremental(
-        docs.filter(F.col("doc_id") % 5 == 0),
-        docs.filter(F.col("doc_id") % 5 != 0),
-        "text", "doc_id",
-    )
-
-
-@query(
-    "q99_repetition_profile",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKENS} AS toks FROM documents
-    ),
-    stats AS (
-      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-             ROUND(len(list_distinct(toks)) / len(toks), 6)
-               AS distinct_token_ratio
-      FROM toks
-    ),
-    bg AS (
-      SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(toks) - 1),
-                    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
-      FROM toks WHERE len(toks) >= 2
-    ),
-    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
-    top AS (SELECT doc_id, MAX(c) AS top_c,
-                   CAST(SUM(c) AS BIGINT) AS n_bigrams
-            FROM cnt GROUP BY doc_id)
-    SELECT s.doc_id, s.n_tokens, s.distinct_token_ratio,
-           CAST(COALESCE(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           ROUND(CASE WHEN t.n_bigrams > 0 THEN t.top_c / t.n_bigrams
-                      ELSE 0.0 END, 6) AS top_bigram_fraction
-    FROM stats s LEFT JOIN top t USING (doc_id)
-    """,
-)
-def q99_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals per document: vocabulary
-    richness (distinct-token ratio) and top-bigram concentration
-    (operators/repetition.py:repetition_profile). Two doc-keyed
-    shuffles + an AQE-sized doc join; linear in corpus tokens, no
-    skewable keys. [extension]"""
-    from db2pq_spark.operators.repetition import repetition_profile
-
-    return repetition_profile(t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-@query(
-    "q100_heavy_hitters",
-    oracle=f"""
-    SELECT token, COUNT(*) AS n
-    FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
-    GROUP BY token
-    ORDER BY n DESC, token
-    LIMIT 25
-    """,
-)
-def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus heavy hitters: exact token-frequency top-25
-    (operators/repetition.py:top_tokens). explode → partial+final agg
-    (map-side combine collapses each partition to its vocabulary) →
-    TakeOrderedAndProject; the only shuffle is keyed by token and
-    carries vocabulary-sized data, not corpus-sized. [extension]"""
-    from db2pq_spark.operators.repetition import top_tokens
-
-    return top_tokens(t(spark, sf_dir, "documents"), "text", 25)
-
-
-@query(
-    "q101_pii_scrub",
-    oracle="""
-    SELECT event_id,
-           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props,
-           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
-             AS props_redactions
-    FROM events
-    """,
-)
-def q101_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-shaped redaction (operators/repetition.py:scrub_pii —
-    digit-run kind, the only PII class present in the synthetic
-    fixtures; email/phone/IPv4 kinds unit-tested on literal rows).
-    Narrow codegen'd projection: regexp_replace + regexp_count, zero
-    shuffles at any scale. [extension]"""
-    from db2pq_spark.operators.repetition import scrub_pii
-
-    e = t(spark, sf_dir, "events")
-    return scrub_pii(e, "props", kinds=("number",), token="<NUM>") \
-        .select("event_id", "props", "props_redactions")
-
-
-@query(
-    "q102_duplicate_spans",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKENS} AS toks FROM documents
-    ),
-    g AS (
-      SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(toks) - 2),
-                    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
-               AS h
-      FROM toks WHERE len(toks) >= 3
-    ),
-    hc AS (
-      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS c FROM g
-    )
-    SELECT doc_id, COUNT(*) AS n_spans,
-           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS dup_spans,
-           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                 / COUNT(*), 6) AS dup_span_ratio
-    FROM hc GROUP BY doc_id
-    """,
-)
-def q102_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplicate detection (Lee et al. 2107.06499
-    re-expressed relationally — operators/dedup.py:duplicate_spans):
-    per-document fraction of token spans whose exact content recurs
-    anywhere in the corpus. Trigram spans here (the synthetic corpus's
-    small vocabulary makes longer exact repeats vanishingly rare);
-    production length 20-50 is a parameter. One window shuffle on the
-    32-byte span key + one doc-keyed aggregate — no pair
-    materialization, never quadratic. [extension]"""
-    from db2pq_spark.operators.dedup import duplicate_spans
-
-    return duplicate_spans(t(spark, sf_dir, "documents"), "text", "doc_id",
-                           n=3)
-
-
-@query(
-    "q103_vocab_encode",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKENS} AS toks FROM documents
-    ),
-    counts AS (
-      SELECT token, COUNT(*) AS freq
-      FROM (SELECT unnest(toks) AS token FROM toks)
-      GROUP BY token
-    ),
-    vocab AS (
-      SELECT token,
-             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1
-                  AS BIGINT) AS token_id
-      FROM (SELECT * FROM counts ORDER BY freq DESC, token LIMIT 30)
-    ),
-    pos AS (
-      SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
-      FROM toks
-    ),
-    enc AS (
-      SELECT p.doc_id, p.i - 1 AS pos,
-             COALESCE(v.token_id, -1) AS tid
-      FROM (SELECT doc_id, i, toks[i] AS token FROM pos) p
-      LEFT JOIN vocab v USING (token)
-    )
-    SELECT doc_id,
-           CAST(len(list(tid ORDER BY pos)) AS BIGINT) AS n_tokens,
-           array_to_string(list(tid ORDER BY pos), ' ') AS token_ids_str
-    FROM enc GROUP BY doc_id
-    """,
-)
-def q103_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary build + document encoding
-    (operators/vocab.py): top-30 frequency-ranked token ids (total
-    tie-broken order → deterministic ids), documents re-encoded as
-    ordered bigint-id sequences with OOV = −1 — the training-prep step
-    feeding sequence packing. Vocab never touches the driver: encode is
-    explode → (broadcast-sized) vocab join → one doc-keyed reassembly
-    shuffle.
-
-    Gate shape: the id sequence is emitted space-joined
-    (``token_ids_str``) because the driver's canonicalizer cannot sort
-    array cells; real users call ``encode_documents`` and keep the
-    ``array<bigint>``. [extension]"""
-    from db2pq_spark.operators.vocab import build_vocab, encode_documents
-
-    docs = t(spark, sf_dir, "documents")
-    vocab = build_vocab(docs, "text", max_size=30)
-    enc = encode_documents(docs, "text", "doc_id", vocab)
-    return enc.select(
-        "doc_id", "n_tokens",
-        F.concat_ws(" ", F.col("token_ids").cast("array<string>"))
-         .alias("token_ids_str"))
-
-
-@query(
-    "q104_decontamination",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, source, {_TOKENS} AS toks FROM documents
-    ),
-    sp AS (
-      SELECT doc_id, source,
-             unnest(list_transform(generate_series(1, len(toks) - 3),
-                    i -> md5(concat_ws(' ', toks[i], toks[i+1],
-                                       toks[i+2], toks[i+3])))) AS h
-      FROM d WHERE len(toks) >= 4
-    ),
-    bench AS (SELECT DISTINCT h FROM sp WHERE source = 'src0'),
-    train AS (SELECT doc_id, h FROM sp WHERE source <> 'src0'),
-    hits AS (
-      SELECT doc_id, COUNT(*) AS contaminated_spans
-      FROM train WHERE h IN (SELECT h FROM bench)
-      GROUP BY doc_id
-    ),
-    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM train GROUP BY doc_id)
-    SELECT t.doc_id, t.n_spans,
-           CAST(COALESCE(x.contaminated_spans, 0) AS BIGINT)
-             AS contaminated_spans,
-           COALESCE(x.contaminated_spans, 0) > 0 AS contaminated
-    FROM totals t LEFT JOIN hits x USING (doc_id)
-    """,
-)
-def q104_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (n-gram overlap test-set-leakage
-    check, operators/dedup.py:contamination_stats): docs from source
-    'src0' act as the held-out benchmark; every other doc is scored by
-    how many of its 4-token spans occur in the benchmark. The distinct
-    benchmark-span side is broadcast (benchmarks are tiny next to the
-    corpus); training spans stream through a semi-join probe. 4-token
-    spans here for the synthetic corpus's tiny vocabulary; production
-    uses the 13-gram default. [extension]"""
-    from db2pq_spark.operators.dedup import contamination_stats
-
-    docs = t(spark, sf_dir, "documents")
-    return contamination_stats(
-        docs.where(F.col("source") != "src0"),
-        docs.where(F.col("source") == "src0"),
-        "text", "doc_id", n=4)
-
-
-@query(
-    "q105_label_centroids",
-    oracle="""
-    WITH pe AS (
-      SELECT label, unnest(generate_series(1, len(embedding))) AS i,
-             embedding
-      FROM embeddings
-    ),
-    comp AS (
-      SELECT label, i - 1 AS dim,
-             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                           AS DECIMAL(28,10))) AS DOUBLE)
-               / COUNT(*) AS m,
-             COUNT(*) AS c
-      FROM pe GROUP BY label, i
-    ),
-    nv AS (
-      SELECT label, CAST(MAX(c) AS BIGINT) AS n_vectors
-      FROM comp GROUP BY label
-    )
-    SELECT label, n_vectors, CAST(dim AS INT) AS dim,
-           ROUND(m, 6) AS value
-    FROM comp JOIN nv USING (label)
-    """,
-)
-def q105_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids
-    (operators/similarity.py:label_centroids) — the recompute-centroids
-    step of IVF/k-means training as a pure relational plan: posexplode
-    fan-out (narrow) → exact-decimal partial+final aggregate
-    (|labels|×|dims| rows shuffle, corpus never re-shuffles) → per-label
-    reassembly.
-
-    Gate shape: the centroid array is exploded to one (label, dim,
-    value) row per slot because the driver's canonicalizer cannot sort
-    array cells; real users call ``label_centroids`` and keep the
-    ``array<double>``. [extension]"""
-    from db2pq_spark.operators.similarity import label_centroids
-
-    c = label_centroids(t(spark, sf_dir, "embeddings"),
-                        "embedding", "label")
-    return c.select("label", "n_vectors",
-                    F.posexplode("centroid").alias("dim", "value"))
-
-
-def _q109_oracle() -> str:
-    from db2pq_spark.operators.mixing import (
-        mix_units_sql, mix_frac_keep_sql)
-
-    units = mix_units_sql("source", "tot", _MIX_WEIGHTS, _MIX_BUDGET,
-                          max_epochs=4)
-    keep = mix_frac_keep_sql("doc_id", "frac", salt=_MIX_SALT)
-    return f"""
-    WITH sz AS (
-      SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
-    ),
-    u AS (
-      SELECT source, {units} AS units FROM sz
-    ),
-    d AS (
-      SELECT doc_id, dd.source, n_chars,
-             units // 1000000 AS full_e, units % 1000000 AS frac
-      FROM documents dd JOIN u USING (source)
-      WHERE units IS NOT NULL
-    ),
-    c AS (
-      SELECT doc_id, source, n_chars,
-             full_e + CASE WHEN {keep} THEN 1 ELSE 0 END AS copies
-      FROM d
-    )
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(unnest(generate_series(CAST(0 AS BIGINT),
-                                       CAST(copies - 1 AS BIGINT)))
-                AS BIGINT) AS epoch
-    FROM c WHERE copies > 0
-    """
-
-
-#: q109 config: src0 heavily over-weighted (exercises integer upsampling
-#: epochs + fractional threshold), src2/src3 under-weighted
-#: (downsampling); absolute budget so each fixture scale lands in a
-#: different regime (sf0.001 hits the max_epochs cap, sf0.1 is pure
-#: downsampling) — all on the same arithmetic.
-_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
-_MIX_BUDGET = 40_000
-_MIX_SALT = "mix1"
-
-
-@query("q109_source_mix", oracle=_q109_oracle())
-def q109_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-corpus mixing (operators/mixing.py:mix_corpus): Pile /
-    Dolma-style per-source weights resolved against a character budget
-    — oversized sources deterministically downsample, undersized ones
-    repeat for up to 4 epochs (integer bucket-unit rates, so the
-    Spark plan and the SQL oracle agree bit-for-bit). One tiny
-    per-source aggregate; the corpus itself never shuffles — broadcast
-    decision join + md5-threshold filter + bounded explode.
-    [extension]"""
-    from db2pq_spark.operators.mixing import mix_corpus
-
-    mixed = mix_corpus(
-        t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id",
-        _MIX_WEIGHTS, _MIX_BUDGET, salt=_MIX_SALT, max_epochs=4)
-    return mixed.select("doc_id", "source",
-                        F.col("n_chars").cast("bigint").alias("n_chars"),
-                        "epoch")
-
-
-@query(
-    "q110_quantize_embeddings",
-    oracle="""
-    WITH s AS (
-      SELECT vec_id, embedding,
-             list_max(list_transform(embedding,
-                      x -> abs(CAST(x AS DOUBLE)))) AS amax
-      FROM embeddings
-    ),
-    sc AS (
-      SELECT vec_id, embedding,
-             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale
-      FROM s
-    )
-    SELECT vec_id,
-           CAST(i - 1 AS INT) AS dim,
-           CAST(CASE WHEN scale > 0
-                     THEN round(CAST(embedding[i] AS DOUBLE) / scale, 0)
-                     ELSE 0.0 END AS INT) AS code,
-           round(scale, 9) AS scale_r
-    FROM sc, unnest(generate_series(1, len(embedding))) AS t(i)
-    """,
-)
-def q110_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-vector int8 embedding quantization
-    (operators/quantize.py) — the 4× storage cut for vector columns at
-    rest, bounded error scale/2 per component. Pure narrow codegen
-    projections, zero shuffles; arithmetic is engine-portable
-    (round-half-away-from-zero on float64), which is exactly what the
-    oracle verifies.
-
-    Gate shape: codes explode to (vec_id, dim, code) scalars (driver
-    canon cannot sort array cells); real users keep the
-    ``array<tinyint>`` + scale columns. [extension]"""
-    from db2pq_spark.operators.quantize import quantize_embeddings
-
-    q = quantize_embeddings(t(spark, sf_dir, "embeddings"), "embedding")
-    return q.select(
-        "vec_id",
-        F.posexplode("qvec").alias("dim", "code"),
-        F.round("qscale", 9).alias("scale_r"),
-    ).select("vec_id", F.col("dim").cast("int").alias("dim"),
-             F.col("code").cast("int").alias("code"), "scale_r")
-
-
-def _q111_oracle() -> str:
-    from db2pq_spark.operators.bloom import bloom_member_sql
-
-    member = bloom_member_sql(
-        "doc_id", "SELECT doc_id AS key FROM documents "
-                  "WHERE source IN ('src0', 'src1')",
-        n_bits=1 << 16, k=4, salt="bloom1")
-    return f"""
-    SELECT doc_id, source, {member} AS might_contain
-    FROM documents
-    """
-
-
-@query("q111_bloom_probe", oracle=_q111_oracle())
-def q111_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter membership (operators/bloom.py): build a fixed-size
-    bitmap over the src0/src1 document ids, probe every document.
-    Zero false negatives by construction (asserted in tests); the
-    md5-derived bit positions replay bit-for-bit in the oracle, so
-    even the false POSITIVES match — the filter itself is verified,
-    not just its lower bound. Build is one bounded word-OR aggregate;
-    probe broadcasts the single bitmap row — the 100 TB
-    "shrink the broadcast side" primitive for the incremental dedup /
-    decontamination joins. [extension]"""
-    from db2pq_spark.operators.bloom import bloom_build, bloom_probe
-
-    docs = t(spark, sf_dir, "documents")
-    bloom = bloom_build(
-        docs.where(F.col("source").isin("src0", "src1")), "doc_id",
-        n_bits=1 << 16, k=4, salt="bloom1")
-    return bloom_probe(docs, "doc_id", bloom) \
-        .select("doc_id", "source", "might_contain")
-
-
-@query(
-    "q112_unigram_surprisal",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKENS} AS toks FROM documents
-    ),
-    e AS (
-      SELECT doc_id, unnest(toks) AS tok FROM toks
-    ),
-    vocab AS (
-      SELECT tok, COUNT(*) AS c FROM e GROUP BY tok
-    ),
-    tot AS (SELECT SUM(c) AS n_ref FROM vocab),
-    s AS (
-      SELECT tok,
-             CAST(round(-log2(CAST(c AS DOUBLE)
-                              / CAST(n_ref AS DOUBLE)), 6)
-                  AS DECIMAL(28,10)) AS s
-      FROM vocab, tot
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(s) AS DECIMAL(38,10)) AS sum_surprisal
-    FROM e JOIN s USING (tok)
-    GROUP BY doc_id
-    """,
-)
-def q112_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality signal
-    (operators/textstats.py:unigram_surprisal): mean per-token
-    ``-log2 p`` under the corpus's own unigram distribution — the
-    relational form of perplexity-band filtering. One explode + one
-    vocabulary aggregate + an AQE-broadcast probability join + one
-    doc-keyed re-aggregate; per-token surprisals are rounded then
-    DECIMAL-accumulated so the sum is order-independent and the DuckDB
-    oracle replays it exactly (the gate compares the exact decimal
-    SUM — a rounded double mean sits on rounding boundaries an ulp
-    apart across engines; users read ``mean_surprisal``). [extension]"""
-    from db2pq_spark.operators.textstats import unigram_surprisal
-
-    return unigram_surprisal(
-        t(spark, sf_dir, "documents"), "text", "doc_id") \
-        .withColumnRenamed("id", "doc_id") \
-        .select("doc_id", "n_tokens", "sum_surprisal")
-
-
-def _q113_oracle() -> str:
-    from db2pq_spark.operators.mixing import (
-        mix_frac_keep_sql, mix_units_sql)
-
-    units = mix_units_sql("source", "tot", _PIPE_WEIGHTS, _PIPE_BUDGET,
-                          max_epochs=4)
-    keep = mix_frac_keep_sql("doc_id", "frac", salt=_PIPE_SALT)
-    return f"""
-    WITH keepers AS (
-      SELECT MIN(doc_id) AS doc_id
-      FROM documents GROUP BY md5({_NORM})
-    ),
-    filt AS (
-      SELECT d.doc_id, d.source, d.n_chars
-      FROM documents d JOIN keepers USING (doc_id)
-      WHERE d.n_chars BETWEEN 150 AND 450
-    ),
-    sz AS (
-      SELECT source, SUM(n_chars) AS tot FROM filt GROUP BY source
-    ),
-    u AS (SELECT source, {units} AS units FROM sz),
-    d AS (
-      SELECT doc_id, ff.source, n_chars,
-             units // 1000000 AS full_e, units % 1000000 AS frac
-      FROM filt ff JOIN u USING (source)
-      WHERE units IS NOT NULL
-    ),
-    c AS (
-      SELECT doc_id, source, n_chars,
-             full_e + CASE WHEN {keep} THEN 1 ELSE 0 END AS copies
-      FROM d
-    )
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(unnest(generate_series(CAST(0 AS BIGINT),
-                                       CAST(copies - 1 AS BIGINT)))
-                AS BIGINT) AS epoch
-    FROM c WHERE copies > 0
-    """
-
-
-#: q113 pipeline config: dedup → quality band → mix (src0 upsampled,
-#: src1/src2 near- or below-parity); absolute budget, same regime
-#: spread across fixture scales as q109.
-_PIPE_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
-_PIPE_BUDGET = 20_000
-_PIPE_SALT = "pipe1"
-
-
-@query("q113_training_pipeline", oracle=_q113_oracle())
-def q113_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-prep composition — the operators chained
-    the way a real corpus build runs them: exact dedup (keep the min
-    id per normalized content), a quality band filter (n_chars in
-    [150, 450]), then weighted source mixing to a character budget
-    (operators/dedup.py:exact_dedup + operators/mixing.py:mix_corpus).
-    Every stage stays narrow or key-shuffled: dedup is one content-hash
-    aggregate + a semi join, the filter folds into the scan, mixing is
-    a broadcast decision join — nothing quadratic, nothing
-    driver-bound. One exact oracle hash-verifies the whole chain, not
-    just the stages in isolation. [extension]"""
-    from db2pq_spark.operators.dedup import exact_dedup
-    from db2pq_spark.operators.mixing import mix_corpus
-
-    docs = t(spark, sf_dir, "documents")
-    keepers = exact_dedup(docs, "text", "doc_id") \
-        .select(F.col("keep_id").alias("doc_id"))
-    filtered = (docs.join(keepers, "doc_id", "left_semi")
-                .where(F.col("n_chars").between(150, 450)))
-    mixed = mix_corpus(filtered, "source", "n_chars", "doc_id",
-                       _PIPE_WEIGHTS, _PIPE_BUDGET, salt=_PIPE_SALT,
-                       max_epochs=4)
-    return mixed.select(
-        "doc_id", "source",
-        F.col("n_chars").cast("bigint").alias("n_chars"), "epoch")
-
-
-@query(
-    "q114_semantic_dedup",
-    oracle="""
-    WITH planted AS (
-      SELECT vec_id FROM embeddings WHERE vec_id < 20
-    ),
-    members AS (
-      SELECT vec_id + s.s AS vec_id, vec_id AS cluster
-      FROM planted, (VALUES (0), (1000000), (2000000)) s(s)
-    )
-    SELECT e.vec_id,
-           COALESCE(m.cluster, e.vec_id) AS cluster,
-           COALESCE(m.cluster, e.vec_id) = e.vec_id AS is_kept
-    FROM (SELECT vec_id FROM embeddings
-          UNION ALL
-          SELECT vec_id + s.s FROM planted,
-                 (VALUES (1000000), (2000000)) s(s)) e
-    LEFT JOIN members m USING (vec_id)
-    """,
-)
-def q114_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup
-    (operators/similarity.py:semantic_dedup, after arXiv:2303.09540):
-    embedding near-dup pairs → connected components → one keeper per
-    cluster, every corpus row labeled.
-
-    Fixture augmentation mirrors q39: the random embeddings have no
-    true near-dups, so each of the first 20 vectors gets TWO scaled
-    clones (cosine exactly 1.0 — parallel vectors share every
-    hyperplane sign, so recall is structural). The oracle derives the
-    component fixpoint in closed form: each planted triple clusters to
-    its base id, everything else is its own kept singleton.
-    [extension]"""
-    from db2pq_spark.operators.similarity import semantic_dedup
-
-    emb = t(spark, sf_dir, "embeddings")
-    planted = emb
-    for shift, scale in ((1_000_000, 1.25), (2_000_000, 0.8)):
-        planted = planted.unionByName(
-            emb.filter(F.col("vec_id") < 20)
-            .select((F.col("vec_id") + shift).alias("vec_id"),
-                    F.transform("embedding",
-                                lambda x: x * F.lit(scale))
-                     .alias("embedding"), "label"))
-    return semantic_dedup(planted, threshold=0.999)
+# Shared plumbing (registry, decorator, fixture loader, determinism
+# helpers) — re-exported so `workload.t`, `workload.REGISTRY`, ... keep
+# working for every existing caller.
+from db2pq_spark.workload_base import (  # noqa: F401
+    _NORM,
+    _TOKENS,
+    REGISTRY,
+    QueryFn,
+    _dsum_sql,
+    dsum,
+    query,
+    t,
+)
+
+# Query definitions, split by family. IMPORT ORDER IS LOAD-BEARING: it
+# is the REGISTRY registration order, which fixes the ordering of the
+# non-gate remainder of queries() (the gate's first 50 are pinned by
+# GATE_PRIORITY below regardless). The star re-exports keep
+# `workload.q01_pricing_summary`-style attribute access working
+# (__spark_entry__ and tests rely on it).
+from db2pq_spark.workload_relational import *  # noqa: F401,F403
+from db2pq_spark.workload_text_ann import *  # noqa: F401,F403
+from db2pq_spark.workload_tpch_udf import *  # noqa: F401,F403
+from db2pq_spark.workload_pipeline import *  # noqa: F401,F403
 
 
 #: The driver's correctness gate checks the FIRST 50 entries of

@@ -1,0 +1,1001 @@
+"""Training-data pipeline workload: validation, BM25, weighted
+sampling, deterministic shuffle, incremental dedup, repetition and
+surprisal profiles, PII scrub, duplicate spans, vocab/encode,
+decontamination, centroids, corpus mixing, quantization, bloom
+filters, the composed training pipeline, and semantic dedup."""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — pandas_udf resolves the postponed
+# 'pd.Series' annotations against this module's globals
+
+from pyspark.sql import DataFrame, SparkSession, Window as W  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from db2pq_spark.workload_base import (  # noqa: F401
+    _NORM,
+    _TOKENS,
+    REGISTRY,
+    QueryFn,
+    _dsum_sql,
+    dsum,
+    query,
+    t,
+)
+
+_Q91_SQL = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q91_top_supplier", oracle=_Q91_SQL)
+def q91_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' is aggregated once, then an
+    uncorrelated scalar MAX subquery selects the top supplier —
+    exact-decimal revenue makes the MAX equality deterministic. The CTE
+    is referenced twice; Spark executes the scalar branch as a
+    one-row subquery, not a rejoin of the full view."""
+    for name in ("lineitem", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q91_SQL)
+
+
+_Q92_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN l.l_quantity < 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("q92_priority_classes", oracle=_Q92_SQL)
+def q92_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two-class conditional counts per priority (the
+    fixture has no l_shipmode; quantity bands play its role). One
+    join + one aggregation; the year filter pushes to the lineitem
+    scan."""
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q92_SQL)
+
+
+_Q93_SQL = """
+    WITH supplier_value AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS value_
+      FROM lineitem
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, CAST(value_ AS DOUBLE) AS value_
+    FROM supplier_value
+    WHERE CAST(value_ AS DOUBLE) >
+          (SELECT CAST(SUM(CAST(l2.l_extendedprice * l2.l_quantity
+                               AS DECIMAL(18,2))) AS DOUBLE)
+                  * CAST(0.001 AS DOUBLE)
+           FROM lineitem l2)
+"""
+
+
+@query("q93_value_concentration", oracle=_Q93_SQL)
+def q93_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers holding more than a fixed fraction of
+    global value — a grouped aggregate filtered by an uncorrelated
+    scalar subquery over the SAME table (two aggregation passes, the
+    scalar one a single row broadcast into the HAVING). Both sums
+    accumulate in exact decimal; the threshold multiply happens in
+    identical double operands on both engines."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q93_SQL)
+
+
+_Q94_SQL = """
+    WITH wins AS (
+      SELECT event_id AS win_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - 600000000 AS lo,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS hi
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 100),
+    pts AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt_ts, value
+      FROM events)
+    SELECT w.win_id,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_value
+    FROM wins w
+    JOIN pts p ON p.pt_ts BETWEEN w.lo AND w.hi
+    GROUP BY w.win_id
+"""
+
+
+@query("q94_range_join", oracle=_Q94_SQL)
+def q94_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join via bin bucketing
+    (operators/rangejoin.py:range_join): ±10-minute activity windows
+    around high-value purchases joined to ALL events by time
+    containment alone. Without the bin rewrite Spark's only plan for a
+    pure inequality join is a nested-loop/cartesian product; the
+    operator turns it into an equi hash join on
+    ``floor(ts / 20min)`` bins with the exact range predicate as a
+    residual, so it scales as hash-join, not |windows|×|events|.
+    [extension]"""
+    from db2pq_spark.operators.rangejoin import range_join
+
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_id").alias("pt_id"),
+                    F.col("ts_us").alias("pt_ts"),
+                    F.col("value").alias("pt_value"))
+    wins = (ev.filter((F.col("event_type") == "purchase")
+                      & (F.col("value") >= 100))
+            .select(F.col("event_id").alias("win_id"),
+                    (F.col("ts_us") - F.lit(600_000_000)).alias("lo"),
+                    (F.col("ts_us") + F.lit(600_000_000)).alias("hi")))
+    joined = range_join(pts, wins, "pt_ts", "lo", "hi",
+                        bin_width=1_200_000_000)
+    return joined.groupBy("win_id").agg(
+        F.count("*").alias("n_events"),
+        dsum("pt_value", 2, "sum_value"))
+
+
+_Q95_SQL = """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+    c(rule, violations) AS (
+      SELECT 'not_null(l_orderkey)', COUNT(*)
+      FROM lineitem WHERE l_orderkey IS NULL
+      UNION ALL
+      SELECT 'in_range(l_quantity,1,30)', COUNT(*)
+      FROM lineitem WHERE l_quantity < 1 OR l_quantity > 30
+      UNION ALL
+      SELECT 'accepted_values(l_returnflag)', COUNT(*)
+      FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')
+      UNION ALL
+      SELECT 'positive_price', COUNT(*)
+      FROM lineitem WHERE l_extendedprice <= 0
+      UNION ALL
+      SELECT 'unique(l_orderkey,l_linenumber)',
+             COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+      FROM lineitem
+      UNION ALL
+      SELECT 'fk(l_orderkey)', COUNT(*)
+      FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT c.rule, c.violations, n.n_rows, c.violations = 0 AS passed
+    FROM c CROSS JOIN n
+"""
+
+
+@query("q95_validation", oracle=_Q95_SQL)
+def q95_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/validate.py): five
+    row-level/uniqueness rules share ONE scan+aggregate of lineitem
+    (adding a rule adds zero I/O), the FK check adds one anti-join
+    against orders (broadcast at this scale). The audit result is a
+    6-row DataFrame gating the pipeline. [extension]"""
+    from db2pq_spark.operators.validate import (
+        accepted_values, expr_check, foreign_key, in_range, not_null,
+        unique_key, validate,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return validate(li, [
+        not_null("l_orderkey"),
+        in_range("l_quantity", 1, 30),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+        expr_check("positive_price", "l_extendedprice <= 0"),
+        unique_key("l_orderkey", "l_linenumber"),
+        foreign_key("l_orderkey", orders, "o_orderkey"),
+    ])
+
+
+_Q96_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS terms
+      FROM documents),
+    d AS (SELECT doc_id, len(terms) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+    matched AS (
+      SELECT t.doc_id, u.term
+      FROM toks t, UNNEST(t.terms) AS u(term)
+      WHERE u.term IN ('join', 'vector', 'stream')),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM matched GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dft FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           ROUND(SUM(  ln(1 + (s.n_docs - f.dft + 0.5) / (f.dft + 0.5))
+                     * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))),
+                 4) AS bm25
+    FROM tf
+    JOIN dfreq f USING (term)
+    JOIN d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+"""
+
+
+@query("q96_bm25", oracle=_Q96_SQL)
+def q96_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.py) for a 3-term
+    query over the documents corpus — tokenize, corpus stats, pruned
+    explode, tf/df aggregates, Robertson idf scoring; all JVM-side.
+    The DuckDB oracle recomputes the identical formula from the same
+    tokenization. [extension]"""
+    from db2pq_spark.operators.retrieval import bm25_scores
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_scores(docs, "text", "doc_id", ["join", "vector", "stream"])
+
+
+_Q98_SQL = f"""
+    SELECT CAST(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k.k) * 900
+                AS BIGINT) AS window_start_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value', 2)} AS sum_value
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1, 2
+"""
+
+
+@query("q98_sliding_window", oracle=_Q98_SQL)
+def q98_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute window aggregate — batch twin of
+    streaming/windows.py:sliding_counts. Spark's native ``window(...,
+    slide)`` expands each event into window/slide = 4 rows (an Expand
+    node, narrow) before the windowed agg; the oracle derives the same
+    4 aligned window starts arithmetically. Window start is reported as
+    epoch seconds (tz-independent)."""
+    e = t(spark, sf_dir, "events") \
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return (
+        e.groupBy(F.window("event_time", "1 hour", "15 minutes"),
+                  "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
+        .select(F.col("window.start").cast("bigint")
+                .alias("window_start_epoch"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def _q97_sql() -> str:
+    from db2pq_spark.operators.sampling import weighted_score_sql
+    score = weighted_score_sql("o_orderkey", "o_totalprice")
+    return f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0
+    ORDER BY {score} DESC, o_orderkey
+    LIMIT 500
+    """
+
+
+@query("q97_weighted_sample", oracle=None)  # oracle injected below
+def q97_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample — Efraimidis–Spirakis keys
+    from md5-derived uniforms): 500 orders drawn proportionally-ish to
+    o_totalprice. Engine-portable: the DuckDB oracle computes the
+    identical ranking keys and selects the identical 500 rows. Narrow
+    score + TakeOrderedAndProject — no full sort at any scale.
+    [extension]"""
+    from db2pq_spark.operators.sampling import weighted_sample
+
+    orders = t(spark, sf_dir, "orders")
+    return weighted_sample(orders, "o_orderkey", "o_totalprice", 500) \
+        .select("o_orderkey", "o_totalprice")
+
+
+REGISTRY["q97_weighted_sample"] = (q97_weighted_sample, _q97_sql())
+
+
+@query(
+    "q106_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS shuffle_order
+    FROM documents
+    """,
+)
+def q106_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global corpus permutation
+    (operators/sampling.py:deterministic_shuffle) — the reproducible
+    "shuffle the training data" step. Position = global rank of
+    md5(seed||key), computed by the two-stage distributed rank
+    (operators/ranking.py), so no single-partition stage at any corpus
+    size; the DuckDB oracle recomputes the identical permutation from
+    the identical hashes. [extension]"""
+    from db2pq_spark.operators.sampling import deterministic_shuffle
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed="epoch0") \
+        .select("doc_id", "shuffle_order")
+
+
+@query(
+    "q107_incremental_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_NORM} AS norm, {_TOKENS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM toks
+      WHERE len(toks) > 0 AND toks[1] <> ''
+    ),
+    j AS (
+      SELECT b.id AS batch_id, c.id AS corpus_id,
+             len(list_intersect(b.grams, c.grams))
+               / (len(b.grams) + len(c.grams)
+                  - len(list_intersect(b.grams, c.grams))) AS jaccard
+      FROM sh b JOIN sh c ON b.id % 5 = 0 AND c.id % 5 <> 0
+    )
+    SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.6
+    """,
+)
+def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe a (small) new-crawl batch against the
+    standing corpus — the daily-increment shape of dedup at 100 TB,
+    where the corpus never shuffles (batch band keys broadcast in,
+    verification broadcasts candidates back into a corpus scan; see
+    operators/dedup.py:minhash_dedup_incremental).
+
+    Gate split: every 5th document plays the "new batch", the rest the
+    corpus. Oracle: exact batch×corpus 3-shingle Jaccard — structural
+    recall like q36's gate: 32 bands × 2 rows collide with
+    probability 1 − (1−j²)³² ≥ 1 − 6.3e−7 for every pair at or above
+    the 0.6 threshold, and the hot-bucket guard is off
+    (max_bucket=None) so nothing is silently dropped. Production
+    defaults (16×4, capped) stay on the operator. [extension]"""
+    from db2pq_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text", "doc_id",
+        num_hashes=64, bands=32, threshold=0.6, max_bucket=None,
+    )
+
+
+@query(
+    "q108_incremental_exact_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS id, md5({_NORM}) AS content_hash FROM documents
+    ),
+    b AS (SELECT * FROM h WHERE id % 5 = 0),
+    c AS (SELECT DISTINCT content_hash FROM h WHERE id % 5 <> 0)
+    SELECT b.id, b.content_hash,
+           (c.content_hash IS NOT NULL) AS is_duplicate
+    FROM b LEFT JOIN c ON b.content_hash = c.content_hash
+    """,
+)
+def q108_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash incremental dedup: flag new-batch documents whose
+    normalized content already exists in the corpus
+    (operators/dedup.py:exact_dedup_incremental). Same corpus-side
+    discipline as q107 — the corpus scan is semi-filtered by the
+    broadcast batch hash set and never shuffles. Oracle: the identical
+    md5-of-normalized-text comparison in DuckDB. [extension]"""
+    from db2pq_spark.operators.dedup import exact_dedup_incremental
+
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text", "doc_id",
+    )
+
+
+@query(
+    "q99_repetition_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             ROUND(len(list_distinct(toks)) / len(toks), 6)
+               AS distinct_token_ratio
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bg
+      FROM toks WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    top AS (SELECT doc_id, MAX(c) AS top_c,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM cnt GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens, s.distinct_token_ratio,
+           CAST(COALESCE(t.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(CASE WHEN t.n_bigrams > 0 THEN t.top_c / t.n_bigrams
+                      ELSE 0.0 END, 6) AS top_bigram_fraction
+    FROM stats s LEFT JOIN top t USING (doc_id)
+    """,
+)
+def q99_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: vocabulary
+    richness (distinct-token ratio) and top-bigram concentration
+    (operators/repetition.py:repetition_profile). Two doc-keyed
+    shuffles + an AQE-sized doc join; linear in corpus tokens, no
+    skewable keys. [extension]"""
+    from db2pq_spark.operators.repetition import repetition_profile
+
+    return repetition_profile(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q100_heavy_hitters",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+)
+def q100_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact token-frequency top-25
+    (operators/repetition.py:top_tokens). explode → partial+final agg
+    (map-side combine collapses each partition to its vocabulary) →
+    TakeOrderedAndProject; the only shuffle is keyed by token and
+    carries vocabulary-sized data, not corpus-sized. [extension]"""
+    from db2pq_spark.operators.repetition import top_tokens
+
+    return top_tokens(t(spark, sf_dir, "documents"), "text", 25)
+
+
+@query(
+    "q101_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+             AS props_redactions
+    FROM events
+    """,
+)
+def q101_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped redaction (operators/repetition.py:scrub_pii —
+    digit-run kind, the only PII class present in the synthetic
+    fixtures; email/phone/IPv4 kinds unit-tested on literal rows).
+    Narrow codegen'd projection: regexp_replace + regexp_count, zero
+    shuffles at any scale. [extension]"""
+    from db2pq_spark.operators.repetition import scrub_pii
+
+    e = t(spark, sf_dir, "events")
+    return scrub_pii(e, "props", kinds=("number",), token="<NUM>") \
+        .select("event_id", "props", "props_redactions")
+
+
+@query(
+    "q102_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+               AS h
+      FROM toks WHERE len(toks) >= 3
+    ),
+    hc AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS c FROM g
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS dup_span_ratio
+    FROM hc GROUP BY doc_id
+    """,
+)
+def q102_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2107.06499
+    re-expressed relationally — operators/dedup.py:duplicate_spans):
+    per-document fraction of token spans whose exact content recurs
+    anywhere in the corpus. Trigram spans here (the synthetic corpus's
+    small vocabulary makes longer exact repeats vanishingly rare);
+    production length 20-50 is a parameter. One window shuffle on the
+    32-byte span key + one doc-keyed aggregate — no pair
+    materialization, never quadratic. [extension]"""
+    from db2pq_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf_dir, "documents"), "text", "doc_id",
+                           n=3)
+
+
+@query(
+    "q103_vocab_encode",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS token FROM toks)
+      GROUP BY token
+    ),
+    vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1
+                  AS BIGINT) AS token_id
+      FROM (SELECT * FROM counts ORDER BY freq DESC, token LIMIT 30)
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+      FROM toks
+    ),
+    enc AS (
+      SELECT p.doc_id, p.i - 1 AS pos,
+             COALESCE(v.token_id, -1) AS tid
+      FROM (SELECT doc_id, i, toks[i] AS token FROM pos) p
+      LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(len(list(tid ORDER BY pos)) AS BIGINT) AS n_tokens,
+           array_to_string(list(tid ORDER BY pos), ' ') AS token_ids_str
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q103_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + document encoding
+    (operators/vocab.py): top-30 frequency-ranked token ids (total
+    tie-broken order → deterministic ids), documents re-encoded as
+    ordered bigint-id sequences with OOV = −1 — the training-prep step
+    feeding sequence packing. Vocab never touches the driver: encode is
+    explode → (broadcast-sized) vocab join → one doc-keyed reassembly
+    shuffle.
+
+    Gate shape: the id sequence is emitted space-joined
+    (``token_ids_str``) because the driver's canonicalizer cannot sort
+    array cells; real users call ``encode_documents`` and keep the
+    ``array<bigint>``. [extension]"""
+    from db2pq_spark.operators.vocab import build_vocab, encode_documents
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", max_size=30)
+    enc = encode_documents(docs, "text", "doc_id", vocab)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>"))
+         .alias("token_ids_str"))
+
+
+@query(
+    "q104_decontamination",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKENS} AS toks FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(toks) - 3),
+                    i -> md5(concat_ws(' ', toks[i], toks[i+1],
+                                       toks[i+2], toks[i+3])))) AS h
+      FROM d WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT h FROM sp WHERE source = 'src0'),
+    train AS (SELECT doc_id, h FROM sp WHERE source <> 'src0'),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS contaminated_spans
+      FROM train WHERE h IN (SELECT h FROM bench)
+      GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM train GROUP BY doc_id)
+    SELECT t.doc_id, t.n_spans,
+           CAST(COALESCE(x.contaminated_spans, 0) AS BIGINT)
+             AS contaminated_spans,
+           COALESCE(x.contaminated_spans, 0) > 0 AS contaminated
+    FROM totals t LEFT JOIN hits x USING (doc_id)
+    """,
+)
+def q104_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram overlap test-set-leakage
+    check, operators/dedup.py:contamination_stats): docs from source
+    'src0' act as the held-out benchmark; every other doc is scored by
+    how many of its 4-token spans occur in the benchmark. The distinct
+    benchmark-span side is broadcast (benchmarks are tiny next to the
+    corpus); training spans stream through a semi-join probe. 4-token
+    spans here for the synthetic corpus's tiny vocabulary; production
+    uses the 13-gram default. [extension]"""
+    from db2pq_spark.operators.dedup import contamination_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return contamination_stats(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "text", "doc_id", n=4)
+
+
+@query(
+    "q105_label_centroids",
+    oracle="""
+    WITH pe AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, i - 1 AS dim,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                           AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS m,
+             COUNT(*) AS c
+      FROM pe GROUP BY label, i
+    ),
+    nv AS (
+      SELECT label, CAST(MAX(c) AS BIGINT) AS n_vectors
+      FROM comp GROUP BY label
+    )
+    SELECT label, n_vectors, CAST(dim AS INT) AS dim,
+           ROUND(m, 6) AS value
+    FROM comp JOIN nv USING (label)
+    """,
+)
+def q105_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids
+    (operators/similarity.py:label_centroids) — the recompute-centroids
+    step of IVF/k-means training as a pure relational plan: posexplode
+    fan-out (narrow) → exact-decimal partial+final aggregate
+    (|labels|×|dims| rows shuffle, corpus never re-shuffles) → per-label
+    reassembly.
+
+    Gate shape: the centroid array is exploded to one (label, dim,
+    value) row per slot because the driver's canonicalizer cannot sort
+    array cells; real users call ``label_centroids`` and keep the
+    ``array<double>``. [extension]"""
+    from db2pq_spark.operators.similarity import label_centroids
+
+    c = label_centroids(t(spark, sf_dir, "embeddings"),
+                        "embedding", "label")
+    return c.select("label", "n_vectors",
+                    F.posexplode("centroid").alias("dim", "value"))
+
+
+def _q109_oracle() -> str:
+    from db2pq_spark.operators.mixing import (
+        mix_units_sql, mix_frac_keep_sql)
+
+    units = mix_units_sql("source", "tot", _MIX_WEIGHTS, _MIX_BUDGET,
+                          max_epochs=4)
+    keep = mix_frac_keep_sql("doc_id", "frac", salt=_MIX_SALT)
+    return f"""
+    WITH sz AS (
+      SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, {units} AS units FROM sz
+    ),
+    d AS (
+      SELECT doc_id, dd.source, n_chars,
+             units // 1000000 AS full_e, units % 1000000 AS frac
+      FROM documents dd JOIN u USING (source)
+      WHERE units IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             full_e + CASE WHEN {keep} THEN 1 ELSE 0 END AS copies
+      FROM d
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(unnest(generate_series(CAST(0 AS BIGINT),
+                                       CAST(copies - 1 AS BIGINT)))
+                AS BIGINT) AS epoch
+    FROM c WHERE copies > 0
+    """
+
+
+#: q109 config: src0 heavily over-weighted (exercises integer upsampling
+#: epochs + fractional threshold), src2/src3 under-weighted
+#: (downsampling); absolute budget so each fixture scale lands in a
+#: different regime (sf0.001 hits the max_epochs cap, sf0.1 is pure
+#: downsampling) — all on the same arithmetic.
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 40_000
+_MIX_SALT = "mix1"
+
+
+@query("q109_source_mix", oracle=_q109_oracle())
+def q109_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixing (operators/mixing.py:mix_corpus): Pile /
+    Dolma-style per-source weights resolved against a character budget
+    — oversized sources deterministically downsample, undersized ones
+    repeat for up to 4 epochs (integer bucket-unit rates, so the
+    Spark plan and the SQL oracle agree bit-for-bit). One tiny
+    per-source aggregate; the corpus itself never shuffles — broadcast
+    decision join + md5-threshold filter + bounded explode.
+    [extension]"""
+    from db2pq_spark.operators.mixing import mix_corpus
+
+    mixed = mix_corpus(
+        t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id",
+        _MIX_WEIGHTS, _MIX_BUDGET, salt=_MIX_SALT, max_epochs=4)
+    return mixed.select("doc_id", "source",
+                        F.col("n_chars").cast("bigint").alias("n_chars"),
+                        "epoch")
+
+
+@query(
+    "q110_quantize_embeddings",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, embedding,
+             CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(i - 1 AS INT) AS dim,
+           CAST(CASE WHEN scale > 0
+                     THEN round(CAST(embedding[i] AS DOUBLE) / scale, 0)
+                     ELSE 0.0 END AS INT) AS code,
+           round(scale, 9) AS scale_r
+    FROM sc, unnest(generate_series(1, len(embedding))) AS t(i)
+    """,
+)
+def q110_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 embedding quantization
+    (operators/quantize.py) — the 4× storage cut for vector columns at
+    rest, bounded error scale/2 per component. Pure narrow codegen
+    projections, zero shuffles; arithmetic is engine-portable
+    (round-half-away-from-zero on float64), which is exactly what the
+    oracle verifies.
+
+    Gate shape: codes explode to (vec_id, dim, code) scalars (driver
+    canon cannot sort array cells); real users keep the
+    ``array<tinyint>`` + scale columns. [extension]"""
+    from db2pq_spark.operators.quantize import quantize_embeddings
+
+    q = quantize_embeddings(t(spark, sf_dir, "embeddings"), "embedding")
+    return q.select(
+        "vec_id",
+        F.posexplode("qvec").alias("dim", "code"),
+        F.round("qscale", 9).alias("scale_r"),
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"),
+             F.col("code").cast("int").alias("code"), "scale_r")
+
+
+def _q111_oracle() -> str:
+    from db2pq_spark.operators.bloom import bloom_member_sql
+
+    member = bloom_member_sql(
+        "doc_id", "SELECT doc_id AS key FROM documents "
+                  "WHERE source IN ('src0', 'src1')",
+        n_bits=1 << 16, k=4, salt="bloom1")
+    return f"""
+    SELECT doc_id, source, {member} AS might_contain
+    FROM documents
+    """
+
+
+@query("q111_bloom_probe", oracle=_q111_oracle())
+def q111_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/bloom.py): build a fixed-size
+    bitmap over the src0/src1 document ids, probe every document.
+    Zero false negatives by construction (asserted in tests); the
+    md5-derived bit positions replay bit-for-bit in the oracle, so
+    even the false POSITIVES match — the filter itself is verified,
+    not just its lower bound. Build is one bounded word-OR aggregate;
+    probe broadcasts the single bitmap row — the 100 TB
+    "shrink the broadcast side" primitive for the incremental dedup /
+    decontamination joins. [extension]"""
+    from db2pq_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = t(spark, sf_dir, "documents")
+    bloom = bloom_build(
+        docs.where(F.col("source").isin("src0", "src1")), "doc_id",
+        n_bits=1 << 16, k=4, salt="bloom1")
+    return bloom_probe(docs, "doc_id", bloom) \
+        .select("doc_id", "source", "might_contain")
+
+
+@query(
+    "q112_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok FROM toks
+    ),
+    vocab AS (
+      SELECT tok, COUNT(*) AS c FROM e GROUP BY tok
+    ),
+    tot AS (SELECT SUM(c) AS n_ref FROM vocab),
+    s AS (
+      SELECT tok,
+             CAST(round(-log2(CAST(c AS DOUBLE)
+                              / CAST(n_ref AS DOUBLE)), 6)
+                  AS DECIMAL(28,10)) AS s
+      FROM vocab, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS DECIMAL(38,10)) AS sum_surprisal
+    FROM e JOIN s USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q112_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal
+    (operators/textstats.py:unigram_surprisal): mean per-token
+    ``-log2 p`` under the corpus's own unigram distribution — the
+    relational form of perplexity-band filtering. One explode + one
+    vocabulary aggregate + an AQE-broadcast probability join + one
+    doc-keyed re-aggregate; per-token surprisals are rounded then
+    DECIMAL-accumulated so the sum is order-independent and the DuckDB
+    oracle replays it exactly (the gate compares the exact decimal
+    SUM — a rounded double mean sits on rounding boundaries an ulp
+    apart across engines; users read ``mean_surprisal``). [extension]"""
+    from db2pq_spark.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(
+        t(spark, sf_dir, "documents"), "text", "doc_id") \
+        .withColumnRenamed("id", "doc_id") \
+        .select("doc_id", "n_tokens", "sum_surprisal")
+
+
+def _q113_oracle() -> str:
+    from db2pq_spark.operators.mixing import (
+        mix_frac_keep_sql, mix_units_sql)
+
+    units = mix_units_sql("source", "tot", _PIPE_WEIGHTS, _PIPE_BUDGET,
+                          max_epochs=4)
+    keep = mix_frac_keep_sql("doc_id", "frac", salt=_PIPE_SALT)
+    return f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5({_NORM})
+    ),
+    filt AS (
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM documents d JOIN keepers USING (doc_id)
+      WHERE d.n_chars BETWEEN 150 AND 450
+    ),
+    sz AS (
+      SELECT source, SUM(n_chars) AS tot FROM filt GROUP BY source
+    ),
+    u AS (SELECT source, {units} AS units FROM sz),
+    d AS (
+      SELECT doc_id, ff.source, n_chars,
+             units // 1000000 AS full_e, units % 1000000 AS frac
+      FROM filt ff JOIN u USING (source)
+      WHERE units IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             full_e + CASE WHEN {keep} THEN 1 ELSE 0 END AS copies
+      FROM d
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(unnest(generate_series(CAST(0 AS BIGINT),
+                                       CAST(copies - 1 AS BIGINT)))
+                AS BIGINT) AS epoch
+    FROM c WHERE copies > 0
+    """
+
+
+#: q113 pipeline config: dedup → quality band → mix (src0 upsampled,
+#: src1/src2 near- or below-parity); absolute budget, same regime
+#: spread across fixture scales as q109.
+_PIPE_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+_PIPE_BUDGET = 20_000
+_PIPE_SALT = "pipe1"
+
+
+@query("q113_training_pipeline", oracle=_q113_oracle())
+def q113_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-prep composition — the operators chained
+    the way a real corpus build runs them: exact dedup (keep the min
+    id per normalized content), a quality band filter (n_chars in
+    [150, 450]), then weighted source mixing to a character budget
+    (operators/dedup.py:exact_dedup + operators/mixing.py:mix_corpus).
+    Every stage stays narrow or key-shuffled: dedup is one content-hash
+    aggregate + a semi join, the filter folds into the scan, mixing is
+    a broadcast decision join — nothing quadratic, nothing
+    driver-bound. One exact oracle hash-verifies the whole chain, not
+    just the stages in isolation. [extension]"""
+    from db2pq_spark.operators.dedup import exact_dedup
+    from db2pq_spark.operators.mixing import mix_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs, "text", "doc_id") \
+        .select(F.col("keep_id").alias("doc_id"))
+    filtered = (docs.join(keepers, "doc_id", "left_semi")
+                .where(F.col("n_chars").between(150, 450)))
+    mixed = mix_corpus(filtered, "source", "n_chars", "doc_id",
+                       _PIPE_WEIGHTS, _PIPE_BUDGET, salt=_PIPE_SALT,
+                       max_epochs=4)
+    return mixed.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"), "epoch")
+
+
+@query(
+    "q114_semantic_dedup",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id FROM embeddings WHERE vec_id < 20
+    ),
+    members AS (
+      SELECT vec_id + s.s AS vec_id, vec_id AS cluster
+      FROM planted, (VALUES (0), (1000000), (2000000)) s(s)
+    )
+    SELECT e.vec_id,
+           COALESCE(m.cluster, e.vec_id) AS cluster,
+           COALESCE(m.cluster, e.vec_id) = e.vec_id AS is_kept
+    FROM (SELECT vec_id FROM embeddings
+          UNION ALL
+          SELECT vec_id + s.s FROM planted,
+                 (VALUES (1000000), (2000000)) s(s)) e
+    LEFT JOIN members m USING (vec_id)
+    """,
+)
+def q114_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup
+    (operators/similarity.py:semantic_dedup, after arXiv:2303.09540):
+    embedding near-dup pairs → connected components → one keeper per
+    cluster, every corpus row labeled.
+
+    Fixture augmentation mirrors q39: the random embeddings have no
+    true near-dups, so each of the first 20 vectors gets TWO scaled
+    clones (cosine exactly 1.0 — parallel vectors share every
+    hyperplane sign, so recall is structural). The oracle derives the
+    component fixpoint in closed form: each planted triple clusters to
+    its base id, everything else is its own kept singleton.
+    [extension]"""
+    from db2pq_spark.operators.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    planted = emb
+    for shift, scale in ((1_000_000, 1.25), (2_000_000, 0.8)):
+        planted = planted.unionByName(
+            emb.filter(F.col("vec_id") < 20)
+            .select((F.col("vec_id") + shift).alias("vec_id"),
+                    F.transform("embedding",
+                                lambda x: x * F.lit(scale))
+                     .alias("embedding"), "label"))
+    return semantic_dedup(planted, threshold=0.999)

@@ -70,8 +70,11 @@ def main() -> None:
          lambda: lsh_bucket_topk(emb, queries, k=K, probe_radius=0)),
         ("lsh_bucket_topk (radius=1)",
          lambda: lsh_bucket_topk(emb, queries, k=K, probe_radius=1)),
-        ("lsh_bucket_topk (radius=2 — default)",
+        ("lsh_bucket_topk (radius=2)",
          lambda: lsh_bucket_topk(emb, queries, k=K, probe_radius=2)),
+        ("lsh_bucket_topk (radius=3 = derived default, "
+         "target_recall=0.9)",
+         lambda: lsh_bucket_topk(emb, queries, k=K)),
     ]:
         # warm once (codegen + any per-call training), then report the
         # best of 2 steady runs — the cold first execution otherwise

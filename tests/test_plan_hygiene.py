@@ -117,10 +117,22 @@ class TestSubqueryDecorrelation:
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
 
-    def test_exists_not_exists_pair(self, spark, sf_correct_dir):
-        # TPC-H Q21 shape: EXISTS → semi, NOT EXISTS → anti, both present
+    def test_exists_not_exists_pair_is_aggregated(self, spark,
+                                                  sf_correct_dir):
+        # TPC-H Q21 shape: since round 6 the EXISTS/NOT EXISTS pair is
+        # expressed as per-(order,supplier)/per-order aggregates rather
+        # than decorrelated semi/anti self-joins — the fact table must
+        # be scanned ONCE and never anti-joined against itself (the old
+        # three-leg shape was the worst 100x smoke ratio in the suite)
         plan = plan_of(spark, sf_correct_dir, "q64_waiting_supplier")
-        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "LeftAnti" not in plan
+        assert "HashAggregate" in plan
+        # both consumers read the persisted fact projection through the
+        # columnar cache (the cache node's description embeds the
+        # original FileScan text, so counting raw scan strings would
+        # double-count; the cache scan node itself is the evidence)
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" \
+            in plan, plan
 
     def test_uncorrelated_scalar_stays_subquery(self, spark, sf_correct_dir):
         # Q22 shape: the global-AVG threshold is a one-row uncorrelated

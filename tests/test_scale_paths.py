@@ -141,6 +141,26 @@ class TestMultiProbeLsh:
         assert r1 >= r0
         assert r1 >= 0.3, f"multi-probe recall@5 {r1} too low"
 
+    def test_derive_probe_radius_model(self):
+        # pure arithmetic: monotone in target, matches hand-computed
+        # values for the default 8x4 family at neighbor_cos 0.4
+        import pytest as _pytest
+
+        from db2pq_spark.operators.similarity import derive_probe_radius
+
+        radii = [derive_probe_radius(t) for t in (0.4, 0.7, 0.9, 0.99)]
+        assert radii == [1, 2, 3, 4]
+        assert radii == sorted(radii)
+        # unreachable target degrades to exhaustive, not an error
+        assert derive_probe_radius(0.999999, num_planes=4,
+                                   num_tables=1) == 4
+        with _pytest.raises(ValueError):
+            derive_probe_radius(1.0)
+        # more parallel neighbors (higher cos) need smaller radii
+        assert derive_probe_radius(
+            0.9, assumed_neighbor_cos=0.9) <= derive_probe_radius(
+            0.9, assumed_neighbor_cos=0.4)
+
     def test_exhaustive_probe_equals_brute_force(self, spark, sf_dir):
         # probe_radius == num_planes probes every bucket → candidate set
         # is the whole corpus → output must EQUAL exact top-k (the q38
