@@ -35,11 +35,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(spark, pairs: list[tuple],
+                       id_type: str) -> DataFrame:
+    """Exact min-label components for a SMALL collected edge list —
+    path-compressed union-find, one pass, no iteration jobs."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root IS the canonical min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+    rows = [(x, find(x)) for x in parent]
+    ids = {x for a, b in pairs for x in (a, b)}
+    rows += [(x, x) for x in ids if x not in parent]
+    return spark.createDataFrame(rows, f"id {id_type}, comp {id_type}")
+
+
+#: edge counts at or below this are collected and solved driver-side —
+#: one bounded fold (≲16 MB of id pairs) instead of O(diameter)
+#: iteration rounds, each of which costs a checkpoint job plus a
+#: convergence probe. Near-dup pair relations are threshold-bounded
+#: and usually tiny relative to the corpus, but NOT guaranteed small at
+#: 100 TB — above the bound the distributed hash-min iteration runs.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
     max_iterations: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Return (id, comp): each node labeled with the minimum id
     reachable from it (the canonical cluster representative).
@@ -48,12 +86,23 @@ def connected_components(
     pairs are irrelevant (symmetrized + deduped internally). Nodes with
     no edges are not emitted — union singletons back in downstream if
     "every doc" semantics are needed.
+
+    Graphs with ≤ ``small_graph_edges`` distinct edges are solved with
+    a driver-side union-find (exact, identical labels) — the edge count
+    is known anyway from the materialized symmetrized relation, and the
+    collect is bounded by the threshold; pass ``small_graph_edges=0``
+    to force the distributed iteration.
     """
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = half.union(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     e = e.localCheckpoint(eager=True)
+
+    if small_graph_edges and e.count() <= 2 * small_graph_edges:
+        pairs = [(r["a"], r["b"]) for r in e.collect()]
+        return _driver_union_find(edges.sparkSession, pairs,
+                                  dict(e.dtypes)["a"])
 
     labels = (
         e.select(F.col("a").alias("id")).distinct()

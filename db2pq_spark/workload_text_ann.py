@@ -526,8 +526,9 @@ def q38_lsh_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus and the re-ranked output EQUALS brute-force top-k —
     which is why q33's exact oracle applies (same trick as q46's
     n_probe == n_clusters). The sub-linear default (8 planes × 4
-    tables, radius 2, recall 0.82) stays benchmarked in QUALITY.md and
-    scripts/dump_quality.py. [extension]"""
+    tables, radius derived from target_recall=0.9 → 3, measured recall
+    0.982) stays benchmarked in QUALITY.md and scripts/dump_quality.py.
+    [extension]"""
     from db2pq_spark.operators.similarity import lsh_bucket_topk
 
     emb = t(spark, sf_dir, "embeddings")

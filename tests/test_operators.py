@@ -361,40 +361,69 @@ class TestTextProfile:
 
 
 class TestConnectedComponents:
-    """Hash-min connected components on constructed graphs."""
+    """Connected components on constructed graphs — every topology runs
+    through BOTH the driver union-find fast path (the small-graph
+    default) and the distributed hash-min iteration
+    (``small_graph_edges=0``), which must agree label-for-label."""
 
-    def _cc(self, spark, edges, **kw):
+    def _cc(self, spark, edges, distributed=False, **kw):
         from db2pq_spark.operators.components import connected_components
 
+        if distributed:
+            kw["small_graph_edges"] = 0
         df = spark.createDataFrame(edges, ["id1", "id2"])
         out = connected_components(df, **kw)
         return {r["id"]: r["comp"] for r in out.collect()}
 
-    def test_chain_floods_to_min(self, spark):
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_chain_floods_to_min(self, spark, distributed):
         # 1-2-3-4-5 chain: every node must reach label 1 (multi-hop)
-        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)],
+                       distributed)
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
-    def test_two_components_stay_separate(self, spark):
-        got = self._cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_two_components_stay_separate(self, spark, distributed):
+        got = self._cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)],
+                       distributed)
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
-    def test_direction_and_duplicates_irrelevant(self, spark):
-        got = self._cc(spark, [(2, 1), (1, 2), (3, 2), (2, 3)])
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_direction_and_duplicates_irrelevant(self, spark,
+                                                 distributed):
+        got = self._cc(spark, [(2, 1), (1, 2), (3, 2), (2, 3)],
+                       distributed)
         assert got == {1: 1, 2: 1, 3: 1}
 
-    def test_cycle(self, spark):
-        got = self._cc(spark, [(1, 2), (2, 3), (3, 1)])
+    @pytest.mark.parametrize("distributed", [False, True])
+    def test_cycle(self, spark, distributed):
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 1)], distributed)
         assert got == {1: 1, 2: 1, 3: 1}
 
     def test_max_iterations_bounds_rounds(self, spark):
-        # a long chain with only 2 rounds: labels can't fully flood, but
-        # the result is still a refinement (every label ≤ own id)
+        # a long chain with only 2 DISTRIBUTED rounds: labels can't
+        # fully flood, but the result is still a refinement (every
+        # label ≤ own id); the fast path always floods fully
         edges = [(i, i + 1) for i in range(1, 12)]
-        got = self._cc(spark, edges, max_iterations=2)
+        got = self._cc(spark, edges, distributed=True, max_iterations=2)
         assert all(comp <= node for node, comp in got.items())
-        full = self._cc(spark, edges)
+        full = self._cc(spark, edges, distributed=True)
         assert set(full.values()) == {1}
+
+    def test_paths_agree_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(6)
+        edges = [(rng.randrange(200), rng.randrange(200))
+                 for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        fast = self._cc(spark, edges)
+        slow = self._cc(spark, edges, distributed=True)
+        assert fast == slow
+
+    def test_string_ids_supported_on_fast_path(self, spark):
+        got = self._cc(spark, [("b", "a"), ("b", "c"), ("x", "y")])
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 class TestChunkingPacking:
