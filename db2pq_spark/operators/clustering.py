@@ -1,0 +1,130 @@
+"""Deterministic, engine-replayable Lloyd's k-means.
+
+[extension — not in the reference] :func:`..similarity.ivf_topk` trains
+its coarse quantizer with ``pyspark.ml.KMeans`` — fast, but its random
+init and float reductions make the centroids unverifiable against any
+other engine. This module is the oracle-able twin: every arithmetic
+step follows the workload's cross-engine determinism rules, so a fixed
+iteration count produces bit-identical centroids in Spark and DuckDB
+(the q117 gate hash-verifies them):
+
+- init: the ``k`` lowest-id vectors (a total order — no RNG);
+- distances: per-dimension squared differences are doubles computed
+  from identical operands, accumulated as exact ``DECIMAL(28,10)`` —
+  order-independent sums, so the argmin comparisons see identical
+  values in every engine (the ``dsum`` convention applied to
+  distances);
+- assignment ties broken by cluster id;
+- centroid update: per-(cluster, dim) decimal-sum / count means (the
+  :func:`..similarity.label_centroids` rule), rounded to a fixed scale
+  so the next iteration's operands are identical doubles everywhere.
+
+Scale shape per iteration: centroids are a k-row broadcast; assignment
+is one narrow crossJoin + per-id min (one key shuffle); the update is
+posexplode → (cluster, dim) partial+final aggregate (tiny). The ONLY
+driver materialization is the k×dim centroid matrix per iteration — a
+bounded fold, same class as the mixing/ranking folds. Iteration count
+is fixed (a hyperparameter, not a convergence loop): training-data
+pipelines want reproducible quantizers, and a bounded plan — pass more
+``iterations`` for tighter centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit", "kmeans_assign"]
+
+#: decimal type for exact, order-independent distance / mean sums.
+#: SUM over (28,10) terms yields (38,10) in both Spark and DuckDB —
+#: identical exact values, so the argmin comparisons agree. (A
+#: fold-based accumulation is NOT usable here: Spark's decimal
+#: addition widens (38,10)+(28,10) to (38,9) — a silent scale drop —
+#: so distances go through a grouped SUM instead.)
+_DEC = "decimal(28,10)"
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str, id_col: str) -> DataFrame:
+    """(id, vec, cluster): each vector labeled with its nearest
+    centroid (exact-decimal distances, ties to the lower cluster id).
+    ``centroids`` is the driver-side k×dim matrix — broadcast, tiny.
+
+    Shape: posexploded (id, dim, x) terms join the broadcast
+    (cluster, dim, c) centroid dims, squared differences accumulate as
+    a grouped exact-decimal SUM per (id, cluster), then one per-id
+    argmin — n×k×dim narrow rows through map-side-combined aggregates,
+    the same relational shape the q117 oracle replays."""
+    spark = df.sparkSession
+    cdims = [(ci, d, float(x))
+             for ci, c in enumerate(centroids) for d, x in enumerate(c)]
+    cdf = spark.createDataFrame(
+        cdims, "cluster int, dim int, c double")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("vec")) \
+        .where(F.col(vec_col).isNotNull())
+    terms = (
+        base.select("id", F.posexplode("vec").alias("dim", "_x"))
+        .join(F.broadcast(cdf), "dim")
+        .select("id", "cluster",
+                ((F.col("_x").cast("double") - F.col("c"))
+                 * (F.col("_x").cast("double") - F.col("c")))
+                .cast(_DEC).alias("_t"))
+    )
+    d2 = terms.groupBy("id", "cluster").agg(F.sum("_t").alias("_d2"))
+    return (
+        d2.groupBy("id")
+        .agg(F.min(F.struct("_d2", "cluster")).alias("_m"))
+        .select("id", F.col("_m.cluster").alias("cluster"))
+        .join(base, "id")
+        .select("id", "vec", "cluster")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    round_scale: int = 9,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run ``iterations`` Lloyd rounds; return ``(assignments,
+    centroids)`` — the labeled corpus relation (id, vec, cluster) under
+    the FINAL centroids, plus the k×dim centroid matrix.
+
+    Empty clusters keep their previous centroid (documented; with
+    lowest-id init and real data this is rare). See module docstring
+    for the determinism contract and scale shape."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("vec")) \
+        .where(F.col(vec_col).isNotNull())
+    init = base.orderBy("id").limit(k).collect()  # bounded: k rows
+    centroids = [[float(x) for x in r["vec"]] for r in init]
+
+    for _ in range(iterations):
+        assigned = kmeans_assign(base, centroids, "vec", "id")
+        means = (
+            assigned.select("cluster",
+                            F.posexplode("vec").alias("dim", "_x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("_x").cast("double").cast(_DEC)).alias("_s"),
+                 F.count("*").alias("_c"))
+            .select("cluster", "dim",
+                    F.round(F.col("_s").cast("double") / F.col("_c"),
+                            round_scale).alias("_m"))
+        )
+        new = (
+            means.groupBy("cluster")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "_m")))
+                 .alias("_o"))
+            .select("cluster",
+                    F.transform("_o", lambda s: s["_m"]).alias("centroid"))
+            .collect()  # bounded fold: k rows x dim doubles
+        )
+        got = {r["cluster"]: [float(x) for x in r["centroid"]]
+               for r in new}
+        centroids = [got.get(ci, centroids[ci]) for ci in range(len(centroids))]
+
+    return kmeans_assign(base, centroids, "vec", "id"), centroids

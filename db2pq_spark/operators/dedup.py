@@ -794,6 +794,67 @@ def duplicate_span_positions(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 20, min_count: int = 2,
+) -> DataFrame:
+    """Cut duplicated n-token spans OUT of each document — the removal
+    pass that completes the Lee et al. (arXiv:2107.06499)
+    exact-substring pipeline: :func:`duplicate_spans` scores,
+    :func:`duplicate_span_positions` locates, this rewrites.
+
+    Every token covered by ANY occurrence of a corpus-duplicated span
+    is dropped (documented deviation from the paper, which keeps one
+    canonical occurrence corpus-wide — that needs a global
+    first-occurrence order; dropping all occurrences is the common
+    boilerplate-stripping variant and is order-free, hence
+    deterministic and engine-replayable). NULL/whitespace-only
+    documents are excluded (no tokens to cut).
+
+    Returns (id, clean_text, n_kept, n_removed). Scale shape: the
+    duplicated-key relation is filtered to ``sum >= min_count`` before
+    anything fans out, so only duplicated positions explode (×n, the
+    covered-token enumeration); kept tokens reassemble with ONE
+    doc-keyed shuffle. Like the detection pass: aggregate, don't sort;
+    never pairs, never quadratic."""
+    norm = normalize_text(text_col)
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col).alias("id"),
+                    F.split(norm, " ").alias("_toks")))
+    g = _span_hashes(df, text_col, id_col, n) \
+        .withColumnRenamed(id_col, "id")
+    dup = (g.groupBy("h").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= min_count).select("h"))
+    # only duplicated span occurrences survive to the ×n fan-out
+    covered = (
+        g.join(dup, "h")
+        .select("id", F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("ti"))
+        .distinct()
+    )
+    toks = base.select(
+        "id", F.posexplode("_toks").alias("ti", "tok"))
+    kept = toks.join(covered, ["id", "ti"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.count("*").alias("n_kept"),
+             F.concat_ws(" ", F.transform(
+                 F.sort_array(F.collect_list(F.struct("ti", "tok"))),
+                 lambda s: s["tok"])).alias("clean_text"))
+    )
+    return (
+        base.select("id", F.size("_toks").alias("_n"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("_n") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_removed"))
+    )
+
+
 def contamination_stats(
     train: DataFrame, bench: DataFrame, text_col: str, id_col: str,
     n: int = 13,

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_embeddings", "dequantize", "quantization_error"]
+__all__ = ["quantize_embeddings", "dequantize", "quantization_error",
+           "quantized_cosine_topk"]
 
 #: symmetric int8 range
 _QMAX = 127
@@ -60,6 +61,38 @@ def dequantize(qvec: Column | str, scale: Column | str) -> Column:
     q = F.col(qvec) if isinstance(qvec, str) else qvec
     s = F.col(scale) if isinstance(scale, str) else scale
     return F.transform(q, lambda c: c.cast("double") * s)
+
+
+def quantized_cosine_topk(
+    corpus_q: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Top-k search over an int8-quantized corpus at rest — the
+    companion query path to :func:`quantize_embeddings`.
+
+    ``corpus_q`` carries codes + per-vector scales (the 4×-smaller
+    stored form); queries stay full-precision. Reconstruction
+    (``code * scale``) is fused into the scan as a narrow ``transform``
+    — no extra shuffle, no materialized float corpus — and the scoring
+    plan is exactly :func:`..similarity.cosine_topk`'s (broadcast
+    queries, per-query window rank). The cosine over reconstructed
+    vectors is deterministic arithmetic on identical operands in every
+    engine, so the result carries an exact oracle (q115) — and because
+    reconstruction error is bounded by scale/2 per component, the
+    recall-vs-full-precision tradeoff is measurable, not anecdotal
+    (QUALITY.md)."""
+    from db2pq_spark.operators.similarity import cosine_topk
+
+    deq = corpus_q.select(
+        F.col(id_col),
+        dequantize(qvec_col, scale_col).alias(vec_col))
+    return cosine_topk(deq, queries, k, id_col, vec_col, round_digits)
 
 
 def quantization_error(

@@ -999,3 +999,259 @@ def q114_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 lambda x: x * F.lit(scale))
                      .alias("embedding"), "label"))
     return semantic_dedup(planted, threshold=0.999)
+
+
+@query(
+    "q115_quantized_topk",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    deq AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(CASE WHEN amax > 0
+                         THEN round(CAST(x AS DOUBLE) / (amax / 127.0), 0)
+                         ELSE 0.0 END AS INT)
+               * (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END))
+               AS embedding
+      FROM s
+    ),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+          FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_dot_product(q.embedding, c.embedding)
+               / (SQRT(list_dot_product(q.embedding, q.embedding))
+                  * SQRT(list_dot_product(c.embedding, c.embedding))),
+               4) AS cos
+      FROM deq c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q115_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the int8-quantized corpus
+    (operators/quantize.py:quantized_cosine_topk): codes + per-vector
+    scales are the stored form; reconstruction fuses into the scan as a
+    narrow transform and the scoring plan is exactly q33's
+    (broadcast queries, per-query window rank). The oracle replays the
+    quantize→dequantize→cosine arithmetic end-to-end in DuckDB — the
+    search result over LOSSY storage is still bit-verified, because the
+    loss itself is deterministic. Recall vs full precision is measured
+    in QUALITY.md. [extension]"""
+    from db2pq_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus_q = quantize_embeddings(emb, "embedding") \
+        .select("vec_id", "qvec", "qscale")
+    return quantized_cosine_topk(
+        corpus_q, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "q116_span_removal",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS h
+      FROM base, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o.o AS ti
+      FROM g JOIN dup USING (h),
+           unnest(generate_series(0, 2)) AS o(o)
+    ),
+    tok_rows AS (
+      SELECT doc_id, i - 1 AS ti, toks[i] AS tok
+      FROM base, unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    kept AS (
+      SELECT tr.doc_id,
+             string_agg(tr.tok, ' ' ORDER BY tr.ti) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM tok_rows tr
+      LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.ti = c.ti
+      WHERE c.ti IS NULL
+      GROUP BY tr.doc_id
+    )
+    SELECT b.doc_id AS id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(b.toks) - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q116_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/dedup.py:remove_duplicate_
+    spans) — the rewrite pass completing the Lee et al. 2107.06499
+    exact-substring pipeline: every token covered by a corpus-
+    duplicated trigram span is cut, documents reassemble from the
+    surviving tokens. Only duplicated positions ever fan out; one
+    doc-keyed reassembly shuffle; the oracle rebuilds the identical
+    cleaned strings in DuckDB. [extension]"""
+    from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, min_count=2)
+
+
+#: q117: two Lloyd iterations, k=4, round scale 9 — each CTE pair
+#: (d/a = exact-decimal distances + argmin assignment, m/c = decimal
+#: mean update, f = empty-cluster fallback) replays one Spark round
+_Q117_SQL = """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             vec AS centroid
+      FROM (SELECT id, vec FROM base ORDER BY id LIMIT 4)
+    ),
+    d1 AS (
+      SELECT b.id, c.cluster,
+             SUM(CAST((b.vec[i] - c.centroid[i])
+                      * (b.vec[i] - c.centroid[i])
+                      AS DECIMAL(28,10))) AS d2
+      FROM base b, c0 c,
+           unnest(generate_series(1, len(b.vec))) AS t(i)
+      GROUP BY b.id, c.cluster
+    ),
+    a1 AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d2, cluster) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a.cluster, i - 1 AS dim,
+             ROUND(CAST(SUM(CAST(b.vec[i] AS DECIMAL(28,10)))
+                        AS DOUBLE) / COUNT(*), 9) AS m
+      FROM a1 a JOIN base b USING (id),
+           unnest(generate_series(1, len(b.vec))) AS t(i)
+      GROUP BY a.cluster, i
+    ),
+    c1 AS (
+      SELECT c0.cluster,
+             COALESCE(n.centroid, c0.centroid) AS centroid
+      FROM c0 LEFT JOIN (
+        SELECT cluster, array_agg(m ORDER BY dim) AS centroid
+        FROM m1 GROUP BY cluster) n USING (cluster)
+    ),
+    d2_ AS (
+      SELECT b.id, c.cluster,
+             SUM(CAST((b.vec[i] - c.centroid[i])
+                      * (b.vec[i] - c.centroid[i])
+                      AS DECIMAL(28,10))) AS d2
+      FROM base b, c1 c,
+           unnest(generate_series(1, len(b.vec))) AS t(i)
+      GROUP BY b.id, c.cluster
+    ),
+    a2 AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d2, cluster) AS rn
+        FROM d2_) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT a.cluster, i - 1 AS dim,
+             ROUND(CAST(SUM(CAST(b.vec[i] AS DECIMAL(28,10)))
+                        AS DOUBLE) / COUNT(*), 9) AS m
+      FROM a2 a JOIN base b USING (id),
+           unnest(generate_series(1, len(b.vec))) AS t(i)
+      GROUP BY a.cluster, i
+    ),
+    c2 AS (
+      SELECT c1.cluster,
+             COALESCE(n.centroid, c1.centroid) AS centroid
+      FROM c1 LEFT JOIN (
+        SELECT cluster, array_agg(m ORDER BY dim) AS centroid
+        FROM m2 GROUP BY cluster) n USING (cluster)
+    ),
+    d3 AS (
+      SELECT b.id, c.cluster,
+             SUM(CAST((b.vec[i] - c.centroid[i])
+                      * (b.vec[i] - c.centroid[i])
+                      AS DECIMAL(28,10))) AS d2
+      FROM base b, c2 c,
+           unnest(generate_series(1, len(b.vec))) AS t(i)
+      GROUP BY b.id, c.cluster
+    ),
+    a3 AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d2, cluster) AS rn
+        FROM d3) WHERE rn = 1
+    ),
+    counts AS (SELECT cluster, COUNT(*) AS n_vectors
+               FROM a3 GROUP BY cluster)
+    SELECT CAST(c2.cluster AS INT) AS cluster,
+           CAST(i - 1 AS INT) AS dim,
+           c2.centroid[i] AS cval,
+           CAST(COALESCE(counts.n_vectors, 0) AS BIGINT) AS n_vectors
+    FROM c2
+    LEFT JOIN counts USING (cluster),
+         unnest(generate_series(1, len(c2.centroid))) AS t(i)
+"""
+
+
+@query("q117_kmeans", oracle=_Q117_SQL)
+def q117_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (operators/clustering.py) — the
+    oracle-able twin of the pyspark.ml quantizer q46 trains with: the
+    k lowest-id vectors seed, distances accumulate as exact decimals,
+    means follow the label_centroids decimal rule, and the DuckDB
+    oracle replays BOTH iterations CTE-for-round — centroids and
+    cluster sizes are hash-verified, not just plausible. Per-iteration
+    cost: one k-row broadcast + one id-keyed argmin shuffle + one
+    (cluster, dim) aggregate; the only driver materialization is the
+    k×dim centroid matrix (bounded fold).
+
+    Gate shape: (cluster, dim, cval, n_vectors) scalars (driver canon
+    cannot sort array cells); real users call kmeans_fit directly for
+    the assignments relation + matrix. [extension]"""
+    from db2pq_spark.operators.clustering import kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_fit(emb, "embedding", "vec_id",
+                                     k=4, iterations=2)
+    counts = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"))
+    cdf = spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(centroids)],
+        "cluster int, centroid array<double>")
+    return (
+        cdf.select("cluster",
+                   F.posexplode("centroid").alias("dim", "cval"))
+        .join(counts, "cluster", "left")
+        .select("cluster", F.col("dim").cast("int").alias("dim"),
+                "cval",
+                F.coalesce("n_vectors", F.lit(0)).cast("bigint")
+                .alias("n_vectors"))
+    )

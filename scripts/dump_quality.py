@@ -52,6 +52,16 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(N_QUERIES)
 
+    def _quantized(emb, queries):
+        from db2pq_spark.operators.quantize import (
+            quantize_embeddings,
+            quantized_cosine_topk,
+        )
+
+        corpus_q = quantize_embeddings(emb, "embedding") \
+            .select("vec_id", "qvec", "qscale")
+        return quantized_cosine_topk(corpus_q, queries, k=K)
+
     results = []
 
     exact = topk_sets(cosine_topk(emb, queries, k=K))  # warm
@@ -75,6 +85,8 @@ def main() -> None:
         ("lsh_bucket_topk (radius=3 = derived default, "
          "target_recall=0.9)",
          lambda: lsh_bucket_topk(emb, queries, k=K)),
+        ("quantized_cosine_topk (int8 storage, exact scoring)",
+         lambda: _quantized(emb, queries)),
     ]:
         # warm once (codegen + any per-call training), then report the
         # best of 2 steady runs — the cold first execution otherwise

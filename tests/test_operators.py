@@ -873,6 +873,56 @@ class TestDuplicateSpans:
         got = duplicate_spans(df, "text", "doc_id", n=5).collect()
         assert [r["doc_id"] for r in got] == [2]
 
+    def test_removal_cuts_exactly_the_covered_tokens(self, spark):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        rows = [
+            (1, f"intro words here {self.SHARED} tail one"),
+            (2, f"other opening {self.SHARED} different ending"),
+            (3, "fully unique content with no overlap at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: r.asDict() for r in
+               remove_duplicate_spans(df, "text", "doc_id",
+                                      n=8).collect()}
+        # the shared 8-token span is cut from both docs, nothing else
+        assert got[1]["clean_text"] == "intro words here tail one"
+        assert got[2]["clean_text"] == "other opening different ending"
+        assert got[1]["n_removed"] == 8 and got[2]["n_removed"] == 8
+        # untouched doc keeps every token
+        assert got[3]["n_removed"] == 0
+        assert got[3]["clean_text"].startswith("fully unique")
+
+    def test_removal_overlapping_spans_merge(self, spark):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        # "x y x y x y": every 2-gram duplicated -> whole doc removed
+        df = spark.createDataFrame(
+            [(1, "x y x y x y"), (2, "y x")],
+            "doc_id long, text string")
+        got = {r["id"]: r.asDict() for r in
+               remove_duplicate_spans(df, "text", "doc_id",
+                                      n=2).collect()}
+        assert got[1]["clean_text"] == "" and got[1]["n_kept"] == 0
+        assert got[1]["n_removed"] == 6
+        # doc 2's "y x" also duplicated (matches spans inside doc 1)
+        assert got[2]["clean_text"] == ""
+
+    def test_removal_short_and_clean_docs_survive_whole(self, spark):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "c d e f"), (3, None), (4, "   ")],
+            "doc_id long, text string")
+        got = {r["id"]: r.asDict() for r in
+               remove_duplicate_spans(df, "text", "doc_id",
+                                      n=3).collect()}
+        # shorter-than-n docs have no spans -> kept whole
+        assert got[1]["clean_text"] == "ab" and got[1]["n_removed"] == 0
+        assert got[2]["clean_text"] == "c d e f"
+        # NULL / whitespace-only docs are excluded
+        assert 3 not in got and 4 not in got
+
 
 class TestVocabEncode:
     def test_ids_by_rank_and_oov(self, spark):
@@ -1108,6 +1158,29 @@ class TestQuantize:
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
 
+    def test_quantized_topk_finds_planted_clones_first(self, spark):
+        # int8 reconstruction error (<= scale/2 per component) must not
+        # cost the easy wins: an exact clone of each query still ranks
+        # first, far ahead of unrelated random vectors
+        import random
+
+        from db2pq_spark.operators.quantize import (
+            quantize_embeddings, quantized_cosine_topk)
+
+        rng = random.Random(6)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)])
+                for i in range(40)]
+        clones = [(i + 1000, list(v)) for i, v in rows[:3]]
+        df = spark.createDataFrame(rows + clones,
+                                   "vec_id long, embedding array<float>")
+        q = df.filter("vec_id < 3")
+        corpus_q = quantize_embeddings(df, "embedding") \
+            .select("vec_id", "qvec", "qscale")
+        got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in quantized_cosine_topk(corpus_q, q, k=3).collect()}
+        for qid in range(3):
+            assert got[(qid, 1)] == qid + 1000, got
+
 
 class TestMinhashKernelEdges:
     def test_trailing_empty_array_does_not_corrupt_neighbor(self, spark):
@@ -1269,3 +1342,55 @@ class TestSemanticDedup:
                 semantic_dedup(df, threshold=0.999, dim=3)
                 .where("is_kept").collect()]
         assert sorted(kept) == [0, 1]  # one keeper per direction
+
+
+class TestKmeans:
+    def test_two_obvious_clusters(self, spark):
+        from db2pq_spark.operators.clustering import kmeans_fit
+
+        # two tight blobs around (0,0) and (10,10); k=2 seeded by the
+        # two lowest ids — one in each blob so Lloyd converges in one
+        # round and membership is unambiguous
+        rows = [(0, [0.0, 0.1]), (1, [10.0, 10.1]),
+                (2, [0.2, 0.0]), (3, [9.9, 10.0]),
+                (4, [0.1, 0.2]), (5, [10.1, 9.9])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        assigned, centroids = kmeans_fit(df, k=2, iterations=2)
+        got = {r["id"]: r["cluster"] for r in assigned.collect()}
+        assert got[0] == got[2] == got[4]
+        assert got[1] == got[3] == got[5]
+        assert got[0] != got[1]
+        # centroids are the blob means (round_scale=9)
+        c_lo = centroids[got[0]]
+        assert abs(c_lo[0] - 0.1) < 1e-6 and abs(c_lo[1] - 0.1) < 1e-6
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from db2pq_spark.operators.clustering import kmeans_fit
+
+        # k=3 but only two distinct points: the seed centroid whose
+        # cluster empties out must survive unchanged
+        rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]),
+                (3, [5.0, 5.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        assigned, centroids = kmeans_fit(df, k=3, iterations=2)
+        assert len(centroids) == 3
+        # ties go to the lower cluster id, so cluster 1 (seeded by the
+        # duplicate of point 0) ends empty but keeps its seed centroid
+        assert centroids[1] == [0.0, 0.0]
+        n = assigned.count()
+        assert n == 4
+
+    def test_deterministic_across_runs(self, spark):
+        from db2pq_spark.operators.clustering import kmeans_fit
+
+        import random
+        rng = random.Random(17)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(4)])
+                for i in range(50)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        _, c1 = kmeans_fit(df, k=4, iterations=2)
+        _, c2 = kmeans_fit(df, k=4, iterations=2)
+        assert c1 == c2
