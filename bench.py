@@ -39,6 +39,8 @@ _EXTENSION = (
     "q109_source_mix", "q110_quantize_embeddings", "q111_bloom_probe",
     "q112_unigram_surprisal", "q113_training_pipeline",
     "q114_semantic_dedup",
+    # round-6 additions
+    "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
 )
 
 

@@ -28,8 +28,11 @@ SHOWCASE = {
                              "pre-aggregates per partkey (the preserved "
                              "outer side can't broadcast), then AQE "
                              "broadcasts the aggregate",
-    "q64_waiting_supplier": "EXISTS/NOT EXISTS decorrelated to "
-                            "LeftSemi + LeftAnti joins",
+    "q64_waiting_supplier": "EXISTS/NOT EXISTS pair collapsed to "
+                            "aggregates (no semi/anti self-joins): "
+                            "persisted narrow fact projection scanned "
+                            "once, per-(order,supp)+per-order stats, "
+                            "one line-level rejoin",
     "q71_volume_shipping": "double-aliased dimension (nation ×2) still "
                            "broadcasts; no cartesian",
     "q74_returned_items": "top-20 by exact-decimal revenue via "
@@ -101,6 +104,18 @@ SHOWCASE = {
                               "exact-Jaccard verify; the only exchanges "
                               "are keys-only (hot-bucket count, "
                               "candidate distinct)",
+    "q115_quantized_topk": "search over int8-quantized storage: "
+                           "reconstruction fused into the scan (narrow "
+                           "transform), then the broadcast-queries + "
+                           "window-rank cosine plan",
+    "q116_span_removal": "duplicated-span removal: only corpus-"
+                         "duplicated positions fan out (dup keys "
+                         "filtered before the explode); one doc-keyed "
+                         "reassembly shuffle",
+    "q117_kmeans": "verifiable k-means: k-row centroid broadcast, "
+                   "map-side-combined exact-decimal distance sums, "
+                   "per-id argmin; only the k x dim matrix reaches "
+                   "the driver",
 }
 
 HEADER = """\
