@@ -88,10 +88,25 @@ def _q110_quantize_real_shape(spark, sf_dir: str):
         .select("vec_id", "qvec", "qscale")
 
 
+def _q117_kmeans_arrow(spark, sf_dir: str):
+    """The production trainer config (impl='arrow': BLAS assignment,
+    fully narrow). The registry's q117 entry runs the exact-decimal
+    configuration so its oracle replays both iterations bit-for-bit;
+    that exactness surcharge is an oracle cost, not deployed behavior
+    (same override rationale as q36/q38)."""
+    from db2pq_spark.operators.clustering import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _ = kmeans_fit(emb, "embedding", "vec_id",
+                             k=4, iterations=2, impl="arrow")
+    return assigned.groupBy("cluster").count()
+
+
 #: bench-local overrides: query name -> callable(spark, sf_dir)
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
-              "q110_quantize_embeddings": _q110_quantize_real_shape}
+              "q110_quantize_embeddings": _q110_quantize_real_shape,
+              "q117_kmeans": _q117_kmeans_arrow}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -110,6 +125,11 @@ _CONFIGS = {
     "q110_quantize_embeddings": {
         "note": "production array shape (qvec+qscale); gate entry "
                 "explodes to scalars for driver canon",
+    },
+    "q117_kmeans": {
+        "impl": "arrow",
+        "note": "production BLAS assignment; gate entry runs the "
+                "exact-decimal oracle configuration",
     },
 }
 

@@ -82,6 +82,50 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     )
 
 
+def kmeans_assign_arrow(df: DataFrame, centroids: list[list[float]],
+                        vec_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched assignment: one NumPy distance matrix per batch
+    (||x||² − 2xCᵀ + ||c||², argmin per row) against the broadcast
+    k×dim centroid matrix — the production path (BLAS speed, no
+    explode, no shuffle at all: assignment is fully narrow).
+
+    Same labels as :func:`kmeans_assign` except where a point is
+    near-equidistant between two centroids: BLAS sums in a different
+    floating-point order than the exact-decimal relational path, so
+    boundary ties can resolve differently (ties break to the lower
+    cluster id in both). Use the exact path when cross-engine
+    verifiability matters; this one when throughput does."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    c2 = (C * C).sum(axis=1)                             # (k,)
+    out_schema = StructType(df.select(id_col).schema.fields
+                            + [StructField("cluster", LongType())])
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]]) if len(pdf) else \
+                np.zeros((0, C.shape[1]))
+            # argmin over ||v||^2 - 2 v.C^T + ||c||^2; ||v||^2 is
+            # row-constant so it can't change the argmin — drop it
+            d = -2.0 * (V @ C.T) + c2
+            yield type(pdf)({id_col: pdf[id_col],
+                             "cluster": d.argmin(axis=1)})
+
+    base = df.select(id_col, vec_col) \
+        .where(F.col(vec_col).isNotNull())
+    labeled = base.select(id_col, vec_col).mapInPandas(
+        assign, schema=out_schema)
+    return (labeled.join(base, id_col)
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"),
+                    F.col("cluster").cast("int").alias("cluster")))
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -89,14 +133,25 @@ def kmeans_fit(
     k: int = 8,
     iterations: int = 2,
     round_scale: int = 9,
+    impl: str = "exact",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Run ``iterations`` Lloyd rounds; return ``(assignments,
     centroids)`` — the labeled corpus relation (id, vec, cluster) under
     the FINAL centroids, plus the k×dim centroid matrix.
 
+    ``impl="exact"`` (default) is the engine-replayable configuration
+    (decimal distance sums — the q117 oracle's contract);
+    ``impl="arrow"`` assigns via :func:`kmeans_assign_arrow` (BLAS,
+    fully narrow; the update step is unchanged) — the production
+    trainer, same quality, not bit-replayable cross-engine (boundary
+    ties can assign differently).
+
     Empty clusters keep their previous centroid (documented; with
     lowest-id init and real data this is rare). See module docstring
     for the determinism contract and scale shape."""
+    if impl not in ("exact", "arrow"):
+        raise ValueError(f"unknown kmeans impl {impl!r}")
+    assign = kmeans_assign if impl == "exact" else kmeans_assign_arrow
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("vec")) \
         .where(F.col(vec_col).isNotNull())
@@ -104,7 +159,7 @@ def kmeans_fit(
     centroids = [[float(x) for x in r["vec"]] for r in init]
 
     for _ in range(iterations):
-        assigned = kmeans_assign(base, centroids, "vec", "id")
+        assigned = assign(base, centroids, "vec", "id")
         means = (
             assigned.select("cluster",
                             F.posexplode("vec").alias("dim", "_x"))

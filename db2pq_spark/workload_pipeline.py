@@ -1255,3 +1255,71 @@ def q117_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_vectors", F.lit(0)).cast("bigint")
                 .alias("n_vectors"))
     )
+
+
+def _q118_sql() -> str:
+    from db2pq_spark.operators.sampling import split_assign_sql
+
+    case = split_assign_sql("doc_id", {"train": 0.8, "test": 0.2})
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, {_NORM} AS norm, {_TOKENS} AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2])))
+                  ELSE [norm] END AS grams
+      FROM toks
+      WHERE len(toks) > 0 AND toks[1] <> ''
+    ),
+    j AS (
+      SELECT a.id AS id1, b.id AS id2,
+             len(list_intersect(a.grams, b.grams))
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))) AS jaccard
+      FROM sh a JOIN sh b ON a.id < b.id
+    ),
+    sp AS (SELECT doc_id, {case} AS split FROM documents)
+    SELECT j.id1, j.id2, s1.split AS split1, s2.split AS split2,
+           j.jaccard
+    FROM j
+    JOIN sp s1 ON s1.doc_id = j.id1
+    JOIN sp s2 ON s2.doc_id = j.id2
+    WHERE j.jaccard >= 0.6 AND s1.split <> s2.split
+    """
+
+
+@query("q118_split_leakage", oracle=_q118_sql())
+def q118_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit — the eval-hygiene composition: a
+    deterministic md5 split (operators/sampling.py:split_assign, the
+    q66 primitive) crossed with MinHash near-dup pairs (q36's
+    exactness configuration, so the oracle is exact all-pairs
+    Jaccard): every near-duplicate pair STRADDLING the split boundary
+    is surfaced with both memberships — the pairs an honest eval must
+    drop from test. Pair generation stays banded (never quadratic);
+    the split join is two id-keyed hash joins on the tiny pair
+    relation; the split itself is a narrow hash expression on the
+    corpus. [extension]"""
+    from db2pq_spark.operators.dedup import minhash_dedup
+    from db2pq_spark.operators.sampling import split_assign
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, "text", "doc_id", num_hashes=64,
+                          bands=32, threshold=0.6, max_bucket=None)
+    sp = split_assign(docs, "doc_id", {"train": 0.8, "test": 0.2}) \
+        .select("doc_id", "split")
+    return (
+        pairs
+        .join(sp.withColumnsRenamed({"doc_id": "id1",
+                                     "split": "split1"}), "id1")
+        .join(sp.withColumnsRenamed({"doc_id": "id2",
+                                     "split": "split2"}), "id2")
+        .where(F.col("split1") != F.col("split2"))
+        .select("id1", "id2", "split1", "split2", "jaccard")
+    )

@@ -1394,3 +1394,22 @@ class TestKmeans:
         _, c1 = kmeans_fit(df, k=4, iterations=2)
         _, c2 = kmeans_fit(df, k=4, iterations=2)
         assert c1 == c2
+
+    def test_arrow_impl_agrees_with_exact(self, spark):
+        # BLAS assignment vs exact-decimal assignment: identical
+        # labels and centroids away from boundary ties (random data)
+        import random
+
+        from db2pq_spark.operators.clustering import kmeans_fit
+
+        rng = random.Random(23)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)])
+                for i in range(120)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        a_ex, c_ex = kmeans_fit(df, k=3, iterations=2, impl="exact")
+        a_ar, c_ar = kmeans_fit(df, k=3, iterations=2, impl="arrow")
+        ex = {r["id"]: r["cluster"] for r in a_ex.collect()}
+        ar = {r["id"]: r["cluster"] for r in a_ar.collect()}
+        assert ex == ar
+        assert c_ex == c_ar
