@@ -817,9 +817,12 @@ def remove_duplicate_spans(
     covered-token enumeration); kept tokens reassemble with ONE
     doc-keyed shuffle. Like the detection pass: aggregate, don't sort;
     never pairs, never quadratic."""
+    from db2pq_spark.operators.skew import ensure_parallelism
+
     norm = normalize_text(text_col)
-    base = (df.filter(F.col(text_col).isNotNull()
-                      & (F.trim(F.col(text_col)) != ""))
+    base = (ensure_parallelism(df)
+            .filter(F.col(text_col).isNotNull()
+                    & (F.trim(F.col(text_col)) != ""))
             .select(F.col(id_col).alias("id"),
                     F.split(norm, " ").alias("_toks")))
     g = _span_hashes(df, text_col, id_col, n) \

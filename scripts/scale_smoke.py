@@ -68,7 +68,9 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q107_incremental_dedup",
            # dedup / ANN family at production configs (overrides below)
            "q36_minhash_dedup", "q37_simhash_dedup",
-           "q38_lsh_similarity", "q114_semantic_dedup"]
+           "q38_lsh_similarity", "q114_semantic_dedup",
+           # round-6 operators (q117 via its production arrow override)
+           "q115_quantized_topk", "q116_span_removal", "q117_kmeans"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -96,8 +98,16 @@ def _overrides():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
+    def q117(spark, sf_dir):
+        from db2pq_spark.operators.clustering import kmeans_fit
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, _ = kmeans_fit(emb, "embedding", "vec_id",
+                                 k=4, iterations=2, impl="arrow")
+        return assigned.groupBy("cluster").count()
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
-            "q38_lsh_similarity": q38}
+            "q38_lsh_similarity": q38, "q117_kmeans": q117}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:
