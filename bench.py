@@ -166,9 +166,17 @@ def main() -> None:
             # later queries GC-thrash (measured: q36 4s → 20s late in
             # a run). Isolate each timing by dropping cached blocks
             # OUTSIDE the timed region — also on failure, which can
-            # leak too.
+            # leak too. clearCache only covers CacheManager entries;
+            # localCheckpoint blocks (minhash/LSH signature staging)
+            # are RDD storage freed by the ContextCleaner once the
+            # Python-side DataFrames are garbage — a gc pass makes
+            # that deterministic instead of whenever CPython gets
+            # around to it.
             dt_ = time.perf_counter() - t0
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
         timings[name] = round(dt_, 3)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -237,6 +245,9 @@ def main() -> None:
             finally:
                 dt = time.perf_counter() - t0
                 spark.catalog.clearCache()  # isolation, also on failure
+                import gc
+
+                gc.collect()  # release localCheckpoint blocks too
             best = dt if best is None else min(best, dt)
         steady[name] = round(best, 3)
 

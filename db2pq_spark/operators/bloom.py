@@ -116,6 +116,11 @@ def bloom_probe(
         raise ValueError(
             f"probe DataFrame already has column(s) {clash} which "
             "bloom_probe uses internally — rename them before probing")
+    if out_col == "bitmap" or out_col.startswith("__bp"):
+        # the final .drop() would silently delete the result column
+        raise ValueError(
+            f"out_col {out_col!r} collides with bloom_probe's internal "
+            "columns — pick another name")
     probed = df.join(F.broadcast(
         bloom.select("bitmap")), how="cross")
     cond = F.lit(True)

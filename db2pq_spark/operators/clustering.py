@@ -182,4 +182,4 @@ def kmeans_fit(
                for r in new}
         centroids = [got.get(ci, centroids[ci]) for ci in range(len(centroids))]
 
-    return kmeans_assign(base, centroids, "vec", "id"), centroids
+    return assign(base, centroids, "vec", "id"), centroids

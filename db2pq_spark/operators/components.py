@@ -55,20 +55,21 @@ def _driver_union_find(spark, pairs: list[tuple],
             # union by MIN so the root IS the canonical min label
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
+        # ensure both endpoints are tracked (roots map to themselves)
         parent.setdefault(a, find(a))
         parent.setdefault(b, find(b))
     rows = [(x, find(x)) for x in parent]
-    ids = {x for a, b in pairs for x in (a, b)}
-    rows += [(x, x) for x in ids if x not in parent]
     return spark.createDataFrame(rows, f"id {id_type}, comp {id_type}")
 
 
 #: edge counts at or below this are collected and solved driver-side —
-#: one bounded fold (≲16 MB of id pairs) instead of O(diameter)
-#: iteration rounds, each of which costs a checkpoint job plus a
-#: convergence probe. Near-dup pair relations are threshold-bounded
-#: and usually tiny relative to the corpus, but NOT guaranteed small at
-#: 100 TB — above the bound the distributed hash-min iteration runs.
+#: one bounded fold instead of O(diameter) iteration rounds, each of
+#: which costs a checkpoint job plus a convergence probe. The collect
+#: goes through Arrow (two int64 columns ≈ 32 MB at the bound; Python
+#: tuples would be ~10× that). Near-dup pair relations are
+#: threshold-bounded and usually tiny relative to the corpus, but NOT
+#: guaranteed small at 100 TB — above the bound the distributed
+#: hash-min iteration runs.
 SMALL_GRAPH_EDGES = 1_000_000
 
 
@@ -100,7 +101,11 @@ def connected_components(
     e = e.localCheckpoint(eager=True)
 
     if small_graph_edges and e.count() <= 2 * small_graph_edges:
-        pairs = [(r["a"], r["b"]) for r in e.collect()]
+        # Arrow-backed collect: columnar transfer, no per-row Row
+        # objects — the memory shape the SMALL_GRAPH_EDGES bound is
+        # sized for
+        pdf = e.toPandas()
+        pairs = list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
         return _driver_union_find(edges.sparkSession, pairs,
                                   dict(e.dtypes)["a"])
 

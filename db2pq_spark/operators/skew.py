@@ -31,12 +31,23 @@ def ensure_parallelism(
     single small parquet file (or one row group) plans as ONE partition,
     so on a 32-core executor the whole kernel runs on one core. At real
     scale every scan has far more partitions than cores and this is a
-    no-op (the partition-count check is plan-side only, no job); when
-    it does fire, the input is by construction small (few scan splits ⇒
-    few bytes), so the one round-robin shuffle is trivially cheap next
-    to the kernel it parallelizes."""
+    no-op; when it does fire, the input is by construction small (few
+    scan splits ⇒ few bytes), so the one round-robin shuffle is
+    trivially cheap next to the kernel it parallelizes.
+
+    The guard only considers EXCHANGE-FREE plans (checked on the
+    pre-execution plan string): a derived input that already shuffled
+    is partitioned by ``spark.sql.shuffle.partitions`` and needs no
+    help — and, more importantly, calling ``.rdd`` on an adaptive plan
+    with exchanges would MATERIALIZE its upstream stages as real jobs
+    before any action runs (AQE re-plans at execution, so that work
+    would then repeat). For narrow scan-only plans ``.rdd`` builds the
+    RDD without running anything."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

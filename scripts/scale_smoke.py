@@ -196,8 +196,12 @@ def main() -> None:
             # cache/checkpoint blocks per invocation — left in place,
             # dozens of stale entries pressure executor storage memory
             # and show up as multi-second spikes in whatever query runs
-            # later
+            # later. clearCache handles CacheManager entries; a gc
+            # pass lets the ContextCleaner release localCheckpoint
+            # blocks (RDD storage, not in the CacheManager) promptly.
             spark.catalog.clearCache()
+            import gc
+            gc.collect()
         return out
 
     small = run_all(SF_DIR)

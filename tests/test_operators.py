@@ -1277,6 +1277,10 @@ class TestBloom:
         probe2 = spark.createDataFrame([(1, 2)], "k long, __bp0 long")
         with pytest.raises(ValueError, match="__bp0"):
             bloom_probe(probe2, "k", built)
+        # out_col colliding with internals would be silently dropped
+        probe3 = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="out_col"):
+            bloom_probe(probe3, "k", built, out_col="bitmap")
 
 
 class TestUnigramSurprisal:
