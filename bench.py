@@ -1,6 +1,10 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line the driver records as
-BENCH_r{N}.json.
+"""Benchmark harness. Prints a full detail record (also mirrored to
+BENCH_DETAIL.json) followed by ONE compact JSON line — the driver keeps
+the last 2000 chars of stdout and parses that final line into
+BENCH_r{N}.json, so it stays short (compact keys, 2-dp, asserted
+<1500 chars; round 6's single fat line overflowed the window and the
+round's perf record came back parsed:null).
 
 Workload shapes mirror the reference's benchmark definitions
 (BASELINE.md: full-table export ≈ crsp.dsf, filtered/projected export
@@ -41,6 +45,7 @@ _EXTENSION = (
     "q114_semantic_dedup",
     # round-6 additions
     "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
+    "q118_split_leakage",
 )
 
 
@@ -102,11 +107,33 @@ def _q117_kmeans_arrow(spark, sf_dir: str):
     return assigned.groupBy("cluster").count()
 
 
+def _q102_spans_xxh(spark, sf_dir: str):
+    """Production span keys: xxhash64 (8-byte longs, ~4× less shuffle
+    width than the md5 hex strings the gate-exactness config pins so
+    DuckDB can replay the keys)."""
+    from db2pq_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, "text", "doc_id", n=3)
+
+
+def _q116_removal_xxh(spark, sf_dir: str):
+    """Production span-removal config: xxhash64 keys (same
+    gate/production split as q102)."""
+    from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, "text", "doc_id",
+                                  n=3, min_count=2)
+
+
 #: bench-local overrides: query name -> callable(spark, sf_dir)
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
-              "q117_kmeans": _q117_kmeans_arrow}
+              "q117_kmeans": _q117_kmeans_arrow,
+              "q102_duplicate_spans": _q102_spans_xxh,
+              "q116_span_removal": _q116_removal_xxh}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -128,15 +155,38 @@ _CONFIGS = {
     },
     "q117_kmeans": {
         "impl": "arrow",
-        "note": "production BLAS assignment; gate entry runs the "
+        "note": "production BLAS assignment (vec carried through the "
+                "Arrow batch — zero joins); gate entry runs the "
                 "exact-decimal oracle configuration",
     },
+    "q102_duplicate_spans": {
+        "span_hash": "xxhash64",
+        "note": "production long keys; gate entry pins md5 so DuckDB "
+                "replays the keys",
+    },
+    "q116_span_removal": {
+        "span_hash": "xxhash64",
+        "note": "production long keys + in-row array_except cut; gate "
+                "entry pins md5",
+    },
 }
+
+
+def _short(name: str) -> str:
+    """Compact per-query key for the final JSON line: 'q01_pricing_
+    summary' -> 'q01', exports -> 'exp_full'/'exp_proj'/'exp_head'.
+    The full-name mapping lives in BENCH_DETAIL.json."""
+    if name.startswith("q"):
+        return name.split("_", 1)[0]
+    return {"export_full_table": "exp_full",
+            "export_filtered_projected": "exp_proj",
+            "export_obs_1000_fixed_cost": "exp_head"}.get(name, name[:10])
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    load_before = [round(x, 2) for x in os.getloadavg()]
 
     from db2pq_spark import workload
     from db2pq_spark.core import Engine
@@ -272,15 +322,11 @@ def main() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "bench_total_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
+    load_after = [round(x, 2) for x in os.getloadavg()]
+    detail = {
+        "cold": timings,
+        "cold_total": total,
         "steady_state": steady,
-        # headline twin of "value" without one-time codegen/analysis
-        # noise: sum of the min-of-2 steady timings — the number that
-        # tracks real per-query throughput across rounds
         "steady_total": round(sum(steady.values()), 3),
         "sf": sf,
         # which implementation/config each overridden query executed —
@@ -289,10 +335,45 @@ def main() -> None:
         "configs": _CONFIGS,
         "worker_reuse": spark.conf.get("spark.python.worker.reuse",
                                        "true"),
+        # 1/5/15-min loadavg before/after: a contaminated run (another
+        # Spark session or a pytest suite sharing the box — the
+        # round-6 driver artifact) is self-diagnosing
+        "load_before": load_before,
+        "load_after": load_after,
+        "short_names": {_short(k): k for k in steady},
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # Full record first (and mirrored to a repo file): the driver keeps
+    # only the LAST 2000 chars of stdout, so this line may be truncated
+    # there — the committed file is the durable copy.
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:  # read-only checkout: detail line still printed
+        print(f"bench: BENCH_DETAIL.json not written: {exc}",
+              file=sys.stderr)
+    # THE parseable record, printed last and kept far under the
+    # driver's 2000-char tail window: steady-state per-query timings
+    # (min-of-2, the cross-round throughput number) under compact keys,
+    # 2-decimal rounding. Round-6's single fat line overflowed the tail
+    # and the official perf record came back parsed:null.
+    out = {
+        "metric": "bench_steady_total_seconds",
+        "value": round(sum(steady.values()), 2),
+        "unit": "sec",
+        "queries": {_short(k): round(v, 2) for k, v in steady.items()},
+        "sf": sf,
+        "cold_total": round(total, 2),
+        "load": [load_before[0], load_after[0]],
+        "n_err": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1500, f"final bench line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":

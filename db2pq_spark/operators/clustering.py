@@ -102,7 +102,11 @@ def kmeans_assign_arrow(df: DataFrame, centroids: list[list[float]],
 
     C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
     c2 = (C * C).sum(axis=1)                             # (k,)
-    out_schema = StructType(df.select(id_col).schema.fields
+    # vec rides THROUGH the Arrow batch (id, vec, cluster) — an earlier
+    # shape returned (id, cluster) only and re-joined the corpus to
+    # resurrect vec, i.e. one full-embedding shuffle per Lloyd
+    # iteration; carrying the column keeps assignment truly narrow
+    out_schema = StructType(df.select(id_col, vec_col).schema.fields
                             + [StructField("cluster", LongType())])
 
     def assign(batches):
@@ -114,13 +118,12 @@ def kmeans_assign_arrow(df: DataFrame, centroids: list[list[float]],
             # row-constant so it can't change the argmin — drop it
             d = -2.0 * (V @ C.T) + c2
             yield type(pdf)({id_col: pdf[id_col],
+                             vec_col: pdf[vec_col],
                              "cluster": d.argmin(axis=1)})
 
     base = df.select(id_col, vec_col) \
         .where(F.col(vec_col).isNotNull())
-    labeled = base.select(id_col, vec_col).mapInPandas(
-        assign, schema=out_schema)
-    return (labeled.join(base, id_col)
+    return (base.mapInPandas(assign, schema=out_schema)
             .select(F.col(id_col).alias("id"),
                     F.col(vec_col).alias("vec"),
                     F.col("cluster").cast("int").alias("cluster")))

@@ -35,10 +35,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(spark, pairs: list[tuple],
+def _driver_union_find(spark, a_vals, b_vals,
                        id_type: str) -> DataFrame:
     """Exact min-label components for a SMALL collected edge list —
-    path-compressed union-find, one pass, no iteration jobs."""
+    path-compressed union-find, one pass, no iteration jobs.
+
+    ``a_vals``/``b_vals`` are the Arrow-collected endpoint columns
+    (numpy arrays / pandas object arrays), iterated pairwise WITHOUT
+    materializing a tuple list first: an earlier shape built
+    ``list(zip(col.tolist(), ...))`` — ~2 M tuples plus ~4 M boxed ints
+    at the 1 M-edge bound, a driver-side spike ~3× the columnar data it
+    was collected as. The only retained Python objects now are the
+    union-find dict's entries. ``int()``/``item()`` normalization
+    happens once per SURVIVING node at emit time so createDataFrame
+    sees plain Python values, not numpy scalars."""
     parent: dict = {}
 
     def find(x):
@@ -49,7 +59,7 @@ def _driver_union_find(spark, pairs: list[tuple],
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in pairs:
+    for a, b in zip(a_vals, b_vals):
         ra, rb = find(a), find(b)
         if ra != rb:
             # union by MIN so the root IS the canonical min label
@@ -58,7 +68,11 @@ def _driver_union_find(spark, pairs: list[tuple],
         # ensure both endpoints are tracked (roots map to themselves)
         parent.setdefault(a, find(a))
         parent.setdefault(b, find(b))
-    rows = [(x, find(x)) for x in parent]
+
+    def _py(x):
+        return x.item() if hasattr(x, "item") else x
+
+    rows = [(_py(x), _py(find(x))) for x in parent]
     return spark.createDataFrame(rows, f"id {id_type}, comp {id_type}")
 
 
@@ -103,10 +117,12 @@ def connected_components(
     if small_graph_edges and e.count() <= 2 * small_graph_edges:
         # Arrow-backed collect: columnar transfer, no per-row Row
         # objects — the memory shape the SMALL_GRAPH_EDGES bound is
-        # sized for
+        # sized for; the columns are handed over as-is (no tolist/zip
+        # list materialization — see _driver_union_find)
         pdf = e.toPandas()
-        pairs = list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
-        return _driver_union_find(edges.sparkSession, pairs,
+        return _driver_union_find(edges.sparkSession,
+                                  pdf["a"].to_numpy(),
+                                  pdf["b"].to_numpy(),
                                   dict(e.dtypes)["a"])
 
     labels = (

@@ -449,10 +449,7 @@ def _minhash_dedup_incremental_cached(
     if {"id", "shingles", "sig"}.issubset(set(corpus.columns)):
         csig = corpus  # precomputed signature relation
         has_stamp = "_sig_impl" in csig.columns
-        probe = [F.size("sig").alias("n")]
-        if has_stamp:
-            probe.append(F.col("_sig_impl").alias("si"))
-        head = csig.select(*probe).head(1)
+        head = csig.select(F.size("sig").alias("n")).head(1)
         if head and head[0]["n"] != num_hashes:
             raise ValueError(
                 f"precomputed corpus signatures carry {head[0]['n']} "
@@ -461,14 +458,31 @@ def _minhash_dedup_incremental_cached(
         # signature VALUES differ between impls (arrow: splitmix64 mix,
         # fold: xxhash64(h, j)) — a mixed corpus/batch pair band-matches
         # NOTHING and silently reports zero duplicates, so the stamp is
-        # enforced, not just documented
-        if head and has_stamp and head[0]["si"] != impl:
-            raise ValueError(
-                f"precomputed corpus signatures were built with "
-                f"impl={head[0]['si']!r} but the batch would be signed "
-                f"with impl={impl!r} — mixed implementations share no "
-                "band keys and would silently match zero duplicates; "
-                f"pass impl={head[0]['si']!r}")
+        # enforced, not just documented. The check runs over the
+        # DISTINCT stamp values, not head(1): a corpus accidentally
+        # assembled as a UNION of fold- and arrow-signed relations
+        # would pass a first-row probe and still silently match nothing
+        # for the mismatched half. Partial aggregation collapses the
+        # stamp column to ≤|impls| rows per partition, so the probe job
+        # is trivially cheap (and reads from cache when the corpus
+        # relation is persisted, as the streaming wrapper does).
+        if head and has_stamp:
+            impls = sorted(r[0] for r in
+                           csig.select("_sig_impl").distinct()
+                               .limit(3).collect())
+            if len(impls) > 1:
+                raise ValueError(
+                    f"precomputed corpus signatures mix implementations "
+                    f"{impls} (union of separately-signed relations?) — "
+                    "mixed-impl signatures share no band keys; re-sign "
+                    "the corpus with one impl via minhash_signatures()")
+            if impls and impls[0] != impl:
+                raise ValueError(
+                    f"precomputed corpus signatures were built with "
+                    f"impl={impls[0]!r} but the batch would be signed "
+                    f"with impl={impl!r} — mixed implementations share "
+                    "no band keys and would silently match zero "
+                    f"duplicates; pass impl={impls[0]!r}")
         if not has_stamp:
             import warnings
 
@@ -691,15 +705,124 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 5, w: int = 4, token_hash: str = "md5_60",
+) -> DataFrame:
+    """Winnowed document fingerprints after Schleimer, Wilkerson &
+    Aiken, *Winnowing: Local Algorithms for Document Fingerprinting*
+    (SIGMOD 2003, the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive hashes, keep the MINIMUM hash of each
+    window — the selected hash set is the fingerprint. Guarantee: any
+    shared token run of length ≥ w+k−1 contributes at least one shared
+    fingerprint (the property MinHash only gives probabilistically).
+
+    Returns the exploded (id, fp) relation — distinct selected hashes
+    per document (MOSS matches on the set; positions are an
+    implementation detail the set-matching consumer never needs).
+    Documents with ≥ k tokens but fewer than w windows keep the min of
+    the hashes they do have (the standard short-document variant, so
+    every hashable document carries ≥ 1 fingerprint); shorter/empty
+    documents contribute nothing.
+
+    Scale: fully NARROW — k-gram hashing, window minima, and the
+    distinct all happen in-row on each document (the w-minimum runs
+    interpreted but w is small and the md5 per k-gram dominates); the
+    output explode is the only fan-out, bounded by ~2·tokens/(w+1)
+    selected hashes per document. ``token_hash`` follows
+    :func:`_token_hash` — ``md5_60`` (default) is engine-replayable so
+    the q119 oracle recomputes identical fingerprints in DuckDB;
+    ``xxhash64`` shaves the md5 cost when parity doesn't matter."""
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    base = (
+        ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull()
+                & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("id"),
+                F.split(normalize_text(text_col), " ").alias("_toks"))
+        .where(F.size("_toks") >= k)
+    )
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+    )
+    khashes = F.transform("_kg", lambda g: _token_hash(g, token_hash))
+    wins = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.lit(1), F.size("_kh") - w + 1)),
+        lambda i: F.array_min(F.slice(F.col("_kh"), i, w)),
+    )
+    return (
+        base.select("id", kgrams.alias("_kg"))
+        .select("id", khashes.alias("_kh"))
+        .select("id", F.explode(F.array_distinct(wins)).alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 5, w: int = 4, min_shared: int = 2,
+    max_bucket: int | None = 1000, token_hash: str = "md5_60",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    MOSS-style overlap candidates with a deterministic guarantee (every
+    pair sharing a ≥ w+k−1-token run WILL appear, modulo the
+    ``max_bucket`` skew cap).
+
+    Scale shape mirrors the MinHash band join: fingerprints are the
+    bucket keys; corpus-hot fingerprints above ``max_bucket`` docs
+    (boilerplate shared by everything — pair count grows quadratically
+    in bucket size, and such spans say nothing about pairwise overlap)
+    are dropped before the self-join; surviving buckets self-join and
+    collapse to per-pair shared counts in one aggregate. Never sorts,
+    never goes corpus-quadratic."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, token_hash)
+    if max_bucket is not None:
+        hot = (fps.groupBy("fp").count()
+               .filter(F.col("count") > max_bucket).select("fp"))
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.withColumnRenamed("id", "id1")
+    b = fps.withColumnRenamed("id", "id2")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-substring (repeated-span) detection
 # ---------------------------------------------------------------------------
 
-def _span_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _span_key(col: Column, algo: str) -> Column:
+    """Span-text equality key. ``xxhash64`` (production default) shuffles
+    8-byte longs — ~4× fewer key bytes than md5's 32-char hex strings,
+    which at 100 TB is pure shuffle-width savings; its 64-bit space makes
+    corpus-scale collisions possible-but-negligible for a *dedup* signal
+    (a colliding pair merely over-counts one span). ``md5`` is the
+    exactness configuration: every engine computes it identically, so the
+    gate oracles (q102/q104/q116) replay the keys bit-for-bit in DuckDB —
+    same gate-config / production-config split as q36/q38/q117."""
+    if algo == "xxhash64":
+        return F.xxhash64(col)
+    if algo == "md5":
+        return F.md5(F.encode(col, "UTF-8"))
+    raise ValueError(f"unknown span_hash {algo!r}")
+
+
+def _span_hashes(df: DataFrame, text_col: str, id_col: str, n: int,
+                 span_hash: str = "xxhash64") -> DataFrame:
     """(id, pos, h): every positioned n-token span of every document,
-    keyed by the md5 of its text. Documents shorter than ``n`` tokens
-    contribute nothing. The transform lambda only slices+joins strings;
-    the md5 runs codegen'd in the post-explode projection, once per
-    span row."""
+    keyed by :func:`_span_key` of its text. Documents shorter than ``n``
+    tokens contribute nothing. The transform lambda only slices+joins
+    strings; the key hash runs codegen'd in the post-explode projection,
+    once per span row."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
     toks = F.split(normalize_text(text_col), " ")
@@ -712,13 +835,13 @@ def _span_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
         .where(F.size("_toks") >= n)
         .select(F.col(id_col), F.posexplode(spans).alias("pos", "_span"))
         .select(F.col(id_col), "pos",
-                F.md5(F.encode(F.col("_span"), "UTF-8")).alias("h"))
+                _span_key(F.col("_span"), span_hash).alias("h"))
     )
 
 
 def duplicate_spans(
     df: DataFrame, text_col: str, id_col: str,
-    n: int = 20, min_count: int = 2,
+    n: int = 20, min_count: int = 2, span_hash: str = "xxhash64",
 ) -> DataFrame:
     """Exact-substring duplicate detection, after Lee et al.,
     *Deduplicating Training Data Makes Language Models Better*
@@ -750,8 +873,12 @@ def duplicate_spans(
     ~0.65× at sf0.1. A count(*) window partitioned by the near-unique
     key would instead sort the entire span relation: measured 11.7× at
     a 10× all-duplicate replica (SCALE_SMOKE) versus ~linear for this
-    shape. Never materializes pairs, never goes quadratic."""
-    g = _span_hashes(df, text_col, id_col, n)
+    shape. Never materializes pairs, never goes quadratic.
+
+    ``span_hash`` picks the span equality key — see :func:`_span_key`
+    (``xxhash64`` production default; ``md5`` for engine-replayable
+    oracles)."""
+    g = _span_hashes(df, text_col, id_col, n, span_hash)
     per = g.groupBy(id_col, "h").agg(F.count("*").alias("c"))
     dup_keys = (
         per.groupBy("h").agg(F.sum("c").alias("tot"))
@@ -777,13 +904,13 @@ def duplicate_spans(
 
 def duplicate_span_positions(
     df: DataFrame, text_col: str, id_col: str,
-    n: int = 20, min_count: int = 2,
+    n: int = 20, min_count: int = 2, span_hash: str = "xxhash64",
 ) -> DataFrame:
     """Positions of duplicated n-token spans: (id, pos, span_count) for
     every span whose corpus-wide count reaches ``min_count`` — the
     input a downstream substring-removal/cut pass consumes. Same
     sort-free aggregate-then-rejoin plan as :func:`duplicate_spans`."""
-    g = _span_hashes(df, text_col, id_col, n)
+    g = _span_hashes(df, text_col, id_col, n, span_hash)
     dup_counts = (
         g.groupBy("h").agg(F.count("*").alias("span_count"))
         .filter(F.col("span_count") >= min_count)
@@ -796,7 +923,7 @@ def duplicate_span_positions(
 
 def remove_duplicate_spans(
     df: DataFrame, text_col: str, id_col: str,
-    n: int = 20, min_count: int = 2,
+    n: int = 20, min_count: int = 2, span_hash: str = "xxhash64",
 ) -> DataFrame:
     """Cut duplicated n-token spans OUT of each document — the removal
     pass that completes the Lee et al. (arXiv:2107.06499)
@@ -811,12 +938,20 @@ def remove_duplicate_spans(
     deterministic and engine-replayable). NULL/whitespace-only
     documents are excluded (no tokens to cut).
 
-    Returns (id, clean_text, n_kept, n_removed). Scale shape: the
-    duplicated-key relation is filtered to ``sum >= min_count`` before
-    anything fans out, so only duplicated positions explode (×n, the
-    covered-token enumeration); kept tokens reassemble with ONE
-    doc-keyed shuffle. Like the detection pass: aggregate, don't sort;
-    never pairs, never quadratic."""
+    Returns (id, clean_text, n_kept, n_removed). Scale shape — the cut
+    happens IN-ROW, tokens never shuffle: the duplicated-key relation
+    is filtered to ``count >= min_count`` before anything moves, so
+    only duplicated span START positions (ints, the corpus minority)
+    travel through the one doc-keyed ``collect_set`` aggregate; that
+    small per-doc start-set relation joins back to the corpus
+    (broadcast when AQE sees it small) and each row expands its starts
+    to a covered-index set, drops those indices from its own token
+    array (``array_except`` — native hash set, linear) and re-joins the
+    survivors with ``concat_ws``. No all-token explode, no
+    ``collect_list`` reassembly of the corpus (the previous shape — it
+    shuffled every token and was the suite's worst 100× ratio, 31.6×).
+    Like the detection pass: aggregate, don't sort; never pairs, never
+    quadratic. ``span_hash``: see :func:`_span_key`."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
     norm = normalize_text(text_col)
@@ -825,42 +960,41 @@ def remove_duplicate_spans(
                     & (F.trim(F.col(text_col)) != ""))
             .select(F.col(id_col).alias("id"),
                     F.split(norm, " ").alias("_toks")))
-    g = _span_hashes(df, text_col, id_col, n) \
+    g = _span_hashes(df, text_col, id_col, n, span_hash) \
         .withColumnRenamed(id_col, "id")
     dup = (g.groupBy("h").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= min_count).select("h"))
-    # only duplicated span occurrences survive to the ×n fan-out
-    covered = (
+    # only duplicated span OCCURRENCES shuffle, and only their start
+    # positions — the ×n covered-index expansion happens in-row below
+    starts = (
         g.join(dup, "h")
-        .select("id", F.explode(F.sequence(
-            F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("ti"))
-        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_starts"))
     )
-    toks = base.select(
-        "id", F.posexplode("_toks").alias("ti", "tok"))
-    kept = toks.join(covered, ["id", "ti"], "left_anti")
-    rebuilt = (
-        kept.groupBy("id")
-        .agg(F.count("*").alias("n_kept"),
-             F.concat_ws(" ", F.transform(
-                 F.sort_array(F.collect_list(F.struct("ti", "tok"))),
-                 lambda s: s["tok"])).alias("clean_text"))
-    )
+    cut = F.array_distinct(F.flatten(F.transform(
+        "_starts", lambda p: F.sequence(p, p + F.lit(n - 1)))))
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("_toks") - 1), F.col("_cut"))
     return (
-        base.select("id", F.size("_toks").alias("_n"))
-        .join(rebuilt, "id", "left")
+        base.join(starts, "id", "left")
+        .select("id", "_toks",
+                F.coalesce(cut, F.array().cast("array<int>"))
+                 .alias("_cut"))
+        .select("id", "_toks", kept_idx.alias("_ki"))
         .select(
             "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (F.col("_n") - F.coalesce("n_kept", F.lit(0)))
+            F.concat_ws(" ", F.transform(
+                "_ki", lambda i: F.element_at("_toks", i + 1)))
+             .alias("clean_text"),
+            F.size("_ki").cast("bigint").alias("n_kept"),
+            (F.size("_toks") - F.size("_ki"))
             .cast("bigint").alias("n_removed"))
     )
 
 
 def contamination_stats(
     train: DataFrame, bench: DataFrame, text_col: str, id_col: str,
-    n: int = 13,
+    n: int = 13, span_hash: str = "xxhash64",
 ) -> DataFrame:
     """Benchmark-decontamination signal: per training document, how
     many of its n-token spans also occur in the benchmark corpus
@@ -871,9 +1005,11 @@ def contamination_stats(
     benchmark suites are tiny next to a 100 TB training corpus, so the
     distinct benchmark-span side is broadcast by AQE; training spans
     stream through a semi-join probe without reshuffling the corpus —
-    the only wide operation is the per-document count."""
-    tspans = _span_hashes(train, text_col, id_col, n)
-    bspans = _span_hashes(bench, text_col, id_col, n).select("h").distinct()
+    the only wide operation is the per-document count. ``span_hash``:
+    see :func:`_span_key`."""
+    tspans = _span_hashes(train, text_col, id_col, n, span_hash)
+    bspans = _span_hashes(bench, text_col, id_col, n, span_hash) \
+        .select("h").distinct()
     hits = (
         tspans.join(bspans, "h", "left_semi")
         .groupBy(id_col)
@@ -894,14 +1030,15 @@ def contamination_stats(
 
 def decontaminate(
     train: DataFrame, bench: DataFrame, text_col: str, id_col: str,
-    n: int = 13, min_overlap: int = 1,
+    n: int = 13, min_overlap: int = 1, span_hash: str = "xxhash64",
 ) -> DataFrame:
     """Drop training documents sharing ``min_overlap``+ n-token spans
     with the benchmark corpus; docs too short to produce spans are
     kept. Anti-join on the flagged-id set (benchmark-hit-sized,
     broadcast in practice)."""
     flagged = (
-        contamination_stats(train, bench, text_col, id_col, n)
+        contamination_stats(train, bench, text_col, id_col, n,
+                            span_hash)
         .where(F.col("contaminated_spans") >= min_overlap)
         .select(id_col)
     )

@@ -91,6 +91,16 @@ def get_spark(
     # class's log threshold; every unbounded ranking path uses the
     # two-stage distributed construction and never hits WindowExec
     # unpartitioned.
+    #
+    # DOCUMENTED TRADEOFF: the suppression is session-global (log
+    # levels are JVM state; the warning fires at execution time, far
+    # from the DataFrame-building code, so it cannot be scoped to the
+    # vetted fast path). A future unpartitioned window planned by
+    # mistake would therefore not warn at runtime — the guard against
+    # that lives in the test suite instead: tests/test_plan_hygiene.py
+    # ::TestRegistryWindowHygiene sweeps EVERY registry query's plan
+    # and fails on any single-partition window outside the audited
+    # bounded fast paths.
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -534,12 +534,15 @@ def q102_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the corpus. Trigram spans here (the synthetic corpus's
     small vocabulary makes longer exact repeats vanishingly rare);
     production length 20-50 is a parameter. One window shuffle on the
-    32-byte span key + one doc-keyed aggregate — no pair
-    materialization, never quadratic. [extension]"""
+    span key + one doc-keyed aggregate — no pair materialization, never
+    quadratic. Gate-exactness config: ``span_hash="md5"`` so DuckDB
+    replays the keys bit-for-bit; production default is ``xxhash64``
+    (8-byte long keys, ~4× less shuffle width — bench times that
+    config). [extension]"""
     from db2pq_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(t(spark, sf_dir, "documents"), "text", "doc_id",
-                           n=3)
+                           n=3, span_hash="md5")
 
 
 @query(
@@ -635,14 +638,16 @@ def q104_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark-span side is broadcast (benchmarks are tiny next to the
     corpus); training spans stream through a semi-join probe. 4-token
     spans here for the synthetic corpus's tiny vocabulary; production
-    uses the 13-gram default. [extension]"""
+    uses the 13-gram default. Gate-exactness config: ``span_hash="md5"``
+    (DuckDB-replayable keys); production default is xxhash64.
+    [extension]"""
     from db2pq_spark.operators.dedup import contamination_stats
 
     docs = t(spark, sf_dir, "documents")
     return contamination_stats(
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
-        "text", "doc_id", n=4)
+        "text", "doc_id", n=4, span_hash="md5")
 
 
 @query(
@@ -1108,14 +1113,16 @@ def q116_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans) — the rewrite pass completing the Lee et al. 2107.06499
     exact-substring pipeline: every token covered by a corpus-
     duplicated trigram span is cut, documents reassemble from the
-    surviving tokens. Only duplicated positions ever fan out; one
-    doc-keyed reassembly shuffle; the oracle rebuilds the identical
-    cleaned strings in DuckDB. [extension]"""
+    surviving tokens IN-ROW (array_except on each row's own token
+    array — tokens never shuffle; only duplicated span starts do). The
+    oracle rebuilds the identical cleaned strings in DuckDB.
+    Gate-exactness config: ``span_hash="md5"``; production default is
+    xxhash64 (bench times that config). [extension]"""
     from db2pq_spark.operators.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(
         t(spark, sf_dir, "documents"), "text", "doc_id",
-        n=3, min_count=2)
+        n=3, min_count=2, span_hash="md5")
 
 
 #: q117: two Lloyd iterations, k=4, round scale 9 — each CTE pair

@@ -1378,41 +1378,44 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the old shape's 100× smoke ratio was the worst in the
     suite), the correlated pair collapses into aggregates:
 
-    - per (orderkey, suppkey): this supplier's latest shipdate ``smax``
-      — a narrow fact-level aggregate with map-side combine, no arrays
-      (an earlier variant carried ``collect_list(shipdate)`` through
-      the per-order join; shuffling those arrays cost 2× at the 100×
-      replica: 25.1 s vs 12.1 s for this shape);
-    - per orderkey over that collapsed relation: supplier count, the
-      top ``smax`` (m1) with its supplier, whether the argmax is
-      unique, and the runner-up (m2) — a second, already-small
-      aggregate (the per-order smax list it sorts is supplier-bounded,
-      ≤7 elements in TPC-H);
+    - per (orderkey, suppkey, shipdate): the line COUNT ``cnt`` — ONE
+      fact-level aggregate with map-side combine; this collapsed
+      relation ``lc`` is the only thing the fact table ever feeds, and
+      both downstream consumers derive from it (its shuffle is planned
+      once and REUSED — the executed plan shows a ReusedExchange, so
+      the parquet scan + orders join run a single time with no persist:
+      an earlier shape persisted the 3-column fact projection instead,
+      and the cache build alone made it 15.7 s vs 9.5 s at the 100×
+      replica; a persist of ``lc`` measured 10.5 s — reuse beats both);
+    - per (orderkey, suppkey) over ``lc``: the latest shipdate
+      ``smax`` (no arrays — an earlier variant carried
+      ``collect_list(shipdate)`` through the per-order join; shuffling
+      those arrays cost 2× at the 100× replica);
+    - per orderkey over that: supplier count, the top ``smax`` (m1)
+      with its supplier, whether the argmax is unique, and the
+      runner-up (m2) — an already-small aggregate (the per-order smax
+      list it sorts is supplier-bounded, ≤7 elements in TPC-H);
     - a line l1 satisfies the NOT EXISTS iff no OTHER supplier ships
       after it, i.e. ``l1.shipdate >= max_other`` where ``max_other``
       is m1, or m2 when l1's own supplier uniquely attains m1; the
-      EXISTS is ``n_supp > 1``. Both evaluate per LINE after one
-      narrow join of the fact rows against the per-order stats — the
-      fact table is never joined against itself.
+      EXISTS is ``n_supp > 1``. Both evaluate per collapsed (orderkey,
+      suppkey, shipdate) GROUP — weighting by ``cnt`` replaces
+      re-joining raw lines, so the fact table is never joined against
+      itself and never read twice.
 
-    The filtered three-column fact projection feeds both the aggregate
-    branch and the final line-level join, so it is persisted (cheap
-    columnar cache of narrow numerics — one parquet scan, one orders
-    join, instead of two of each; measured 13.0 s → 9.4 s at 100×).
     The supplier dimension broadcasts. Equality with the decorrelated
     SQL verified row-for-row at sf0.1 and on 10×/100× key-shifted
-    replicas; measured 6.2 s → 3.8 s at 10× and 35.6 s → 9.4 s at
-    100× (ratio 32.7× → ~8.6×, strongly sublinear against a ~0.65 s
-    fixed-cost base)."""
-    from pyspark import StorageLevel
-
+    replicas; measured (min-of-2, uncontended): 1.03 s at sf0.1,
+    9.52 s at the 100× replica — ratio ~9.2× (≤15× target met;
+    strongly sublinear against a ~0.65 s fixed-cost base)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     o = t(spark, sf_dir, "orders") \
         .where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    lf = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    supp = lf.groupBy("l_orderkey", "l_suppkey").agg(
+    lf = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    lc = lf.groupBy("l_orderkey", "l_suppkey", "l_shipdate") \
+        .agg(F.count("*").alias("cnt"))
+    supp = lc.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("smax"))
     per_o = (
         supp.groupBy("l_orderkey").agg(
@@ -1427,14 +1430,14 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter("_sm", lambda x: x == F.col("_top.smax")))
              .alias("n_at_m1"))
     )
-    j = lf.join(per_o.where(F.col("n_supp") > 1), "l_orderkey")
+    j = lc.join(per_o.where(F.col("n_supp") > 1), "l_orderkey")
     max_other = F.when(
         (F.col("n_at_m1") == 1)
         & (F.col("l_suppkey") == F.col("top_sk")),
         F.col("m2")).otherwise(F.col("m1"))
     waiting = (j.where(F.col("l_shipdate") >= max_other)
                .groupBy("l_suppkey")
-               .agg(F.count("*").alias("numwait")))
+               .agg(F.sum("cnt").alias("numwait")))
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (waiting.join(F.broadcast(s),
                          waiting.l_suppkey == s.s_suppkey)

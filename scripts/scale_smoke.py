@@ -70,7 +70,8 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q36_minhash_dedup", "q37_simhash_dedup",
            "q38_lsh_similarity", "q114_semantic_dedup",
            # round-6 operators (q117 via its production arrow override)
-           "q115_quantized_topk", "q116_span_removal", "q117_kmeans"]
+           "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
+           "q118_split_leakage"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -106,8 +107,22 @@ def _overrides():
                                  k=4, iterations=2, impl="arrow")
         return assigned.groupBy("cluster").count()
 
+    def q102(spark, sf_dir):
+        from db2pq_spark.operators.dedup import duplicate_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return duplicate_spans(docs, "text", "doc_id", n=3)  # xxhash64
+
+    def q116(spark, sf_dir):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_duplicate_spans(docs, "text", "doc_id",
+                                      n=3, min_count=2)  # xxhash64
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
-            "q38_lsh_similarity": q38, "q117_kmeans": q117}
+            "q38_lsh_similarity": q38, "q117_kmeans": q117,
+            "q102_duplicate_spans": q102, "q116_span_removal": q116}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:

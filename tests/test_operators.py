@@ -156,6 +156,28 @@ class TestIncrementalDedup:
             batch, csig_fold, "text", "doc_id", impl="fold",
             threshold=0.5).count() > 0
 
+    def test_mixed_impl_union_corpus_raises(self, docs):
+        # a corpus accidentally assembled as a UNION of fold- and
+        # arrow-signed halves passes a first-row probe (round-6 guard)
+        # but still band-matches nothing for the mismatched half — the
+        # guard now validates the DISTINCT stamp values
+        from db2pq_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+
+        batch = docs.filter(F.col("doc_id") == 1)
+        half_a = minhash_signatures(
+            docs.filter(F.col("doc_id").isin(2, 3)), "text", "doc_id",
+            impl="fold")
+        half_b = minhash_signatures(
+            docs.filter(~F.col("doc_id").isin(1, 2, 3)), "text",
+            "doc_id", impl="arrow")
+        mixed = half_a.unionByName(half_b)
+        with pytest.raises(ValueError, match="mix implementations"):
+            minhash_dedup_incremental(batch, mixed, "text", "doc_id",
+                                      impl="fold")
+
     def test_unstamped_precomputed_signatures_warn(self, docs):
         import warnings as _w
 

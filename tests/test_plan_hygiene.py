@@ -124,15 +124,17 @@ class TestSubqueryDecorrelation:
         # than decorrelated semi/anti self-joins — the fact table must
         # be scanned ONCE and never anti-joined against itself (the old
         # three-leg shape was the worst 100x smoke ratio in the suite)
-        plan = plan_of(spark, sf_correct_dir, "q64_waiting_supplier")
+        plan = plan_of(spark, sf_correct_dir, "q64_waiting_supplier",
+                       execute=True)
         assert "LeftAnti" not in plan
         assert "HashAggregate" in plan
-        # both consumers read the persisted fact projection through the
-        # columnar cache (the cache node's description embeds the
-        # original FileScan text, so counting raw scan strings would
-        # double-count; the cache scan node itself is the evidence)
-        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" \
-            in plan, plan
+        # both consumers derive from the ONE collapsed
+        # (orderkey,suppkey,shipdate) aggregate: its exchange is
+        # planned once and reused (round 7 dropped the fact-projection
+        # persist — the cache build cost more than exchange reuse,
+        # 15.7 s vs 9.5 s at the 100x replica)
+        assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, \
+            plan
 
     def test_uncorrelated_scalar_stays_subquery(self, spark, sf_correct_dir):
         # Q22 shape: the global-AVG threshold is a one-row uncorrelated
@@ -247,3 +249,59 @@ class TestTrainingPipelinePlans:
         # AQE turns the vocab-sized join side into a broadcast
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
+
+
+def _single_partition_window_violations(plan: str) -> list[str]:
+    """Plan lines where an ``Exchange SinglePartition`` feeds a Window
+    (walking up through pass-through nodes like Sort/Project) — the
+    collapse-the-world window shape this engine must never plan on an
+    unbounded path. Global aggregates' final stages also plan a
+    SinglePartition exchange (a few partial-agg rows — fine) and the
+    audited bounded ranking fast paths use ``Coalesce 1`` (no exchange
+    at all), so both pass."""
+    lines = plan.splitlines()
+
+    def depth(s: str) -> int:
+        i = 0
+        while i < len(s) and s[i] in " :+-*()0123456789":
+            i += 1
+        return i
+
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = depth(ln)
+        for j in range(i - 1, -1, -1):
+            dj = depth(lines[j])
+            if dj >= d:
+                continue
+            node = lines[j].strip()
+            if "Window" in node:
+                bad.append(node[:120])
+                break
+            if "Aggregate" in node or "Limit" in node:
+                break  # tiny final stage over partial results — fine
+            d = dj  # Sort/Project/Filter: keep walking up
+    return bad
+
+
+class TestRegistryWindowHygiene:
+    def test_no_single_partition_windows_anywhere(self, spark, sf_dir):
+        """Sweep EVERY registry query's physical plan: no Window may sit
+        on an Exchange SinglePartition. This is the test-suite guard the
+        session-global WindowExec log suppression (session.py) defers
+        to — with the runtime warning muted, an accidentally
+        unpartitioned window on an unbounded path must fail HERE."""
+        violations = {}
+        for name in sorted(workload.REGISTRY):
+            try:
+                df = workload.REGISTRY[name][0](spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            except Exception as exc:  # pragma: no cover - plan build only
+                violations[name] = f"plan build failed: {exc!r}"[:200]
+                continue
+            bad = _single_partition_window_violations(plan)
+            if bad:
+                violations[name] = bad
+        assert not violations, violations
