@@ -46,6 +46,8 @@ _EXTENSION = (
     # round-6 additions
     "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
     "q118_split_leakage",
+    # round-7 additions
+    "q119_winnow_overlap", "q120_bpe_merges",
 )
 
 
@@ -107,6 +109,16 @@ def _q117_kmeans_arrow(spark, sf_dir: str):
     return assigned.groupBy("cluster").count()
 
 
+def _q119_winnow_production(spark, sf_dir: str):
+    """Production winnowing config (operator defaults: 5-token grams,
+    window 4, hot-fingerprint cap 1000). The gate entry pins k=4/w=3
+    uncapped so its DuckDB oracle replays every pair."""
+    from db2pq_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_overlap_pairs(docs, "text", "doc_id", min_shared=2)
+
+
 def _q102_spans_xxh(spark, sf_dir: str):
     """Production span keys: xxhash64 (8-byte longs, ~4× less shuffle
     width than the md5 hex strings the gate-exactness config pins so
@@ -133,7 +145,8 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
               "q117_kmeans": _q117_kmeans_arrow,
               "q102_duplicate_spans": _q102_spans_xxh,
-              "q116_span_removal": _q116_removal_xxh}
+              "q116_span_removal": _q116_removal_xxh,
+              "q119_winnow_overlap": _q119_winnow_production}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -168,6 +181,11 @@ _CONFIGS = {
         "span_hash": "xxhash64",
         "note": "production long keys + in-row array_except cut; gate "
                 "entry pins md5",
+    },
+    "q119_winnow_overlap": {
+        "k_w_cap": "5/4/1000",
+        "note": "production winnowing defaults; gate entry pins "
+                "k=4/w=3 uncapped for the exact oracle",
     },
 }
 

@@ -1330,3 +1330,142 @@ def q118_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split1") != F.col("split2"))
         .select("id1", "id2", "split1", "split2", "jaccard")
     )
+
+
+#: q119: winnowing with k=4-token grams, window w=3, pairs sharing >= 2
+#: fingerprints — the oracle recomputes the identical md5_60 k-gram
+#: hashes, window minima, and fingerprint self-join
+_Q119_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    kh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 3),
+               i -> CAST(('0x' || substr(md5(concat_ws(' ', toks[i],
+                          toks[i+1], toks[i+2], toks[i+3])), 1, 15))
+                         AS BIGINT)) AS kh
+      FROM base WHERE len(toks) >= 4
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(1, len(kh) - 2)),
+               i -> list_aggregate(kh[i:i+2], 'min'))) AS fp
+      FROM kh
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""
+
+
+@query("q119_winnow_overlap", oracle=_Q119_SQL)
+def q119_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates via winnowing fingerprints
+    (operators/dedup.py:winnow_overlap_pairs — Schleimer et al.,
+    SIGMOD 2003): hash every 4-token gram, keep each 3-window's
+    minimum hash, pair documents sharing ≥ 2 selected fingerprints.
+    Unlike MinHash this carries a guarantee: any shared run of
+    ≥ w+k−1 = 6 tokens surfaces the pair. Fingerprinting is fully
+    in-row; the fingerprint self-join is the only wide op.
+    Gate-exactness config: ``max_bucket=None`` (production default
+    caps corpus-hot fingerprints at 1000 docs — boilerplate buckets
+    say nothing pairwise and grow quadratically). [extension]"""
+    from db2pq_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=4, w=3, min_shared=2, max_bucket=None)
+
+
+def _q120_round_sql(r: int, vin: str, vout: str) -> str:
+    """One BPE round as SQL CTEs: pair counts over ``{vin}``, the
+    winning pair ``b{r}`` (count desc, pair asc — the engine's exact
+    tie-break), greedy-thinned merge positions (every other occurrence
+    within consecutive runs, closed-form via the i−ROW_NUMBER run
+    grouping), and the rewritten vocab ``{vout}``."""
+    return f"""
+    p{r} AS (
+      SELECT concat_ws(' ', sym[i], sym[i+1]) AS pair,
+             SUM(freq) AS cnt
+      FROM (SELECT freq, sym,
+                   unnest(generate_series(1, len(sym) - 1)) AS i
+            FROM {vin} WHERE len(sym) >= 2)
+      GROUP BY 1
+    ),
+    b{r} AS (
+      SELECT {r} AS merge_round, split_part(pair, ' ', 1) AS lft,
+             split_part(pair, ' ', 2) AS rgt,
+             CAST(cnt AS BIGINT) AS cnt
+      FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    occ{r} AS (
+      SELECT u.word, u.i
+      FROM (SELECT word, sym,
+                   unnest(generate_series(1, len(sym) - 1)) AS i
+            FROM {vin} WHERE len(sym) >= 2) u, b{r} b
+      WHERE u.sym[u.i] = b.lft AND u.sym[u.i+1] = b.rgt
+    ),
+    sel{r} AS (
+      SELECT word, i FROM (
+        SELECT word, i, MIN(i) OVER (PARTITION BY word, grp) AS strt
+        FROM (SELECT word, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY word
+                                            ORDER BY i) AS grp
+              FROM occ{r}))
+      WHERE (i - strt) % 2 = 0
+    ),
+    sl{r} AS (SELECT word, list(i ORDER BY i) AS sels
+              FROM sel{r} GROUP BY word),
+    {vout} AS (
+      SELECT v.word, v.freq,
+             CASE WHEN s.sels IS NULL THEN v.sym ELSE
+               list_filter(list_transform(generate_series(1, len(v.sym)),
+                 j -> CASE WHEN list_contains(s.sels, j)
+                           THEN b.lft || b.rgt
+                           WHEN list_contains(s.sels, j - 1) THEN NULL
+                           ELSE v.sym[j] END),
+                 x -> x IS NOT NULL) END AS sym
+      FROM {vin} v LEFT JOIN sl{r} s USING (word) CROSS JOIN b{r} b
+    )"""
+
+
+_Q120_SQL = f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKENS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> '' GROUP BY 1
+    ),
+    v0 AS (SELECT word, freq, string_split(word, '') AS sym FROM wf),
+    {_q120_round_sql(1, 'v0', 'v1')},
+    {_q120_round_sql(2, 'v1', 'v2')}
+    SELECT merge_round, lft, rgt, cnt FROM b1
+    UNION ALL
+    SELECT merge_round, lft, rgt, cnt FROM b2
+"""
+
+
+@query("q120_bpe_merges", oracle=_Q120_SQL)
+def q120_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE merge learning (operators/bpe.py:bpe_train —
+    Sennrich et al., ACL 2016): two merge rounds over the corpus
+    word-frequency table, each round's winning adjacent symbol pair
+    picked by weighted count (ties → lexicographically smallest pair)
+    and applied greedy-leftmost. The oracle replays BOTH rounds
+    CTE-for-round (q117's k-means pattern), including the greedy
+    every-other thinning of a==b runs via a window-function closed
+    form. The corpus is read ONCE (word counts); every round is
+    in-row on the vocab relation + one tiny pair aggregate + a 1-row
+    driver collect. [extension]"""
+    from db2pq_spark.operators.bpe import bpe_train
+
+    rules, _ = bpe_train(t(spark, sf_dir, "documents"), "text",
+                         merges=2)
+    return spark.createDataFrame(
+        [(r, lft, rgt, cnt) for (r, lft, rgt, cnt) in rules],
+        "merge_round int, lft string, rgt string, cnt bigint")

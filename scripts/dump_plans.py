@@ -108,14 +108,23 @@ SHOWCASE = {
                            "reconstruction fused into the scan (narrow "
                            "transform), then the broadcast-queries + "
                            "window-rank cosine plan",
-    "q116_span_removal": "duplicated-span removal: only corpus-"
-                         "duplicated positions fan out (dup keys "
-                         "filtered before the explode); one doc-keyed "
-                         "reassembly shuffle",
+    "q116_span_removal": "duplicated-span removal: the cut is IN-ROW "
+                         "(array_except on each row's own token "
+                         "array) — only duplicated span START "
+                         "positions shuffle through one collect_set "
+                         "aggregate; tokens never leave their row",
     "q117_kmeans": "verifiable k-means: k-row centroid broadcast, "
                    "map-side-combined exact-decimal distance sums, "
                    "per-id argmin; only the k x dim matrix reaches "
                    "the driver",
+    "q119_winnow_overlap": "MOSS winnowing: k-gram hashing, window "
+                           "minima, and the distinct all in-row; the "
+                           "fingerprint self-join is the only wide op "
+                           "(hot fingerprints capped in production)",
+    "q120_bpe_merges": "BPE merge learning: ONE corpus pass (word "
+                       "counts) collapses to the vocab relation; each "
+                       "round is in-row rewrites + a tiny pair "
+                       "aggregate + a 1-row driver collect",
 }
 
 HEADER = """\

@@ -113,6 +113,20 @@ def main() -> None:
     mh_recall = len(mh & truth) / len(truth) if truth else 1.0
     mh_precision = len(mh & truth) / len(mh) if mh else 1.0
 
+    # winnowing: what does the production hot-fingerprint cap drop?
+    from db2pq_spark.operators.dedup import winnow_overlap_pairs
+
+    full = {(r["id1"], r["id2"])
+            for r in winnow_overlap_pairs(docs, "text", "doc_id",
+                                          min_shared=2,
+                                          max_bucket=None).collect()}
+    t0 = time.perf_counter()
+    capped = {(r["id1"], r["id2"])
+              for r in winnow_overlap_pairs(docs, "text", "doc_id",
+                                            min_shared=2).collect()}
+    t_wn = time.perf_counter() - t0
+    wn_recall = len(capped & full) / len(full) if full else 1.0
+
     lines = [
         "# QUALITY — approximate-operator quality vs exact baselines "
         "(auto-generated)\n",
@@ -134,6 +148,18 @@ def main() -> None:
         "sets, so precision is structural (candidates below threshold "
         "are filtered); recall is governed by the band/row "
         "probability curve.\n",
+        "\n## Winnowing overlap pairs: production hot-fingerprint cap "
+        "(max_bucket=1000) vs uncapped\n",
+        f"\n| metric | value |\n|---|---|\n"
+        f"| uncapped pairs (k=5, w=4, min_shared=2) | {len(full)} |\n"
+        f"| capped pairs | {len(capped)} |\n"
+        f"| pair recall under cap | {wn_recall:.3f} |\n"
+        f"| time (capped) | {t_wn:.1f}s |\n",
+        "\nThe cap drops only fingerprints shared by >1000 documents "
+        "— corpus boilerplate whose buckets grow pair counts "
+        "quadratically while saying nothing about pairwise overlap; "
+        "at this fixture scale no fingerprint is that hot, so the "
+        "cap is recall-free.\n",
         "\nCorrectness vs quality: these tables benchmark the "
         "*approximate production defaults*. The gate/oracle entries "
         "for the same operators (q37/q38/q46/q48) run provably-exact "

@@ -71,7 +71,9 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q38_lsh_similarity", "q114_semantic_dedup",
            # round-6 operators (q117 via its production arrow override)
            "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
-           "q118_split_leakage"]
+           "q118_split_leakage",
+           # round-7 operators (q119 via its production override)
+           "q119_winnow_overlap", "q120_bpe_merges"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -120,9 +122,17 @@ def _overrides():
         return remove_duplicate_spans(docs, "text", "doc_id",
                                       n=3, min_count=2)  # xxhash64
 
+    def q119(spark, sf_dir):
+        from db2pq_spark.operators.dedup import winnow_overlap_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return winnow_overlap_pairs(docs, "text", "doc_id",
+                                    min_shared=2)  # k=5/w=4/cap 1000
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
-            "q102_duplicate_spans": q102, "q116_span_removal": q116}
+            "q102_duplicate_spans": q102, "q116_span_removal": q116,
+            "q119_winnow_overlap": q119}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:

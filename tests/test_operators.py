@@ -946,6 +946,104 @@ class TestDuplicateSpans:
         assert 3 not in got and 4 not in got
 
 
+class TestWinnowing:
+    def test_shared_run_guarantee(self, spark):
+        # docs 1/2 share a 9-token run >= w+k-1 = 6 -> MUST pair
+        from db2pq_spark.operators.dedup import (winnow_fingerprints,
+                                                 winnow_overlap_pairs)
+
+        df = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota x"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota y"),
+            (3, "totally unrelated words that never overlap anything"),
+            (4, None), (5, "  "),
+        ], "doc_id long, text string")
+        pairs = {(r["id1"], r["id2"]): r["shared_fps"]
+                 for r in winnow_overlap_pairs(
+                     df, "text", "doc_id", k=3, w=4,
+                     min_shared=1).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+        assert not any(3 in p or 4 in p or 5 in p for p in pairs)
+        # fingerprints are per-doc distinct and null/empty docs vanish
+        fps = winnow_fingerprints(df, "text", "doc_id", k=3, w=4)
+        pdf = fps.groupBy("id").count().collect()
+        assert {r["id"] for r in pdf} == {1, 2, 3}
+
+    def test_short_doc_keeps_one_fingerprint(self, spark):
+        from db2pq_spark.operators.dedup import winnow_fingerprints
+
+        # 4 tokens, k=3 -> 2 k-gram hashes < w windows -> min of all
+        df = spark.createDataFrame([(1, "a b c d")],
+                                   "doc_id long, text string")
+        got = winnow_fingerprints(df, "text", "doc_id",
+                                  k=3, w=4).collect()
+        assert len(got) == 1
+
+    def test_hot_fingerprint_cap(self, spark):
+        from db2pq_spark.operators.dedup import winnow_overlap_pairs
+
+        # every doc shares the same boilerplate -> capped away
+        rows = [(i, f"common shared boilerplate line here tag{i}")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = winnow_overlap_pairs(df, "text", "doc_id", k=3, w=2,
+                                      min_shared=1, max_bucket=3)
+        uncapped = winnow_overlap_pairs(df, "text", "doc_id", k=3, w=2,
+                                        min_shared=1, max_bucket=None)
+        assert capped.count() < uncapped.count()
+
+
+class TestBpe:
+    def test_learns_expected_merges(self, spark):
+        from db2pq_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "the the the then with"), (2, "other the")],
+            "doc_id long, text string")
+        rules, vocab = bpe_train(df, "text", merges=2)
+        # t+h appears in the(x4)+then+with+other = 7 weighted
+        assert rules[0][1:3] == ("t", "h") and rules[0][3] == 7
+        # th+e: the(x4)+then+other = 6
+        assert rules[1][1:3] == ("th", "e") and rules[1][3] == 6
+        segs = {r["word"]: r["sym"] for r in vocab.collect()}
+        assert segs["the"] == ["the"]
+        assert segs["then"] == ["the", "n"]
+        assert segs["with"] == ["w", "i", "th"]
+
+    def test_greedy_run_thinning(self, spark):
+        from db2pq_spark.operators.bpe import bpe_train
+
+        # "aaaa" -> [aa, aa]; "aaa" -> [aa, a]: greedy leftmost
+        # every-other within the a==b run
+        df = spark.createDataFrame([(1, "aaaa aaa")],
+                                   "doc_id long, text string")
+        rules, vocab = bpe_train(df, "text", merges=1)
+        assert rules[0][1:3] == ("a", "a")
+        segs = {r["word"]: r["sym"] for r in vocab.collect()}
+        assert segs["aaaa"] == ["aa", "aa"]
+        assert segs["aaa"] == ["aa", "a"]
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from db2pq_spark.operators.bpe import bpe_train
+
+        # pairs z+y and b+a both count 2 -> 'b a' < 'z y' wins
+        df = spark.createDataFrame([(1, "zy ba zy ba")],
+                                   "doc_id long, text string")
+        rules, _ = bpe_train(df, "text", merges=1)
+        assert rules[0][1:3] == ("b", "a")
+
+    def test_apply_merge_column(self, spark):
+        from db2pq_spark.operators.bpe import bpe_apply_merge
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(["a", "b", "a", "b"],), (["x"],), ([],)],
+            "sym array<string>")
+        got = [r["m"] for r in df.select(
+            bpe_apply_merge("sym", "a", "b").alias("m")).collect()]
+        assert got == [["ab", "ab"], ["x"], []]
+
+
 class TestVocabEncode:
     def test_ids_by_rank_and_oov(self, spark):
         from db2pq_spark.operators.vocab import build_vocab, encode_documents
