@@ -467,9 +467,23 @@ def _minhash_dedup_incremental_cached(
         # is trivially cheap (and reads from cache when the corpus
         # relation is persisted, as the streaming wrapper does).
         if head and has_stamp:
-            impls = sorted(r[0] for r in
-                           csig.select("_sig_impl").distinct()
-                               .limit(3).collect())
+            # A corpus unioned with allowMissingColumns=True carries
+            # NULL stamps on the unstamped half — those rows get the
+            # unstamped WARNING below, not a TypeError from sorting
+            # str against None.
+            raw = [r[0] for r in csig.select("_sig_impl").distinct()
+                   .limit(3).collect()]
+            impls = sorted(v for v in raw if v is not None)
+            if None in raw:
+                import warnings
+
+                warnings.warn(
+                    "some precomputed corpus signatures carry a NULL "
+                    "_sig_impl stamp (union with an unstamped "
+                    f"relation?) — assuming impl={impl!r} for those "
+                    "rows; re-persist via minhash_signatures() to make "
+                    "the implementation mismatch check effective",
+                    stacklevel=3)
             if len(impls) > 1:
                 raise ValueError(
                     f"precomputed corpus signatures mix implementations "
@@ -710,7 +724,7 @@ def ngram_jaccard_pairs(
 
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str,
-    k: int = 5, w: int = 4, token_hash: str = "md5_60",
+    k: int = 5, w: int = 4, token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Winnowed document fingerprints after Schleimer, Wilkerson &
     Aiken, *Winnowing: Local Algorithms for Document Fingerprinting*
@@ -733,9 +747,12 @@ def winnow_fingerprints(
     interpreted but w is small and the md5 per k-gram dominates); the
     output explode is the only fan-out, bounded by ~2·tokens/(w+1)
     selected hashes per document. ``token_hash`` follows
-    :func:`_token_hash` — ``md5_60`` (default) is engine-replayable so
-    the q119 oracle recomputes identical fingerprints in DuckDB;
-    ``xxhash64`` shaves the md5 cost when parity doesn't matter."""
+    :func:`_token_hash` — ``xxhash64`` (production default) hashes each
+    k-gram to an 8-byte long JVM-side, which both shaves the per-gram
+    hash cost and narrows the fingerprint shuffle ~4× vs md5 hex
+    strings; ``md5_60`` is the exactness configuration the q119 gate
+    entry pins so DuckDB recomputes identical fingerprints (same
+    gate/production split as the q102/q116 span keys)."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
     base = (
@@ -766,7 +783,7 @@ def winnow_fingerprints(
 def winnow_overlap_pairs(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 5, w: int = 4, min_shared: int = 2,
-    max_bucket: int | None = 1000, token_hash: str = "md5_60",
+    max_bucket: int | None = 1000, token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
     MOSS-style overlap candidates with a deterministic guarantee (every
@@ -816,38 +833,126 @@ def _span_key(col: Column, algo: str) -> Column:
     raise ValueError(f"unknown span_hash {algo!r}")
 
 
+def _span_hash_expr(n: int, span_hash: str, toks_col: str = "_toks",
+                    th_col: str = "_th") -> Column:
+    """In-row array of span keys for an ``n``-token sliding window.
+
+    ``xxhash64`` (production) never builds span STRINGS: each token is
+    hashed once (``th_col``, an array<long> the caller projects first)
+    and the span key is xxhash64 over the n-long slice — measured ~25%
+    cheaper per corpus pass than concat_ws+hash at the 100× replica,
+    and the dominant cost of the span family is exactly these passes.
+    ``md5`` (the gate-exactness config) must hash the span TEXT so
+    DuckDB can replay the keys, so it concat_ws's the slice. Documents
+    shorter than ``n`` tokens get an empty array (``sequence(1, s)``
+    with s ≤ 0 would count DOWNWARD and fabricate keys)."""
+    if span_hash == "xxhash64":
+        body = F.transform(
+            F.sequence(F.lit(1), F.size(th_col) - n + 1),
+            lambda i: F.xxhash64(F.slice(F.col(th_col), i, n)),
+        )
+        guard = F.size(th_col)
+    else:
+        body = F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - n + 1),
+            lambda i: _span_key(
+                F.concat_ws(" ", F.slice(F.col(toks_col), i, n)),
+                span_hash),
+        )
+        guard = F.size(toks_col)
+    empty = F.array().cast(
+        "array<bigint>" if span_hash == "xxhash64" else "array<string>")
+    return F.when(guard >= n, body).otherwise(empty)
+
+
 def _span_hashes(df: DataFrame, text_col: str, id_col: str, n: int,
                  span_hash: str = "xxhash64") -> DataFrame:
     """(id, pos, h): every positioned n-token span of every document,
-    keyed by :func:`_span_key` of its text. Documents shorter than ``n``
-    tokens contribute nothing. The transform lambda only slices+joins
-    strings; the key hash runs codegen'd in the post-explode projection,
-    once per span row."""
+    keyed per :func:`_span_hash_expr` (xxhash64: token-hash slices, no
+    span strings) or — for the md5 exactness config — by the codegen'd
+    post-explode :func:`_span_key` of the span text. Documents shorter
+    than ``n`` tokens contribute nothing; ``pos`` is the 0-based start
+    token."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
     toks = F.split(normalize_text(text_col), " ")
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col), toks.alias("_toks"))
+            .where(F.size("_toks") >= n))
+    if span_hash == "xxhash64":
+        return (
+            base.select(id_col,
+                        F.transform("_toks", lambda t: F.xxhash64(t))
+                        .alias("_th"))
+            .select(F.col(id_col),
+                    F.posexplode(_span_hash_expr(n, span_hash))
+                    .alias("pos", "h"))
+        )
     spans = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - n + 1),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
     )
     return (
-        ensure_parallelism(df).select(F.col(id_col), toks.alias("_toks"))
-        .where(F.size("_toks") >= n)
-        .select(F.col(id_col), F.posexplode(spans).alias("pos", "_span"))
+        base.select(F.col(id_col), F.posexplode(spans).alias("pos", "_span"))
         .select(F.col(id_col), "pos",
                 _span_key(F.col("_span"), span_hash).alias("h"))
     )
 
 
+def _span_stage(df: DataFrame, text_col: str, id_col: str, n: int,
+                span_hash: str, stage: str,
+                keep_tokens: bool) -> DataFrame:
+    """The shared span-family staging relation: per-doc
+    (id[, _toks], _sh) where ``_sh`` is the in-row span-key array
+    (:func:`_span_hash_expr`) — one tokenize+hash pass over the
+    corpus, materialized per ``stage`` so every consumer (key
+    counting, occurrence extraction, rebuilds) re-reads it instead of
+    re-running the pass (a lambda inside ``Generate`` defeats
+    exchange-reuse canonicalization, so the un-materialized shape
+    really re-executes per consumer — it was ~2/3 of the span family's
+    runtime at the 100× replica).
+
+    ``stage``: ``"checkpoint"`` (default everywhere) localCheckpoints
+    — fastest, but blocks are executor-local and lineage-free, so a
+    lost executor fails the job (fine single-node / external-shuffle
+    deployments); ``"persist"`` is DISK_ONLY persistence WITH lineage
+    — the cluster-safe choice under executor churn; ``"none"``
+    recomputes per consumer (lowest footprint, ~2 extra corpus
+    passes)."""
+    staged = (df.filter(F.col(text_col).isNotNull()
+                        & (F.trim(F.col(text_col)) != ""))
+              .select(F.col(id_col).alias("id"),
+                      F.split(normalize_text(text_col), " ")
+                      .alias("_toks")))
+    if span_hash == "xxhash64":
+        staged = staged.select(
+            "id", "_toks",
+            F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"))
+    cols = ["id", "_toks"] if keep_tokens else ["id"]
+    staged = staged.select(*cols, _span_hash_expr(n, span_hash)
+                           .alias("_sh"))
+    if stage == "checkpoint":
+        return staged.localCheckpoint(eager=False)
+    if stage == "persist":
+        from pyspark import StorageLevel
+
+        return staged.persist(StorageLevel.DISK_ONLY)
+    if stage == "none":
+        return staged
+    raise ValueError(f"unknown stage {stage!r} — expected "
+                     "'checkpoint', 'persist' or 'none'")
+
+
 def duplicate_spans(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 20, min_count: int = 2, span_hash: str = "xxhash64",
+    stage: str = "checkpoint",
 ) -> DataFrame:
     """Exact-substring duplicate detection, after Lee et al.,
     *Deduplicating Training Data Makes Language Models Better*
     (arXiv:2107.06499) — re-expressed relationally: instead of a
     monolithic suffix array, every positioned n-token span is keyed by
-    its md5 and counted corpus-wide; spans whose key occurs
+    its hash and counted corpus-wide; spans whose key occurs
     ``min_count``+ times (in any document, including the same one) are
     duplicated content.
 
@@ -855,48 +960,42 @@ def duplicate_spans(
     ``dup_span_ratio`` — the standard "fraction of the document that is
     boilerplate shared with the rest of the corpus" filter signal.
 
-    Scale: aggregate, don't sort. The span stream first collapses to
-    per-(document, key) counts ``per`` in one map-side-combined hash
-    aggregate (md5 keys bound shuffle width at 32 bytes regardless of
-    ``n``); BOTH downstream facts derive from that collapsed relation —
-    corpus-wide key totals (a second, much smaller aggregate over
-    ``per``) and per-document stats (one final doc-keyed aggregate
-    after a left join that marks duplicated keys). The duplicated-key
-    side is filtered to ``sum >= min_count`` before joining back, so
-    only the duplicated minority of keys travels: broadcast when AQE
-    sees it small, shuffled-hash otherwise (the session prefers hash
-    over sort-merge), never a sort. Versus the naive three-branch shape
-    (count-by-key, join, count-by-doc — each branch re-exploding the
-    corpus because a lambda inside ``Generate`` defeats Spark's
-    exchange-reuse canonicalization), this runs one fewer corpus
-    explode and shuffles collapsed pairs instead of raw spans: measured
-    ~0.65× at sf0.1. A count(*) window partitioned by the near-unique
-    key would instead sort the entire span relation: measured 11.7× at
-    a 10× all-duplicate replica (SCALE_SMOKE) versus ~linear for this
-    shape. Never materializes pairs, never goes quadratic.
+    Scale: aggregate, don't sort — and keep the wide work on the
+    minority. From the staged per-doc relation (:func:`_span_stage`):
+    ``n_spans`` is just ``size(_sh)``, computed NARROWLY (the round-7
+    shape shuffled the full per-(doc, key) relation twice — by key and
+    again by doc — just to recover a count that was sitting in-row);
+    corpus-wide key totals explode bare 8-byte keys through ONE
+    map-side-combined aggregate; the duplicated-key side is filtered
+    to ``>= min_count`` before joining back, so only the duplicated
+    minority of occurrences travels through the per-doc count
+    (broadcast when AQE sees the key set small, shuffled-hash
+    otherwise — never a sort). A count(*) window partitioned by the
+    near-unique key would instead sort the entire span relation —
+    measured super-linear at an all-duplicate replica vs ~linear for
+    this shape. Never materializes pairs, never goes quadratic.
 
     ``span_hash`` picks the span equality key — see :func:`_span_key`
     (``xxhash64`` production default; ``md5`` for engine-replayable
-    oracles)."""
-    g = _span_hashes(df, text_col, id_col, n, span_hash)
-    per = g.groupBy(id_col, "h").agg(F.count("*").alias("c"))
-    dup_keys = (
-        per.groupBy("h").agg(F.sum("c").alias("tot"))
-        .filter(F.col("tot") >= min_count)
-        .select("h", F.lit(1).alias("_dup"))
-    )
-    # no join hint: AQE broadcasts dup_keys when it is small (the
-    # common corpus — zero extra shuffle of the collapsed pairs) and
-    # otherwise picks a shuffled-hash join because the session prefers
-    # hash over sort-merge (session.py) — either way nothing is sorted
+    oracles). ``stage``: see :func:`_span_stage`."""
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    staged = _span_stage(ensure_parallelism(df), text_col, id_col, n,
+                         span_hash, stage, keep_tokens=False)
+    per_doc = (staged.where(F.size("_sh") > 0)
+               .select("id", F.size("_sh").alias("n_spans")))
+    g = staged.select("id", F.explode("_sh").alias("h"))
+    dup = (g.groupBy("h").agg(F.count("*").alias("tot"))
+           .filter(F.col("tot") >= min_count).select("h"))
+    dup_per_doc = (g.join(dup, "h").groupBy("id")
+                   .agg(F.count("*").alias("_dup_c")))
     return (
-        per.join(dup_keys, "h", "left")
-        .groupBy(id_col)
-        .agg(F.sum("c").cast("bigint").alias("n_spans"),
-             F.coalesce(
-                 F.sum(F.when(F.col("_dup") == 1, F.col("c"))),
-                 F.lit(0)).cast("bigint").alias("dup_spans"))
-        .select(F.col(id_col), "n_spans", "dup_spans",
+        per_doc.join(dup_per_doc, "id", "left")
+        .select(F.col("id").alias(id_col),
+                F.col("n_spans").cast("bigint").alias("n_spans"),
+                F.coalesce(F.col("_dup_c"), F.lit(0))
+                 .cast("bigint").alias("dup_spans"))
+        .select(id_col, "n_spans", "dup_spans",
                 F.round(F.col("dup_spans") / F.col("n_spans"), 6)
                  .alias("dup_span_ratio"))
     )
@@ -905,25 +1004,32 @@ def duplicate_spans(
 def duplicate_span_positions(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 20, min_count: int = 2, span_hash: str = "xxhash64",
+    stage: str = "checkpoint",
 ) -> DataFrame:
     """Positions of duplicated n-token spans: (id, pos, span_count) for
     every span whose corpus-wide count reaches ``min_count`` — the
     input a downstream substring-removal/cut pass consumes. Same
-    sort-free aggregate-then-rejoin plan as :func:`duplicate_spans`."""
-    g = _span_hashes(df, text_col, id_col, n, span_hash)
+    staged sort-free aggregate-then-rejoin plan as
+    :func:`duplicate_spans`."""
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    staged = _span_stage(ensure_parallelism(df), text_col, id_col, n,
+                         span_hash, stage, keep_tokens=False)
+    g = staged.select("id", F.posexplode("_sh").alias("pos", "h"))
     dup_counts = (
         g.groupBy("h").agg(F.count("*").alias("span_count"))
         .filter(F.col("span_count") >= min_count)
     )
     return (
         g.join(dup_counts, "h")  # broadcast-or-hash, never sorted
-        .select(F.col(id_col), "pos", "span_count")
+        .select(F.col("id").alias(id_col), "pos", "span_count")
     )
 
 
 def remove_duplicate_spans(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 20, min_count: int = 2, span_hash: str = "xxhash64",
+    stage: str = "checkpoint",
 ) -> DataFrame:
     """Cut duplicated n-token spans OUT of each document — the removal
     pass that completes the Lee et al. (arXiv:2107.06499)
@@ -938,30 +1044,46 @@ def remove_duplicate_spans(
     deterministic and engine-replayable). NULL/whitespace-only
     documents are excluded (no tokens to cut).
 
-    Returns (id, clean_text, n_kept, n_removed). Scale shape — the cut
-    happens IN-ROW, tokens never shuffle: the duplicated-key relation
-    is filtered to ``count >= min_count`` before anything moves, so
-    only duplicated span START positions (ints, the corpus minority)
-    travel through the one doc-keyed ``collect_set`` aggregate; that
-    small per-doc start-set relation joins back to the corpus
-    (broadcast when AQE sees it small) and each row expands its starts
-    to a covered-index set, drops those indices from its own token
-    array (``array_except`` — native hash set, linear) and re-joins the
-    survivors with ``concat_ws``. No all-token explode, no
-    ``collect_list`` reassembly of the corpus (the previous shape — it
-    shuffled every token and was the suite's worst 100× ratio, 31.6×).
-    Like the detection pass: aggregate, don't sort; never pairs, never
-    quadratic. ``span_hash``: see :func:`_span_key`."""
+    Returns (id, clean_text, n_kept, n_removed). Scale shape — ONE
+    tokenize+hash pass over the corpus, then everything narrow or
+    minority-sized:
+
+    - the corpus collapses to a per-doc staging relation
+      (id, tokens, span-key array) — built in-row and materialized
+      ONCE (``stage``, below). Every later pass (key counting, start
+      extraction, the rebuild join) re-reads this relation instead of
+      re-tokenizing and re-hashing the corpus: a lambda inside
+      ``Generate`` defeats exchange-reuse canonicalization, so the
+      un-materialized shape really executes the span-hash pass once
+      per consumer — it alone was ~2/3 of the round-7 runtime at the
+      100× replica;
+    - detection explodes only (pos, key) longs off the staged arrays;
+      the duplicated-key relation is filtered to ``count >=
+      min_count`` before anything moves, so only duplicated span
+      START positions (ints, the corpus minority) travel through the
+      one doc-keyed ``collect_set`` aggregate, which joins back to
+      the staging relation (broadcast when AQE sees it small);
+    - AFFECTED rows expand their starts to a covered-index set, drop
+      those indices from their own token array (``array_except`` —
+      native hash set, linear) and re-join the survivors; UNTOUCHED
+      rows — the corpus majority — take a ``WHEN _starts IS NULL``
+      fast path that re-emits the normalized tokens with a single
+      native ``concat_ws`` and never evaluates the interpreted
+      per-token rebuild (conditional branches evaluate lazily).
+
+    No all-token explode of strings, no ``collect_list`` reassembly of
+    the corpus (the round-6 shape — it shuffled every token and was
+    the suite's worst 100× ratio). Like the detection pass: aggregate,
+    don't sort; never pairs, never quadratic.
+
+    ``stage`` picks how the staging relation is materialized — see
+    :func:`_span_stage`. ``span_hash``: see :func:`_span_key`."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
-    norm = normalize_text(text_col)
-    base = (ensure_parallelism(df)
-            .filter(F.col(text_col).isNotNull()
-                    & (F.trim(F.col(text_col)) != ""))
-            .select(F.col(id_col).alias("id"),
-                    F.split(norm, " ").alias("_toks")))
-    g = _span_hashes(df, text_col, id_col, n, span_hash) \
-        .withColumnRenamed(id_col, "id")
+    staged = _span_stage(ensure_parallelism(df), text_col, id_col, n,
+                         span_hash, stage, keep_tokens=True)
+    base = staged.select("id", "_toks")
+    g = staged.select("id", F.posexplode("_sh").alias("pos", "h"))
     dup = (g.groupBy("h").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= min_count).select("h"))
     # only duplicated span OCCURRENCES shuffle, and only their start
@@ -975,19 +1097,30 @@ def remove_duplicate_spans(
         "_starts", lambda p: F.sequence(p, p + F.lit(n - 1)))))
     kept_idx = F.array_except(
         F.sequence(F.lit(0), F.size("_toks") - 1), F.col("_cut"))
+    # stepwise selects keep each expensive alias referenced ≤ the
+    # CollapseProject inlining rules allow, so the interpreted
+    # expressions are planned ONCE, inside the affected-rows branch
     return (
         base.join(starts, "id", "left")
-        .select("id", "_toks",
-                F.coalesce(cut, F.array().cast("array<int>"))
-                 .alias("_cut"))
-        .select("id", "_toks", kept_idx.alias("_ki"))
+        .select("id", "_toks", F.when(F.col("_starts").isNotNull(), cut)
+                .alias("_cut"))
+        .select("id", "_toks", F.when(F.col("_cut").isNotNull(), kept_idx)
+                .alias("_ki"))
         .select(
             "id",
-            F.concat_ws(" ", F.transform(
-                "_ki", lambda i: F.element_at("_toks", i + 1)))
-             .alias("clean_text"),
-            F.size("_ki").cast("bigint").alias("n_kept"),
-            (F.size("_toks") - F.size("_ki"))
+            F.when(
+                F.col("_ki").isNull(), F.concat_ws(" ", "_toks"),
+            ).otherwise(
+                F.concat_ws(" ", F.transform(
+                    "_ki", lambda i: F.element_at("_toks", i + 1)))
+            ).alias("clean_text"),
+            # size(NULL) is -1 under non-ANSI defaults — branch on the
+            # array itself, never coalesce over size()
+            F.when(F.col("_ki").isNull(), F.size("_toks"))
+             .otherwise(F.size("_ki"))
+             .cast("bigint").alias("n_kept"),
+            F.when(F.col("_ki").isNull(), F.lit(0))
+             .otherwise(F.size("_toks") - F.size("_ki"))
             .cast("bigint").alias("n_removed"))
     )
 

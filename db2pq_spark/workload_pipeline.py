@@ -1374,12 +1374,15 @@ def q119_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row; the fingerprint self-join is the only wide op.
     Gate-exactness config: ``max_bucket=None`` (production default
     caps corpus-hot fingerprints at 1000 docs — boilerplate buckets
-    say nothing pairwise and grow quadratically). [extension]"""
+    say nothing pairwise and grow quadratically) and
+    ``token_hash="md5_60"`` so DuckDB replays the fingerprint hashes
+    bit-for-bit (production default is ``xxhash64`` longs — cheaper to
+    compute and ~4× narrower on the self-join shuffle). [extension]"""
     from db2pq_spark.operators.dedup import winnow_overlap_pairs
 
     return winnow_overlap_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id",
-        k=4, w=3, min_shared=2, max_bucket=None)
+        k=4, w=3, min_shared=2, max_bucket=None, token_hash="md5_60")
 
 
 def _q120_round_sql(r: int, vin: str, vout: str) -> str:

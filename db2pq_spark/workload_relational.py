@@ -1384,9 +1384,9 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       both downstream consumers derive from it (its shuffle is planned
       once and REUSED — the executed plan shows a ReusedExchange, so
       the parquet scan + orders join run a single time with no persist:
-      an earlier shape persisted the 3-column fact projection instead,
-      and the cache build alone made it 15.7 s vs 9.5 s at the 100×
-      replica; a persist of ``lc`` measured 10.5 s — reuse beats both);
+      earlier shapes that persisted either the 3-column fact projection
+      or ``lc`` both measured slower at the 100× replica than plain
+      exchange reuse — the columnar cache build is pure overhead here);
     - per (orderkey, suppkey) over ``lc``: the latest shipdate
       ``smax`` (no arrays — an earlier variant carried
       ``collect_list(shipdate)`` through the per-order join; shuffling
@@ -1405,9 +1405,9 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The supplier dimension broadcasts. Equality with the decorrelated
     SQL verified row-for-row at sf0.1 and on 10×/100× key-shifted
-    replicas; measured (min-of-2, uncontended): 1.03 s at sf0.1,
-    9.52 s at the 100× replica — ratio ~9.2× (≤15× target met;
-    strongly sublinear against a ~0.65 s fixed-cost base)."""
+    replicas. Timings live ONLY in the committed auto-generated
+    artifacts (SCALE_SMOKE*.md rows regenerated by
+    ``scripts/scale_smoke.py``, BENCH_DETAIL.json) — never here."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     o = t(spark, sf_dir, "orders") \
