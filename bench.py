@@ -46,8 +46,8 @@ _EXTENSION = (
     # round-6 additions
     "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
     "q118_split_leakage",
-    # round-7 additions
-    "q119_winnow_overlap", "q120_bpe_merges",
+    # round-7/8 additions
+    "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
 )
 
 
@@ -120,6 +120,37 @@ def _q119_winnow_production(spark, sf_dir: str):
     return winnow_overlap_pairs(docs, "text", "doc_id", min_shared=2)
 
 
+def _q118_leakage_production(spark, sf_dir: str):
+    """Leakage audit at minhash_dedup's production defaults (16×4
+    banding, 1000-doc bucket cap). The gate entry pins 32×2 uncapped
+    banding so its DuckDB oracle is exact all-pairs Jaccard."""
+    from pyspark.sql import functions as F
+
+    from db2pq_spark.operators.dedup import minhash_dedup
+    from db2pq_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup(docs, "text", "doc_id")
+    sp = split_assign(docs, "doc_id", {"train": 0.8, "test": 0.2}) \
+        .select("doc_id", "split")
+    return (pairs
+            .join(sp.withColumnsRenamed(
+                {"doc_id": "id1", "split": "split1"}), "id1")
+            .join(sp.withColumnsRenamed(
+                {"doc_id": "id2", "split": "split2"}), "id2")
+            .where(F.col("split1") != F.col("split2")))
+
+
+def _q121_kn_hash_keys(spark, sf_dir: str):
+    """Kneser–Ney at the production key configuration (xxhash64 long
+    bigram keys — ~4× narrower shuffles). The gate entry keys by the
+    bigram strings so DuckDB replays every statistic exactly."""
+    from db2pq_spark.operators.textstats import kneser_ney_bigrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kneser_ney_bigrams(docs, "text", "doc_id", keys="hash")
+
+
 def _q102_spans_xxh(spark, sf_dir: str):
     """Production span keys: xxhash64 (8-byte longs, ~4× less shuffle
     width than the md5 hex strings the gate-exactness config pins so
@@ -147,7 +178,9 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q117_kmeans": _q117_kmeans_arrow,
               "q102_duplicate_spans": _q102_spans_xxh,
               "q116_span_removal": _q116_removal_xxh,
-              "q119_winnow_overlap": _q119_winnow_production}
+              "q119_winnow_overlap": _q119_winnow_production,
+              "q118_split_leakage": _q118_leakage_production,
+              "q121_kneser_ney": _q121_kn_hash_keys}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -188,6 +221,16 @@ _CONFIGS = {
         "note": "production winnowing defaults (xxhash64 long "
                 "fingerprints); gate entry pins k=4/w=3 uncapped "
                 "md5_60 for the exact oracle",
+    },
+    "q118_split_leakage": {
+        "minhash": "production 16x4/cap-1000 arrow",
+        "note": "gate entry pins 32x2 uncapped banding for the exact "
+                "all-pairs-Jaccard oracle",
+    },
+    "q121_kneser_ney": {
+        "keys": "hash",
+        "note": "production xxhash64 long bigram keys; gate entry "
+                "keys by strings for the exact DuckDB replay",
     },
 }
 

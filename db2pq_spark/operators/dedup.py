@@ -350,8 +350,8 @@ def minhash_dedup(
     # dedup linear in corpus size. localCheckpoint (serialized row
     # blocks, MEMORY_AND_DISK) rather than DataFrame.persist: the
     # columnar InMemoryRelation build is expensive for array<string>
-    # shingle columns (measured 1.71 s vs 1.35 s for the whole op at
-    # sf0.1 — the cache build cost more than it saved). Tradeoff:
+    # shingle columns (measured ~1.3x slower whole-op at sf0.1 — the
+    # cache build cost more than it saved). Tradeoff:
     # truncated lineage means an executor loss fails the job loudly
     # instead of recomputing (same documented stance as
     # operators/ranking.py); blocks are freed by the ContextCleaner
@@ -744,15 +744,29 @@ def winnow_fingerprints(
 
     Scale: fully NARROW — k-gram hashing, window minima, and the
     distinct all happen in-row on each document (the w-minimum runs
-    interpreted but w is small and the md5 per k-gram dominates); the
-    output explode is the only fan-out, bounded by ~2·tokens/(w+1)
-    selected hashes per document. ``token_hash`` follows
-    :func:`_token_hash` — ``xxhash64`` (production default) hashes each
-    k-gram to an 8-byte long JVM-side, which both shaves the per-gram
-    hash cost and narrows the fingerprint shuffle ~4× vs md5 hex
-    strings; ``md5_60`` is the exactness configuration the q119 gate
-    entry pins so DuckDB recomputes identical fingerprints (same
-    gate/production split as the q102/q116 span keys)."""
+    interpreted but w is small); the output explode is the only
+    fan-out, bounded by ~2·tokens/(w+1) selected hashes per document.
+    ``token_hash`` follows :func:`_token_hash` — ``xxhash64``
+    (production default) never builds k-gram STRINGS at all: each
+    token is hashed once and the k-gram key is xxhash64 over the
+    k-long slice (the q102/q116 span-key trick), which shaves the
+    dominant per-gram cost and keeps fingerprints 8-byte longs;
+    ``md5_60`` is the exactness configuration the q119 gate entry pins
+    so DuckDB recomputes identical fingerprints from the k-gram
+    text."""
+    return _winnow_stage(df, text_col, id_col, k, w, token_hash,
+                         stage="none") \
+        .select("id", F.explode("_fps").alias("fp"))
+
+
+def _winnow_stage(df: DataFrame, text_col: str, id_col: str,
+                  k: int, w: int, token_hash: str,
+                  stage: str) -> DataFrame:
+    """Per-doc (id, _fps) winnowed-fingerprint arrays, built fully
+    in-row and materialized per ``stage`` (same semantics and rationale
+    as :func:`_span_stage` — every lambda here defeats exchange-reuse
+    canonicalization, so an un-staged multi-consumer plan re-runs the
+    whole fingerprint pass per consumer)."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
     base = (
@@ -763,27 +777,47 @@ def winnow_fingerprints(
                 F.split(normalize_text(text_col), " ").alias("_toks"))
         .where(F.size("_toks") >= k)
     )
-    kgrams = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - k + 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
-    )
-    khashes = F.transform("_kg", lambda g: _token_hash(g, token_hash))
+    if token_hash == "xxhash64":
+        khashes = F.transform(
+            F.sequence(F.lit(1), F.size("_th") - k + 1),
+            lambda i: F.xxhash64(F.slice(F.col("_th"), i, k)),
+        )
+        base = base.select(
+            "id", F.transform("_toks", lambda t: F.xxhash64(t))
+            .alias("_th")
+        ).select("id", khashes.alias("_kh"))
+    else:
+        kgrams = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+        )
+        khashes = F.transform(
+            "_kg", lambda g: _token_hash(g, token_hash))
+        base = (base.select("id", kgrams.alias("_kg"))
+                .select("id", khashes.alias("_kh")))
     wins = F.transform(
         F.sequence(F.lit(1),
                    F.greatest(F.lit(1), F.size("_kh") - w + 1)),
         lambda i: F.array_min(F.slice(F.col("_kh"), i, w)),
     )
-    return (
-        base.select("id", kgrams.alias("_kg"))
-        .select("id", khashes.alias("_kh"))
-        .select("id", F.explode(F.array_distinct(wins)).alias("fp"))
-    )
+    staged = base.select("id", F.array_distinct(wins).alias("_fps"))
+    if stage == "checkpoint":
+        return staged.localCheckpoint(eager=False)
+    if stage == "persist":
+        from pyspark import StorageLevel
+
+        return staged.persist(StorageLevel.DISK_ONLY)
+    if stage == "none":
+        return staged
+    raise ValueError(f"unknown stage {stage!r} — expected "
+                     "'checkpoint', 'persist' or 'none'")
 
 
 def winnow_overlap_pairs(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 5, w: int = 4, min_shared: int = 2,
     max_bucket: int | None = 1000, token_hash: str = "xxhash64",
+    stage: str = "checkpoint",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
     MOSS-style overlap candidates with a deterministic guarantee (every
@@ -796,14 +830,28 @@ def winnow_overlap_pairs(
     in bucket size, and such spans say nothing about pairwise overlap)
     are dropped before the self-join; surviving buckets self-join and
     collapse to per-pair shared counts in one aggregate. Never sorts,
-    never goes corpus-quadratic."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w, token_hash)
+    never goes corpus-quadratic. The per-doc fingerprint arrays are
+    staged ONCE (:func:`_winnow_stage`, ``stage`` knob as
+    :func:`_span_stage`): the hot-cap count and both self-join sides
+    all explode bare longs off the materialized relation instead of
+    re-running the fingerprint pass — three consumers, and every
+    lambda in the pass defeats exchange-reuse canonicalization, so the
+    un-staged shape really fingerprints the corpus three times (it
+    measured ~3× slower at the 100× replica)."""
+    staged = _winnow_stage(df, text_col, id_col, k, w, token_hash,
+                           stage)
+    fps = staged.select("id", F.explode("_fps").alias("fp"))
     if max_bucket is not None:
         hot = (fps.groupBy("fp").count()
                .filter(F.col("count") > max_bucket).select("fp"))
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = fps.withColumnRenamed("id", "id1")
-    b = fps.withColumnRenamed("id", "id2")
+    # the self-join's build side is fingerprint-relation-sized (~
+    # tokens/2.5 rows) — a shuffled hash join builds multi-million-
+    # entry per-partition maps (GC-bound); long fingerprints
+    # radix-sort, so sort-merge measures ~20% faster and steadier at
+    # the 100× replica despite the session's global hash preference
+    b = fps.withColumnRenamed("id", "id2").hint("merge")
     return (
         a.join(b, "fp")
         .filter(F.col("id1") < F.col("id2"))

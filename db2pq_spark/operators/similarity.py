@@ -133,12 +133,11 @@ def lsh_signature(
     Pass ``planes`` (from :func:`rademacher_planes`) to fold the
     hyperplanes into constant arrays. **Measured at sf0.1 (10k×64
     vectors, local[32])**: executor-side cost of the two forms is
-    IDENTICAL (~1.5 s for the full q38 pipeline either way — the
-    per-row ``xxhash64`` re-derivation codegens into a tight JVM loop
-    and is noise next to the dot products), while the folded form
-    *bloats driver plan analysis* (PySpark unrolls a 64-float literal
-    array into a 64-child CreateArray; 32 of those pushed q38's
-    DataFrame build from 2.4 s to 10 s). The hash-derived expression is
+    IDENTICAL (the per-row ``xxhash64`` re-derivation codegens into a
+    tight JVM loop and is noise next to the dot products), while the
+    folded form *bloats driver plan analysis* ~4x (PySpark unrolls a
+    64-float literal array into a 64-child CreateArray — 32 of those
+    dominate the DataFrame build). The hash-derived expression is
     therefore the default everywhere; ``planes`` exists for callers
     that reuse one analyzed plan many times. Requires
     ``num_planes <= 16`` (Horner doubling stays far from int64 overflow
@@ -571,8 +570,8 @@ def embedding_neardup_pairs(
     # per-row plane products recompute per branch. The hot-bucket guard
     # is a grouped count + broadcast anti join (one narrow aggregate)
     # instead of a bucket-partitioned window, which shuffled the full
-    # vec-carrying relation just to annotate counts. Measured 1.32 s →
-    # 0.99 s at sf0.1, identical pairs.
+    # vec-carrying relation just to annotate counts (measured ~25%
+    # faster at sf0.1, identical pairs).
     sigs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         lsh_signature(F.col(vec_col), num_planes, dim).alias("bucket"),

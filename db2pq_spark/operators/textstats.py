@@ -261,3 +261,114 @@ def unigram_surprisal(
                     # ulp across engines at exact .5 expansions)
                     (F.col("_sum").cast("double") / F.col("n_tokens"))
                      .alias("mean_surprisal")))
+
+
+def kneser_ney_bigrams(
+    df: DataFrame, text_col: str, id_col: str,
+    discount: float = 0.75, round_digits: int = 6,
+    keys: str = "exact",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram surprisal per document — the
+    standard next step up from :func:`unigram_surprisal` when ranking
+    corpus quality (Kneser & Ney 1995; Chen & Goodman 1998's
+    interpolated form): per bigram,
+
+        p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                   + (D·N1+(w1·)/c(w1)) · (N1+(·w2)/|bigram types|)
+
+    where ``c`` are bigram counts, ``N1+(w1·)``/``N1+(·w2)`` the
+    distinct-continuation counts and ``D`` the absolute discount. All
+    counts are taken from the corpus's own bigram relation (contexts
+    are bigram-count sums, the self-consistent relational estimator),
+    so every probability is strictly positive and no OOV smoothing is
+    needed for self-scoring.
+
+    Returns ``(id, n_bigrams, sum_surprisal, mean_surprisal)`` with
+    the same exactness discipline as :func:`unigram_surprisal`:
+    per-bigram ``-log2 p`` rounded to ``round_digits`` then
+    DECIMAL-accumulated — order-independent, engine-replayable.
+
+    Plan shape: consecutive pairs come from ``arrays_zip`` of the
+    token array against itself shifted by one — fully native, NO
+    lambda, so the explode subtree stays canonicalizable for exchange
+    reuse. One corpus explode collapses into the map-side-combined
+    bigram-count aggregate (zipfian, so partial aggregation absorbs
+    most of the fan-in); context/continuation/type-total statistics
+    are three small aggregates over that vocabulary-sized relation;
+    the probability relation joins back to the exploded pairs
+    (AQE-broadcast when it fits) and re-aggregates per document. The
+    corpus pays one explode and one doc-keyed shuffle — never
+    quadratic, nothing vocabulary-sized visits the driver.
+
+    ``keys``: ``"exact"`` (default, the gate configuration) keys every
+    aggregate and join by the bigram STRINGS and accumulates per-bigram
+    DECIMALs — bit-replayable in any engine. ``"hash"`` is the
+    production configuration: xxhash64 long keys derived once in the
+    explode projection (~4× narrower shuffle rows; a 64-bit collision
+    merges two types' statistics — negligible for a quality-scoring
+    signal, same stance as the xxhash64 span keys), the
+    context/continuation statistics broadcast (natural-language
+    vocabularies are zipf-bounded, so these relations stay
+    dimension-sized at any corpus scale — which keeps ``probs`` on the
+    bigram-count partitioning and lets the final occurrence join REUSE
+    the one corpus exchange instead of re-shuffling both sides), and
+    the per-doc sum accumulates doubles (order-dependent ulps don't
+    matter for scoring; the gate's decimal path stays
+    order-independent for the oracle)."""
+    toked = (df.select(F.col(id_col).alias("id"),
+                       tokens(text_col).alias("_toks"))
+             .where(F.size("_toks") >= 2))
+    pairs = F.arrays_zip(
+        F.slice("_toks", F.lit(1), F.size("_toks") - 1),
+        F.slice("_toks", F.lit(2), F.size("_toks") - 1))
+    bg = (toked.select("id", F.explode(pairs).alias("_p"))
+          .select("id", F.col("_p").getField("0").alias("w1"),
+                  F.col("_p").getField("1").alias("w2")))
+    if keys == "hash":
+        bg = bg.select(
+            "id", F.xxhash64("w1").alias("w1"),
+            F.xxhash64("w2").alias("w2"))
+    elif keys != "exact":
+        raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count("*").alias("n1f"))
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tot = bc.agg(F.count("*").alias("nt"))
+    d = F.lit(float(discount))
+    # evaluation order mirrored EXACTLY in the oracle SQL — IEEE
+    # doubles agree across engines only when the operation tree does
+    p = (F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+         / F.col("c1").cast("double")
+         + (d * F.col("n1f").cast("double") / F.col("c1").cast("double"))
+         * (F.col("n1b").cast("double") / F.col("nt").cast("double")))
+    sraw = F.round(-F.log2(p), round_digits)
+    if keys == "hash":
+        s = sraw  # double accumulation (scoring config)
+        probs = (bc.join(F.broadcast(ctx), "w1")
+                 .join(F.broadcast(cont), "w2")
+                 .crossJoin(F.broadcast(tot))
+                 .select("w1", "w2", s.alias("s"))
+                 # when the bigram-type relation is occurrence-sized
+                 # (the zero-vocab-collapse worst case), a shuffled
+                 # hash join builds multi-million-entry per-partition
+                 # maps (GC-bound, measured ~4× slower); long keys
+                 # radix-sort, so sort-merge wins HERE even though the
+                 # session globally prefers hash joins
+                 .hint("merge"))
+    else:
+        s = sraw.cast("decimal(28,10)")
+        probs = (bc.join(ctx, "w1").join(cont, "w2")
+                 .crossJoin(F.broadcast(tot))
+                 .select("w1", "w2", s.alias("s")))
+    return (bg.join(probs, ["w1", "w2"])
+            .groupBy("id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("s").alias("_sum"))
+            .select(F.col("id"),
+                    F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                    F.col("_sum").cast("decimal(38,10)")
+                     .alias("sum_surprisal"),
+                    # double mean for band filters; not oracle-compared
+                    (F.col("_sum").cast("double") / F.col("n_bigrams"))
+                     .alias("mean_surprisal")))

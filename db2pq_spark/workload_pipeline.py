@@ -1472,3 +1472,65 @@ def q120_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r, lft, rgt, cnt) for (r, lft, rgt, cnt) in rules],
         "merge_round int, lft string, rgt string, cnt bigint")
+
+
+_Q121_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2)
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM bc GROUP BY 1
+    ),
+    cont AS (
+      SELECT w2, COUNT(*) AS n1b FROM bc GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS nt FROM bc),
+    probs AS (
+      SELECT w1, w2,
+             CAST(round(-log2(
+               greatest(CAST(c12 AS DOUBLE) - 0.75e0, 0e0)
+                 / CAST(c1 AS DOUBLE)
+               + (0.75e0 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 * (CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE))), 6)
+                  AS DECIMAL(28,10)) AS s
+      FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS DECIMAL(38,10)) AS sum_surprisal
+    FROM bg JOIN probs USING (w1, w2)
+    GROUP BY doc_id
+"""
+
+
+@query("q121_kneser_ney", oracle=_Q121_SQL)
+def q121_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram surprisal per document
+    (operators/textstats.py:kneser_ney_bigrams — Kneser & Ney 1995,
+    Chen & Goodman 1998): discounted bigram probability backed off to
+    the continuation-count distribution, the classic LM quality signal
+    one step above unigram perplexity. Consecutive pairs via
+    arrays_zip of the shifted token array (no lambda — the explode
+    stays canonicalizable); one corpus explode into the zipf-collapsed
+    bigram-count aggregate, three vocabulary-sized statistics
+    aggregates, probability join back, doc-keyed re-aggregate.
+    Per-bigram −log2 p rounded then DECIMAL-accumulated (the q112
+    exactness pattern) so DuckDB replays the sum bit-for-bit; the
+    oracle mirrors the engine's IEEE evaluation order exactly.
+    [extension]"""
+    from db2pq_spark.operators.textstats import kneser_ney_bigrams
+
+    return (kneser_ney_bigrams(t(spark, sf_dir, "documents"),
+                               "text", "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_bigrams", "sum_surprisal"))

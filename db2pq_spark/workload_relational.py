@@ -1391,13 +1391,23 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``smax`` (no arrays — an earlier variant carried
       ``collect_list(shipdate)`` through the per-order join; shuffling
       those arrays cost 2× at the 100× replica);
-    - per orderkey over that: supplier count, the top ``smax`` (m1)
-      with its supplier, whether the argmax is unique, and the
-      runner-up (m2) — an already-small aggregate (the per-order smax
-      list it sorts is supplier-bounded, ≤7 elements in TPC-H);
+    - per orderkey: TWO plain hash aggregates instead of one
+      ``collect_list``+``sort_array`` pass — first the supplier count
+      and the argmax struct (m1, top supplier), then, after an
+      ok-partitioned join-back (no new shuffle — every aggregate and
+      join above ``lc`` runs on the one reused orderkey partitioning),
+      the runner-up ``m2alt = max(smax WHERE suppkey != top_sk)``.
+      ``collect_list`` planned an ObjectHashAggregate whose sort-based
+      fallback (128-entry hash map cap) re-sorted the ~0.8×fact
+      ``supp`` relation every run — it was BOTH slower and wildly
+      variance-prone under heap pressure at the 100× replica (raising
+      the fallback threshold instead measured ~2.5× worse: a
+      multi-million-entry object hash map is GC poison). Plain
+      hash aggregates spill gracefully and codegen;
     - a line l1 satisfies the NOT EXISTS iff no OTHER supplier ships
       after it, i.e. ``l1.shipdate >= max_other`` where ``max_other``
-      is m1, or m2 when l1's own supplier uniquely attains m1; the
+      is ``m2alt`` when l1's supplier IS the top supplier (ties at m1
+      make ``m2alt = m1``, still correct) and m1 otherwise; the
       EXISTS is ``n_supp > 1``. Both evaluate per collapsed (orderkey,
       suppkey, shipdate) GROUP — weighting by ``cnt`` replaces
       re-joining raw lines, so the fact table is never joined against
@@ -1417,24 +1427,18 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     supp = lc.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("smax"))
-    per_o = (
-        supp.groupBy("l_orderkey").agg(
-            F.count("*").alias("n_supp"),
-            F.max(F.struct("smax", "l_suppkey")).alias("_top"),
-            F.sort_array(F.collect_list("smax"), asc=False).alias("_sm"))
-        .select(
-            "l_orderkey", "n_supp",
-            F.col("_top.smax").alias("m1"),
-            F.col("_top.l_suppkey").alias("top_sk"),
-            F.col("_sm")[1].alias("m2"),
-            F.size(F.filter("_sm", lambda x: x == F.col("_top.smax")))
-             .alias("n_at_m1"))
-    )
-    j = lc.join(per_o.where(F.col("n_supp") > 1), "l_orderkey")
-    max_other = F.when(
-        (F.col("n_at_m1") == 1)
-        & (F.col("l_suppkey") == F.col("top_sk")),
-        F.col("m2")).otherwise(F.col("m1"))
+    agg1 = supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.max(F.struct("smax", "l_suppkey")).alias("_top"))
+    supp2 = supp.join(agg1.where(F.col("n_supp") > 1), "l_orderkey")
+    per_o = supp2.groupBy("l_orderkey").agg(
+        F.first(F.col("_top.smax")).alias("m1"),
+        F.first(F.col("_top.l_suppkey")).alias("top_sk"),
+        F.max(F.when(F.col("l_suppkey") != F.col("_top.l_suppkey"),
+                     F.col("smax"))).alias("m2alt"))
+    j = lc.join(per_o, "l_orderkey")
+    max_other = F.when(F.col("l_suppkey") == F.col("top_sk"),
+                       F.col("m2alt")).otherwise(F.col("m1"))
     waiting = (j.where(F.col("l_shipdate") >= max_other)
                .groupBy("l_suppkey")
                .agg(F.sum("cnt").alias("numwait")))

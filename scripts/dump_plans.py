@@ -29,10 +29,11 @@ SHOWCASE = {
                              "outer side can't broadcast), then AQE "
                              "broadcasts the aggregate",
     "q64_waiting_supplier": "EXISTS/NOT EXISTS pair collapsed to "
-                            "aggregates (no semi/anti self-joins): "
-                            "persisted narrow fact projection scanned "
-                            "once, per-(order,supp)+per-order stats, "
-                            "one line-level rejoin",
+                            "aggregates (no semi/anti self-joins, no "
+                            "ObjectHashAggregate): the one orderkey "
+                            "exchange is reused by every per-(order,"
+                            "supp)/per-order aggregate and the "
+                            "line-level rejoin",
     "q71_volume_shipping": "double-aliased dimension (nation ×2) still "
                            "broadcasts; no cartesian",
     "q74_returned_items": "top-20 by exact-decimal revenue via "
@@ -67,13 +68,14 @@ SHOWCASE = {
                           "then TakeOrderedAndProject — no global sort",
     "q101_pii_scrub": "PII redaction is a zero-shuffle codegen'd regex "
                       "projection",
-    "q102_duplicate_spans": "exact-substring dedup: the span stream "
-                            "collapses to per-(doc, key) counts in one "
-                            "map-side-combined aggregate; corpus key "
-                            "totals and per-doc stats both derive from "
-                            "the collapsed relation (duplicate keys "
-                            "broadcast back) — no Sort/Window node, no "
-                            "pair materialization, never quadratic",
+    "q102_duplicate_spans": "exact-substring dedup: per-doc span-key "
+                            "arrays staged once (localCheckpoint); "
+                            "n_spans computed in-row from size(_sh), "
+                            "key totals explode bare longs through one "
+                            "map-side-combined aggregate, only "
+                            "duplicated occurrences shuffle — no "
+                            "Sort/Window node, no pair "
+                            "materialization, never quadratic",
     "q103_vocab_encode": "vocab join broadcasts (AQE-sized); encode "
                          "reassembles docs with one doc-keyed shuffle",
     "q113_training_pipeline": "composed corpus build (dedup → quality "
@@ -108,11 +110,14 @@ SHOWCASE = {
                            "reconstruction fused into the scan (narrow "
                            "transform), then the broadcast-queries + "
                            "window-rank cosine plan",
-    "q116_span_removal": "duplicated-span removal: the cut is IN-ROW "
-                         "(array_except on each row's own token "
-                         "array) — only duplicated span START "
-                         "positions shuffle through one collect_set "
-                         "aggregate; tokens never leave their row",
+    "q116_span_removal": "duplicated-span removal: staged per-doc "
+                         "(tokens, span-key array) relation feeds "
+                         "detection AND the rebuild (one tokenize+hash "
+                         "pass total); the cut is IN-ROW (array_except "
+                         "on each row's own token array), only "
+                         "duplicated START positions shuffle, and "
+                         "untouched docs take the WHEN-IS-NULL native "
+                         "concat_ws fast path",
     "q117_kmeans": "verifiable k-means: k-row centroid broadcast, "
                    "map-side-combined exact-decimal distance sums, "
                    "per-id argmin; only the k x dim matrix reaches "
@@ -125,6 +130,12 @@ SHOWCASE = {
                        "counts) collapses to the vocab relation; each "
                        "round is in-row rewrites + a tiny pair "
                        "aggregate + a 1-row driver collect",
+    "q121_kneser_ney": "Kneser-Ney bigram surprisal: arrays_zip pair "
+                       "explode (no lambda in Generate) into the "
+                       "zipf-collapsed bigram aggregate; context/"
+                       "continuation/type stats are vocabulary-sized "
+                       "aggregates; probability relation joins back "
+                       "broadcast, one doc-keyed re-aggregate",
 }
 
 HEADER = """\

@@ -1441,6 +1441,58 @@ class TestUnigramSurprisal:
         assert abs(row["mean_surprisal"] - expect) < 1e-5
 
 
+class TestKneserNey:
+    def test_hand_computed_bigram_probs(self, spark):
+        import math
+
+        from db2pq_spark.operators.textstats import kneser_ney_bigrams
+
+        # bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b),(b,c)
+        # bc: (a,b)=3 (b,a)=1 (b,c)=1; ctx a:(c1=3,n1f=1) b:(c1=2,n1f=2)
+        # cont: a=1 b=1 c=1; nt=3
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+        d = 0.75
+
+        def p(c12, c1, n1f, n1b, nt=3):
+            return (max(c12 - d, 0.0) / c1
+                    + (d * n1f / c1) * (n1b / nt))
+
+        s_ab = round(-math.log2(p(3, 3, 1, 1)), 6)
+        s_ba = round(-math.log2(p(1, 2, 2, 1)), 6)
+        s_bc = round(-math.log2(p(1, 2, 2, 1)), 6)
+        got = {r["id"]: r for r in
+               kneser_ney_bigrams(df, "text", "doc_id").collect()}
+        assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 2
+        assert abs(float(got[1]["sum_surprisal"])
+                   - (2 * s_ab + s_ba)) < 1e-6
+        assert abs(float(got[2]["sum_surprisal"])
+                   - (s_ab + s_bc)) < 1e-6
+
+    def test_observed_probs_per_context_bounded_by_one(self, spark):
+        from db2pq_spark.operators.textstats import kneser_ney_bigrams
+
+        # interpolated KN sums to 1 over the FULL continuation vocab,
+        # so observed-bigram surprisals must all be positive (p < 1)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["the cat sat on the mat", "the cat ran",
+                 "a dog sat", "the mat sat on the cat"])],
+            "doc_id long, text string")
+        rows = kneser_ney_bigrams(df, "text", "doc_id").collect()
+        assert rows and all(float(r["sum_surprisal"]) > 0 for r in rows)
+
+    def test_short_docs_excluded(self, spark):
+        from db2pq_spark.operators.textstats import kneser_ney_bigrams
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "a b")],
+            "doc_id long, text string")
+        got = {r["id"] for r in
+               kneser_ney_bigrams(df, "text", "doc_id").collect()}
+        assert got == {3}
+
+
 class TestSemanticDedup:
     def test_clusters_and_keepers(self, spark):
         from db2pq_spark.operators.similarity import semantic_dedup

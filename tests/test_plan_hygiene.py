@@ -128,11 +128,15 @@ class TestSubqueryDecorrelation:
                        execute=True)
         assert "LeftAnti" not in plan
         assert "HashAggregate" in plan
-        # both consumers derive from the ONE collapsed
+        # every consumer (supplier-max, per-order argmax/runner-up,
+        # line re-join) derives from the ONE collapsed
         # (orderkey,suppkey,shipdate) aggregate: its exchange is
-        # planned once and reused (round 7 dropped the fact-projection
-        # persist — the cache build cost more than exchange reuse,
-        # 15.7 s vs 9.5 s at the 100x replica)
+        # planned once and reused (measured faster than persisting
+        # either the fact projection or the collapsed relation — the
+        # columnar cache build is pure overhead here)
+        assert "ObjectHashAggregate" not in plan  # no collect_list:
+        # its 128-entry sort-based fallback re-sorted ~0.8x the fact
+        # relation per run and was the suite's worst variance source
         assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, \
             plan
 
