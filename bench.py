@@ -48,6 +48,7 @@ _EXTENSION = (
     "q118_split_leakage",
     # round-7/8 additions
     "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
+    "q122_bpe_segment",
 )
 
 
@@ -120,6 +121,20 @@ def _q119_winnow_production(spark, sf_dir: str):
     return winnow_overlap_pairs(docs, "text", "doc_id", min_shared=2)
 
 
+def _q107_incremental_production(spark, sf_dir: str):
+    """Incremental dedup at production defaults (16×4 capped banding,
+    hashed-long shingles). The gate entry pins 32×2 uncapped text
+    shingles so its oracle is exact all-pairs Jaccard replay."""
+    from pyspark.sql import functions as F
+
+    from db2pq_spark.operators.dedup import minhash_dedup_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id")
+
+
 def _q118_leakage_production(spark, sf_dir: str):
     """Leakage audit at minhash_dedup's production defaults (16×4
     banding, 1000-doc bucket cap). The gate entry pins 32×2 uncapped
@@ -180,15 +195,18 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q116_span_removal": _q116_removal_xxh,
               "q119_winnow_overlap": _q119_winnow_production,
               "q118_split_leakage": _q118_leakage_production,
-              "q121_kneser_ney": _q121_kn_hash_keys}
+              "q121_kneser_ney": _q121_kn_hash_keys,
+              "q107_incremental_dedup": _q107_incremental_production}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
 _CONFIGS = {
     "q36_minhash_dedup": {
         "signature_impl": "arrow", "bands": "16x4", "max_bucket": 1000,
-        "note": "production defaults; gate entry uses 32x2/no-cap "
-                "exactness config",
+        "shingle_repr": "hash",
+        "note": "production defaults (hashed-long shingles: stringless "
+                "build + long-array Jaccard verify, round 8); gate "
+                "entry uses 32x2/no-cap/text-shingle exactness config",
     },
     "q38_lsh_similarity": {
         "signature_impl": "arrow", "planes_tables": "8x4",
@@ -231,6 +249,11 @@ _CONFIGS = {
         "keys": "hash",
         "note": "production xxhash64 long bigram keys; gate entry "
                 "keys by strings for the exact DuckDB replay",
+    },
+    "q107_incremental_dedup": {
+        "minhash": "production 16x4/cap-1000 arrow, shingle_repr=hash",
+        "note": "gate entry pins 32x2 uncapped text shingles for the "
+                "exact oracle",
     },
 }
 

@@ -151,3 +151,43 @@ def bpe_train(
             bpe_apply_merge("sym", left, right).alias("sym"))
         vocab = vocab.localCheckpoint(eager=True)
     return rules, vocab
+
+
+def bpe_segment(
+    df: DataFrame, text_col: str, id_col: str, merges: int = 2,
+) -> DataFrame:
+    """Segment every document with BPE rules learned from the corpus
+    itself (train → apply, the full Sennrich et al. pipeline): returns
+    per-document ``(id, n_words, n_subwords)`` — the corpus-side
+    token-budget statistic a training-data pipeline needs before
+    packing (``n_subwords/n_words`` is the compression the learned
+    merges achieve on each document).
+
+    Scale shape: training touches the corpus once (:func:`bpe_train`'s
+    word-frequency pass); application NEVER re-segments per document —
+    each document's tokens hash-join the trained (word → symbol array)
+    vocabulary relation (AQE-broadcast when the zipf-bounded vocab
+    fits, shuffled-hash otherwise) and aggregate ``size(sym)`` per
+    doc. One corpus explode, one doc-keyed shuffle; the per-word
+    segmentation is computed once per DISTINCT word, not once per
+    occurrence."""
+    from db2pq_spark.operators.dedup import normalize_text
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    _, vocab = bpe_train(df, text_col, merges=merges)
+    toks = (
+        ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull()
+                & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.split(normalize_text(text_col), " "))
+                .alias("word"))
+        .where(F.col("word") != "")
+    )
+    return (
+        toks.join(vocab.select("word", F.size("sym").alias("_ns")),
+                  "word")
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_words"),
+             F.sum("_ns").cast("bigint").alias("n_subwords"))
+    )

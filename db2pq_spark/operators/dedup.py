@@ -137,6 +137,34 @@ def with_shingles(
     )
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+) -> DataFrame:
+    """(id, shingles) with the shingle set represented as xxhash64
+    LONGS, built without ever constructing shingle strings: tokens are
+    hashed once, each n-gram key is xxhash64 over the n-long slice
+    (the q102/q116 span-key construction). Same row filters and
+    short-document fallback (whole-token-array hash) as
+    :func:`with_shingles`; a distinct hash stands in for a distinct
+    shingle everywhere set semantics are needed (64-bit collisions
+    are negligible for dedup — the gate-exactness configurations pin
+    the text representation instead)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("_toks"),
+    )
+    toks = toks.filter(F.size("_toks") > 0).filter(F.col("_toks")[0] != "")
+    th = F.transform("_toks", lambda t: F.xxhash64(t))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_th") - n + 1),
+        lambda i: F.xxhash64(F.slice(F.col("_th"), i, n)),
+    )
+    sh = F.when(F.size("_th") >= n, grams) \
+        .otherwise(F.array(F.xxhash64(F.col("_th"))))
+    return (toks.select("id", th.alias("_th"))
+            .select("id", F.array_distinct(sh).alias("shingles")))
+
+
 def _minhash_from_hashes_udf(num_hashes: int):
     """Arrow-vectorized MinHash: array<bigint> base hashes → the
     num_hashes-slot signature, all numpy (see
@@ -200,8 +228,25 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     impl: str = "arrow",
+    shingle_repr: str = "hash",
 ) -> DataFrame:
     """(id, shingles, sig[num_hashes]) — MinHash signatures.
+
+    ``shingle_repr`` picks the shingle-set representation carried in
+    the ``shingles`` column (and fed to the signature slots):
+    ``"hash"`` (production default) stores xxhash64 LONGS built
+    without ever constructing shingle strings
+    (:func:`with_shingle_hashes`) — it skips both the interpreted
+    concat_ws string build (the single largest cost of the signature
+    pass at the 100× replica) and the separate per-shingle hashing
+    lambda, and shrinks the staged relation and the exact-Jaccard
+    verify to long arrays; ``"text"`` stores the shingle strings —
+    the exactness representation the q36/q107/q118 gate entries pin so
+    their DuckDB oracles replay Jaccard on the literal shingle sets.
+    The two representations produce different signature values and
+    band keys, so they must never be mixed across a precomputed corpus
+    and an increment — the output carries a ``_sig_repr`` stamp
+    enforced alongside ``_sig_impl``.
 
     Each slot j must induce an **independent ordering** of the shingle
     set (affine tricks like Kirsch-Mitzenmacher double hashing fail —
@@ -242,21 +287,30 @@ def minhash_signatures(
     :func:`..skew.ensure_parallelism` — a no-op at any real scale)."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
-    base = with_shingles(ensure_parallelism(df), text_col, id_col,
-                         shingle_n)
+    if shingle_repr == "hash":
+        base = with_shingle_hashes(ensure_parallelism(df), text_col,
+                                   id_col, shingle_n)
+        hs = F.col("shingles")  # already 64-bit hashes
+    elif shingle_repr == "text":
+        base = with_shingles(ensure_parallelism(df), text_col, id_col,
+                             shingle_n)
+        hs = F.transform("shingles", lambda s: F.xxhash64(s))
+    else:
+        raise ValueError(f"unknown shingle_repr {shingle_repr!r} — "
+                         "'hash' or 'text'")
     stamp = F.lit(impl).alias("_sig_impl")
+    rstamp = F.lit(shingle_repr).alias("_sig_repr")
 
     if impl == "arrow":
-        hs = F.transform("shingles", lambda s: F.xxhash64(s))
         sig = _minhash_from_hashes_udf(num_hashes)(hs).alias("sig")
-        return base.select("id", "shingles", sig, stamp)
+        return base.select("id", "shingles", sig, stamp, rstamp)
     if impl != "fold":
         raise ValueError(f"unknown minhash impl {impl!r}")
 
     max_long = (1 << 63) - 1
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.aggregate(
-        F.transform("shingles", lambda s: F.xxhash64(s)),
+        hs,
         F.array_repeat(F.lit(max_long), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
@@ -264,7 +318,7 @@ def minhash_signatures(
             lambda x, y: F.least(x, y),
         ),
     ).alias("sig")
-    return base.select("id", "shingles", sig, stamp)
+    return base.select("id", "shingles", sig, stamp, rstamp)
 
 
 def _bucket_pairs(
@@ -333,17 +387,19 @@ def minhash_dedup(
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
     impl: str = "arrow",
+    shingle_repr: str = "hash",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verify.
 
     Pipeline: signatures → band keys (bands × rows/band) → explode →
     shuffle on (band, key) → intra-bucket pairs (id1 < id2) → distinct →
-    verify exact Jaccard on the shingle sets. Buckets larger than
-    ``max_bucket`` are dropped (skew guard — a degenerate band key would
-    otherwise create a quadratic reducer)."""
+    verify exact Jaccard on the shingle sets (string sets or hashed
+    long sets per ``shingle_repr`` — see :func:`minhash_signatures`).
+    Buckets larger than ``max_bucket`` are dropped (skew guard — a
+    degenerate band key would otherwise create a quadratic reducer)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
-                              impl=impl)
+                              impl=impl, shingle_repr=shingle_repr)
     # The signature relation feeds multiple plan branches (bucket
     # self-join, two verify sides). Without materialization Spark
     # recomputes shingling+hashing per branch — staging makes the
@@ -386,6 +442,7 @@ def minhash_dedup_incremental(
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
     impl: str = "arrow",
+    shingle_repr: str = "hash",
 ) -> DataFrame:
     """Which NEW documents near-duplicate an EXISTING corpus —
     (batch_id, corpus_id, jaccard) pairs at ``jaccard >= threshold``.
@@ -416,7 +473,8 @@ def minhash_dedup_incremental(
     silently derail every band key."""
     out, _ = _minhash_dedup_incremental_cached(
         batch, corpus, text_col, id_col, num_hashes, bands,
-        shingle_n, threshold, max_bucket, impl=impl)
+        shingle_n, threshold, max_bucket, impl=impl,
+        shingle_repr=shingle_repr)
     return out
 
 
@@ -431,6 +489,7 @@ def _minhash_dedup_incremental_cached(
     threshold: float = 0.7,
     max_bucket: int | None = 1000,
     impl: str = "arrow",
+    shingle_repr: str = "hash",
 ) -> tuple[DataFrame, list[DataFrame]]:
     """:func:`minhash_dedup_incremental` plus the intermediate persisted
     DataFrames, so repeated callers (the streaming wrapper runs this
@@ -442,7 +501,7 @@ def _minhash_dedup_incremental_cached(
     rows_per_band = num_hashes // bands
     bsig = (
         minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n,
-                           impl=impl)
+                           impl=impl, shingle_repr=shingle_repr)
         .withColumnRenamed("id", "batch_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -506,9 +565,40 @@ def _minhash_dedup_incremental_cached(
                 "re-persist via minhash_signatures() to make the "
                 "implementation mismatch check effective",
                 stacklevel=3)
+        # the shingle REPRESENTATION is enforced the same way: hash-
+        # and text-repr signatures derive band keys from different
+        # base hashes and share none, and the exact-Jaccard verify
+        # would compare long arrays against string arrays
+        if head and "_sig_repr" in csig.columns:
+            rraw = [r[0] for r in csig.select("_sig_repr").distinct()
+                    .limit(3).collect()]
+            reprs = sorted(v for v in rraw if v is not None)
+            if len(reprs) > 1:
+                raise ValueError(
+                    f"precomputed corpus signatures mix shingle "
+                    f"representations {reprs} — re-sign the corpus "
+                    "with one shingle_repr via minhash_signatures()")
+            if reprs and reprs[0] != shingle_repr:
+                raise ValueError(
+                    f"precomputed corpus signatures carry "
+                    f"shingle_repr={reprs[0]!r} but the batch would "
+                    f"be signed with shingle_repr={shingle_repr!r} — "
+                    "band keys and shingle sets are incompatible; "
+                    f"pass shingle_repr={reprs[0]!r}")
+        elif head and "_sig_repr" not in csig.columns:
+            import warnings
+
+            warnings.warn(
+                "precomputed corpus signatures carry no _sig_repr "
+                "stamp (pre-round-8 relation — those stored shingle "
+                f"STRINGS); assuming shingle_repr={shingle_repr!r}. "
+                "Pass shingle_repr='text' for pre-round-8 corpora or "
+                "re-persist via minhash_signatures()",
+                stacklevel=3)
     else:
         csig = minhash_signatures(corpus, text_col, id_col,
-                                  num_hashes, shingle_n, impl=impl)
+                                  num_hashes, shingle_n, impl=impl,
+                                  shingle_repr=shingle_repr)
 
     entries = _band_key_entries(bands, rows_per_band)
     cbuckets = (csig.select(F.col("id").alias("corpus_id"), entries)
@@ -547,7 +637,9 @@ def _minhash_dedup_incremental_cached(
         pruned_docs = corpus.join(
             F.broadcast(cand_ids.withColumnRenamed("id", id_col)),
             id_col, "left_semi")
-        csh_rel = with_shingles(pruned_docs, text_col, id_col, shingle_n)
+        mk_sh = (with_shingle_hashes if shingle_repr == "hash"
+                 else with_shingles)
+        csh_rel = mk_sh(pruned_docs, text_col, id_col, shingle_n)
     cand_b = cand.join(
         bsig.select("batch_id", F.col("shingles").alias("bsh")), "batch_id")
     csh = csh_rel.select(F.col("id").alias("corpus_id"),

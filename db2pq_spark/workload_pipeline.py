@@ -386,6 +386,7 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 != 0),
         "text", "doc_id",
         num_hashes=64, bands=32, threshold=0.6, max_bucket=None,
+        shingle_repr="text",
     )
 
 
@@ -1318,7 +1319,8 @@ def q118_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pairs = minhash_dedup(docs, "text", "doc_id", num_hashes=64,
-                          bands=32, threshold=0.6, max_bucket=None)
+                          bands=32, threshold=0.6, max_bucket=None,
+                          shingle_repr="text")
     sp = split_assign(docs, "doc_id", {"train": 0.8, "test": 0.2}) \
         .select("doc_id", "split")
     return (
@@ -1534,3 +1536,46 @@ def q121_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "text", "doc_id")
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_bigrams", "sum_surprisal"))
+
+
+_Q122_SQL = f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKENS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> '' GROUP BY 1
+    ),
+    v0 AS (SELECT word, freq, string_split(word, '') AS sym FROM wf),
+    {_q120_round_sql(1, 'v0', 'v1')},
+    {_q120_round_sql(2, 'v1', 'v2')},
+    e AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v2.sym)) AS BIGINT) AS n_subwords
+    FROM e JOIN v2 ON e.w = v2.word
+    GROUP BY doc_id
+"""
+
+
+@query("q122_bpe_segment", oracle=_Q122_SQL)
+def q122_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→apply composition (operators/bpe.py:bpe_segment):
+    learn 2 merge rounds from the corpus word-frequency relation
+    (q120's trainer), then segment every document by joining its
+    tokens against the trained (word → symbols) vocabulary — per-word
+    segmentation computed once per DISTINCT word, never per
+    occurrence. The oracle replays both merge rounds CTE-for-round
+    (q120's replay) and joins the final segmented vocab back to the
+    exploded corpus. Per-doc n_words/n_subwords is the token-budget
+    statistic packing consumes. [extension]"""
+    from db2pq_spark.operators.bpe import bpe_segment
+
+    return (bpe_segment(t(spark, sf_dir, "documents"), "text",
+                        "doc_id", merges=2)
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_words", "n_subwords"))

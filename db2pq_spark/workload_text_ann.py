@@ -458,6 +458,7 @@ def q36_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(
         t(spark, sf_dir, "documents"), "text", "doc_id",
         num_hashes=64, bands=32, threshold=0.6, max_bucket=None,
+        shingle_repr="text",
     )
 
 

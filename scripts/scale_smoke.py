@@ -145,6 +145,15 @@ def _overrides():
                     {"doc_id": "id2", "split": "split2"}), "id2")
                 .where(F.col("split1") != F.col("split2")))
 
+    def q107(spark, sf_dir):
+        from db2pq_spark.operators.dedup import minhash_dedup_incremental
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_dedup_incremental(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            "text", "doc_id")  # production 16x4/cap-1000/hash shingles
+
     def q121(spark, sf_dir):
         from db2pq_spark.operators.textstats import kneser_ney_bigrams
 
@@ -155,7 +164,7 @@ def _overrides():
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
             "q119_winnow_overlap": q119, "q118_split_leakage": q118,
-            "q121_kneser_ney": q121}
+            "q121_kneser_ney": q121, "q107_incremental_dedup": q107}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:

@@ -994,6 +994,18 @@ class TestWinnowing:
 
 
 class TestBpe:
+    def test_segment_counts_hand_computed(self, spark):
+        from db2pq_spark.operators.bpe import bpe_segment
+
+        # wf: ab:2 cd:1 ef:2 → R1 merges (a,b) [tie with (e,f) at 2,
+        # pair asc], R2 merges (e,f) → ab=[ab] cd=[c,d] ef=[ef]
+        df = spark.createDataFrame(
+            [(1, "ab ab cd ef"), (2, "ef")], "doc_id long, text string")
+        got = {r["id"]: r for r in
+               bpe_segment(df, "text", "doc_id", merges=2).collect()}
+        assert got[1]["n_words"] == 4 and got[1]["n_subwords"] == 5
+        assert got[2]["n_words"] == 1 and got[2]["n_subwords"] == 1
+
     def test_learns_expected_merges(self, spark):
         from db2pq_spark.operators.bpe import bpe_train
 
