@@ -136,6 +136,11 @@ SHOWCASE = {
                        "continuation/type stats are vocabulary-sized "
                        "aggregates; probability relation joins back "
                        "broadcast, one doc-keyed re-aggregate",
+    "q122_bpe_segment": "BPE train->apply: bounded trainer (per-round "
+                        "1-row collect) then tokens hash-join the "
+                        "trained word->symbols vocab (AQE-broadcast) "
+                        "— per-word segmentation once per DISTINCT "
+                        "word, one doc-keyed aggregate",
 }
 
 HEADER = """\

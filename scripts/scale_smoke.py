@@ -73,7 +73,8 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
            "q118_split_leakage",
            # round-7/8 operators (q119 via its production override)
-           "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney"]
+           "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
+           "q122_bpe_segment"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
