@@ -48,7 +48,7 @@ _EXTENSION = (
     "q118_split_leakage",
     # round-7/8 additions
     "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
-    "q122_bpe_segment",
+    "q122_bpe_segment", "q123_winnow_incremental",
 )
 
 
@@ -135,6 +135,21 @@ def _q107_incremental_production(spark, sf_dir: str):
         docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id")
 
 
+def _q123_winnow_inc_production(spark, sf_dir: str):
+    """Incremental winnowing at production defaults (xxhash64
+    fingerprints, k=5/w=4, cap 1000). The gate entry pins md5_60
+    k=4/w=3 uncapped so DuckDB replays the fingerprints."""
+    from pyspark.sql import functions as F
+
+    from db2pq_spark.operators.dedup import winnow_overlap_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_overlap_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text", "doc_id", min_shared=2)
+
+
 def _q118_leakage_production(spark, sf_dir: str):
     """Leakage audit at minhash_dedup's production defaults (16×4
     banding, 1000-doc bucket cap). The gate entry pins 32×2 uncapped
@@ -196,7 +211,8 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q119_winnow_overlap": _q119_winnow_production,
               "q118_split_leakage": _q118_leakage_production,
               "q121_kneser_ney": _q121_kn_hash_keys,
-              "q107_incremental_dedup": _q107_incremental_production}
+              "q107_incremental_dedup": _q107_incremental_production,
+              "q123_winnow_incremental": _q123_winnow_inc_production}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -254,6 +270,11 @@ _CONFIGS = {
         "minhash": "production 16x4/cap-1000 arrow, shingle_repr=hash",
         "note": "gate entry pins 32x2 uncapped text shingles for the "
                 "exact oracle",
+    },
+    "q123_winnow_incremental": {
+        "winnow": "production xxhash64 k=5/w=4/cap-1000",
+        "note": "gate entry pins md5_60 k=4/w=3 uncapped for the "
+                "exact fingerprint replay",
     },
 }
 

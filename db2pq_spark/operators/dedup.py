@@ -845,20 +845,45 @@ def winnow_fingerprints(
     dominant per-gram cost and keeps fingerprints 8-byte longs;
     ``md5_60`` is the exactness configuration the q119 gate entry pins
     so DuckDB recomputes identical fingerprints from the k-gram
-    text."""
+    text.
+
+    The output carries a ``_fp_hash`` stamp column naming the
+    ``token_hash`` that built it — fingerprints from different hash
+    families share NO values, so a persisted fingerprint corpus probed
+    by a batch built with the other family would silently match
+    nothing; :func:`winnow_overlap_incremental` enforces the stamp
+    (same discipline as the MinHash ``_sig_impl``/``_sig_repr``
+    stamps)."""
     return _winnow_stage(df, text_col, id_col, k, w, token_hash,
                          stage="none") \
-        .select("id", F.explode("_fps").alias("fp"))
+        .select("id", F.explode("_fps").alias("fp"),
+                F.lit(token_hash).alias("_fp_hash"))
+
+
+def _stage_col(df: DataFrame, keep: list[str], expr: Column,
+               name: str) -> DataFrame:
+    """Materialize ``expr`` as a real per-row column behind a Generate
+    barrier: ``explode(array(expr))`` emits exactly one row per input
+    row and — unlike a plain aliased projection — cannot be merged
+    away by CollapseProject. Why that matters: chained projections
+    that alias expensive array expressions are NOT a safe staging
+    mechanism; the optimizer can inline an alias into every reference
+    site, so an array referenced inside a per-window lambda re-computes
+    per WINDOW (the un-barriered winnowing build measured ~50× slower —
+    the k-gram hash array was rebuilt for every sliding window)."""
+    return df.select(*keep, F.explode(F.array(expr)).alias(name))
 
 
 def _winnow_stage(df: DataFrame, text_col: str, id_col: str,
                   k: int, w: int, token_hash: str,
                   stage: str) -> DataFrame:
     """Per-doc (id, _fps) winnowed-fingerprint arrays, built fully
-    in-row and materialized per ``stage`` (same semantics and rationale
-    as :func:`_span_stage` — every lambda here defeats exchange-reuse
-    canonicalization, so an un-staged multi-consumer plan re-runs the
-    whole fingerprint pass per consumer)."""
+    in-row with each intermediate array staged behind a Generate
+    barrier (:func:`_stage_col` — evaluated once per row at every
+    ``stage`` mode), then materialized per ``stage`` (same semantics
+    and rationale as :func:`_span_stage` — the lambdas here defeat
+    exchange-reuse canonicalization, so an un-staged multi-consumer
+    plan re-runs the whole fingerprint pass per consumer)."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
     base = (
@@ -870,29 +895,25 @@ def _winnow_stage(df: DataFrame, text_col: str, id_col: str,
         .where(F.size("_toks") >= k)
     )
     if token_hash == "xxhash64":
-        khashes = F.transform(
+        th = F.transform("_toks", lambda t: F.xxhash64(t))
+        staged = _stage_col(base, ["id"], th, "_th")
+        kh = F.transform(
             F.sequence(F.lit(1), F.size("_th") - k + 1),
-            lambda i: F.xxhash64(F.slice(F.col("_th"), i, k)),
-        )
-        base = base.select(
-            "id", F.transform("_toks", lambda t: F.xxhash64(t))
-            .alias("_th")
-        ).select("id", khashes.alias("_kh"))
+            lambda i: F.xxhash64(F.slice(F.col("_th"), i, k)))
+        staged = _stage_col(staged, ["id"], kh, "_kh")
     else:
-        kgrams = F.transform(
+        kh = F.transform(
             F.sequence(F.lit(1), F.size("_toks") - k + 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
-        )
-        khashes = F.transform(
-            "_kg", lambda g: _token_hash(g, token_hash))
-        base = (base.select("id", kgrams.alias("_kg"))
-                .select("id", khashes.alias("_kh")))
-    wins = F.transform(
+            lambda i: _token_hash(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+                token_hash))
+        staged = _stage_col(base, ["id"], kh, "_kh")
+    wins = F.array_distinct(F.transform(
         F.sequence(F.lit(1),
                    F.greatest(F.lit(1), F.size("_kh") - w + 1)),
         lambda i: F.array_min(F.slice(F.col("_kh"), i, w)),
-    )
-    staged = base.select("id", F.array_distinct(wins).alias("_fps"))
+    ))
+    staged = staged.select("id", wins.alias("_fps"))
     if stage == "checkpoint":
         return staged.localCheckpoint(eager=False)
     if stage == "persist":
@@ -948,6 +969,84 @@ def winnow_overlap_pairs(
         a.join(b, "fp")
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_overlap_incremental(
+    batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str,
+    k: int = 5, w: int = 4, min_shared: int = 2,
+    max_bucket: int | None = 1000, token_hash: str = "xxhash64",
+    stage: str = "checkpoint",
+) -> DataFrame:
+    """Which NEW documents share ≥ ``min_shared`` winnowed fingerprints
+    with an EXISTING corpus — (batch_id, corpus_id, shared_fps). The
+    MOSS-guarantee twin of :func:`minhash_dedup_incremental` /
+    :func:`exact_dedup_incremental`, completing the incremental trio:
+    every batch/corpus pair sharing a ≥ w+k−1-token run WILL surface
+    (modulo the ``max_bucket`` cap), deterministically.
+
+    Scale shape — the corpus never shuffles:
+
+    - the batch (the small side by contract, a daily crawl increment)
+      fingerprints in-row and BROADCASTS into the join;
+    - ``corpus`` may be raw documents or a precomputed
+      :func:`winnow_fingerprints` relation (id, fp) — at 100 TB you
+      persist the fingerprint table once and pass it here, making the
+      marginal cost per increment one fingerprint-table scan. A
+      precomputed relation's ``_fp_hash`` stamp is ENFORCED against
+      ``token_hash`` (mismatched hash families share no fingerprints
+      and would silently report zero overlaps); raw documents are
+      fingerprinted via the staged one-pass relation
+      (:func:`_winnow_stage` — ``stage`` as :func:`_span_stage`,
+      only used on the raw path, which has two consumers);
+    - the hot-fingerprint cap aggregates only (fp → count) with
+      map-side combine and anti-broadcasts the hot keys — boilerplate
+      buckets cost one tiny shuffle, never a blowup."""
+    bfp = (winnow_fingerprints(batch, text_col, id_col, k, w,
+                               token_hash)
+           .select(F.col("id").alias("batch_id"), "fp"))
+    if {"id", "fp"}.issubset(set(corpus.columns)):
+        if "_fp_hash" in corpus.columns:
+            raw = [r[0] for r in corpus.select("_fp_hash").distinct()
+                   .limit(3).collect()]
+            families = sorted(v for v in raw if v is not None)
+            if len(families) > 1:
+                raise ValueError(
+                    f"precomputed corpus fingerprints mix hash "
+                    f"families {families} — re-fingerprint the corpus "
+                    "with one token_hash via winnow_fingerprints()")
+            if families and families[0] != token_hash:
+                raise ValueError(
+                    f"precomputed corpus fingerprints were built with "
+                    f"token_hash={families[0]!r} but the batch would "
+                    f"use token_hash={token_hash!r} — different hash "
+                    "families share no fingerprints and would "
+                    "silently report zero overlaps; pass "
+                    f"token_hash={families[0]!r}")
+        else:
+            import warnings
+
+            warnings.warn(
+                "precomputed corpus fingerprints carry no _fp_hash "
+                f"stamp — assuming token_hash={token_hash!r}; "
+                "re-persist via winnow_fingerprints() to make the "
+                "hash-family mismatch check effective", stacklevel=2)
+        cfp = corpus.select(F.col("id").alias("corpus_id"), "fp")
+    else:
+        cfp = (_winnow_stage(corpus, text_col, id_col, k, w,
+                             token_hash, stage)
+               .select(F.col("id").alias("corpus_id"),
+                       F.explode("_fps").alias("fp")))
+    if max_bucket is not None:
+        hot = (cfp.groupBy("fp").count()
+               .filter(F.col("count") > max_bucket).select("fp"))
+        cfp = cfp.join(F.broadcast(hot), "fp", "left_anti")
+    return (
+        cfp.join(F.broadcast(bfp), "fp")
+        .filter(F.col("corpus_id") != F.col("batch_id"))
+        .groupBy("batch_id", "corpus_id")
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )

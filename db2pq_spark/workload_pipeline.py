@@ -1579,3 +1579,55 @@ def q122_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id", merges=2)
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_words", "n_subwords"))
+
+
+#: q123: incremental winnowing — batch (doc_id % 5 == 0) vs the
+#: standing corpus; oracle recomputes md5_60 fingerprints for both
+#: sides and replays the cross join exactly (gate config: uncapped)
+_Q123_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    kh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 3),
+               i -> CAST(('0x' || substr(md5(concat_ws(' ', toks[i],
+                          toks[i+1], toks[i+2], toks[i+3])), 1, 15))
+                         AS BIGINT)) AS kh
+      FROM base WHERE len(toks) >= 4
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(1, len(kh) - 2)),
+               i -> list_aggregate(kh[i:i+2], 'min'))) AS fp
+      FROM kh
+    )
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps b JOIN fps c ON b.fp = c.fp
+    WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""
+
+
+@query("q123_winnow_incremental", oracle=_Q123_SQL)
+def q123_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing screen
+    (operators/dedup.py:winnow_overlap_incremental): which new-batch
+    documents share ≥ 2 winnowed fingerprints with the standing
+    corpus — the MOSS-guarantee member of the incremental dedup trio
+    (exact / MinHash / winnow). Batch fingerprints broadcast; the
+    corpus never shuffles. Gate-exactness config: md5_60 fingerprints
+    (DuckDB replays them bit-for-bit), k=4/w=3, no hot cap;
+    production defaults are xxhash64/k=5/w=4/cap-1000. [extension]"""
+    from db2pq_spark.operators.dedup import winnow_overlap_incremental
+
+    docs = t(spark, sf_dir, "documents")
+    return winnow_overlap_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "text", "doc_id", k=4, w=3, min_shared=2, max_bucket=None,
+        token_hash="md5_60")

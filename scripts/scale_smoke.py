@@ -74,7 +74,7 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q118_split_leakage",
            # round-7/8 operators (q119 via its production override)
            "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
-           "q122_bpe_segment"]
+           "q122_bpe_segment", "q123_winnow_incremental"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -155,6 +155,15 @@ def _overrides():
             docs.filter(F.col("doc_id") % 5 != 0),
             "text", "doc_id")  # production 16x4/cap-1000/hash shingles
 
+    def q123(spark, sf_dir):
+        from db2pq_spark.operators.dedup import winnow_overlap_incremental
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return winnow_overlap_incremental(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            "text", "doc_id", min_shared=2)  # xxhash64 k=5/w=4/cap
+
     def q121(spark, sf_dir):
         from db2pq_spark.operators.textstats import kneser_ney_bigrams
 
@@ -165,7 +174,8 @@ def _overrides():
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
             "q119_winnow_overlap": q119, "q118_split_leakage": q118,
-            "q121_kneser_ney": q121, "q107_incremental_dedup": q107}
+            "q121_kneser_ney": q121, "q107_incremental_dedup": q107,
+            "q123_winnow_incremental": q123}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:

@@ -979,6 +979,46 @@ class TestWinnowing:
                                   k=3, w=4).collect()
         assert len(got) == 1
 
+    def test_incremental_batch_vs_corpus(self, spark):
+        from db2pq_spark.operators.dedup import (
+            winnow_fingerprints, winnow_overlap_incremental)
+
+        df = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota x"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota y"),
+            (3, "totally unrelated words that never overlap anything"),
+        ], "doc_id long, text string")
+        batch = df.filter(F.col("doc_id") == 1)
+        corpus = df.filter(F.col("doc_id") != 1)
+        got = winnow_overlap_incremental(
+            batch, corpus, "text", "doc_id", k=3, w=4,
+            min_shared=1).collect()
+        assert {(r["batch_id"], r["corpus_id"]) for r in got} == {(1, 2)}
+        # precomputed fingerprint corpus: same result, corpus not
+        # re-fingerprinted
+        cfp = winnow_fingerprints(corpus, "text", "doc_id", k=3, w=4)
+        got2 = winnow_overlap_incremental(
+            batch, cfp, "text", "doc_id", k=3, w=4,
+            min_shared=1).collect()
+        assert {(r["batch_id"], r["corpus_id"]) for r in got2} == {(1, 2)}
+
+    def test_incremental_hash_family_mismatch_raises(self, spark):
+        import pytest as _pt
+
+        from db2pq_spark.operators.dedup import (
+            winnow_fingerprints, winnow_overlap_incremental)
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+            "doc_id long, text string")
+        cfp = winnow_fingerprints(df.filter(F.col("doc_id") == 2),
+                                  "text", "doc_id", k=3, w=2,
+                                  token_hash="md5_60")
+        with _pt.raises(ValueError, match="token_hash='md5_60'"):
+            winnow_overlap_incremental(
+                df.filter(F.col("doc_id") == 1), cfp, "text", "doc_id",
+                k=3, w=2, token_hash="xxhash64")
+
     def test_hot_fingerprint_cap(self, spark):
         from db2pq_spark.operators.dedup import winnow_overlap_pairs
 
