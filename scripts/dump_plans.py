@@ -141,6 +141,12 @@ SHOWCASE = {
                         "trained word->symbols vocab (AQE-broadcast) "
                         "— per-word segmentation once per DISTINCT "
                         "word, one doc-keyed aggregate",
+    "q123_winnow_incremental": "incremental winnowing: batch "
+                               "fingerprints BROADCAST into the "
+                               "corpus fingerprint join (corpus never "
+                               "shuffles); intermediate arrays staged "
+                               "behind Generate barriers so nothing "
+                               "recomputes per window",
 }
 
 HEADER = """\
