@@ -573,6 +573,21 @@ def _minhash_dedup_incremental_cached(
             rraw = [r[0] for r in csig.select("_sig_repr").distinct()
                     .limit(3).collect()]
             reprs = sorted(v for v in rraw if v is not None)
+            if None in rraw:
+                # mirror the _sig_impl NULL handling: a corpus unioned
+                # with allowMissingColumns=True carries NULL stamps on
+                # the unstamped half — surface it instead of silently
+                # dropping the NULLs before the mix/mismatch checks.
+                import warnings
+
+                warnings.warn(
+                    "some precomputed corpus signatures carry a NULL "
+                    "_sig_repr stamp (union with an unstamped "
+                    f"relation?) — assuming shingle_repr="
+                    f"{shingle_repr!r} for those rows; re-persist via "
+                    "minhash_signatures() to make the representation "
+                    "mismatch check effective",
+                    stacklevel=3)
             if len(reprs) > 1:
                 raise ValueError(
                     f"precomputed corpus signatures mix shingle "
@@ -586,14 +601,30 @@ def _minhash_dedup_incremental_cached(
                     "band keys and shingle sets are incompatible; "
                     f"pass shingle_repr={reprs[0]!r}")
         elif head and "_sig_repr" not in csig.columns:
+            # Pre-round-8 relations stored shingle STRINGS, so probing
+            # them under shingle_repr='hash' is the guaranteed-wrong
+            # combination: band keys derive from different base hashes
+            # and long shingle sets never equal string sets — the
+            # incremental dedup would silently return zero pairs. A
+            # warning is easy to miss in production logs; fail loudly.
+            if shingle_repr != "text":
+                raise ValueError(
+                    "precomputed corpus signatures carry no _sig_repr "
+                    "stamp (pre-round-8 relation — those stored "
+                    "shingle STRINGS), but the batch would be signed "
+                    f"with shingle_repr={shingle_repr!r}: band keys "
+                    "and shingle sets are guaranteed incompatible and "
+                    "the probe would silently match zero duplicates. "
+                    "Pass shingle_repr='text' for pre-round-8 corpora "
+                    "or re-persist via minhash_signatures()")
             import warnings
 
             warnings.warn(
                 "precomputed corpus signatures carry no _sig_repr "
                 "stamp (pre-round-8 relation — those stored shingle "
-                f"STRINGS); assuming shingle_repr={shingle_repr!r}. "
-                "Pass shingle_repr='text' for pre-round-8 corpora or "
-                "re-persist via minhash_signatures()",
+                "STRINGS); assuming shingle_repr='text'. Re-persist "
+                "via minhash_signatures() to make the representation "
+                "mismatch check effective",
                 stacklevel=3)
     else:
         csig = minhash_signatures(corpus, text_col, id_col,
@@ -978,7 +1009,7 @@ def winnow_overlap_incremental(
     batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str,
     k: int = 5, w: int = 4, min_shared: int = 2,
     max_bucket: int | None = 1000, token_hash: str = "xxhash64",
-    stage: str = "checkpoint",
+    stage: str = "checkpoint", precomputed: bool | None = None,
 ) -> DataFrame:
     """Which NEW documents share ≥ ``min_shared`` winnowed fingerprints
     with an EXISTING corpus — (batch_id, corpus_id, shared_fps). The
@@ -995,10 +1026,12 @@ def winnow_overlap_incremental(
       :func:`winnow_fingerprints` relation (id, fp) — at 100 TB you
       persist the fingerprint table once and pass it here, making the
       marginal cost per increment one fingerprint-table scan. A
-      precomputed relation's ``_fp_hash`` stamp is ENFORCED against
-      ``token_hash`` (mismatched hash families share no fingerprints
-      and would silently report zero overlaps); raw documents are
-      fingerprinted via the staged one-pass relation
+      precomputed relation is recognized by its ``_fp_hash`` stamp
+      column (id+fp WITHOUT the stamp is ambiguous and raises unless
+      the caller passes ``precomputed=True/False``), and the stamp is
+      ENFORCED against ``token_hash`` (mismatched hash families share
+      no fingerprints and would silently report zero overlaps); raw
+      documents are fingerprinted via the staged one-pass relation
       (:func:`_winnow_stage` — ``stage`` as :func:`_span_stage`,
       only used on the raw path, which has two consumers);
     - the hot-fingerprint cap aggregates only (fp → count) with
@@ -1007,7 +1040,30 @@ def winnow_overlap_incremental(
     bfp = (winnow_fingerprints(batch, text_col, id_col, k, w,
                                token_hash)
            .select(F.col("id").alias("batch_id"), "fp"))
-    if {"id", "fp"}.issubset(set(corpus.columns)):
+    # Deciding "is this a fingerprint relation?" from the column-name
+    # SHAPE alone is fragile: a raw-document DataFrame that happens to
+    # carry id/fp columns would silently skip tokenization. The stamp
+    # column written by winnow_fingerprints() is the reliable marker;
+    # id+fp WITHOUT it is ambiguous and raises unless the caller
+    # disambiguates with precomputed=True/False.
+    if precomputed is None:
+        if {"id", "fp", "_fp_hash"}.issubset(set(corpus.columns)):
+            precomputed = True
+        elif {"id", "fp"}.issubset(set(corpus.columns)):
+            raise ValueError(
+                "corpus carries id+fp columns but no _fp_hash stamp — "
+                "ambiguous between a pre-stamp fingerprint relation "
+                "and raw documents that happen to have those columns. "
+                "Pass precomputed=True (treat as fingerprints; the "
+                "hash-family check degrades to a warning) or "
+                "precomputed=False (fingerprint it as raw documents)")
+        else:
+            precomputed = False
+    if precomputed:
+        if not {"id", "fp"}.issubset(set(corpus.columns)):
+            raise ValueError(
+                "precomputed=True but corpus lacks id/fp columns — "
+                "build it via winnow_fingerprints()")
         if "_fp_hash" in corpus.columns:
             raw = [r[0] for r in corpus.select("_fp_hash").distinct()
                    .limit(3).collect()]

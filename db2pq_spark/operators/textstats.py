@@ -345,8 +345,17 @@ def kneser_ney_bigrams(
     sraw = F.round(-F.log2(p), round_digits)
     if keys == "hash":
         s = sraw  # double accumulation (scoring config)
-        probs = (bc.join(F.broadcast(ctx), "w1")
-                 .join(F.broadcast(cont), "w2")
+        # ctx/cont are NOT force-broadcast: the zipf-bounded-vocabulary
+        # assumption makes them dimension-sized in natural language, but
+        # in the zero-vocab-collapse worst case they are occurrence-
+        # sized and a forced broadcast would OOM the driver — exactly
+        # the case the merge hint below defends against. AQE sizes them
+        # at runtime instead: small ctx/cont still become broadcast
+        # joins (local shuffle read on the bc side), huge ones degrade
+        # to the same sort-merge shape as bc. tot is a 1-row aggregate,
+        # always broadcast-safe.
+        probs = (bc.join(ctx, "w1")
+                 .join(cont, "w2")
                  .crossJoin(F.broadcast(tot))
                  .select("w1", "w2", s.alias("s"))
                  # when the bigram-type relation is occurrence-sized

@@ -195,6 +195,57 @@ class TestIncrementalDedup:
             minhash_dedup_incremental(batch, legacy, "text", "doc_id")
         assert any("_sig_impl" in str(c.message) for c in caught)
 
+    def test_unstamped_repr_under_hash_raises(self, docs):
+        # pre-round-8 relations stored shingle STRINGS; probing them
+        # under the round-8 default shingle_repr='hash' is guaranteed
+        # to band-match nothing — must raise, not warn
+        import warnings as _w
+
+        from db2pq_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+
+        batch = docs.filter(F.col("doc_id") == 1)
+        corpus = docs.filter(F.col("doc_id") != 1)
+        pre_r8 = minhash_signatures(
+            corpus, "text", "doc_id", shingle_repr="text") \
+            .drop("_sig_repr")
+        with pytest.raises(ValueError, match="no _sig_repr"):
+            minhash_dedup_incremental(batch, pre_r8, "text", "doc_id",
+                                      shingle_repr="hash")
+        # shingle_repr='text' matches what pre-round-8 corpora actually
+        # stored: warns and proceeds
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            got = minhash_dedup_incremental(
+                batch, pre_r8, "text", "doc_id", shingle_repr="text",
+                threshold=0.5).count()
+        assert any("_sig_repr" in str(c.message) for c in caught)
+        assert got > 0
+
+    def test_null_repr_stamp_warns(self, docs):
+        # a corpus unioned with allowMissingColumns=True carries NULL
+        # _sig_repr on the unstamped half — must warn like _sig_impl
+        import warnings as _w
+
+        from db2pq_spark.operators.dedup import (
+            minhash_dedup_incremental,
+            minhash_signatures,
+        )
+
+        batch = docs.filter(F.col("doc_id") == 1)
+        half_a = minhash_signatures(
+            docs.filter(F.col("doc_id").isin(2, 3)), "text", "doc_id")
+        half_b = minhash_signatures(
+            docs.filter(~F.col("doc_id").isin(1, 2, 3)), "text",
+            "doc_id").drop("_sig_repr")
+        mixed = half_a.unionByName(half_b, allowMissingColumns=True)
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            minhash_dedup_incremental(batch, mixed, "text", "doc_id")
+        assert any("NULL _sig_repr" in str(c.message) for c in caught)
+
 
 class TestSimhash:
     def test_exact_dups_hamming_zero(self, docs):
@@ -1018,6 +1069,51 @@ class TestWinnowing:
             winnow_overlap_incremental(
                 df.filter(F.col("doc_id") == 1), cfp, "text", "doc_id",
                 k=3, w=2, token_hash="xxhash64")
+
+    def test_incremental_ambiguous_id_fp_columns_raise(self, spark):
+        # raw documents that HAPPEN to carry id/fp columns must not be
+        # silently treated as a fingerprint relation — the _fp_hash
+        # stamp is the reliable marker; without it the call raises and
+        # precomputed=True/False disambiguates
+        import warnings as _w
+
+        import pytest as _pt
+
+        from db2pq_spark.operators.dedup import (
+            winnow_fingerprints, winnow_overlap_incremental)
+
+        batch = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string")
+        raw_with_fp = spark.createDataFrame(
+            [(2, "alpha beta gamma delta epsilon zeta", 7, "meta")],
+            "doc_id long, text string, fp long, id string")
+        with _pt.raises(ValueError, match="ambiguous"):
+            winnow_overlap_incremental(batch, raw_with_fp, "text",
+                                       "doc_id", k=3, w=2, min_shared=1)
+        # precomputed=False: treated as raw documents, fingerprinted
+        got = winnow_overlap_incremental(
+            batch, raw_with_fp, "text", "doc_id", k=3, w=2,
+            min_shared=1, precomputed=False).collect()
+        assert {(r["batch_id"], r["corpus_id"]) for r in got} == {(1, 2)}
+        # precomputed=True on a genuinely-unstamped fingerprint relation
+        # (pre-stamp persisted table): warns, still runs
+        cfp = winnow_fingerprints(
+            spark.createDataFrame(
+                [(2, "alpha beta gamma delta epsilon zeta")],
+                "doc_id long, text string"),
+            "text", "doc_id", k=3, w=2).drop("_fp_hash")
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            got2 = winnow_overlap_incremental(
+                batch, cfp, "text", "doc_id", k=3, w=2, min_shared=1,
+                precomputed=True).collect()
+        assert any("_fp_hash" in str(c.message) for c in caught)
+        assert {(r["batch_id"], r["corpus_id"]) for r in got2} == {(1, 2)}
+        # precomputed=True without id/fp columns is a usage error
+        with _pt.raises(ValueError, match="lacks id/fp"):
+            winnow_overlap_incremental(
+                batch, batch, "text", "doc_id", precomputed=True)
 
     def test_hot_fingerprint_cap(self, spark):
         from db2pq_spark.operators.dedup import winnow_overlap_pairs
