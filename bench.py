@@ -112,7 +112,8 @@ def _q117_kmeans_arrow(spark, sf_dir: str):
 
 def _q119_winnow_production(spark, sf_dir: str):
     """Production winnowing config (operator defaults: 5-token grams,
-    window 4, hot-fingerprint cap 1000, xxhash64 long fingerprints).
+    window 4, hot-fingerprint cap 1000, arrow64 long fingerprints
+    via the Arrow numpy kernel).
     The gate entry pins k=4/w=3 uncapped md5_60 so its DuckDB oracle
     replays every pair."""
     from db2pq_spark.operators.dedup import winnow_overlap_pairs
@@ -136,7 +137,7 @@ def _q107_incremental_production(spark, sf_dir: str):
 
 
 def _q123_winnow_inc_production(spark, sf_dir: str):
-    """Incremental winnowing at production defaults (xxhash64
+    """Incremental winnowing at production defaults (arrow64
     fingerprints, k=5/w=4, cap 1000). The gate entry pins md5_60
     k=4/w=3 uncapped so DuckDB replays the fingerprints."""
     from pyspark.sql import functions as F
@@ -178,7 +179,8 @@ def _q121_kn_hash_keys(spark, sf_dir: str):
     from db2pq_spark.operators.textstats import kneser_ney_bigrams
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return kneser_ney_bigrams(docs, "text", "doc_id", keys="hash")
+    return kneser_ney_bigrams(docs, "text", "doc_id", keys="hash",
+                              broadcast_stats=True)
 
 
 def _q102_spans_xxh(spark, sf_dir: str):
@@ -251,8 +253,8 @@ _CONFIGS = {
                 "entry pins md5",
     },
     "q119_winnow_overlap": {
-        "k_w_cap": "5/4/1000", "token_hash": "xxhash64",
-        "note": "production winnowing defaults (xxhash64 long "
+        "k_w_cap": "5/4/1000", "token_hash": "arrow64",
+        "note": "production winnowing defaults (arrow64 long "
                 "fingerprints); gate entry pins k=4/w=3 uncapped "
                 "md5_60 for the exact oracle",
     },
@@ -262,9 +264,10 @@ _CONFIGS = {
                 "all-pairs-Jaccard oracle",
     },
     "q121_kneser_ney": {
-        "keys": "hash",
-        "note": "production xxhash64 long bigram keys; gate entry "
-                "keys by strings for the exact DuckDB replay",
+        "keys": "hash", "broadcast_stats": "true",
+        "note": "production xxhash64 long bigram keys + zipf-asserted "
+                "stats broadcast; gate entry keys by strings for the "
+                "exact DuckDB replay",
     },
     "q107_incremental_dedup": {
         "minhash": "production 16x4/cap-1000 arrow, shingle_repr=hash",
@@ -272,7 +275,7 @@ _CONFIGS = {
                 "exact oracle",
     },
     "q123_winnow_incremental": {
-        "winnow": "production xxhash64 k=5/w=4/cap-1000",
+        "winnow": "production arrow64 k=5/w=4/cap-1000",
         "note": "gate entry pins md5_60 k=4/w=3 uncapped for the "
                 "exact fingerprint replay",
     },

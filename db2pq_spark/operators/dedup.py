@@ -847,7 +847,7 @@ def ngram_jaccard_pairs(
 
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str,
-    k: int = 5, w: int = 4, token_hash: str = "xxhash64",
+    k: int = 5, w: int = 4, token_hash: str = "arrow64",
 ) -> DataFrame:
     """Winnowed document fingerprints after Schleimer, Wilkerson &
     Aiken, *Winnowing: Local Algorithms for Document Fingerprinting*
@@ -866,17 +866,25 @@ def winnow_fingerprints(
     documents contribute nothing.
 
     Scale: fully NARROW — k-gram hashing, window minima, and the
-    distinct all happen in-row on each document (the w-minimum runs
-    interpreted but w is small); the output explode is the only
-    fan-out, bounded by ~2·tokens/(w+1) selected hashes per document.
-    ``token_hash`` follows :func:`_token_hash` — ``xxhash64``
-    (production default) never builds k-gram STRINGS at all: each
-    token is hashed once and the k-gram key is xxhash64 over the
-    k-long slice (the q102/q116 span-key trick), which shaves the
-    dominant per-gram cost and keeps fingerprints 8-byte longs;
-    ``md5_60`` is the exactness configuration the q119 gate entry pins
-    so DuckDB recomputes identical fingerprints from the k-gram
-    text.
+    distinct all happen in-row on each document; the output explode is
+    the only fan-out, bounded by ~2·tokens/(w+1) selected hashes per
+    document. ``token_hash`` picks the hash family AND the execution
+    path:
+
+    - ``arrow64`` (production default): per-token xxhash64 JVM-side,
+      then one Arrow-vectorized numpy kernel for k-gram mixing +
+      window minima + distinct (:func:`_winnow_from_hashes_udf`) —
+      the two interpreted lambda stages it replaces were ~10 s of an
+      ~18 s corpus pass at the 100× replica (~2× end-to-end);
+    - ``xxhash64``: all-JVM expression form; never builds k-gram
+      STRINGS (each token hashed once, the k-gram key is xxhash64
+      over the k-long slice — the q102/q116 span-key trick);
+    - ``md5_60``: the exactness configuration the q119/q123 gate
+      entries pin so DuckDB recomputes identical fingerprints from
+      the k-gram text.
+
+    Families are mutually incompatible (disjoint fingerprint values) —
+    which is what the ``_fp_hash`` stamp below enforces.
 
     The output carries a ``_fp_hash`` stamp column naming the
     ``token_hash`` that built it — fingerprints from different hash
@@ -905,6 +913,101 @@ def _stage_col(df: DataFrame, keep: list[str], expr: Column,
     return df.select(*keep, F.explode(F.array(expr)).alias(name))
 
 
+def _winnow_from_hashes_udf(k: int, w: int):
+    """Arrow-vectorized winnowing: per-token xxhash64 longs in →
+    distinct window-minimum fingerprints out, all numpy. The
+    expression form computes the k-gram hashes and the w-window minima
+    with higher-order lambdas, which evaluate INTERPRETED — at the
+    100× replica those two stages are ~10 s of an ~18 s corpus pass.
+    Here the whole Arrow batch flattens into one array: the k-gram key
+    is a polynomial combine of k shifted views finished with a
+    splitmix64 avalanche (a different — and incompatible — hash family
+    from the JVM ``xxhash64``-over-slices config, which is why this
+    ships as its own ``token_hash='arrow64'`` stamp), window minima
+    are w shifted ``np.minimum`` passes, doc boundaries are masked by
+    comparing the repeated doc index across each span, and the
+    per-doc DISTINCT is a lexsort + adjacent-unique. Docs with at
+    least one k-gram but fewer than w windows keep the min of what
+    they have (the standard short-document variant, same as the
+    expression form); docs shorter than k tokens yield an empty array
+    (the caller filters those, but the kernel stays total)."""
+    import numpy as np
+    import pandas as pd
+
+    from db2pq_spark.functions.arrow import series_pandas_udf
+
+    P = np.uint64(0x100000001B3)
+
+    def _mix(z):  # splitmix64 finalizer
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def winnow_from_hashes(hs: pd.Series) -> pd.Series:
+        n_rows = len(hs)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=n_rows)
+        total = int(lens.sum())
+        empty = pd.Series([np.empty(0, dtype=np.int64)] * n_rows)
+        if total < k:
+            return empty
+        flat = np.concatenate(arrs).view(np.uint64)
+        doc = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        with np.errstate(over="ignore"):
+            # k-gram polynomial mix over k shifted views + avalanche;
+            # positions whose k-span straddles a doc boundary are
+            # masked out by comparing the doc index k−1 apart
+            L1 = total - k + 1
+            acc = np.zeros(L1, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * P + flat[j:j + L1]
+            in_doc = doc[:L1] == doc[k - 1:k - 1 + L1]
+            kg = _mix(acc[in_doc])
+            kg_doc = doc[:L1][in_doc]
+            if len(kg) == 0:
+                return empty
+            n_kg = np.bincount(kg_doc, minlength=n_rows)
+            # sliding w-minimum via shifted in-place minima, doc
+            # boundaries masked the same way
+            L2 = len(kg) - w + 1
+            if L2 > 0:
+                wm = kg[:L2].copy()
+                for j in range(1, w):
+                    np.minimum(wm, kg[j:j + L2], out=wm)
+                ok = kg_doc[:L2] == kg_doc[w - 1:w - 1 + L2]
+                wm, wm_doc = wm[ok], kg_doc[:L2][ok]
+            else:
+                wm = np.empty(0, dtype=np.uint64)
+                wm_doc = np.empty(0, dtype=np.int64)
+            # short-doc variant: ≥1 k-gram but <w windows → min of all
+            # k-grams. reduceat over the contiguous non-empty segments
+            # gives every doc's whole-segment min; take the short ones.
+            short = (n_kg >= 1) & (n_kg < w)
+            if short.any():
+                kg_off = np.zeros(n_rows, dtype=np.int64)
+                np.cumsum(n_kg[:-1], out=kg_off[1:])
+                ne = n_kg > 0
+                seg_min = np.minimum.reduceat(kg, kg_off[ne])
+                s_val = seg_min[short[ne]]
+                s_doc = np.flatnonzero(short)
+                wm = np.concatenate([wm, s_val])
+                wm_doc = np.concatenate([wm_doc, s_doc])
+        # per-doc DISTINCT: group by (doc, value), keep one per run
+        order = np.lexsort((wm, wm_doc))
+        d_s, v_s = wm_doc[order], wm[order]
+        keep = np.ones(len(d_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        d_u, v_u = d_s[keep], v_s[keep].view(np.int64)
+        counts = np.bincount(d_u, minlength=n_rows)
+        return pd.Series(np.split(v_u, np.cumsum(counts)[:-1]))
+
+    return series_pandas_udf(winnow_from_hashes, "array<bigint>")
+
+
 def _winnow_stage(df: DataFrame, text_col: str, id_col: str,
                   k: int, w: int, token_hash: str,
                   stage: str) -> DataFrame:
@@ -925,26 +1028,36 @@ def _winnow_stage(df: DataFrame, text_col: str, id_col: str,
                 F.split(normalize_text(text_col), " ").alias("_toks"))
         .where(F.size("_toks") >= k)
     )
-    if token_hash == "xxhash64":
+    if token_hash == "arrow64":
+        # production default: per-token xxhash64 stays JVM-side (one
+        # hash per token), then ONE Arrow kernel replaces the two
+        # interpreted lambda stages (k-gram hash + window minima +
+        # distinct) — see _winnow_from_hashes_udf
         th = F.transform("_toks", lambda t: F.xxhash64(t))
         staged = _stage_col(base, ["id"], th, "_th")
-        kh = F.transform(
-            F.sequence(F.lit(1), F.size("_th") - k + 1),
-            lambda i: F.xxhash64(F.slice(F.col("_th"), i, k)))
-        staged = _stage_col(staged, ["id"], kh, "_kh")
+        kern = _winnow_from_hashes_udf(k, w)
+        staged = staged.select("id", kern("_th").alias("_fps"))
     else:
-        kh = F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - k + 1),
-            lambda i: _token_hash(
-                F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
-                token_hash))
-        staged = _stage_col(base, ["id"], kh, "_kh")
-    wins = F.array_distinct(F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.lit(1), F.size("_kh") - w + 1)),
-        lambda i: F.array_min(F.slice(F.col("_kh"), i, w)),
-    ))
-    staged = staged.select("id", wins.alias("_fps"))
+        if token_hash == "xxhash64":
+            th = F.transform("_toks", lambda t: F.xxhash64(t))
+            staged = _stage_col(base, ["id"], th, "_th")
+            kh = F.transform(
+                F.sequence(F.lit(1), F.size("_th") - k + 1),
+                lambda i: F.xxhash64(F.slice(F.col("_th"), i, k)))
+            staged = _stage_col(staged, ["id"], kh, "_kh")
+        else:
+            kh = F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - k + 1),
+                lambda i: _token_hash(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+                    token_hash))
+            staged = _stage_col(base, ["id"], kh, "_kh")
+        wins = F.array_distinct(F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.lit(1), F.size("_kh") - w + 1)),
+            lambda i: F.array_min(F.slice(F.col("_kh"), i, w)),
+        ))
+        staged = staged.select("id", wins.alias("_fps"))
     if stage == "checkpoint":
         return staged.localCheckpoint(eager=False)
     if stage == "persist":
@@ -960,7 +1073,7 @@ def _winnow_stage(df: DataFrame, text_col: str, id_col: str,
 def winnow_overlap_pairs(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 5, w: int = 4, min_shared: int = 2,
-    max_bucket: int | None = 1000, token_hash: str = "xxhash64",
+    max_bucket: int | None = 1000, token_hash: str = "arrow64",
     stage: str = "checkpoint",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
@@ -1008,7 +1121,7 @@ def winnow_overlap_pairs(
 def winnow_overlap_incremental(
     batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str,
     k: int = 5, w: int = 4, min_shared: int = 2,
-    max_bucket: int | None = 1000, token_hash: str = "xxhash64",
+    max_bucket: int | None = 1000, token_hash: str = "arrow64",
     stage: str = "checkpoint", precomputed: bool | None = None,
 ) -> DataFrame:
     """Which NEW documents share ≥ ``min_shared`` winnowed fingerprints
@@ -1018,10 +1131,15 @@ def winnow_overlap_incremental(
     every batch/corpus pair sharing a ≥ w+k−1-token run WILL surface
     (modulo the ``max_bucket`` cap), deterministically.
 
-    Scale shape — the corpus never shuffles:
+    Scale shape — the corpus never shuffles, and is never checkpointed:
 
     - the batch (the small side by contract, a daily crawl increment)
-      fingerprints in-row and BROADCASTS into the join;
+      fingerprints ONCE (materialized per ``stage``) and its distinct
+      fingerprint keys BROADCAST as a semi filter over the corpus
+      before anything else — a corpus fingerprint absent from the
+      batch can neither produce an overlap row nor change the hot-ness
+      of a surviving key, so everything downstream operates on the
+      batch-matched relation only;
     - ``corpus`` may be raw documents or a precomputed
       :func:`winnow_fingerprints` relation (id, fp) — at 100 TB you
       persist the fingerprint table once and pass it here, making the
@@ -1031,15 +1149,31 @@ def winnow_overlap_incremental(
       the caller passes ``precomputed=True/False``), and the stamp is
       ENFORCED against ``token_hash`` (mismatched hash families share
       no fingerprints and would silently report zero overlaps); raw
-      documents are fingerprinted via the staged one-pass relation
-      (:func:`_winnow_stage` — ``stage`` as :func:`_span_stage`,
-      only used on the raw path, which has two consumers);
-    - the hot-fingerprint cap aggregates only (fp → count) with
-      map-side combine and anti-broadcasts the hot keys — boilerplate
-      buckets cost one tiny shuffle, never a blowup."""
+      documents are fingerprinted in one narrow pass (the broadcast
+      semi filter is the single consumer, so no corpus-sized
+      checkpoint is ever written);
+    - the hot-fingerprint cap counts (fp → corpus doc-frequency) on
+      the matched relation — winnow fingerprints are distinct per
+      doc, so the counts equal the corpus-wide ones for every key the
+      batch can see — and anti-broadcasts the hot keys; boilerplate
+      buckets cost one matched-relation-sized shuffle, never a
+      corpus-sized one."""
     bfp = (winnow_fingerprints(batch, text_col, id_col, k, w,
                                token_hash)
            .select(F.col("id").alias("batch_id"), "fp"))
+    # the batch fingerprint relation has two consumers below (the
+    # distinct-key semi filter and the final pair join) and the
+    # fingerprint pass's lambdas defeat exchange-reuse — materialize it
+    # once so the batch is fingerprinted once, not twice
+    if stage == "checkpoint":
+        bfp = bfp.localCheckpoint(eager=False)
+    elif stage == "persist":
+        from pyspark import StorageLevel
+
+        bfp = bfp.persist(StorageLevel.DISK_ONLY)
+    elif stage != "none":
+        raise ValueError(f"unknown stage {stage!r} — expected "
+                         "'checkpoint', 'persist' or 'none'")
     # Deciding "is this a fingerprint relation?" from the column-name
     # SHAPE alone is fragile: a raw-document DataFrame that happens to
     # carry id/fp columns would silently skip tokenization. The stamp
@@ -1091,16 +1225,39 @@ def winnow_overlap_incremental(
                 "hash-family mismatch check effective", stacklevel=2)
         cfp = corpus.select(F.col("id").alias("corpus_id"), "fp")
     else:
+        # single downstream consumer (the broadcast semi filter), so
+        # the raw path needs no staged materialization of the full
+        # corpus fingerprint relation — one narrow pass, no checkpoint
+        # write of anything corpus-sized
         cfp = (_winnow_stage(corpus, text_col, id_col, k, w,
-                             token_hash, stage)
+                             token_hash, stage="none")
                .select(F.col("id").alias("corpus_id"),
                        F.explode("_fps").alias("fp")))
+    # broadcast the batch's DISTINCT fingerprint keys as a semi filter
+    # FIRST: a corpus fingerprint absent from the batch can neither
+    # produce an overlap row nor change the hot-ness of any surviving
+    # key (winnow fingerprints are distinct per doc, so per-fp row
+    # counts equal corpus doc-frequency with or without the filter).
+    # This moves the hot-cap count from a corpus-wide fp→count shuffle
+    # onto the batch-matched relation — the corpus now NEVER shuffles,
+    # its only wide op is reading the broadcast.
+    bkeys = bfp.select("fp").distinct()
+    hits = cfp.join(F.broadcast(bkeys), "fp")
     if max_bucket is not None:
-        hot = (cfp.groupBy("fp").count()
+        # two consumers of the matched relation (the hot count and the
+        # pair join) — materialize the small matched relation, not the
+        # corpus fingerprints
+        if stage == "checkpoint":
+            hits = hits.localCheckpoint(eager=False)
+        elif stage == "persist":
+            from pyspark import StorageLevel
+
+            hits = hits.persist(StorageLevel.DISK_ONLY)
+        hot = (hits.groupBy("fp").count()
                .filter(F.col("count") > max_bucket).select("fp"))
-        cfp = cfp.join(F.broadcast(hot), "fp", "left_anti")
+        hits = hits.join(F.broadcast(hot), "fp", "left_anti")
     return (
-        cfp.join(F.broadcast(bfp), "fp")
+        hits.join(F.broadcast(bfp), "fp")
         .filter(F.col("corpus_id") != F.col("batch_id"))
         .groupBy("batch_id", "corpus_id")
         .agg(F.count("*").cast("bigint").alias("shared_fps"))

@@ -266,7 +266,7 @@ def unigram_surprisal(
 def kneser_ney_bigrams(
     df: DataFrame, text_col: str, id_col: str,
     discount: float = 0.75, round_digits: int = 6,
-    keys: str = "exact",
+    keys: str = "exact", broadcast_stats: bool = False,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram surprisal per document — the
     standard next step up from :func:`unigram_surprisal` when ranking
@@ -306,15 +306,21 @@ def kneser_ney_bigrams(
     production configuration: xxhash64 long keys derived once in the
     explode projection (~4× narrower shuffle rows; a 64-bit collision
     merges two types' statistics — negligible for a quality-scoring
-    signal, same stance as the xxhash64 span keys), the
-    context/continuation statistics broadcast (natural-language
-    vocabularies are zipf-bounded, so these relations stay
-    dimension-sized at any corpus scale — which keeps ``probs`` on the
+    signal, same stance as the xxhash64 span keys), and the per-doc
+    sum accumulates doubles (order-dependent ulps don't matter for
+    scoring; the gate's decimal path stays order-independent for the
+    oracle).
+
+    ``broadcast_stats=True`` additionally force-broadcasts the
+    context/continuation statistics — pass it when the corpus is
+    natural language (zipf-bounded vocabulary keeps those relations
+    dimension-sized at any corpus scale), which keeps ``probs`` on the
     bigram-count partitioning and lets the final occurrence join REUSE
-    the one corpus exchange instead of re-shuffling both sides), and
-    the per-doc sum accumulates doubles (order-dependent ulps don't
-    matter for scoring; the gate's decimal path stays
-    order-independent for the oracle)."""
+    the one corpus exchange instead of re-shuffling both sides
+    (measured ~5× at the adversarial 100× replica whose vocab grows
+    linearly). The default lets AQE size them, because in the
+    zero-vocab-collapse worst case ctx/cont are occurrence-sized and a
+    forced broadcast would OOM."""
     toked = (df.select(F.col(id_col).alias("id"),
                        tokens(text_col).alias("_toks"))
              .where(F.size("_toks") >= 2))
@@ -345,17 +351,22 @@ def kneser_ney_bigrams(
     sraw = F.round(-F.log2(p), round_digits)
     if keys == "hash":
         s = sraw  # double accumulation (scoring config)
-        # ctx/cont are NOT force-broadcast: the zipf-bounded-vocabulary
-        # assumption makes them dimension-sized in natural language, but
-        # in the zero-vocab-collapse worst case they are occurrence-
-        # sized and a forced broadcast would OOM the driver — exactly
-        # the case the merge hint below defends against. AQE sizes them
-        # at runtime instead: small ctx/cont still become broadcast
+        # ctx/cont broadcast is GATED on the zipf-bounded-vocabulary
+        # assumption via broadcast_stats: in natural language they are
+        # dimension-sized (unigram-vocab rows) and broadcasting them
+        # keeps probs on the bigram-count partitioning so the final
+        # occurrence join reuses the one corpus exchange — but in the
+        # zero-vocab-collapse worst case they are occurrence-sized and
+        # an unconditional broadcast would OOM the driver (exactly the
+        # case the merge hint below defends against). Default: let AQE
+        # size them at runtime — small ctx/cont still become broadcast
         # joins (local shuffle read on the bc side), huge ones degrade
-        # to the same sort-merge shape as bc. tot is a 1-row aggregate,
-        # always broadcast-safe.
-        probs = (bc.join(ctx, "w1")
-                 .join(cont, "w2")
+        # to the same sort-merge shape as bc. tot is a 1-row
+        # aggregate, always broadcast-safe.
+        ctx_j = F.broadcast(ctx) if broadcast_stats else ctx
+        cont_j = F.broadcast(cont) if broadcast_stats else cont
+        probs = (bc.join(ctx_j, "w1")
+                 .join(cont_j, "w2")
                  .crossJoin(F.broadcast(tot))
                  .select("w1", "w2", s.alias("s"))
                  # when the bigram-type relation is occurrence-sized

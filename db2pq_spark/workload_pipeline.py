@@ -263,20 +263,35 @@ _Q98_SQL = f"""
 @query("q98_sliding_window", oracle=_Q98_SQL)
 def q98_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour/15-minute window aggregate — batch twin of
-    streaming/windows.py:sliding_counts. Spark's native ``window(...,
-    slide)`` expands each event into window/slide = 4 rows (an Expand
-    node, narrow) before the windowed agg; the oracle derives the same
-    4 aligned window starts arithmetically. Window start is reported as
-    epoch seconds (tz-independent)."""
-    e = t(spark, sf_dir, "events") \
-        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
-    return (
-        e.groupBy(F.window("event_time", "1 hour", "15 minutes"),
+    streaming/windows.py:sliding_counts, as a two-level rollup: the
+    raw stream partial-aggregates per 15-minute SLIDE bucket first
+    (counts + exact-decimal partial sums), and only that bounded
+    (slide, event_type) relation expands ×(window/slide)=4 into the
+    hour windows it participates in. Spark's native ``window(...,
+    slide)`` Expand would instead quadruple every RAW event before the
+    aggregate — 4× the rows, 4× the per-row decimal casts through the
+    hot hash-agg stage; here the expand touches only time-range-bounded
+    partials (decimal partial sums re-aggregate exactly — decimal
+    addition is associative below the precision cap). The oracle
+    derives the same 4 aligned window starts arithmetically. Window
+    start is reported as epoch seconds (tz-independent)."""
+    e = t(spark, sf_dir, "events")
+    partial = (
+        e.groupBy(F.expr("ts_us div 900000000").alias("_slide"),
                   "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value", 2, "sum_value"))
-        .select(F.col("window.start").cast("bigint")
-                .alias("window_start_epoch"),
-                "event_type", "n_events", "sum_value")
+        .agg(F.count("*").alias("_n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("_s"))
+    )
+    return (
+        partial
+        .select("*", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+                .alias("_k"))
+        .groupBy(((F.col("_slide") - F.col("_k")) * 900)
+                 .cast("bigint").alias("window_start_epoch"),
+                 "event_type")
+        .agg(F.sum("_n").cast("bigint").alias("n_events"),
+             F.sum("_s").cast("decimal(38,2)").cast("double")
+             .alias("sum_value"))
     )
 
 

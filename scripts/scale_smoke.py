@@ -162,13 +162,14 @@ def _overrides():
         return winnow_overlap_incremental(
             docs.filter(F.col("doc_id") % 5 == 0),
             docs.filter(F.col("doc_id") % 5 != 0),
-            "text", "doc_id", min_shared=2)  # xxhash64 k=5/w=4/cap
+            "text", "doc_id", min_shared=2)  # arrow64 k=5/w=4/cap
 
     def q121(spark, sf_dir):
         from db2pq_spark.operators.textstats import kneser_ney_bigrams
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return kneser_ney_bigrams(docs, "text", "doc_id", keys="hash")
+        return kneser_ney_bigrams(docs, "text", "doc_id", keys="hash",
+                                  broadcast_stats=True)
 
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
