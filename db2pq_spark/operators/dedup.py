@@ -452,11 +452,16 @@ def minhash_dedup_incremental(
     batch against the standing corpus. Plan shape is built around the
     corpus NEVER shuffling:
 
-    - corpus band keys are a narrow projection of the corpus scan; the
-      batch's band keys **broadcast** into the bucket join,
-    - the skew guard aggregates only ``(band, key) → count`` (map-side
-      combine collapses to distinct keys) and anti-broadcasts the hot
-      keys, so degenerate buckets cost one tiny shuffle, not a blowup
+    - corpus band keys are a narrow projection of the corpus scan,
+      semi-filtered by the batch's broadcast DISTINCT (band, key)
+      pairs before anything else — a corpus bucket with no batch
+      member can neither produce a candidate nor change the hot-ness
+      of a bucket the batch can see, so everything downstream
+      (including the skew guard) runs on the batch-matched minority
+      and the corpus band relation never shuffles,
+    - the skew guard counts ``(band, key)`` over that matched relation
+      and anti-broadcasts the hot keys, so degenerate buckets cost one
+      matched-relation-sized shuffle, not a corpus-wide one
       (``max_bucket=None`` disables the guard — exactness gates),
     - exact-Jaccard verification broadcasts the candidate×batch-shingle
       relation back into a second corpus scan — candidates are
@@ -637,15 +642,27 @@ def _minhash_dedup_incremental_cached(
     bbuckets = (bsig.select("batch_id", entries)
                 .select("batch_id", "bk.band", "bk.key"))
 
+    # broadcast the batch's DISTINCT (band, key) pairs as a semi filter
+    # FIRST: a corpus bucket with no batch member can neither produce a
+    # candidate nor change the hot-ness of a bucket the batch can see
+    # (bucket counts are per-corpus-row, independent of the batch), so
+    # both the hot-cap count and the candidate join run on the
+    # batch-matched minority — the corpus band relation never shuffles,
+    # and the corpus signature pass runs ONCE (the matched relation is
+    # the thing materialized for the two consumers, not anything
+    # corpus-sized)
+    bkeys = bbuckets.select("band", "key").distinct()
+    hits = cbuckets.join(F.broadcast(bkeys), ["band", "key"])
     if max_bucket is not None:
-        hot = (cbuckets.groupBy("band", "key").count()
+        hits = hits.localCheckpoint(eager=False)
+        hot = (hits.groupBy("band", "key").count()
                .filter(F.col("count") > max_bucket)
                .select("band", "key"))
-        cbuckets = cbuckets.join(F.broadcast(hot), ["band", "key"],
-                                 "left_anti")
+        hits = hits.join(F.broadcast(hot), ["band", "key"],
+                         "left_anti")
 
     cand = (
-        cbuckets.join(F.broadcast(bbuckets), ["band", "key"])
+        hits.join(F.broadcast(bbuckets), ["band", "key"])
         .filter(F.col("corpus_id") != F.col("batch_id"))
         .select("batch_id", "corpus_id")
         .distinct()
