@@ -49,6 +49,9 @@ _EXTENSION = (
     # round-7/8 additions
     "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
     "q122_bpe_segment", "q123_winnow_incremental",
+    # round-9 additions
+    "q124_nb_quality", "q125_dsir_sample", "q126_embedding_moments",
+    "q127_cluster_representatives",
 )
 
 
@@ -204,6 +207,29 @@ def _q116_removal_xxh(spark, sf_dir: str):
 
 
 #: bench-local overrides: query name -> callable(spark, sf_dir)
+def _q125_dsir_production(spark, sf_dir: str):
+    """DSIR at production feature keys (xxhash64 bucket hash — one
+    64-bit hash per bigram, no hex-string build). The gate entry pins
+    keys='md5' so DuckDB replays buckets and ranking bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from db2pq_spark.operators.importance import dsir_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_sample(docs, "text", "doc_id",
+                       F.col("source") == "src1", k=200,
+                       keys="xxhash64")
+
+
+def _q126_moments_arrow(spark, sf_dir: str):
+    """Embedding moments via the arrow impl (one BLAS Xt·X per Arrow
+    batch — d² fewer rows than the exact explode-pairs gate config)."""
+    from db2pq_spark.operators.pca import embedding_moments
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_moments(emb, "embedding", impl="arrow")
+
+
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
@@ -214,7 +240,9 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q118_split_leakage": _q118_leakage_production,
               "q121_kneser_ney": _q121_kn_hash_keys,
               "q107_incremental_dedup": _q107_incremental_production,
-              "q123_winnow_incremental": _q123_winnow_inc_production}
+              "q123_winnow_incremental": _q123_winnow_inc_production,
+              "q125_dsir_sample": _q125_dsir_production,
+              "q126_embedding_moments": _q126_moments_arrow}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -278,6 +306,16 @@ _CONFIGS = {
         "winnow": "production arrow64 k=5/w=4/cap-1000",
         "note": "gate entry pins md5_60 k=4/w=3 uncapped for the "
                 "exact fingerprint replay",
+    },
+    "q125_dsir_sample": {
+        "keys": "xxhash64",
+        "note": "production 64-bit feature-bucket hash; gate entry "
+                "pins md5 buckets for the exact DuckDB replay",
+    },
+    "q126_embedding_moments": {
+        "impl": "arrow",
+        "note": "per-batch BLAS XtX partials; gate entry runs the "
+                "exact explode-pairs decimal path",
     },
 }
 

@@ -164,3 +164,50 @@ def dedup_clusters(
     """Cluster duplicate pairs into (id, comp) groups; ``comp`` is the
     minimum member id — the document to keep under keep-first policy."""
     return connected_components(pairs, id1, id2, max_iterations)
+
+
+def cluster_representatives(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+    quality_col: str,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Keep-BEST-per-cluster canonicalization: cluster the duplicate
+    ``pairs`` (:func:`dedup_clusters`), join each member's quality
+    score, and pick the argmax-quality member per cluster with a
+    deterministic tiebreak (higher ``quality_col``, then lower id) —
+    the production alternative to keep-first dedup, where "first" is
+    an accident of ids but "best" is a real signal (longest, highest
+    quality-classifier score, freshest crawl…).
+
+    Returns ``(comp, rep_id, rep_quality, n_members)`` — one row per
+    duplicate cluster. Documents in no pair are their own trivial
+    cluster and are NOT emitted (they need no canonicalization);
+    filter the corpus with an anti join on (member ids − rep ids) to
+    materialize the deduplicated keep-set.
+
+    Scale shape: components are the iterative hash-min propagation
+    (driver-bounded union-find below 1 M edges, else the distributed
+    fixpoint); the quality join is id-keyed; the per-cluster argmax is
+    one ``max_by``-style aggregate (no window, no sort) over the
+    cluster-membership relation, which is pair-bounded — never
+    corpus-sized."""
+    members = dedup_clusters(pairs, id1, id2, max_iterations)
+    q = quality.select(F.col(id_col).alias("id"),
+                       F.col(quality_col).alias("_q"))
+    scored = members.join(q, "id")
+    # argmax via max(struct(quality, -id)): deterministic, one
+    # aggregate, no per-cluster sort. -id makes ties prefer LOWER id
+    # while keeping a single max() ordering.
+    best = F.max(F.struct(F.col("_q").alias("q"),
+                          (-F.col("id")).alias("neg_id")))
+    return (scored.groupBy("comp")
+            .agg(F.count("*").cast("bigint").alias("n_members"),
+                 best.alias("_b"))
+            .select("comp",
+                    (-F.col("_b.neg_id")).alias("rep_id"),
+                    F.col("_b.q").alias("rep_quality"),
+                    "n_members"))

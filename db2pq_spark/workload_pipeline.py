@@ -1646,3 +1646,259 @@ def q123_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 != 0),
         "text", "doc_id", k=4, w=3, min_shared=2, max_bucket=None,
         token_hash="md5_60")
+
+
+_Q124_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, (source = 'src0') AS pos, {_TOKENS} AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, pos, unnest(toks) AS tok FROM toks
+    ),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+      FROM e GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts
+    ),
+    w AS (
+      SELECT tok,
+             CAST(round(
+               log2((CAST(cp AS DOUBLE) + 1.0e0)
+                    / (CAST(np AS DOUBLE) + 1.0e0 * CAST(v AS DOUBLE)))
+               - log2((CAST(cn AS DOUBLE) + 1.0e0)
+                      / (CAST(nn AS DOUBLE) + 1.0e0 * CAST(v AS DOUBLE))),
+               6) AS DECIMAL(28,10)) AS s
+      FROM counts, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS DECIMAL(38,10)) AS sum_logodds
+    FROM e JOIN w USING (tok)
+    GROUP BY doc_id
+"""
+
+
+@query("q124_nb_quality", oracle=_Q124_SQL)
+def q124_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-classifier quality scoring
+    (operators/quality.py:nb_quality_scores) — the GPT-3/CCNet-style
+    "train a linear filter on a high-quality seed" step, as closed-form
+    multinomial Naive Bayes: per-token log-odds from one conditional
+    vocabulary aggregate (src0 documents are the positive seed), then
+    a per-document DECIMAL-accumulated log-likelihood-ratio score. One
+    corpus explode, one zipf-bounded vocab aggregate, an AQE-broadcast
+    weight join, one doc-keyed re-aggregate. The oracle replays the
+    identical probability tree (engines agree wherever their log2
+    doubles agree; rounded-then-decimal sums are order-independent).
+    [extension]"""
+    from db2pq_spark.operators.quality import nb_quality_scores
+
+    docs = t(spark, sf_dir, "documents")
+    return (nb_quality_scores(docs, "text", "doc_id",
+                              F.col("source") == "src0")
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_tokens", "sum_logodds"))
+
+
+def _q125_oracle() -> str:
+    from db2pq_spark.operators.sampling import hash_bucket_sql
+
+    feat = hash_bucket_sql("gram", 4096, salt="dsir")
+    u = hash_bucket_sql("id", 1_000_000, salt="dsir-gumbel")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, (source = 'src1') AS tgt, {_TOKENS} AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tgt, toks[i] || ' ' || toks[i + 1] AS gram
+      FROM (SELECT doc_id, tgt, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2)
+    ),
+    f AS (
+      SELECT doc_id AS id, tgt, {feat} AS feat FROM bg
+    ),
+    counts AS (
+      SELECT feat,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM f GROUP BY feat
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+    r AS (
+      SELECT feat,
+             CAST(round(
+               log2((CAST(ct AS DOUBLE) + 1.0e0)
+                    / (CAST(nt AS DOUBLE) + 1.0e0 * 4096.0e0))
+               - log2((CAST(cr AS DOUBLE) + 1.0e0)
+                      / (CAST(nr AS DOUBLE) + 1.0e0 * 4096.0e0)),
+               6) AS DECIMAL(28,10)) AS s
+      FROM counts, tot
+    ),
+    lw AS (
+      SELECT id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(s) AS DECIMAL(38,10)) AS sum_logw
+      FROM f JOIN r USING (feat)
+      GROUP BY id
+    )
+    SELECT id, n_feats, sum_logw,
+           round(CAST(sum_logw AS DOUBLE) / n_feats
+                 + (-ln(-ln((CAST({u} AS DOUBLE) + 1.0e0)
+                            / 1000001.0e0))), 6) AS gumbel_key
+    FROM lw
+    ORDER BY gumbel_key DESC, id
+    LIMIT 200
+"""
+
+
+@query("q125_dsir_sample", oracle=_q125_oracle())
+def q125_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling
+    (operators/importance.py) — Xie et al. 2023: hashed-bigram
+    importance weights log2(p_target/p_raw) with Laplace smoothing
+    (src1 documents play the target distribution), then a
+    deterministic Gumbel-top-k draw without replacement ∝ weight.
+    Gate config pins the md5 feature hash so DuckDB replays buckets,
+    weights, Gumbel noise and the ranking bit-for-bit; production
+    uses xxhash64 feature keys. Feature relation is bounded by the
+    4096-bucket space; top-k is a TakeOrdered, not a global sort.
+    [extension]"""
+    from db2pq_spark.operators.importance import dsir_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_sample(docs, "text", "doc_id",
+                       F.col("source") == "src1", k=200,
+                       keys="md5").select(
+        "id", "n_feats", "sum_logw", "gumbel_key")
+
+
+_Q126_SQL = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS pi
+      FROM embeddings
+    ),
+    xi AS (
+      SELECT vec_id, CAST(pi - 1 AS INT) AS i,
+             CAST(embedding[pi] AS DOUBLE) AS x, embedding
+      FROM e
+    ),
+    pairs AS (
+      SELECT xi.vec_id, xi.i, xi.x,
+             CAST(pj - 1 AS INT) AS j,
+             CAST(embedding[pj] AS DOUBLE) AS y
+      FROM xi, unnest(generate_series(1, len(embedding))) AS t(pj)
+      WHERE CAST(pj - 1 AS INT) >= xi.i
+    ),
+    sums AS (
+      SELECT i, j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(x * y, 10) AS DECIMAL(28,10)))
+                  AS DECIMAL(38,10)) AS sum_xy
+      FROM pairs GROUP BY i, j
+    ),
+    firsts AS (
+      SELECT i,
+             CAST(SUM(CAST(round(x, 10) AS DECIMAL(28,10)))
+                  AS DECIMAL(38,10)) AS sum_i
+      FROM xi GROUP BY i
+    )
+    SELECT s.i, s.j, s.n, f.sum_i, s.sum_xy
+    FROM sums s JOIN firsts f USING (i)
+"""
+
+
+@query("q126_embedding_moments", oracle=_Q126_SQL)
+def q126_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding second moments (operators/pca.py:embedding_moments) —
+    the sufficient statistics (n, Σx, Σxxᵀ upper triangle) behind
+    PCA/whitening of an embedding column; the corpus reduces to
+    d(d+1)/2 tiny rows, the d×d eigendecomposition happens driver-side
+    (pca_components/pca_project, pytest-verified), and the projection
+    broadcasts back. Gate config is the exact explode-pairs path with
+    rounded-then-DECIMAL product accumulation (order-independent, the
+    oracle replays it); production is the arrow impl — one BLAS
+    Xᵀ·X per Arrow batch, ~d² fewer rows shuffled. [extension]"""
+    from db2pq_spark.operators.pca import embedding_moments
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_moments(emb, "embedding", impl="exact")
+
+
+_Q127_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    docs AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM base WHERE doc_id < 15
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM base WHERE doc_id < 15
+    ),
+    hashed AS (
+      SELECT doc_id, md5({_NORM}) AS h FROM docs
+    ),
+    grp AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY h) AS comp,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM hashed
+    ),
+    m AS (SELECT doc_id, comp FROM grp WHERE n >= 2),
+    s AS (
+      SELECT m.comp, m.doc_id, (m.doc_id * 37) % 101 AS q FROM m
+    ),
+    ranked AS (
+      SELECT comp, doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY comp) AS n_members
+      FROM s
+    )
+    SELECT comp, doc_id AS rep_id, q AS rep_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("q127_cluster_representatives", oracle=_Q127_SQL)
+def q127_cluster_representatives(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster canonicalization
+    (operators/components.py:cluster_representatives): connected
+    components over duplicate pairs, then one max_by-style aggregate
+    picks the argmax-quality member per cluster (deterministic
+    tiebreak: higher quality, then lower id) — the production
+    alternative to keep-first dedup. Reuses q82's augmented chain
+    corpus (each cluster is a 3-member CHAIN, so labels must
+    propagate) with a synthetic deterministic quality signal
+    ((doc_id·37) mod 101) so the argmax differs from keep-first; the
+    oracle derives clusters in closed form (min id per content-hash
+    group) and replays the argmax with a window. [extension]"""
+    from db2pq_spark.operators.components import cluster_representatives
+    from db2pq_spark.operators.dedup import normalize_text
+
+    base = (t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()).select("doc_id", "text"))
+    docs = base
+    for shift in (1_000_000, 2_000_000):
+        docs = docs.unionByName(
+            base.where(F.col("doc_id") < 15)
+            .select((F.col("doc_id") + shift).alias("doc_id"), "text"))
+    hashed = docs.select("doc_id",
+                         F.md5(normalize_text("text")).alias("h"))
+    nxt = F.lead("doc_id").over(W.partitionBy("h").orderBy("doc_id"))
+    edges = (hashed.select("doc_id", nxt.alias("next_id"))
+             .where(F.col("next_id").isNotNull()))
+    quality = docs.select("doc_id",
+                          ((F.col("doc_id") * 37) % 101).alias("q"))
+    return cluster_representatives(edges, quality, "doc_id", "q",
+                                   id1="doc_id", id2="next_id")

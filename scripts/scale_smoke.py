@@ -74,7 +74,10 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q118_split_leakage",
            # round-7/8 operators (q119 via its production override)
            "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
-           "q122_bpe_segment", "q123_winnow_incremental"]
+           "q122_bpe_segment", "q123_winnow_incremental",
+           # round-9 operators (q125/q126 via production overrides)
+           "q124_nb_quality", "q125_dsir_sample",
+           "q126_embedding_moments", "q127_cluster_representatives"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -171,12 +174,27 @@ def _overrides():
         return kneser_ney_bigrams(docs, "text", "doc_id", keys="hash",
                                   broadcast_stats=True)
 
+    def q125(spark, sf_dir):
+        from db2pq_spark.operators.importance import dsir_sample
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dsir_sample(docs, "text", "doc_id",
+                           F.col("source") == "src1", k=200,
+                           keys="xxhash64")
+
+    def q126(spark, sf_dir):
+        from db2pq_spark.operators.pca import embedding_moments
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_moments(emb, "embedding", impl="arrow")
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
             "q119_winnow_overlap": q119, "q118_split_leakage": q118,
             "q121_kneser_ney": q121, "q107_incremental_dedup": q107,
-            "q123_winnow_incremental": q123}
+            "q123_winnow_incremental": q123,
+            "q125_dsir_sample": q125, "q126_embedding_moments": q126}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:

@@ -1,0 +1,213 @@
+"""Round-9 operators: NB quality scoring, DSIR resampling, embedding
+moments / PCA, cluster representatives."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # two clearly-separated token distributions: "good" docs use the
+    # wiki vocabulary, "bad" docs use spam vocabulary
+    good = "history science culture reference article citation neutral"
+    bad = "buy cheap click winner free casino pills offer now"
+    rows = [(i, f"{good} article {i % 3}", "seed") for i in range(8)] + \
+           [(10 + i, f"{bad} offer {i % 3}", "web") for i in range(8)] + \
+           [(20, f"{good} citation neutral history", "web"),
+            (21, f"{bad} casino click free", "web")]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+class TestNbQuality:
+    def test_seed_like_scores_higher(self, corpus):
+        from db2pq_spark.operators.quality import nb_quality_scores
+
+        out = {r["id"]: r["mean_logodds"] for r in nb_quality_scores(
+            corpus, "text", "doc_id", F.col("src") == "seed").collect()}
+        # the wiki-vocab doc planted in the web class scores positive,
+        # the spam doc negative
+        assert out[20] > 0 > out[21]
+        # seed docs score higher than spam docs across the board
+        assert min(out[i] for i in range(8)) > max(
+            out[10 + i] for i in range(8))
+
+    def test_filter_keeps_seed_like(self, corpus):
+        from db2pq_spark.operators.quality import nb_quality_filter
+
+        kept = {r["doc_id"] for r in nb_quality_filter(
+            corpus, "text", "doc_id", F.col("src") == "seed",
+            threshold=0.0).collect()}
+        assert 20 in kept and 21 not in kept
+        assert all(i in kept for i in range(8))
+
+    def test_partitioning_invariant(self, corpus):
+        # DECIMAL accumulation ⇒ identical sums under any partitioning
+        from db2pq_spark.operators.quality import nb_quality_scores
+
+        base = {r["id"]: r["sum_logodds"] for r in nb_quality_scores(
+            corpus, "text", "doc_id", F.col("src") == "seed").collect()}
+        shuf = {r["id"]: r["sum_logodds"] for r in nb_quality_scores(
+            corpus.repartition(7), "text", "doc_id",
+            F.col("src") == "seed").collect()}
+        assert base == shuf
+
+
+class TestDsir:
+    def test_target_like_wins_sample(self, corpus):
+        from db2pq_spark.operators.importance import dsir_sample
+
+        # target = seed distribution; the wiki-vocab web doc should
+        # out-rank the spam docs in the importance draw
+        out = dsir_sample(corpus, "text", "doc_id",
+                          F.col("src") == "seed", k=10).collect()
+        ids = [r["id"] for r in out]
+        assert len(ids) == 10 and len(set(ids)) == 10
+        # seed-vocab docs (ids 0-7 and the wiki-like web doc 20) carry
+        # much larger importance weights than the spam docs; even with
+        # Gumbel noise the sample should be seed-vocab-dominated
+        seedlike = set(range(8)) | {20}
+        assert len(seedlike & set(ids)) >= 6
+
+    def test_weights_monotone_in_target_similarity(self, corpus):
+        from db2pq_spark.operators.importance import dsir_log_weights
+
+        w = {r["id"]: r["mean_logw"] for r in dsir_log_weights(
+            corpus, "text", "doc_id", F.col("src") == "seed").collect()}
+        assert w[20] > w[21]
+
+    def test_keys_variants_and_validation(self, corpus):
+        from db2pq_spark.operators.importance import dsir_log_weights
+
+        xx = dsir_log_weights(corpus, "text", "doc_id",
+                              F.col("src") == "seed",
+                              keys="xxhash64").count()
+        assert xx > 0
+        with pytest.raises(ValueError, match="unknown keys"):
+            dsir_log_weights(corpus, "text", "doc_id",
+                             F.col("src") == "seed", keys="bogus")
+
+    def test_deterministic(self, corpus):
+        from db2pq_spark.operators.importance import dsir_sample
+
+        a = [(r["id"], r["gumbel_key"]) for r in dsir_sample(
+            corpus, "text", "doc_id", F.col("src") == "seed",
+            k=5).collect()]
+        b = [(r["id"], r["gumbel_key"]) for r in dsir_sample(
+            corpus.repartition(5), "text", "doc_id",
+            F.col("src") == "seed", k=5).collect()]
+        assert a == b
+
+
+class TestEmbeddingMoments:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        # anisotropic cloud: variance concentrated on a known direction
+        base = rng.randn(200, 1) @ np.array([[3.0, 1.0, 0.0, 0.5]]) \
+            + 0.1 * rng.randn(200, 4) + np.array([1.0, -2.0, 0.5, 0.0])
+        rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return df, base.astype("float32").astype("float64")
+
+    def test_exact_matches_numpy(self, vecs):
+        from db2pq_spark.operators.pca import embedding_moments
+
+        df, x = vecs
+        rows = embedding_moments(df, "embedding", impl="exact").collect()
+        got = {(r["i"], r["j"]): float(r["sum_xy"]) for r in rows}
+        import numpy as np
+
+        ref = x.T @ x
+        for (i, j), v in got.items():
+            assert abs(v - ref[i, j]) < 1e-5, (i, j)
+        assert all(r["n"] == 200 for r in rows)
+        assert len(rows) == 4 * 5 // 2
+
+    def test_arrow_matches_exact(self, vecs):
+        from db2pq_spark.operators.pca import embedding_moments
+
+        df, _ = vecs
+        ex = {(r["i"], r["j"]): (float(r["sum_xy"]), float(r["sum_i"]))
+              for r in embedding_moments(df, "embedding",
+                                         impl="exact").collect()}
+        ar = {(r["i"], r["j"]): (float(r["sum_xy"]), float(r["sum_i"]))
+              for r in embedding_moments(
+                  df.repartition(6), "embedding", impl="arrow").collect()}
+        assert set(ex) == set(ar)
+        for k in ex:
+            assert ex[k][0] == pytest.approx(ar[k][0], abs=1e-6)
+            assert ex[k][1] == pytest.approx(ar[k][1], abs=1e-6)
+
+    def test_pca_project_matches_numpy(self, vecs):
+        import numpy as np
+
+        from db2pq_spark.operators.pca import pca_project
+
+        df, x = vecs
+        out = {r["id"]: np.asarray(r["pc"]) for r in pca_project(
+            df, "embedding", "vec_id", k=2, impl="arrow").collect()}
+        # reference PCA on the same data
+        mean = x.mean(axis=0)
+        cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+        vals, vecs_ = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1][:2]
+        comps = vecs_[:, order].T
+        ref = (x - mean) @ comps.T
+        got = np.asarray([out[i] for i in range(len(x))])
+        # eigenvectors are sign-ambiguous: compare per-component up to sign
+        for c in range(2):
+            diff = min(np.abs(got[:, c] - ref[:, c]).max(),
+                       np.abs(got[:, c] + ref[:, c]).max())
+            assert diff < 1e-6
+        # top component captures the planted direction's variance
+        assert got[:, 0].var() > 5 * got[:, 1].var()
+
+    def test_whiten_unit_variance(self, vecs):
+        import numpy as np
+
+        from db2pq_spark.operators.pca import pca_project
+
+        df, _ = vecs
+        out = np.asarray([r["pc"] for r in pca_project(
+            df, "embedding", "vec_id", k=2, whiten=True,
+            impl="arrow").collect()])
+        assert np.allclose(out.var(axis=0), 1.0, atol=0.05)
+
+    def test_empty_raises(self, spark):
+        from db2pq_spark.operators.pca import embedding_moments
+
+        empty = spark.createDataFrame([],
+                                      "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="empty"):
+            embedding_moments(empty, "embedding", impl="exact")
+
+
+class TestClusterRepresentatives:
+    def test_argmax_with_tiebreak(self, spark):
+        from db2pq_spark.operators.components import cluster_representatives
+
+        # chain 1-2-3 (cluster comp=1), pair 10-11 (comp=10)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long")
+        quality = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0)],
+            "id long, q double")
+        out = {r["comp"]: (r["rep_id"], r["rep_quality"], r["n_members"])
+               for r in cluster_representatives(
+                   pairs, quality, "id", "q").collect()}
+        # 2 and 3 tie on quality → lower id wins
+        assert out[1] == (2, 9.0, 3)
+        assert out[10] == (10, 1.0, 2)
+
+    def test_only_clustered_docs_emitted(self, spark):
+        from db2pq_spark.operators.components import cluster_representatives
+
+        pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+        quality = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (99, 50.0)], "id long, q double")
+        out = cluster_representatives(pairs, quality, "id", "q").collect()
+        assert len(out) == 1 and out[0]["rep_id"] == 2
