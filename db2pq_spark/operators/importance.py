@@ -105,7 +105,11 @@ def dsir_log_weights(
         round_digits).cast("decimal(28,10)")
     ratios = (counts.crossJoin(F.broadcast(totals))
               .select("feat", logratio.alias("s")))
-    return (feats.join(ratios, "feat")
+    # ratios is B-bounded (≤ n_buckets rows, unconditionally) — force
+    # the broadcast: the occurrence side is an explode whose size
+    # estimate stays at the pre-explode scan bytes, so the static
+    # planner otherwise builds the broadcast from the exploded corpus
+    return (feats.join(F.broadcast(ratios), "feat")
             .groupBy("id")
             .agg(F.count("*").alias("n_feats"), F.sum("s").alias("_sum"))
             .select("id",

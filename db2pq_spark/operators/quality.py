@@ -89,7 +89,14 @@ def nb_quality_scores(
         round_digits).cast("decimal(28,10)")
     weights = (counts.crossJoin(F.broadcast(totals))
                .select("tok", logodds.alias("s")))
-    return (exploded.join(weights, "tok")
+    # the weight relation is the TOKEN VOCABULARY (zipf-bounded — even
+    # the adversarial 100× replica with per-copy token suffixes holds
+    # ~3k distinct tokens) and must be broadcast EXPLICITLY: the
+    # occurrence side is an explode, whose size estimate stays at the
+    # pre-explode scan bytes, so the static planner otherwise picks
+    # the 75M-row exploded side as the broadcast build (measured 20×
+    # slower at the 100× replica)
+    return (exploded.join(F.broadcast(weights), "tok")
             .groupBy("id")
             .agg(F.count("*").alias("n_tokens"),
                  F.sum("s").alias("_sum"))

@@ -242,7 +242,11 @@ def unigram_surprisal(
         -F.log2(F.col("c") / F.col("n_ref")), round_digits
     ).cast("decimal(28,10)")
     probs = probs.select("tok", surprise.alias("s"), "n_ref")
-    joined = (exploded.join(probs, "tok", "left")
+    # probs is the token VOCABULARY (zipf-bounded) — broadcast it
+    # explicitly: the probe side is an explode whose size estimate
+    # stays at the pre-explode scan bytes, so the static planner can
+    # otherwise pick the occurrence side as the broadcast build
+    joined = (exploded.join(F.broadcast(probs), "tok", "left")
               .join(F.broadcast(totals.select(
                   F.col("n_ref").alias("_nr"))), how="cross")
               .select("id", F.coalesce(

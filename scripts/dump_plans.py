@@ -142,11 +142,28 @@ SHOWCASE = {
                         "— per-word segmentation once per DISTINCT "
                         "word, one doc-keyed aggregate",
     "q123_winnow_incremental": "incremental winnowing: batch "
-                               "fingerprints BROADCAST into the "
-                               "corpus fingerprint join (corpus never "
-                               "shuffles); intermediate arrays staged "
-                               "behind Generate barriers so nothing "
-                               "recomputes per window",
+                               "fingerprint KEYS broadcast as a semi "
+                               "filter before the hot-cap count, so "
+                               "the corpus never shuffles and only "
+                               "the batch-matched relation "
+                               "materializes",
+    "q124_nb_quality": "NB quality filter: one corpus explode, one "
+                       "conditional vocabulary aggregate (both class "
+                       "counts in one pass), AQE-broadcast weight "
+                       "join, one doc-keyed re-aggregate",
+    "q125_dsir_sample": "DSIR: hashed-bigram features into a "
+                        "B-bounded aggregate, broadcast log-ratio "
+                        "join, TakeOrderedAndProject for the "
+                        "Gumbel-top-k (no global sort)",
+    "q126_embedding_moments": "embedding moments (gate/exact path): "
+                              "explode-pairs with decimal partial "
+                              "sums collapsing map-side to d(d+1)/2 "
+                              "rows",
+    "q127_cluster_representatives": "cluster canonicalization: "
+                                    "hash-min component labels, "
+                                    "id-keyed quality join, one "
+                                    "max_by-style aggregate (no "
+                                    "window sort) per cluster",
 }
 
 HEADER = """\
