@@ -51,7 +51,7 @@ _EXTENSION = (
     "q122_bpe_segment", "q123_winnow_incremental",
     # round-9 additions
     "q124_nb_quality", "q125_dsir_sample", "q126_embedding_moments",
-    "q127_cluster_representatives",
+    "q127_cluster_representatives", "q128_mmr_select",
 )
 
 

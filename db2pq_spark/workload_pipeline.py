@@ -1902,3 +1902,72 @@ def q127_cluster_representatives(spark: SparkSession,
                           ((F.col("doc_id") * 37) % 101).alias("q"))
     return cluster_representatives(edges, quality, "doc_id", "q",
                                    id1="doc_id", id2="next_id")
+
+
+def _q128_oracle(k: int = 4) -> str:
+    """Unrolled-CTE MMR replay (the kmeans/BPE oracle discipline):
+    round r's argmax is computed from the literal score tree over the
+    candidates minus the previously-picked ids, with each selected
+    vector pulled back by scalar subquery."""
+    def cos(vec_expr: str) -> str:
+        return (
+            "ROUND(list_dot_product(c.embedding::DOUBLE[], "
+            f"{vec_expr}::DOUBLE[]) / "
+            "(SQRT(list_dot_product(c.embedding::DOUBLE[], "
+            "c.embedding::DOUBLE[])) * "
+            f"SQRT(list_dot_product({vec_expr}::DOUBLE[], "
+            f"{vec_expr}::DOUBLE[]))), 4)")
+
+    def sel_vec(r: int) -> str:
+        return ("(SELECT embedding FROM embeddings WHERE vec_id = "
+                f"(SELECT id FROM p{r}))")
+
+    parts = [f"""
+    WITH cand AS (
+      SELECT c.vec_id AS id, c.embedding,
+             {cos("(SELECT embedding FROM embeddings WHERE vec_id = 0)")}
+               AS rel
+      FROM embeddings c WHERE c.vec_id <> 0
+    )"""]
+    for r in range(1, k + 1):
+        if r == 1:
+            maxsim = "0.0e0"
+            excl = ""
+        else:
+            sims = ", ".join(cos(sel_vec(j)) for j in range(1, r))
+            maxsim = f"GREATEST({sims})" if r > 2 else sims
+            prior = " UNION ALL ".join(
+                f"SELECT id FROM p{j}" for j in range(1, r))
+            excl = f"WHERE id NOT IN ({prior})"
+        parts.append(f""",
+    p{r} AS (
+      SELECT id, rel,
+             0.5e0 * rel - (1.0e0 - 0.5e0) * {maxsim} AS score
+      FROM cand c {excl}
+      ORDER BY score DESC, id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, id, rel AS relevance, "
+        f"score FROM p{r}" for r in range(1, k + 1))
+    parts.append(f"\n    {finals}")
+    return "".join(parts)
+
+
+@query("q128_mmr_select", oracle=_q128_oracle(4))
+def q128_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified selection (operators/mmr.py:mmr_select —
+    Carbonell & Goldstein SIGIR 1998): the 4 embeddings most relevant
+    to the vec_id-0 query vector but mutually non-redundant, via
+    λ·rel − (1−λ)·max-sim-to-selected with λ=0.5 (exactly
+    representable — the score arithmetic replays bit-for-bit). Each
+    round is one narrow corpus pass (cosine folds against ≤k literal
+    vectors) ending in TakeOrdered LIMIT 1 + a 1-row collect — the
+    k-means/BPE bounded-iteration discipline; the oracle unrolls the
+    rounds as CTEs and reproduces the full trajectory. [extension]"""
+    from db2pq_spark.operators.mmr import mmr_select
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0) \
+        .select("embedding").head()["embedding"]
+    return mmr_select(emb.where(F.col("vec_id") != 0), "embedding",
+                      "vec_id", qvec, k=4, lam=0.5)

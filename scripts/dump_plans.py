@@ -164,6 +164,11 @@ SHOWCASE = {
                                     "id-keyed quality join, one "
                                     "max_by-style aggregate (no "
                                     "window sort) per cluster",
+    "q128_mmr_select": "MMR diversified selection: k rounds of one "
+                       "narrow corpus pass each (cosine folds "
+                       "against <=k literal vectors) ending in "
+                       "TakeOrderedAndProject LIMIT 1 + a 1-row "
+                       "collect — the bounded-iteration discipline",
 }
 
 HEADER = """\

@@ -77,7 +77,8 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q122_bpe_segment", "q123_winnow_incremental",
            # round-9 operators (q125/q126 via production overrides)
            "q124_nb_quality", "q125_dsir_sample",
-           "q126_embedding_moments", "q127_cluster_representatives"]
+           "q126_embedding_moments", "q127_cluster_representatives",
+           "q128_mmr_select"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000

@@ -211,3 +211,59 @@ class TestClusterRepresentatives:
             [(1, 1.0), (2, 2.0), (99, 50.0)], "id long, q double")
         out = cluster_representatives(pairs, quality, "id", "q").collect()
         assert len(out) == 1 and out[0]["rep_id"] == 2
+
+
+class TestMmr:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        # query along e0; 1 and 2 near-duplicate each other, 3 is
+        # equally relevant but on the OTHER side of the query (diverse
+        # from 1), 4 irrelevant. The first pick must not coincide with
+        # the query direction, else rel == sim degenerately for every
+        # candidate and MMR reduces to the id tiebreak.
+        rows = [
+            (1, [0.95, 0.3, 0.0]),
+            (2, [0.95, 0.31, 0.0]),
+            (3, [0.95, -0.3, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_diversity_beats_pure_topk(self, vecs):
+        from db2pq_spark.operators.mmr import mmr_select
+
+        out = mmr_select(vecs, "embedding", "vec_id",
+                         [1.0, 0.0, 0.0], k=2, lam=0.5)
+        got = [(r["rank"], r["id"]) for r in out.collect()]
+        # pure top-2 by relevance would be {1, 2}; MMR must skip the
+        # near-duplicate 2 and take the diverse 3
+        assert got == [(1, 1), (2, 3)]
+
+    def test_k_exceeds_candidates(self, vecs):
+        from db2pq_spark.operators.mmr import mmr_select
+
+        out = mmr_select(vecs, "embedding", "vec_id",
+                         [1.0, 0.0, 0.0], k=10, lam=0.5).collect()
+        assert len(out) == 4
+        assert sorted(r["id"] for r in out) == [1, 2, 3, 4]
+
+    def test_deterministic_under_partitioning(self, vecs):
+        from db2pq_spark.operators.mmr import mmr_select
+
+        a = [(r["rank"], r["id"], r["score"]) for r in mmr_select(
+            vecs, "embedding", "vec_id", [1.0, 0.0, 0.0],
+            k=3).collect()]
+        b = [(r["rank"], r["id"], r["score"]) for r in mmr_select(
+            vecs.repartition(5), "embedding", "vec_id",
+            [1.0, 0.0, 0.0], k=3).collect()]
+        assert a == b
+
+    def test_lambda_one_is_pure_relevance(self, vecs):
+        from db2pq_spark.operators.mmr import mmr_select
+
+        out = [r["id"] for r in mmr_select(
+            vecs, "embedding", "vec_id", [1.0, 0.0, 0.0],
+            k=3, lam=1.0).collect()]
+        # pure relevance: 1 and 3 tie (id tiebreak), 2 slightly lower
+        assert out == [1, 3, 2]
