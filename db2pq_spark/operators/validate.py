@@ -124,16 +124,26 @@ def validate(
         parts.append(melted)
 
     for fk in fks:
-        orphans = (df.select(F.col(fk.col))
-                   .join(fk.ref.select(F.col(fk.ref_col).alias(fk.col))
-                         .distinct(),
-                         on=fk.col, how="left_anti")
-                   # NULL keys are not orphans (use not_null to forbid)
-                   .filter(F.col(fk.col).isNotNull()))
+        # pre-aggregate the probe side to (key, row count) BEFORE the
+        # anti join: the map-side combine collapses the fact relation
+        # to its distinct keys (lineitem carries ~4 rows per orderkey),
+        # so the join shuffles and sorts key-cardinality rows instead
+        # of fact-cardinality rows — the violation count is the SUM of
+        # the orphan keys' row counts, identical by definition.
+        # NULL keys are not orphans (use not_null to forbid).
+        probe = (df.select(F.col(fk.col))
+                 .filter(F.col(fk.col).isNotNull())
+                 .groupBy(fk.col).agg(F.count(F.lit(1)).alias("__c")))
+        orphans = probe.join(
+            fk.ref.select(F.col(fk.ref_col).alias(fk.col)).distinct(),
+            on=fk.col, how="left_anti")
         parts.append(
             df.agg(F.count(F.lit(1)).alias("n_rows"))
-            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("violations")))
-            .select(F.lit(fk.name).alias("rule"), "violations", "n_rows"))
+            .crossJoin(orphans.agg(
+                F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint")
+                .alias("violations")))
+            .select(F.lit(fk.name).alias("rule"), "violations",
+                    "n_rows"))
 
     out = parts[0]
     for p in parts[1:]:
