@@ -52,6 +52,7 @@ _EXTENSION = (
     # round-9 additions
     "q124_nb_quality", "q125_dsir_sample", "q126_embedding_moments",
     "q127_cluster_representatives", "q128_mmr_select",
+    "q129_nb_score_increment",
 )
 
 

@@ -111,6 +111,78 @@ def nb_quality_scores(
                      .alias("mean_logodds")))
 
 
+def nb_quality_weights(
+    df: DataFrame, text_col: str, positive: Column,
+    alpha: float = 1.0, round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Train once, score increments — the deployment split of
+    :func:`nb_quality_scores` (same discipline as the persisted
+    MinHash signature / winnow fingerprint corpora and the BPE
+    train→apply pair): returns ``(weights, oov)`` where ``weights`` is
+    the (tok, s) per-token log-odds relation (vocabulary-sized —
+    persist it as parquet once) and ``oov`` is the 1-row relation
+    carrying the log-odds of a token UNSEEN at training time (the
+    Laplace-smoothed zero-count ratio — a constant, but a relation so
+    nothing ever leaves the cluster). Both carry the identical
+    probability tree as the one-shot entry point, so scoring the
+    training corpus with them reproduces :func:`nb_quality_scores`
+    bit-for-bit."""
+    toked = df.select(positive.alias("_pos"),
+                      tokens(text_col).alias("_toks"))
+    exploded = toked.select("_pos", F.explode("_toks").alias("tok"))
+    counts = (exploded.groupBy("tok")
+              .agg(F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+                   .alias("cp"),
+                   F.sum(F.when(F.col("_pos"), 0).otherwise(1))
+                   .alias("cn")))
+    totals = counts.agg(F.sum("cp").alias("np"),
+                        F.sum("cn").alias("nn"),
+                        F.count("*").alias("v"))
+    a = F.lit(float(alpha))
+
+    def _lo(cp, cn):
+        return F.round(
+            F.log2((cp + a) / (F.col("np").cast("double")
+                               + a * F.col("v")))
+            - F.log2((cn + a) / (F.col("nn").cast("double")
+                                 + a * F.col("v"))),
+            round_digits).cast("decimal(28,10)")
+
+    weights = (counts.crossJoin(F.broadcast(totals))
+               .select("tok", _lo(F.col("cp").cast("double"),
+                                  F.col("cn").cast("double"))
+                       .alias("s")))
+    oov = totals.select(_lo(F.lit(0.0), F.lit(0.0)).alias("oov_s"))
+    return weights, oov
+
+
+def nb_score_documents(
+    batch: DataFrame, weights: DataFrame, oov: DataFrame,
+    text_col: str, id_col: str,
+) -> DataFrame:
+    """Score an increment against persisted :func:`nb_quality_weights`
+    — (id, n_tokens, sum_logodds, mean_logodds), tokens unseen at
+    training time falling back to the OOV log-odds. One batch explode,
+    one broadcast weight join (vocabulary-sized by zipf — forced, the
+    explode side's size estimate lies), one doc-keyed re-aggregate;
+    the standing corpus is never touched, which is the point."""
+    exploded = batch.select(F.col(id_col).alias("id"),
+                            F.explode(tokens(text_col)).alias("tok"))
+    return (exploded.join(F.broadcast(weights), "tok", "left")
+            .crossJoin(F.broadcast(oov))
+            .select("id", F.coalesce(F.col("s"), F.col("oov_s"))
+                    .alias("s"))
+            .groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("s").alias("_sum"))
+            .select("id",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("_sum").cast("decimal(38,10)")
+                     .alias("sum_logodds"),
+                    (F.col("_sum").cast("double") / F.col("n_tokens"))
+                     .alias("mean_logodds")))
+
+
 def nb_quality_filter(
     df: DataFrame, text_col: str, id_col: str, positive: Column,
     threshold: float = 0.0, alpha: float = 1.0,

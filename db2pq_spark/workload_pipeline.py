@@ -1971,3 +1971,77 @@ def q128_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding").head()["embedding"]
     return mmr_select(emb.where(F.col("vec_id") != 0), "embedding",
                       "vec_id", qvec, k=4, lam=0.5)
+
+
+_Q129_SQL = f"""
+    WITH corpus AS (
+      SELECT source, text FROM documents WHERE doc_id % 7 <> 0
+    ),
+    toks AS (
+      SELECT (source = 'src0') AS pos, {_TOKENS} AS toks FROM corpus
+    ),
+    e AS (SELECT pos, unnest(toks) AS tok FROM toks),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+      FROM e GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts
+    ),
+    w AS (
+      SELECT tok,
+             CAST(round(
+               log2((CAST(cp AS DOUBLE) + 1.0e0)
+                    / (CAST(np AS DOUBLE) + 1.0e0 * CAST(v AS DOUBLE)))
+               - log2((CAST(cn AS DOUBLE) + 1.0e0)
+                      / (CAST(nn AS DOUBLE) + 1.0e0 * CAST(v AS DOUBLE))),
+               6) AS DECIMAL(28,10)) AS s
+      FROM counts, tot
+    ),
+    oov AS (
+      SELECT CAST(round(
+               log2((0.0e0 + 1.0e0)
+                    / (CAST(np AS DOUBLE) + 1.0e0 * CAST(v AS DOUBLE)))
+               - log2((0.0e0 + 1.0e0)
+                      / (CAST(nn AS DOUBLE) + 1.0e0 * CAST(v AS DOUBLE))),
+               6) AS DECIMAL(28,10)) AS oov_s
+      FROM tot
+    ),
+    be AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT be.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(w.s, oov.oov_s)) AS DECIMAL(38,10))
+             AS sum_logodds
+    FROM be LEFT JOIN w USING (tok) CROSS JOIN oov
+    GROUP BY be.doc_id
+"""
+
+
+@query("q129_nb_score_increment", oracle=_Q129_SQL)
+def q129_nb_score_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / score-increments quality filtering
+    (operators/quality.py:nb_quality_weights + nb_score_documents):
+    the NB weight relation is trained on the standing corpus
+    (doc_id % 7 ≠ 0, src0 seed positive) and a new batch
+    (doc_id % 7 = 0) is scored against it with OOV fallback — the
+    deployment shape where the classifier is persisted once and each
+    crawl increment pays one batch explode + one broadcast weight
+    join, never touching the corpus (the persisted-signature
+    discipline of the incremental dedup trio, applied to quality
+    filtering). [extension]"""
+    from db2pq_spark.operators.quality import (
+        nb_quality_weights, nb_score_documents)
+
+    docs = t(spark, sf_dir, "documents")
+    weights, oov = nb_quality_weights(
+        docs.filter(F.col("doc_id") % 7 != 0), "text",
+        F.col("source") == "src0")
+    return (nb_score_documents(docs.filter(F.col("doc_id") % 7 == 0),
+                               weights, oov, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_tokens", "sum_logodds"))

@@ -169,6 +169,12 @@ SHOWCASE = {
                        "against <=k literal vectors) ending in "
                        "TakeOrderedAndProject LIMIT 1 + a 1-row "
                        "collect — the bounded-iteration discipline",
+    "q129_nb_score_increment": "train-once/score-increments quality "
+                               "filter: vocabulary-sized weight "
+                               "relation broadcast into the batch "
+                               "explode, OOV constant via 1-row "
+                               "cross join — the corpus is never "
+                               "touched at scoring time",
 }
 
 HEADER = """\

@@ -78,7 +78,7 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            # round-9 operators (q125/q126 via production overrides)
            "q124_nb_quality", "q125_dsir_sample",
            "q126_embedding_moments", "q127_cluster_representatives",
-           "q128_mmr_select"]
+           "q128_mmr_select", "q129_nb_score_increment"]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000

@@ -267,3 +267,34 @@ class TestMmr:
             k=3, lam=1.0).collect()]
         # pure relevance: 1 and 3 tie (id tiebreak), 2 slightly lower
         assert out == [1, 3, 2]
+
+
+class TestNbTrainApply:
+    def test_reproduces_one_shot_on_training_corpus(self, corpus):
+        from db2pq_spark.operators.quality import (
+            nb_quality_scores, nb_quality_weights, nb_score_documents)
+
+        one = {r["id"]: r["sum_logodds"] for r in nb_quality_scores(
+            corpus, "text", "doc_id", F.col("src") == "seed").collect()}
+        w, oov = nb_quality_weights(corpus, "text",
+                                    F.col("src") == "seed")
+        two = {r["id"]: r["sum_logodds"] for r in nb_score_documents(
+            corpus, w, oov, "text", "doc_id").collect()}
+        assert one == two
+
+    def test_oov_fallback(self, corpus, spark):
+        from db2pq_spark.operators.quality import (
+            nb_quality_weights, nb_score_documents)
+
+        w, oov = nb_quality_weights(corpus, "text",
+                                    F.col("src") == "seed")
+        oov_s = oov.head()["oov_s"]
+        batch = spark.createDataFrame(
+            [(100, "zzz-unseen qqq-unseen www-unseen")],
+            "doc_id long, text string")
+        got = nb_score_documents(batch, w, oov, "text",
+                                 "doc_id").head()
+        # every token unseen -> sum is exactly 3 x the OOV constant
+        assert got["n_tokens"] == 3
+        assert float(got["sum_logodds"]) == pytest.approx(
+            3 * float(oov_s))
