@@ -189,6 +189,13 @@ def cluster_representatives(
     filter the corpus with an anti join on (member ids − rep ids) to
     materialize the deduplicated keep-set.
 
+    ``quality`` is LEFT-joined: members with no quality row still
+    count toward ``n_members`` and a cluster none of whose members
+    has a quality row is still emitted (rep = lowest id,
+    ``rep_quality`` null) — scored members always outrank unscored
+    ones. Ids must be numeric (the single-aggregate argmax negates
+    them for the lower-id tiebreak); a non-numeric id column raises.
+
     Scale shape: components are the iterative hash-min propagation
     (driver-bounded union-find below 1 M edges, else the distributed
     fixpoint); the quality join is id-keyed; the per-cluster argmax is
@@ -196,13 +203,24 @@ def cluster_representatives(
     cluster-membership relation, which is pair-bounded — never
     corpus-sized."""
     members = dedup_clusters(pairs, id1, id2, max_iterations)
+    id_type = dict(members.dtypes)["id"]
+    if id_type not in ("tinyint", "smallint", "int", "bigint",
+                       "float", "double") \
+            and not id_type.startswith("decimal"):
+        raise TypeError(
+            f"cluster_representatives needs a numeric id column for "
+            f"the argmax tiebreak (got {id_type!r}); map string ids "
+            "to longs (e.g. xxhash64) upstream")
     q = quality.select(F.col(id_col).alias("id"),
                        F.col(quality_col).alias("_q"))
-    scored = members.join(q, "id")
-    # argmax via max(struct(quality, -id)): deterministic, one
-    # aggregate, no per-cluster sort. -id makes ties prefer LOWER id
-    # while keeping a single max() ordering.
-    best = F.max(F.struct(F.col("_q").alias("q"),
+    scored = members.join(q, "id", "left")
+    # argmax via max(struct(has_q, quality, -id)): deterministic, one
+    # aggregate, no per-cluster sort. has_q first so any scored member
+    # beats every unscored one (struct ordering ranks null fields
+    # lowest, but an explicit flag keeps the intent testable); -id
+    # makes ties prefer LOWER id while keeping a single max() ordering.
+    best = F.max(F.struct(F.col("_q").isNotNull().alias("has_q"),
+                          F.col("_q").alias("q"),
                           (-F.col("id")).alias("neg_id")))
     return (scored.groupBy("comp")
             .agg(F.count("*").cast("bigint").alias("n_members"),

@@ -903,6 +903,16 @@ def winnow_fingerprints(
     Families are mutually incompatible (disjoint fingerprint values) —
     which is what the ``_fp_hash`` stamp below enforces.
 
+    COMPATIBILITY NOTE: the default flipped ``xxhash64`` → ``arrow64``
+    in round 9, so fingerprints computed under default arguments
+    changed value across versions. A persisted corpus built under the
+    old default must either be probed with an explicit
+    ``token_hash='xxhash64'`` or re-fingerprinted — the ``_fp_hash``
+    stamp turns the mismatch into a hard error instead of silent
+    zero-overlap, and the cross-family parity test
+    (tests/test_review_fixes.py) pins that both families produce the
+    same overlap PAIR SET on guaranteed-run corpora.
+
     The output carries a ``_fp_hash`` stamp column naming the
     ``token_hash`` that built it — fingerprints from different hash
     families share NO values, so a persisted fingerprint corpus probed
@@ -1174,7 +1184,13 @@ def winnow_overlap_incremental(
       doc, so the counts equal the corpus-wide ones for every key the
       batch can see — and anti-broadcasts the hot keys; boilerplate
       buckets cost one matched-relation-sized shuffle, never a
-      corpus-sized one."""
+      corpus-sized one.
+
+    Small-scale trade (do not "fix" back): the broadcast semi filter
+    adds a fixed batch-fingerprint collect+broadcast stage — ~0.7 s
+    constant at sf0.1 — and wins ~8× at the 100× replica because the
+    corpus-side shuffle it removes grows with the corpus while the
+    broadcast does not (round-9 measured 100× ratio 17.8×→2.2×)."""
     bfp = (winnow_fingerprints(batch, text_col, id_col, k, w,
                                token_hash)
            .select(F.col("id").alias("batch_id"), "fp"))

@@ -30,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from db2pq_spark.operators.similarity import cosine
+from db2pq_spark.operators.similarity import cosine, cosine_null_safe
+
+#: hard cap on ``k``: every already-selected vector is inlined into the
+#: round-r score expression as literal arrays, so plan size is O(k·d)
+#: literals per round (O(k²·d) through analysis over the whole run) —
+#: the right trade for the 4–32-exemplar selections MMR is used with,
+#: pathological at k≈500 (same bounded-contract discipline as
+#: ranking.global_rank_with_total's `bounded` check).
+MMR_MAX_K = 128
 
 
 def mmr_select(
@@ -49,11 +57,31 @@ def mmr_select(
     argmax via orderBy+LIMIT 1 (TakeOrderedAndProject — no global
     sort) and collects ONE row; the selected set lives driver-side
     (≤ k·d doubles, the k-means centroid discipline)."""
+    if int(k) > MMR_MAX_K:
+        raise ValueError(
+            f"k={k} exceeds MMR_MAX_K={MMR_MAX_K}: mmr_select inlines "
+            "every selected vector into the score expression as "
+            "literals (O(k·d) per round through plan analysis) — the "
+            "right trade only for small exemplar selections; for "
+            "large k use a clustering-based selector "
+            "(operators/clustering.py) instead")
+    if not any(float(x) != 0.0 for x in query_vec):
+        raise ValueError("query_vec has zero norm — relevance cosine "
+                         "is undefined")
     spark = df.sparkSession
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    rel = F.round(cosine(F.col(vec_col), qlit), round_digits)
+    rel = F.round(cosine_null_safe(F.col(vec_col), qlit), round_digits)
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("_v"), rel.alias("rel"))
+    # A zero-norm candidate is poison: under ANSI (Spark 4 default)
+    # its cosine raises DIVIDE_BY_ZERO mid-query; under legacy mode it
+    # is NaN, which sorts ABOVE every double descending — it would win
+    # round 1 and then NaN every later round's max-sim term. rel is
+    # NULL (try_divide) exactly when |v| = 0 (query norm checked
+    # above); drop those rows before any argmax. Surviving candidates
+    # all have positive norm, so the round-r cosines against selected
+    # vectors are plain divisions again.
+    base = base.where(F.col("rel").isNotNull())
     lam_c, inv_c = F.lit(float(lam)), F.lit(1.0) - F.lit(float(lam))
     selected: list[tuple] = []   # (rank, id, vec, rel, score)
     for r in range(int(k)):

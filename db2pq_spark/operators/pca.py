@@ -164,7 +164,10 @@ def pca_project(
 
     from db2pq_spark.functions.arrow import series_pandas_udf
 
-    d = df.select(F.size(vec_col).alias("d")).head()["d"]
+    head = df.select(F.size(vec_col).alias("d")).head()
+    if head is None:
+        raise ValueError("pca_project on an empty relation")
+    d = head["d"]
     rows = embedding_moments(df, vec_col, impl=impl).collect()
     mean, comps, vals = pca_components(rows, d, k)
     if whiten:

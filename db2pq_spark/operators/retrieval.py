@@ -1,21 +1,28 @@
 """Lexical ranked retrieval (TF-IDF / BM25) over a document table.
 
 [extension — not in the reference] BM25 (Robertson/Spärck Jones) as a
-pure DataFrame pipeline — every step JVM-side, no Python in the loop:
+pure DataFrame pipeline — every step JVM-side, no Python in the loop,
+and exactly ONE scan+tokenize pass over the corpus:
 
-1. tokenize: ``split(lower(text))`` on a non-alphanumeric regex —
-   a narrow map;
-2. corpus stats (N, avgdl): one tiny aggregate, broadcast;
-3. explode tokens, keep only query terms — the explode fan-out is
-   pruned to |query| terms immediately, so the shuffled relation is
-   ~|matching docs| × |query terms|, independent of document length;
-4. tf per (doc, term), df per term (tiny, broadcast back);
-5. score and sum per doc.
-
-At 100 TB the only large shuffle is the (doc_id, term) partial-agg
-for tf — map-side combined, keyed on high-cardinality doc_id, skew-free
-(query terms are columns of the aggregate, not keys). Document-frequency
-and corpus stats are kilobytes regardless of corpus size.
+1. tokenize: ``split(lower(text))`` on a non-alphanumeric regex,
+   materialized behind a 1:1 Generate barrier so CollapseProject
+   cannot inline the regex into every downstream reference (the
+   round-9 plan audit caught the un-barriered shape re-tokenizing in
+   the pushed ``size(...)>0``/``isnotnull`` DataFilters too);
+2. explode the token array with one NULL sentinel prepended, map
+   non-query tokens to a NULL term, and partial-aggregate
+   ``(doc_id, dl, term) → count`` — map-side combine collapses every
+   partition to ≤ |query|+1 groups per document, so the single
+   corpus-wide shuffle carries ~|docs|·(|query|+1) narrow rows
+   regardless of document length;
+3. stage that compact relation (``localCheckpoint``, the span-family
+   discipline) — corpus stats (N, avgdl from the guaranteed sentinel
+   rows), tf, and document frequency ALL derive from it, so nothing
+   ever re-reads the corpus (the previous shape planned three
+   ``FileScan documents`` because the tf exchange key ``(doc_id, dl,
+   term)`` can never be reused for the ``(term)``-keyed df aggregate);
+4. score and sum per doc (df and corpus stats broadcast — kilobytes
+   at any corpus size).
 
 An inverted *index* is deliberately NOT materialized: for batch scoring
 Spark's scan+agg over columnar parquet is the right plan; an index only
@@ -44,29 +51,71 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 4,
+    stage: str = "checkpoint",
 ) -> DataFrame:
     """Score every document containing ≥1 query term against the term
     set; returns ``(doc_id, bm25 double)`` (unscored docs omitted).
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the non-negative
     Robertson form. ``round_digits`` stabilizes the float sum for
-    cross-engine comparison.
+    cross-engine comparison. NULL text counts as an empty document
+    (dl = 0) toward N and avgdl.
+
+    ``stage`` materializes the compact per-doc term-count relation that
+    stats/tf/df all derive from: ``"checkpoint"`` (default)
+    localCheckpoints it, ``"persist"`` is DISK_ONLY with lineage (the
+    executor-churn-safe cluster choice), ``"none"`` recomputes per
+    consumer — three corpus scans, the pre-round-10 behavior, only
+    useful when even the compact relation must not be materialized.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokenize(text_col).alias("terms"),
-    ).withColumn("dl", F.size("terms"))
+    from db2pq_spark.operators.dedup import _stage_col
 
-    stats = toks.agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.coalesce(tokenize(text_col),
+                                  F.array().cast("array<string>"))
+                       .alias("_raw"))
+    toks = _stage_col(base, ["doc_id"], F.col("_raw"), "terms")
+    # one NULL sentinel per document guarantees every doc (even one
+    # made entirely of query terms, or empty) emits a NULL-term row —
+    # that row carries the doc's existence and dl into the single
+    # aggregate, so corpus stats need no second scan
+    sentinel = F.array(F.lit(None).cast("string"))
+    exploded = toks.select(
+        "doc_id", F.size("terms").alias("dl"),
+        F.explode(F.concat(sentinel, F.col("terms"))).alias("_tok"))
+    grouped = (
+        exploded.select(
+            "doc_id", "dl",
+            F.when(F.col("_tok").isin(query_terms), F.col("_tok"))
+            .alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("_cnt")))
+    if stage == "checkpoint":
+        # eager: the first consumers are the stats/df BROADCAST jobs,
+        # which the scheduler can launch concurrently — with a lazy
+        # checkpoint both would race to compute the corpus pass
+        # (concurrent jobs don't deduplicate an in-flight RDD), paying
+        # the scan twice; eager materializes it exactly once up front
+        grouped = grouped.localCheckpoint(eager=True)
+    elif stage == "persist":
+        from pyspark import StorageLevel
 
-    matched = (toks.select("doc_id", "dl", F.explode("terms").alias("term"))
-               .filter(F.col("term").isin(query_terms)))
-    tf = matched.groupBy("doc_id", "dl", "term") \
-        .agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("dft"))
+        grouped = grouped.persist(StorageLevel.DISK_ONLY)
+    elif stage != "none":
+        raise ValueError(f"unknown stage {stage!r} — expected "
+                         "'checkpoint', 'persist' or 'none'")
+
+    stats = (grouped.filter(F.col("term").isNull())
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg("dl").alias("avgdl")))
+    tf = (grouped.filter(F.col("term").isNotNull())
+          .select("doc_id", "dl", "term", F.col("_cnt").alias("tf")))
+    # (doc_id, term) is unique after the aggregate, so df is a plain
+    # count over the staged tf relation — no corpus re-scan, no
+    # count_distinct
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
 
     j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dft") + 0.5)

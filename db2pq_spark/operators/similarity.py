@@ -43,6 +43,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_null_safe(a: Column, b: Column) -> Column:
+    """:func:`cosine`, but NULL when either vector has zero norm —
+    under ANSI mode (the Spark 4 default) the plain division raises
+    DIVIDE_BY_ZERO at runtime, and under legacy mode it yields NaN,
+    which sorts ABOVE every double in descending order (a silent
+    ranking poison). Callers that rank by similarity filter the NULLs
+    instead (nulls sort last under ``desc`` anyway)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -57,8 +57,11 @@ SHOWCASE = {
                       "nested-loop/cartesian",
     "q95_validation": "row rules + uniqueness share ONE scan+aggregate; "
                       "the FK check is a broadcast anti-join",
-    "q96_bm25": "explode pruned to query terms before the shuffle; "
-                "corpus stats and df broadcast back",
+    "q96_bm25": "ONE corpus scan: sentinel-explode partial-agg staged "
+                "via eager localCheckpoint (the final plan reads the "
+                "staged relation — the corpus FileScan ran once in the "
+                "checkpoint job); stats/tf/df all derive from it, "
+                "stats and df broadcast back",
     "q97_weighted_sample": "weighted sample is a narrow score + "
                            "TakeOrderedAndProject — no full sort",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "

@@ -27,8 +27,20 @@ capped MinHash banding, default SimHash chunking, 8×4 multi-probe LSH)
 which do strictly more work; scale behavior of the deployed defaults is
 what this smoke certifies (same override pattern as bench.py).
 
+Round-10 measurement isolation: queries run in a FRESH WORKER PROCESS
+per query family (one JVM each), because a single long session ages —
+stacked cache/checkpoint generations, code-cache pressure, GC debt —
+and the round-9 artifact shipped 2-4× "regressions" (q94 4.4×→19.5×,
+q127 runs 13.0/28.7/17.8 s) on queries with zero code change, measured
+late in a 44-query shared session under rising load. Each sidecar entry
+now records the 1-min loadavg at measurement start and the worker pid,
+so a contaminated number is self-diagnosing instead of crying wolf.
+
 Usage: python scripts/scale_smoke.py            (~6 min on local[32])
        SMOKE_COPIES=100 python scripts/scale_smoke.py   (~60 M rows)
+       SMOKE_ONLY=q94_range_join,q96_bm25 python scripts/scale_smoke.py
+           (isolated re-measure of a subset; writes no .md, prints
+            per-query results + sidecar-shaped JSON to stdout)
 """
 
 from __future__ import annotations
@@ -59,26 +71,31 @@ KEY_SHIFTS = {
     "embeddings": ["vec_id"],
 }
 
-QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
-           "q06_forecast_revenue", "q08_running_total",
-           "q64_waiting_supplier", "q66_hash_split",
-           "q94_range_join", "q95_validation", "q96_bm25",
-           "q97_weighted_sample", "q98_sliding_window",
-           "q102_duplicate_spans", "q103_vocab_encode",
-           "q107_incremental_dedup",
-           # dedup / ANN family at production configs (overrides below)
-           "q36_minhash_dedup", "q37_simhash_dedup",
-           "q38_lsh_similarity", "q114_semantic_dedup",
-           # round-6 operators (q117 via its production arrow override)
-           "q115_quantized_topk", "q116_span_removal", "q117_kmeans",
-           "q118_split_leakage",
-           # round-7/8 operators (q119 via its production override)
-           "q119_winnow_overlap", "q120_bpe_merges", "q121_kneser_ney",
-           "q122_bpe_segment", "q123_winnow_incremental",
-           # round-9 operators (q125/q126 via production overrides)
-           "q124_nb_quality", "q125_dsir_sample",
-           "q126_embedding_moments", "q127_cluster_representatives",
-           "q128_mmr_select", "q129_nb_score_increment"]
+#: query families — each runs in its OWN worker process (fresh JVM):
+#: grouped by the operator tier they exercise, ≤7 queries per session
+#: so no measurement happens in an aged session
+FAMILIES = [
+    ("relational", ["q01_pricing_summary", "q03_top_orders",
+                    "q05_region_revenue", "q06_forecast_revenue",
+                    "q08_running_total", "q64_waiting_supplier",
+                    "q66_hash_split"]),
+    ("window_sample", ["q94_range_join", "q95_validation",
+                       "q97_weighted_sample", "q98_sliding_window"]),
+    ("retrieval_span", ["q96_bm25", "q102_duplicate_spans",
+                        "q103_vocab_encode", "q116_span_removal"]),
+    # dedup / ANN families at production configs (overrides below)
+    ("minhash", ["q36_minhash_dedup", "q37_simhash_dedup",
+                 "q107_incremental_dedup", "q118_split_leakage"]),
+    ("winnow_bpe", ["q119_winnow_overlap", "q123_winnow_incremental",
+                    "q120_bpe_merges", "q122_bpe_segment"]),
+    ("ann_embed", ["q38_lsh_similarity", "q114_semantic_dedup",
+                   "q115_quantized_topk", "q117_kmeans",
+                   "q126_embedding_moments",
+                   "q127_cluster_representatives", "q128_mmr_select"]),
+    ("lm_quality", ["q121_kneser_ney", "q124_nb_quality",
+                    "q125_dsir_sample", "q129_nb_score_increment"]),
+]
+QUERIES = [q for _, qs in FAMILIES for q in qs]
 
 #: 31 days in nanoseconds (when events.ts is epoch-nanos int64)
 _MONTH_NS = 31 * 24 * 3600 * 1_000_000_000
@@ -238,14 +255,108 @@ def replicate(spark, table: str, out_dir: str, offset: int) -> None:
     out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
 
 
-def main() -> None:
+def _worker_main() -> None:
+    """Measure ONE query family at ONE scale in this fresh process,
+    then exit — the session never ages past ~7 queries × 4 runs.
+    Env contract (set by the orchestrator): SMOKE_WORKER_QUERIES
+    (comma list), SMOKE_WORKER_SF (fixture dir), SMOKE_WORKER_OUT
+    (partial-JSON path)."""
+    import json
+
     from db2pq_spark import workload
     from db2pq_spark.session import get_spark
 
-    spark = get_spark(app_name="scale_smoke",
+    names = os.environ["SMOKE_WORKER_QUERIES"].split(",")
+    sf_dir = os.environ["SMOKE_WORKER_SF"]
+    spark = get_spark(app_name="scale_smoke_worker",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     # events carries ns timestamps (read as epoch-nanos longs, as in
     # workload.t)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    overrides = _overrides()
+    out: dict[str, dict] = {}
+
+    def cleanup():
+        # between EVERY run: operators that stage intermediates
+        # (minhash, span/winnow, bm25) build NEW cache/checkpoint
+        # blocks per invocation; stacked generations pressure storage
+        # memory enough to inflate the runs being measured (clearCache
+        # covers CacheManager entries; the gc pass lets the
+        # ContextCleaner release localCheckpoint blocks)
+        spark.catalog.clearCache()
+        import gc
+        gc.collect()
+
+    # min of N steady runs: single-shot steady timings on this box
+    # swing several-× run-to-run (GC pauses, page-cache misses on a
+    # freshly-written replica), which fabricates phantom super-linear
+    # ratios; the minimum is the standard noise-robust estimator for a
+    # fixed workload. ALL runs land in the sidecar so the spread stays
+    # visible, and at big copy factors a >1.5× disagreement between
+    # the first two runs triggers a third — min-of-2 under heap
+    # pressure has twice shipped numbers that didn't reproduce.
+    for name in names:
+        fn = overrides.get(name) or workload.REGISTRY[name][0]
+        load = round(os.getloadavg()[0], 2)
+        fn(spark, sf_dir).collect()          # warm (codegen)
+        cleanup()
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times.append(round(time.perf_counter() - t0, 3))
+            cleanup()
+        if (COPIES >= 100 and len(times) == 2
+                and max(times) > 1.5 * min(times)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times.append(round(time.perf_counter() - t0, 3))
+            cleanup()
+        out[name] = {"runs": times, "load": load,
+                     "worker_pid": os.getpid()}
+    with open(os.environ["SMOKE_WORKER_OUT"], "w") as fh:
+        json.dump(out, fh)
+    spark.stop()
+
+
+def _run_family(names: list[str], sf_dir: str) -> dict[str, dict]:
+    """Launch a fresh worker process for (family, scale); return its
+    partial results."""
+    import json
+    import subprocess
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
+        out_path = fh.name
+    env = dict(os.environ,
+               SMOKE_WORKER_QUERIES=",".join(names),
+               SMOKE_WORKER_SF=sf_dir,
+               SMOKE_WORKER_OUT=out_path)
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise RuntimeError(f"smoke worker for {names} failed "
+                           f"(rc={proc.returncode})")
+    with open(out_path) as fh:
+        res = json.load(fh)
+    os.unlink(out_path)
+    return res
+
+
+def main() -> None:
+    import json
+
+    from db2pq_spark.session import get_spark
+
+    only = [q for q in os.environ.get("SMOKE_ONLY", "").split(",") if q]
+    families = [(fam, [q for q in qs if not only or q in only])
+                for fam, qs in FAMILIES]
+    families = [(fam, qs) for fam, qs in families if qs]
+    queries = [q for _, qs in families for q in qs]
+
+    # -- replica build (own session, stopped before any measurement) --
+    spark = get_spark(app_name="scale_smoke_build",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # SMOKE_REPLICA_DIR: reuse a replica prebuilt by
     # scripts/build_replica.py (same replicate() code) — skips the
@@ -266,56 +377,42 @@ def main() -> None:
             spark.read.parquet(f"{SF_DIR}/{tbl}.parquet") \
                 .write.mode("overwrite").parquet(f"{big}/{tbl}.parquet")
     build_s = time.perf_counter() - t0
-
     rows_small = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     rows_big = spark.read.parquet(f"{big}/lineitem.parquet").count()
-    overrides = _overrides()
+    spark.stop()  # workers get clean JVMs; no concurrent sessions
 
-    def run_all(sf_dir: str) -> dict[str, list[float]]:
-        # min of N steady runs: single-shot steady timings on this box
-        # swing several × run-to-run (GC pauses, page-cache misses on
-        # the freshly-written replica), which fabricates phantom
-        # super-linear ratios; the minimum is the standard
-        # noise-robust estimator for a fixed workload. ALL runs are
-        # recorded (JSON sidecar) so the spread is visible, and at big
-        # copy factors a >1.5× disagreement between the first two runs
-        # triggers a third — min-of-2 under heap pressure has twice
-        # shipped numbers that didn't reproduce.
-        out = {}
+    # -- measurement: one fresh worker process per (family, scale) ----
+    small: dict[str, dict] = {}
+    large: dict[str, dict] = {}
+    for fam, names in families:
+        print(f"family {fam}: {len(names)} queries", flush=True)
+        small.update(_run_family(names, SF_DIR))
+        large.update(_run_family(names, big))
 
-        def cleanup():
-            # between EVERY run, not just every query: operators that
-            # stage intermediates (minhash, the span/winnow families)
-            # build NEW cache/checkpoint blocks per invocation, and at
-            # 100× three stacked generations of them pressure storage
-            # memory enough to inflate the very runs being measured
-            # (clearCache handles CacheManager entries; the gc pass
-            # lets the ContextCleaner release localCheckpoint blocks)
-            spark.catalog.clearCache()
-            import gc
-            gc.collect()
+    sidecar = {}
+    for name in queries:
+        ms, mb = min(small[name]["runs"]), min(large[name]["runs"])
+        r = mb / ms if ms > 0 else float("inf")
+        fam = next(f for f, qs in families if name in qs)
+        sidecar[name] = {"runs_small": small[name]["runs"],
+                         "runs_big": large[name]["runs"],
+                         "min_small": ms, "min_big": mb,
+                         "ratio": round(r, 2),
+                         "family": fam,
+                         "load_small": small[name]["load"],
+                         "load_big": large[name]["load"],
+                         "worker_pid_small": small[name]["worker_pid"],
+                         "worker_pid_big": large[name]["worker_pid"]}
 
-        for name in QUERIES:
-            fn = overrides.get(name) or workload.REGISTRY[name][0]
-            fn(spark, sf_dir).collect()          # warm (codegen)
-            cleanup()
-            times = []
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
-                times.append(round(time.perf_counter() - t0, 3))
-                cleanup()
-            if (COPIES >= 100 and len(times) == 2
-                    and max(times) > 1.5 * min(times)):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
-                times.append(round(time.perf_counter() - t0, 3))
-                cleanup()
-            out[name] = times
-        return out
-
-    small = run_all(SF_DIR)
-    large = run_all(big)
+    if only:
+        # isolated re-measure mode: no .md/.json artifacts, just the
+        # sidecar-shaped record on stdout
+        print(json.dumps({"copies": COPIES, "isolated": True,
+                          "queries": sidecar}, indent=1))
+        if not prebuilt:
+            import shutil
+            shutil.rmtree(big, ignore_errors=True)
+        return
 
     out_md = ("/root/repo/SCALE_SMOKE.md" if COPIES == 10
               else f"/root/repo/SCALE_SMOKE_{COPIES}x.md")
@@ -326,39 +423,41 @@ def main() -> None:
         f"embeddings perturbed per copy so duplicate/near-dup structure "
         f"grows linearly); replica build {build_s:.0f}s. Steady-state "
         f"timings (codegen warmed, min of ≥{RUNS} — every run recorded "
-        f"in the .json sidecar next to this file), local[32]. "
-        f"Dedup/ANN rows run production operator configs "
+        f"in the .json sidecar next to this file), local[32]. Each "
+        f"query family measured in a FRESH worker process per scale "
+        f"(no session aging; per-query 1-min loadavg + worker pid in "
+        f"the sidecar). Dedup/ANN rows run production operator configs "
         f"(see script docstring).\n",
         f"\n| query | sf0.1 s | {COPIES}× s | ratio |\n|---|---|---|---|\n",
     ]
-    sidecar = {}
-    for name in QUERIES:
-        ms, mb = min(small[name]), min(large[name])
-        r = mb / ms if ms > 0 else float("inf")
-        lines.append(f"| {name} | {ms} | {mb} | {r:.1f}× |\n")
-        sidecar[name] = {"runs_small": small[name],
-                         "runs_big": large[name],
-                         "min_small": ms, "min_big": mb,
-                         "ratio": round(r, 2)}
+    for name in queries:
+        s = sidecar[name]
+        lines.append(f"| {name} | {s['min_small']} | {s['min_big']} "
+                     f"| {s['ratio']:.1f}× |\n")
     lines.append(
         f"\nA ratio ≲ {COPIES}× means the plan scales at-or-better than "
         "linearly in rows (broadcast dims unchanged, partial aggs "
         "absorb the fan-in); super-linear ratios would flag a shuffle "
         "or skew problem to fix. Per-run times (spread, not just the "
-        "min) are in the committed sidecar JSON.\n")
+        "min), per-query loadavg and worker pids are in the committed "
+        "sidecar JSON.\n")
     with open(out_md, "w") as fh:
         fh.writelines(lines)
-    import json
     with open(out_md.replace(".md", ".json"), "w") as fh:
         json.dump({"copies": COPIES, "lineitem_rows": rows_big,
+                   "isolation": "fresh worker process per family+scale",
                    "queries": sidecar}, fh, indent=1)
     print(f"wrote {out_md} (+ .json sidecar, lineitem {rows_big:,} rows)")
-    for name in QUERIES:
-        print(f"  {name}: {min(small[name])}s -> {min(large[name])}s")
+    for name in queries:
+        print(f"  {name}: {sidecar[name]['min_small']}s -> "
+              f"{sidecar[name]['min_big']}s")
     if not prebuilt:
         import shutil
         shutil.rmtree(big, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SMOKE_WORKER_OUT"):
+        _worker_main()
+    else:
+        main()

@@ -309,3 +309,63 @@ class TestRegistryWindowHygiene:
             if bad:
                 violations[name] = bad
         assert not violations, violations
+
+
+def _exploded_broadcast_violations(plan: str) -> list[str]:
+    """BroadcastExchange subtrees whose build side is an UN-AGGREGATED
+    explode — a Generate with no Aggregate/Limit between it and the
+    exchange. The static planner sizes a Generate at the PRE-explode
+    scan bytes, so without a forced broadcast on the vocabulary side it
+    will happily build a hash table from tens of millions of exploded
+    occurrence rows (the regression 217cdbd fixed). A Generate BELOW an
+    aggregate inside the broadcast subtree is fine: the aggregate
+    bounds the broadcast's cardinality to its group count."""
+    lines = plan.splitlines()
+
+    def depth(s: str) -> int:
+        i = 0
+        while i < len(s) and s[i] in " :+-*()0123456789":
+            i += 1
+        return i
+
+    bad = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        j = i + 1
+        while j < len(lines) and depth(lines[j]) > d:
+            if "Generate" in lines[j]:
+                dj = depth(lines[j])
+                aggregated = False
+                for u in range(j - 1, i, -1):
+                    du = depth(lines[u])
+                    if du >= dj:
+                        continue
+                    if ("Aggregate" in lines[u] or "Limit" in lines[u]
+                            or "TakeOrdered" in lines[u]):
+                        aggregated = True
+                        break
+                    dj = du
+                if not aggregated:
+                    bad.append(ln.strip()[:100] + "  <-  "
+                               + lines[j].strip()[:100])
+            j += 1
+    return bad
+
+
+class TestVocabBroadcastShapes:
+    """The NB weight / DSIR ratio joins against exploded token
+    occurrences must build their broadcast from the vocabulary/
+    bucket-bounded side, never from the occurrence explode (verdict
+    round-10 item 6 — permanence guard for the 217cdbd fix)."""
+
+    @pytest.mark.parametrize("name", ["q124_nb_quality",
+                                      "q125_dsir_sample",
+                                      "q129_nb_score_increment"])
+    def test_weight_join_broadcasts_vocab_side(self, spark,
+                                               sf_correct_dir, name):
+        plan = plan_of(spark, sf_correct_dir, name, execute=True)
+        assert "BroadcastHashJoin" in plan  # the weight/ratio join
+        bad = _exploded_broadcast_violations(plan)
+        assert not bad, bad

@@ -82,3 +82,127 @@ class TestAsofTies:
             for p in (1, 2, 7)
         }
         assert outs == {9.0}  # largest value wins, every partitioning
+
+
+class TestClusterRepresentativesQualityJoin:
+    """Round-10 ADVICE: quality is LEFT-joined — members without a
+    quality row still count toward n_members, all-unscored clusters
+    are still emitted, and scored members always outrank unscored."""
+
+    def _pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (3, 4)], "id1 long, id2 long")
+
+    def test_missing_quality_member_still_counted(self, spark):
+        from db2pq_spark.operators.components import (
+            cluster_representatives)
+
+        # cluster {1,2}: only 2 is scored; cluster {3,4}: no scores
+        quality = spark.createDataFrame([(2, 0.1)],
+                                        "doc_id long, q double")
+        got = {r["comp"]: r for r in cluster_representatives(
+            self._pairs(spark), quality, "doc_id", "q").collect()}
+        assert got[1]["n_members"] == 2
+        # scored member wins even with a low score
+        assert got[1]["rep_id"] == 2 and got[1]["rep_quality"] == 0.1
+        # fully-unscored cluster is emitted: lowest id, null quality
+        assert got[3]["n_members"] == 2
+        assert got[3]["rep_id"] == 3 and got[3]["rep_quality"] is None
+
+    def test_full_coverage_unchanged(self, spark):
+        from db2pq_spark.operators.components import (
+            cluster_representatives)
+
+        quality = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.7), (4, 0.7)],
+            "doc_id long, q double")
+        got = {r["comp"]: r for r in cluster_representatives(
+            self._pairs(spark), quality, "doc_id", "q").collect()}
+        assert got[1]["rep_id"] == 2 and got[1]["rep_quality"] == 0.9
+        # tie on quality -> lower id
+        assert got[3]["rep_id"] == 3 and got[3]["n_members"] == 2
+
+    def test_non_numeric_id_raises(self, spark):
+        from db2pq_spark.operators.components import (
+            cluster_representatives)
+
+        pairs = spark.createDataFrame([("a", "b")],
+                                      "id1 string, id2 string")
+        quality = spark.createDataFrame([("a", 1.0)],
+                                        "doc_id string, q double")
+        with pytest.raises(TypeError, match="numeric id"):
+            cluster_representatives(pairs, quality, "doc_id", "q")
+
+
+class TestMmrGuards:
+    """Round-10 ADVICE + verdict item 7: zero-norm vectors poison the
+    NaN-sorts-first argmax; O(k·d) literal inlining needs a k cap."""
+
+    def test_zero_norm_candidate_never_selected(self, spark):
+        from db2pq_spark.operators.mmr import mmr_select
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        got = mmr_select(df, "embedding", "vec_id",
+                         [1.0, 0.0], k=3).collect()
+        assert [r["id"] for r in got] == [2, 3]  # 1 filtered out
+
+    def test_zero_norm_query_raises(self, spark):
+        from db2pq_spark.operators.mmr import mmr_select
+
+        df = spark.createDataFrame([(1, [1.0, 0.0])],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="zero norm"):
+            mmr_select(df, "embedding", "vec_id", [0.0, 0.0], k=1)
+
+    def test_k_cap_raises(self, spark):
+        from db2pq_spark.operators.mmr import MMR_MAX_K, mmr_select
+
+        df = spark.createDataFrame([(1, [1.0, 0.0])],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="MMR_MAX_K"):
+            mmr_select(df, "embedding", "vec_id", [1.0, 0.0],
+                       k=MMR_MAX_K + 1)
+
+
+class TestPcaProjectEmpty:
+    def test_empty_relation_clean_error(self, spark):
+        from db2pq_spark.operators.pca import pca_project
+
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="empty relation"):
+            pca_project(df, "embedding", "vec_id", k=1)
+
+
+class TestWinnowCrossFamilyParity:
+    """Round-10 ADVICE: the arrow64 numpy kernel (the round-9 default)
+    must find the same overlap PAIR SET as the all-JVM xxhash64
+    expression form. Fingerprint VALUES differ by design (disjoint
+    hash families) and partial overlaps below the w+k-1 guarantee may
+    legitimately surface under one family only, so the corpus here has
+    only guaranteed-run overlaps (>= w+k-1 shared tokens) or zero
+    shared k-grams — on such corpora the pair sets must be equal."""
+
+    def test_same_overlap_pairs(self, spark):
+        from db2pq_spark.operators.dedup import winnow_overlap_pairs
+
+        df = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota x"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota y"),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "pre amble one two three four five six seven eight nine"),
+            (5, "totally unrelated words that never overlap anything"),
+        ], "doc_id long, text string")
+
+        def pairs(fam):
+            return {(r["id1"], r["id2"])
+                    for r in winnow_overlap_pairs(
+                        df, "text", "doc_id", k=3, w=4, min_shared=1,
+                        token_hash=fam).collect()}
+
+        arrow, jvm = pairs("arrow64"), pairs("xxhash64")
+        assert arrow == jvm
+        assert {(1, 2), (3, 4)} <= arrow
+        assert not any(5 in p for p in arrow)
