@@ -15,12 +15,14 @@ and exactly ONE scan+tokenize pass over the corpus:
    partition to ≤ |query|+1 groups per document, so the single
    corpus-wide shuffle carries ~|docs|·(|query|+1) narrow rows
    regardless of document length;
-3. stage that compact relation (``localCheckpoint``, the span-family
-   discipline) — corpus stats (N, avgdl from the guaranteed sentinel
-   rows), tf, and document frequency ALL derive from it, so nothing
-   ever re-reads the corpus (the previous shape planned three
+3. derive corpus stats (N, avgdl from the guaranteed sentinel rows),
+   tf, AND document frequency from that one compact aggregate — its
+   exchange canonicalizes identically in every consumer subtree (the
+   whole pipeline is lambda-free, which is what exchange-reuse
+   requires), so Catalyst plans one FileScan + one shuffle and
+   ``ReusedExchange`` for the rest. The previous shape planned three
    ``FileScan documents`` because the tf exchange key ``(doc_id, dl,
-   term)`` can never be reused for the ``(term)``-keyed df aggregate);
+   term)`` can never be reused for the ``(term)``-keyed df aggregate;
 4. score and sum per doc (df and corpus stats broadcast — kilobytes
    at any corpus size).
 
@@ -38,9 +40,18 @@ TOKEN_SPLIT = "[^a-z0-9]+"
 
 
 def tokenize(col: str | Column) -> Column:
-    """Lowercased alphanumeric tokens, empties removed (narrow map)."""
+    """Lowercased alphanumeric tokens, empties removed (narrow map).
+
+    ``array_remove`` (not a higher-order ``filter`` lambda) drops the
+    empty strings: the two are semantically identical here (split never
+    yields NULL elements), but a lambda anywhere under a ``Generate``
+    defeats Spark's exchange-reuse canonicalization — and
+    :func:`bm25_scores`' one-shuffle plan depends on its three
+    consumers recognizing the staged aggregate's exchange as shared.
+    HOF lambdas also evaluate interpreted; ``array_remove`` stays in
+    codegen."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT), "")
 
 
 def bm25_scores(
@@ -51,7 +62,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 4,
-    stage: str = "checkpoint",
+    stage: str = "reuse",
 ) -> DataFrame:
     """Score every document containing ≥1 query term against the term
     set; returns ``(doc_id, bm25 double)`` (unscored docs omitted).
@@ -61,12 +72,16 @@ def bm25_scores(
     cross-engine comparison. NULL text counts as an empty document
     (dl = 0) toward N and avgdl.
 
-    ``stage`` materializes the compact per-doc term-count relation that
-    stats/tf/df all derive from: ``"checkpoint"`` (default)
-    localCheckpoints it, ``"persist"`` is DISK_ONLY with lineage (the
-    executor-churn-safe cluster choice), ``"none"`` recomputes per
-    consumer — three corpus scans, the pre-round-10 behavior, only
-    useful when even the compact relation must not be materialized.
+    ``stage`` controls the compact per-doc term-count relation that
+    stats/tf/df all derive from: ``"reuse"`` (default) leaves it lazy —
+    every consumer contains the identical (lambda-free, so
+    canonicalizable) aggregate subtree and Spark plans ONE corpus
+    scan + ONE shuffle with ReusedExchange for the rest, recomputing
+    only the cheap final aggregate per consumer; ``"checkpoint"``
+    eagerly localCheckpoints it (pays a fixed materialization job —
+    the executor-loss-sensitive single-node fast path when consumers
+    are many); ``"persist"`` is DISK_ONLY with lineage (the
+    executor-churn-safe cluster choice).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -89,9 +104,25 @@ def bm25_scores(
         exploded.select(
             "doc_id", "dl",
             F.when(F.col("_tok").isin(query_terms), F.col("_tok"))
-            .alias("term"))
-        .groupBy("doc_id", "dl", "term")
+            .alias("_gterm"))
+        .groupBy("doc_id", "dl", "_gterm")
         .agg(F.count(F.lit(1)).alias("_cnt")))
+    # re-emit the term through a 1:1 Generate barrier: the consumers
+    # below filter on term IS [NOT] NULL, and a filter on a GROUPING
+    # column would otherwise push below the aggregate's exchange —
+    # three differently-filtered exchanges, nothing reused. With the
+    # barrier the filters stop above the aggregate, every consumer
+    # carries the identical exchange subtree, and Catalyst plans one
+    # scan + one shuffle + ReusedExchange (verified by the plan test).
+    grouped = _stage_col(grouped, ["doc_id", "dl", "_cnt"],
+                         F.col("_gterm"), "term")
+    # keep _cnt REQUIRED in every consumer subtree: stats and df never
+    # read it, so column pruning would otherwise drop the count from
+    # their copies of the aggregate — a different partial aggregate is
+    # a different exchange, and reuse dies. The predicate is always
+    # true (a group's count is ≥ 1 by construction) but not foldable,
+    # so each consumer carries the identical counted aggregate.
+    grouped = grouped.where(F.col("_cnt") >= 1)
     if stage == "checkpoint":
         # eager: the first consumers are the stats/df BROADCAST jobs,
         # which the scheduler can launch concurrently — with a lazy
@@ -103,9 +134,9 @@ def bm25_scores(
         from pyspark import StorageLevel
 
         grouped = grouped.persist(StorageLevel.DISK_ONLY)
-    elif stage != "none":
+    elif stage != "reuse":
         raise ValueError(f"unknown stage {stage!r} — expected "
-                         "'checkpoint', 'persist' or 'none'")
+                         "'reuse', 'checkpoint' or 'persist'")
 
     stats = (grouped.filter(F.col("term").isNull())
              .agg(F.count(F.lit(1)).alias("n_docs"),

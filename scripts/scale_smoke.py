@@ -72,13 +72,16 @@ KEY_SHIFTS = {
 }
 
 #: query families — each runs in its OWN worker process (fresh JVM):
-#: grouped by the operator tier they exercise, ≤7 queries per session
-#: so no measurement happens in an aged session
+#: grouped by the operator tier they exercise, ≤4 queries per session
+#: so no measurement happens in an aged session (a first cut with a
+#: 7-query relational family measured q64 at 26 s in slot 6 of its
+#: worker vs 12 s isolated — even ~18 prior executions skew a heavy
+#: join's numbers on this box)
 FAMILIES = [
-    ("relational", ["q01_pricing_summary", "q03_top_orders",
-                    "q05_region_revenue", "q06_forecast_revenue",
-                    "q08_running_total", "q64_waiting_supplier",
-                    "q66_hash_split"]),
+    ("relational_agg", ["q01_pricing_summary", "q03_top_orders",
+                        "q05_region_revenue", "q06_forecast_revenue"]),
+    ("relational_join", ["q08_running_total", "q64_waiting_supplier",
+                         "q66_hash_split"]),
     ("window_sample", ["q94_range_join", "q95_validation",
                        "q97_weighted_sample", "q98_sliding_window"]),
     ("retrieval_span", ["q96_bm25", "q102_duplicate_spans",
@@ -88,10 +91,11 @@ FAMILIES = [
                  "q107_incremental_dedup", "q118_split_leakage"]),
     ("winnow_bpe", ["q119_winnow_overlap", "q123_winnow_incremental",
                     "q120_bpe_merges", "q122_bpe_segment"]),
-    ("ann_embed", ["q38_lsh_similarity", "q114_semantic_dedup",
-                   "q115_quantized_topk", "q117_kmeans",
-                   "q126_embedding_moments",
-                   "q127_cluster_representatives", "q128_mmr_select"]),
+    ("ann", ["q38_lsh_similarity", "q114_semantic_dedup",
+             "q115_quantized_topk", "q117_kmeans"]),
+    ("embed_select", ["q126_embedding_moments",
+                      "q127_cluster_representatives",
+                      "q128_mmr_select"]),
     ("lm_quality", ["q121_kneser_ney", "q124_nb_quality",
                     "q125_dsir_sample", "q129_nb_score_increment"]),
 ]
