@@ -57,11 +57,12 @@ SHOWCASE = {
                       "nested-loop/cartesian",
     "q95_validation": "row rules + uniqueness share ONE scan+aggregate; "
                       "the FK check is a broadcast anti-join",
-    "q96_bm25": "ONE corpus scan: sentinel-explode partial-agg staged "
-                "via eager localCheckpoint (the final plan reads the "
-                "staged relation — the corpus FileScan ran once in the "
-                "checkpoint job); stats/tf/df all derive from it, "
-                "stats and df broadcast back",
+    "q96_bm25": "ONE corpus scan: sentinel-explode partial-agg whose "
+                "exchange every consumer (stats, tf, df) reuses — "
+                "lambda-free tokenize + a filter barrier keep the "
+                "subtrees canonically identical, so the final plan is "
+                "one FileScan + one shuffle + ReusedExchange; stats "
+                "and df broadcast back",
     "q97_weighted_sample": "weighted sample is a narrow score + "
                            "TakeOrderedAndProject — no full sort",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "

@@ -76,28 +76,34 @@ KEY_SHIFTS = {
 #: so no measurement happens in an aged session (a first cut with a
 #: 7-query relational family measured q64 at 26 s in slot 6 of its
 #: worker vs 12 s isolated — even ~18 prior executions skew a heavy
-#: join's numbers on this box)
+#: join's numbers on this box). Within each family queries run
+#: LIGHTEST FIRST: a heavy member's runs durably degrade the worker
+#: (storage-memory generations the cleanup can't fully release), and
+#: whatever it leaves behind lands on the NEXT query's numbers — q66
+#: measured 19.6× in the slot after q64 (1.35× isolated, runs growing
+#: 7.5→14.3 s) and q97 15.2× after q95 (1.6× isolated), so the
+#: heaviest query is always the last thing its worker measures.
 FAMILIES = [
-    ("relational_agg", ["q01_pricing_summary", "q03_top_orders",
-                        "q05_region_revenue", "q06_forecast_revenue"]),
-    ("relational_join", ["q08_running_total", "q64_waiting_supplier",
-                         "q66_hash_split"]),
-    ("window_sample", ["q94_range_join", "q95_validation",
-                       "q97_weighted_sample", "q98_sliding_window"]),
-    ("retrieval_span", ["q96_bm25", "q102_duplicate_spans",
-                        "q103_vocab_encode", "q116_span_removal"]),
+    ("relational_agg", ["q06_forecast_revenue", "q03_top_orders",
+                        "q01_pricing_summary", "q05_region_revenue"]),
+    ("relational_join", ["q66_hash_split", "q08_running_total",
+                         "q64_waiting_supplier"]),
+    ("window_sample", ["q97_weighted_sample", "q94_range_join",
+                       "q98_sliding_window", "q95_validation"]),
+    ("retrieval_span", ["q96_bm25", "q103_vocab_encode",
+                        "q102_duplicate_spans", "q116_span_removal"]),
     # dedup / ANN families at production configs (overrides below)
-    ("minhash", ["q36_minhash_dedup", "q37_simhash_dedup",
-                 "q107_incremental_dedup", "q118_split_leakage"]),
-    ("winnow_bpe", ["q119_winnow_overlap", "q123_winnow_incremental",
-                    "q120_bpe_merges", "q122_bpe_segment"]),
-    ("ann", ["q38_lsh_similarity", "q114_semantic_dedup",
-             "q115_quantized_topk", "q117_kmeans"]),
+    ("minhash", ["q118_split_leakage", "q36_minhash_dedup",
+                 "q37_simhash_dedup", "q107_incremental_dedup"]),
+    ("winnow_bpe", ["q120_bpe_merges", "q123_winnow_incremental",
+                    "q119_winnow_overlap", "q122_bpe_segment"]),
+    ("ann", ["q117_kmeans", "q115_quantized_topk",
+             "q38_lsh_similarity", "q114_semantic_dedup"]),
     ("embed_select", ["q126_embedding_moments",
                       "q127_cluster_representatives",
                       "q128_mmr_select"]),
-    ("lm_quality", ["q121_kneser_ney", "q124_nb_quality",
-                    "q125_dsir_sample", "q129_nb_score_increment"]),
+    ("lm_quality", ["q129_nb_score_increment", "q125_dsir_sample",
+                    "q124_nb_quality", "q121_kneser_ney"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

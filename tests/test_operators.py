@@ -813,6 +813,30 @@ class TestBm25:
         with pytest.raises(ValueError):
             bm25_scores(df, "text", "doc_id", [])
 
+    @pytest.mark.parametrize("stage", ["checkpoint", "persist"])
+    def test_stage_variants_match_reuse(self, spark, stage):
+        # the materializing stages must score identically to the
+        # default exchange-reuse plan (they exist for many-consumer /
+        # executor-churn deployments, not for different answers)
+        from db2pq_spark.operators.retrieval import bm25_scores
+
+        corpus = [(1, "a b a"), (2, "a c"), (3, "x y z"), (4, None)]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        want = {(r["doc_id"], r["bm25"]) for r in
+                bm25_scores(df, "text", "doc_id", ["a", "b"]).collect()}
+        got = {(r["doc_id"], r["bm25"]) for r in
+               bm25_scores(df, "text", "doc_id", ["a", "b"],
+                           stage=stage).collect()}
+        assert got == want
+
+    def test_unknown_stage_rejected(self, spark):
+        from db2pq_spark.operators.retrieval import bm25_scores
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="unknown stage"):
+            bm25_scores(df, "text", "doc_id", ["a"],
+                        stage="cache").collect()
+
 
 class TestRepetition:
     def test_profile_known_counts(self, spark):
