@@ -1,0 +1,323 @@
+"""Corpus-filtering operators for LLM training-data pipelines.
+
+[extension — not in the reference] The quality-filtering stages a
+production corpus build runs between dedup and mixing, each with the
+exactness discipline the oracle gate needs (integer cross-multiplied
+thresholds instead of float ratios, decimal-accumulated entropy terms):
+
+- :func:`gopher_rules` — the Gopher paper's per-document rule battery
+  (Rae et al., arXiv:2112.11446 §A1.1) as explicit per-rule flags, not
+  a blended score (``textstats.quality_score`` is the blended form).
+- :func:`line_filter` — C4-style line-level boilerplate removal
+  (Raffel et al., arXiv:1910.10683 §2.2): per-line keep rules, document
+  reassembly, retention stats.
+- :func:`char_entropy` — character-distribution Shannon entropy, the
+  classic gibberish / binary-noise / key-mash detector.
+- :func:`edit_confirm` — the exact verification stage of two-phase
+  fuzzy dedup: candidate pairs (MinHash-LSH, winnowing, or blocked
+  self-join) → Levenshtein similarity ≥ threshold. Spark's
+  ``levenshtein`` is a codegen'd JVM expression; the similarity
+  threshold is evaluated by integer cross-multiplication so the
+  DuckDB oracle replays it bit-for-bit.
+- :func:`cap_per_group` — RefinedWeb-style per-source/domain quota
+  (Penedo et al., arXiv:2306.01116): keep the N best documents per
+  group under a deterministic (score desc, id asc) total order.
+
+Scale shapes are documented per function; nothing here is quadratic in
+the corpus and nothing visits the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.dedup import normalize_text
+from db2pq_spark.operators.textstats import stopword_count, tokens
+
+
+def _pct(x: float, what: str) -> int:
+    """A ratio threshold as an exact integer percentage (so rule
+    comparisons are integer cross-multiplications, not float math)."""
+    p = round(float(x) * 100)
+    if not (0 <= p <= 100) or abs(p - float(x) * 100) > 1e-9:
+        raise ValueError(
+            f"{what}={x!r} must be a multiple of 0.01 in [0, 1] — "
+            "thresholds are evaluated as exact integer percentages so "
+            "engines agree bit-for-bit")
+    return int(p)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio: float = 0.10,
+    min_alpha_frac: float = 0.80,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule battery (arXiv:2112.11446 §A1.1) with one
+    boolean column per rule plus the conjunction — pipelines keep the
+    flags, not just the verdict, so a rejected document says WHY.
+
+    Returns ``(id, n_words, word_chars, n_alpha_words, n_symbols,
+    stop_hits, r_word_count, r_mean_word_len, r_symbol_ratio,
+    r_alpha_frac, r_stopwords, passes)``.
+
+    Exactness: every ratio rule is an integer cross-multiplication
+    (``n_alpha * 100 >= pct * n_words``), and mean word length uses
+    the identity ``word_chars = len(normalized) - (n_words - 1)``
+    (single-spaced normalized text), so no float ever decides a flag
+    and the DuckDB oracle replays the identical decisions.
+
+    Scale: one narrow projection over the corpus — codegen'd
+    expressions plus two per-token higher-order filters (interpreted
+    but linear, no shuffle, no UDF)."""
+    sym_pct = _pct(max_symbol_ratio, "max_symbol_ratio")
+    alpha_pct = _pct(min_alpha_frac, "min_alpha_frac")
+    raw = F.col(text_col)
+    norm = normalize_text(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("bigint")
+    word_chars = (F.length(norm) - (n_words - F.lit(1))).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    # Gopher's symbol rule counts '#' and ellipsis occurrences; a
+    # non-overlapping regex scan is identical in Java regex and RE2.
+    n_symbols = F.regexp_count(raw, F.lit(r"#|\.\.\.")).cast("bigint")
+    stop_hits = stopword_count(text_col).cast("bigint")
+    r_wc = n_words.between(min_words, max_words)
+    r_mwl = (word_chars >= F.lit(min_mean_word_len) * n_words) & \
+            (word_chars <= F.lit(max_mean_word_len) * n_words)
+    r_sym = (n_symbols * 100) <= (F.lit(sym_pct) * n_words)
+    r_alpha = (n_alpha * 100) >= (F.lit(alpha_pct) * n_words)
+    r_stop = stop_hits >= F.lit(int(min_stopwords))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        stop_hits.alias("stop_hits"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_frac"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("passes"),
+    )
+
+
+def line_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 3,
+    blocklist: Sequence[str] = (),
+    require_terminal_punct: bool = False,
+    keep_min_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal (arXiv:1910.10683
+    §2.2): keep a line iff it has ≥ ``min_words`` words, contains no
+    blocklist term, and (optionally) ends in terminal punctuation;
+    reassemble the surviving lines and report retention stats.
+
+    Returns ``(id, n_lines, n_kept, text_kept, kept_doc)`` —
+    ``kept_doc`` is false when fewer than ``keep_min_lines`` lines
+    survive (C4 drops such documents entirely).
+
+    Blocklist matching is case-insensitive substring containment of
+    each literal term (terms are regex-escaped), the C4 rule for
+    "javascript" / policy-boilerplate lines.
+
+    Scale: a purely narrow per-row transform — split, one
+    higher-order ``filter`` (interpreted but linear in total line
+    count), ``array_join``. No shuffle, no UDF; safe to fold into any
+    scan-side projection."""
+    import re as _re
+
+    lines = F.split(F.col(text_col), "\n")
+    block_re = "|".join(_re.escape(b.lower()) for b in blocklist)
+
+    def _keep(ln: Column) -> Column:
+        ln_norm = F.regexp_replace(F.trim(ln), r"\s+", " ")
+        cond = F.size(F.split(ln_norm, " ")) >= F.lit(int(min_words))
+        if block_re:
+            cond = cond & ~F.lower(ln).rlike(block_re)
+        if require_terminal_punct:
+            cond = cond & F.trim(ln).rlike(r"[.!?]$")
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, "\n").alias("text_kept"),
+        (F.size(kept) >= F.lit(int(keep_min_lines))).alias("kept_doc"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic gibberish / key-mash / binary-noise detector (natural
+    English sits ≈ 4 bits/char; random base64 ≈ 6; a single repeated
+    character → 0).
+
+    Returns ``(id, n_chars, sum_clog2c, entropy)`` where
+    ``sum_clog2c = Σ_ch round(c·log2 c, round_digits)`` accumulated as
+    DECIMAL and finally cast to DOUBLE (the ``dsum`` discipline) — the
+    order-independent value the oracle hash-compares. ``entropy =
+    log2(n) − sum_clog2c / n`` is the double convenience column for
+    band filters (same identity the oracle replays; engines agree
+    wherever their ``log2`` doubles agree).
+
+    Plan shape (the surprisal/vocab pattern,
+    :func:`..textstats.unigram_surprisal`): explode one row per
+    character position via ``sequence`` + ``substr`` (no lambda inside
+    the Generate — exchange-reuse stays canonical), map-side-combined
+    ``(id, ch)`` count aggregate (collapses each document to its
+    alphabet before the shuffle), then one id-keyed re-aggregate of
+    the rounded decimal terms. Two shuffles, both partial-agg
+    absorbed; alphabet size bounds state, never text length."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("_t"))
+    chars = (base
+             .select("id", "_t",
+                     F.explode(
+                         F.sequence(F.lit(1), F.length("_t"))).alias("i"))
+             .select("id", F.col("_t").substr(F.col("i"),
+                                              F.lit(1)).alias("ch")))
+    counts = chars.groupBy("id", "ch").agg(F.count("*").alias("c"))
+    term = F.round(F.col("c") * F.log2("c"),
+                   round_digits).cast("decimal(28,10)")
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.sum(term).cast("decimal(38,10)").cast("double")
+         .alias("sum_clog2c"))
+    return per_doc.select(
+        "id", "n_chars", "sum_clog2c",
+        (F.log2("n_chars")
+         - F.col("sum_clog2c") / F.col("n_chars")).alias("entropy"))
+
+
+def blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+) -> DataFrame:
+    """Candidate ``(id1, id2)`` pairs by blocked self-join: all pairs
+    (``id1 < id2``) sharing every ``block_cols`` value. The cheap
+    candidate generator for :func:`edit_confirm` when no MinHash/LSH
+    stage ran — quadratic WITHIN a block only, so block keys must
+    bound group size (source × length-bucket is the usual choice);
+    for corpus-scale near-dup candidates use
+    ``dedup.minhash_lsh_pairs`` instead."""
+    left = df.select(F.col(id_col).alias("id1"),
+                     *[F.col(c) for c in block_cols])
+    right = df.select(F.col(id_col).alias("id2"),
+                      *[F.col(c) for c in block_cols])
+    return (left.join(right, list(block_cols))
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2"))
+
+
+def edit_confirm(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_sim: float = 0.8,
+    max_len: int | None = None,
+) -> DataFrame:
+    """Exact verification stage of two-phase fuzzy dedup: for each
+    candidate pair, Levenshtein distance over normalized text and a
+    ``1 − dist / max(len)`` similarity verdict — the confirm step that
+    keeps MinHash/winnowing candidate generators honest (approximate
+    recall stages over-generate; the pipeline deletes only what an
+    exact metric confirms).
+
+    Returns ``(id1, id2, dist, len1, len2, sim, confirmed)``.
+    ``confirmed`` is decided by integer cross-multiplication
+    (``(maxlen − dist)·100 ≥ pct·maxlen``) and ``sim`` is a division
+    of identical integer operands — both engine-exact.
+
+    ``max_len`` truncates each text first (documented approximation:
+    at corpus scale Levenshtein's O(len²) per pair is only affordable
+    on a bounded prefix; pairs whose difference lives past the prefix
+    read as more similar than they are).
+
+    Scale: two id-keyed hash joins attach texts to the (already
+    candidate-bounded) pair relation, then a narrow codegen'd
+    ``levenshtein`` per pair — cost is pairs × prefix², never
+    corpus²; Spark's threshold form short-circuits rows that can't
+    reach ``min_sim``."""
+    pct = _pct(min_sim, "min_sim")
+    txt = normalize_text(text_col)
+    if max_len is not None:
+        txt = txt.substr(1, int(max_len))
+    texts = df.select(F.col(id_col).alias("_id"), txt.alias("_txt"))
+    joined = (pairs
+              .join(texts.select(F.col("_id").alias("id1"),
+                                 F.col("_txt").alias("_t1")), "id1")
+              .join(texts.select(F.col("_id").alias("id2"),
+                                 F.col("_txt").alias("_t2")), "id2"))
+    dist = F.levenshtein("_t1", "_t2").cast("bigint")
+    maxlen = F.greatest(F.length("_t1"), F.length("_t2")).cast("bigint")
+    out = joined.select(
+        "id1", "id2", dist.alias("dist"),
+        F.length("_t1").cast("bigint").alias("len1"),
+        F.length("_t2").cast("bigint").alias("len2"),
+        maxlen.alias("_ml"))
+    return out.select(
+        "id1", "id2", "dist", "len1", "len2",
+        F.when(F.col("_ml") > 0,
+               (F.col("_ml") - F.col("dist")) / F.col("_ml"))
+         .otherwise(F.lit(1.0)).alias("sim"),
+        (((F.col("_ml") - F.col("dist")) * 100)
+         >= F.lit(pct) * F.col("_ml")).alias("confirmed"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Per-group quota: keep the ``n`` best rows per ``group_col``
+    under the deterministic total order (``score_col`` desc,
+    ``id_col`` asc) — RefinedWeb's per-domain cap (arXiv:2306.01116):
+    a handful of giant domains otherwise dominate the corpus, and
+    "best" (quality score, freshness) beats "first n crawled".
+
+    Returns the input columns plus ``cap_rank`` (1-based) for the
+    kept rows only.
+
+    Scale: one hash-partitioned window (``row_number`` needs no full
+    sort — each group sorts locally after the key shuffle). Group
+    skew is the failure mode at 100 TB: one mega-domain lands on one
+    task. AQE cannot split a window partition, so for pathologically
+    hot groups pre-thin with a two-phase cap (cap within each of k
+    salted sub-groups at ``n``, then cap the ≤ k·n survivors
+    globally) — exact for row_number since the global top-n of a
+    group is contained in the union of its sub-group top-n sets."""
+    if int(n) < 1:
+        raise ValueError(f"n={n} must be >= 1")
+    w = (W.partitionBy(group_col)
+         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    return (df.withColumn("cap_rank",
+                          F.row_number().over(w).cast("bigint"))
+            .where(F.col("cap_rank") <= int(n)))

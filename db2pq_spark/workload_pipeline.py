@@ -2045,3 +2045,232 @@ def q129_nb_score_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                weights, oov, "text", "doc_id")
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_tokens", "sum_logodds"))
+
+
+_Q130_SQL = f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len({_TOKENS}) AS n_words,
+             LENGTH({_NORM}) - (len({_TOKENS}) - 1) AS word_chars,
+             len(list_filter({_TOKENS},
+                 x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+             len(list_filter({_TOKENS},
+                 x -> x IN ('the','and','of','to','a','in','is','that',
+                            'it','for'))) AS stop_hits
+      FROM documents
+    ),
+    flags AS (
+      SELECT *,
+             n_words BETWEEN 50 AND 100000 AS r_word_count,
+             word_chars >= 3 * n_words
+               AND word_chars <= 10 * n_words AS r_mean_word_len,
+             n_symbols * 100 <= 10 * n_words AS r_symbol_ratio,
+             n_alpha_words * 100 >= 80 * n_words AS r_alpha_frac,
+             stop_hits >= 2 AS r_stopwords
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(word_chars AS BIGINT) AS word_chars,
+           CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_alpha_frac, r_stopwords,
+           r_word_count AND r_mean_word_len AND r_symbol_ratio
+             AND r_alpha_frac AND r_stopwords AS passes
+    FROM flags
+"""
+
+
+@query("q130_gopher_rules", oracle=_Q130_SQL)
+def q130_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery
+    (operators/filtering.py:gopher_rules, after arXiv:2112.11446
+    §A1.1): word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, and minimum stopword hits — one
+    boolean per rule plus the conjunction, so a rejected document
+    says why. Every ratio rule is an integer cross-multiplication and
+    mean word length uses the exact single-spaced-length identity, so
+    no float decides a flag and the oracle replays the identical
+    decisions. One narrow codegen'd projection over the corpus — no
+    shuffle, no UDF. [extension]"""
+    from db2pq_spark.operators.filtering import gopher_rules
+
+    return gopher_rules(t(spark, sf_dir, "documents"), "text",
+                        "doc_id").withColumnRenamed("id", "doc_id")
+
+
+_Q131_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, source, n_chars,
+             substring({_NORM}, 1, 160) AS txt
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.txt AS t1, b.txt AS t2
+      FROM docs a JOIN docs b
+        ON a.source = b.source
+       AND a.n_chars // 8 = b.n_chars // 8
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id1, id2,
+             CAST(levenshtein(t1, t2) AS BIGINT) AS dist,
+             CAST(LENGTH(t1) AS BIGINT) AS len1,
+             CAST(LENGTH(t2) AS BIGINT) AS len2,
+             CAST(GREATEST(LENGTH(t1), LENGTH(t2)) AS BIGINT) AS ml
+      FROM cand
+    )
+    SELECT id1, id2, dist, len1, len2,
+           CASE WHEN ml > 0 THEN (ml - dist) / ml ELSE 1.0 END AS sim,
+           (ml - dist) * 100 >= 75 * ml AS confirmed
+    FROM scored
+"""
+
+
+@query("q131_edit_confirm", oracle=_Q131_SQL)
+def q131_edit_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase fuzzy dedup's exact verification stage
+    (operators/filtering.py:edit_confirm + blocked_pairs): candidate
+    pairs blocked by (source, length-bucket) — the cheap stand-in for
+    a MinHash recall stage — then Levenshtein similarity over a
+    160-char normalized prefix with an integer-cross-multiplied
+    ≥ 0.75 verdict. The confirm step is what lets a pipeline delete
+    only what an exact metric agrees is a duplicate. Scale: pair
+    count is bounded by the blocking (quadratic within a block only);
+    the metric is a codegen'd JVM expression over the bounded prefix
+    — cost is pairs × prefix², never corpus². [extension]"""
+    from db2pq_spark.operators.filtering import (
+        blocked_pairs, edit_confirm)
+
+    docs = t(spark, sf_dir, "documents")
+    blocked = docs.withColumn("_bkt",
+                              F.floor(F.col("n_chars") / F.lit(8)))
+    pairs = blocked_pairs(blocked, "doc_id", ["source", "_bkt"])
+    return edit_confirm(docs, pairs, "text", "doc_id",
+                        min_sim=0.75, max_len=160)
+
+
+_Q132_SQL = """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch,
+             COUNT(*) AS c
+      FROM pos GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(CAST(SUM(CAST(ROUND(c * log2(c), 6)
+                              AS DECIMAL(28,10)))
+                     AS DECIMAL(38,10)) AS DOUBLE) AS sum_clog2c
+    FROM counts GROUP BY doc_id
+"""
+
+
+@query("q132_char_entropy", oracle=_Q132_SQL)
+def q132_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy
+    (operators/filtering.py:char_entropy) — the gibberish /
+    binary-noise detector. The gate compares ``n_chars`` and the
+    order-independent DECIMAL accumulation ``Σ round(c·log2 c, 6)``
+    (the q112 surprisal discipline; the derived ``entropy`` double is
+    the user-facing band-filter column and stays out of the hash).
+    Plan: sequence+substr explode (no lambda inside the Generate),
+    map-side-combined (id, ch) counts that collapse each document to
+    its alphabet before the shuffle, one id-keyed re-aggregate.
+    [extension]"""
+    from db2pq_spark.operators.filtering import char_entropy
+
+    return (char_entropy(t(spark, sf_dir, "documents"), "text",
+                         "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_chars", "sum_clog2c"))
+
+
+_Q133_SQL = """
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rn AS BIGINT) AS cap_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+"""
+
+
+@query("q133_source_cap", oracle=_Q133_SQL)
+def q133_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-source quota
+    (operators/filtering.py:cap_per_group, after arXiv:2306.01116):
+    keep the 10 best documents per source under the deterministic
+    (n_chars desc, doc_id asc) total order — the anti-domination cap
+    that stops a handful of giant sources from owning the corpus.
+    One hash-partitioned row_number window (local per-group sort
+    after the key shuffle, no global sort); the docstring's two-phase
+    salted variant handles pathological single-source skew.
+    [extension]"""
+    from db2pq_spark.operators.filtering import cap_per_group
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint")
+        .alias("n_chars"))
+    return cap_per_group(docs, "source", "n_chars", "doc_id", 10)
+
+
+_Q134_SQL = r"""
+    WITH relined AS (
+      SELECT doc_id,
+             regexp_replace(text, '(\S+( \S+){7}) ',
+                            '\1' || chr(10), 'g') AS rt
+      FROM documents
+    ),
+    lf AS (
+      SELECT doc_id,
+             string_split(rt, chr(10)) AS lines,
+             list_filter(string_split(rt, chr(10)),
+               ln -> len(string_split(regexp_replace(trim(ln),
+                         '\s+', ' ', 'g'), ' ')) >= 3
+                     AND NOT regexp_matches(lower(ln),
+                                            'customer|stream')) AS kept
+      FROM relined
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(kept, chr(10)), '') AS text_kept,
+           len(kept) >= 2 AS kept_doc
+    FROM lf
+"""
+
+
+@query("q134_line_filter", oracle=_Q134_SQL)
+def q134_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal
+    (operators/filtering.py:line_filter, after arXiv:1910.10683
+    §2.2): per-line keep rules (≥ 3 words, no blocklist term),
+    document reassembly, and retention stats with a ≥ 2-surviving-
+    lines document verdict. The fixture corpus is single-line word
+    soup, so the gate first re-lines it deterministically (a newline
+    after every 8th word via one regexp_replace both engines replay
+    identically); real multi-line behavior — terminal-punctuation
+    rule included — is pinned by tests/test_filtering.py. A purely
+    narrow per-row transform: no shuffle, no UDF. [extension]"""
+    from db2pq_spark.operators.filtering import line_filter
+
+    docs = t(spark, sf_dir, "documents")
+    relined = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+( \S+){7}) ",
+                         "$1\n").alias("text"))
+    return (line_filter(relined, "text", "doc_id", min_words=3,
+                        blocklist=("customer", "stream"),
+                        keep_min_lines=2)
+            .withColumnRenamed("id", "doc_id"))

@@ -1,0 +1,197 @@
+"""Unit tests for operators/filtering.py — the corpus quality-filter
+battery (Gopher rules, C4 line filter, char entropy, edit-distance
+confirm, per-group caps)."""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class TestGopherRules:
+    def _rules(self, spark, rows, **kw):
+        from db2pq_spark.operators.filtering import gopher_rules
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["id"]: r.asDict() for r in
+                gopher_rules(df, "text", "doc_id", **kw).collect()}
+
+    def test_word_count_bounds(self, spark):
+        rows = [(1, "the quick brown fox jumps over that lazy dog again " * 6),
+                (2, "too short the and")]  # doc 1: 60 w, mean len 4.1
+        out = self._rules(spark, rows)
+        assert out[1]["r_word_count"] and out[1]["passes"]
+        assert not out[2]["r_word_count"] and not out[2]["passes"]
+
+    def test_mean_word_len_integer_identity(self, spark):
+        # "aa bb cc" → word_chars 6, n_words 3, mean 2 < 3 → fail
+        out = self._rules(spark, [(1, "aa bb cc")],
+                          min_words=1, min_stopwords=0)
+        assert out[1]["word_chars"] == 6
+        assert not out[1]["r_mean_word_len"]
+        # mean exactly at the lower bound passes (>= is inclusive)
+        out = self._rules(spark, [(1, "aaa bbb ccc")],
+                          min_words=1, min_stopwords=0)
+        assert out[1]["r_mean_word_len"]
+
+    def test_symbol_and_alpha_rules(self, spark):
+        # 10 words, 2 symbols (# and ...) → ratio 0.2 > 0.1 → fail
+        text = "the and of to a in is that it#for..."
+        out = self._rules(spark, [(1, text)], min_words=1)
+        assert out[1]["n_symbols"] == 2
+        assert not out[1]["r_symbol_ratio"]
+        # 5 words, 1 non-alpha ("123") → alpha frac 0.8 → pass at 0.80
+        out = self._rules(spark, [(1, "the and of to 123")],
+                          min_words=1)
+        assert out[1]["n_alpha_words"] == 4
+        assert out[1]["r_alpha_frac"]
+        # 0.75 < 0.8 → fail
+        out = self._rules(spark, [(1, "the and of 123")], min_words=1)
+        assert not out[1]["r_alpha_frac"]
+
+    def test_stopword_rule(self, spark):
+        out = self._rules(spark, [(1, "zebra quagga okapi")],
+                          min_words=1)
+        assert out[1]["stop_hits"] == 0 and not out[1]["r_stopwords"]
+
+    def test_threshold_validation(self, spark):
+        from db2pq_spark.operators.filtering import gopher_rules
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="multiple of 0.01"):
+            gopher_rules(df, "text", "doc_id", max_symbol_ratio=0.123)
+
+
+class TestLineFilter:
+    def _lf(self, spark, text, **kw):
+        from db2pq_spark.operators.filtering import line_filter
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return line_filter(df, "text", "doc_id", **kw).collect()[0]
+
+    def test_min_words_and_reassembly(self, spark):
+        r = self._lf(spark, "one two three\nshort\nfour five six seven")
+        assert (r["n_lines"], r["n_kept"]) == (3, 2)
+        assert r["text_kept"] == "one two three\nfour five six seven"
+        assert r["kept_doc"]
+
+    def test_blocklist_case_insensitive(self, spark):
+        r = self._lf(spark, "enable JavaScript to view\ngood line here",
+                     blocklist=("javascript",))
+        assert r["n_kept"] == 1
+        assert r["text_kept"] == "good line here"
+
+    def test_terminal_punct_and_doc_drop(self, spark):
+        r = self._lf(spark, "no punctuation line\nthis one ends well.",
+                     require_terminal_punct=True, keep_min_lines=2)
+        assert r["n_kept"] == 1
+        assert not r["kept_doc"]
+
+    def test_blocklist_terms_are_literal(self, spark):
+        # regex metacharacters in a term must not change semantics
+        r = self._lf(spark, "price is $9.99 today\nplain line kept",
+                     blocklist=("$9.99",))
+        assert r["n_kept"] == 1
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        from db2pq_spark.operators.filtering import char_entropy
+
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd")],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in
+               char_entropy(df, "text", "doc_id").collect()}
+        assert out[1]["entropy"] == pytest.approx(0.0, abs=1e-6)
+        assert out[2]["entropy"] == pytest.approx(1.0, abs=1e-6)
+        assert out[3]["entropy"] == pytest.approx(2.0, abs=1e-6)
+        assert out[3]["n_chars"] == 4
+
+    def test_matches_python_entropy(self, spark):
+        from collections import Counter
+
+        from db2pq_spark.operators.filtering import char_entropy
+
+        text = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = char_entropy(df, "text", "doc_id").collect()[0]
+        n = len(text)
+        want = math.log2(n) - sum(
+            round(c * math.log2(c), 6) for c in Counter(text).values()) / n
+        assert r["entropy"] == pytest.approx(want, abs=1e-9)
+
+
+class TestEditConfirm:
+    def test_confirm_and_reject(self, spark):
+        from db2pq_spark.operators.filtering import edit_confirm
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fax"),
+             (3, "completely different words")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], "id1 long, id2 long")
+        out = {(r["id1"], r["id2"]): r for r in
+               edit_confirm(docs, pairs, "text", "doc_id",
+                            min_sim=0.9).collect()}
+        assert out[(1, 2)]["dist"] == 1 and out[(1, 2)]["confirmed"]
+        assert not out[(1, 3)]["confirmed"]
+
+    def test_boundary_is_inclusive_integer_exact(self, spark):
+        from db2pq_spark.operators.filtering import edit_confirm
+
+        # len 10 vs dist 2 → sim exactly 0.8: confirmed at 0.80
+        docs = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "abcdefghxy")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+        r = edit_confirm(docs, pairs, "text", "doc_id",
+                         min_sim=0.8).collect()[0]
+        assert r["dist"] == 2 and r["confirmed"]
+        r = edit_confirm(docs, pairs, "text", "doc_id",
+                         min_sim=0.81).collect()[0]
+        assert not r["confirmed"]
+
+    def test_max_len_prefix(self, spark):
+        from db2pq_spark.operators.filtering import edit_confirm
+
+        docs = spark.createDataFrame(
+            [(1, "same prefix then AAAA"), (2, "same prefix then BBBB")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+        r = edit_confirm(docs, pairs, "text", "doc_id",
+                         max_len=11).collect()[0]
+        assert r["dist"] == 0 and r["len1"] == 11
+
+    def test_blocked_pairs(self, spark):
+        from db2pq_spark.operators.filtering import blocked_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (4, "b")],
+            "doc_id long, src string")
+        got = {(r["id1"], r["id2"]) for r in
+               blocked_pairs(df, "doc_id", ["src"]).collect()}
+        assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+class TestCapPerGroup:
+    def test_keeps_n_best_deterministic(self, spark):
+        from db2pq_spark.operators.filtering import cap_per_group
+
+        rows = [(1, "a", 0.9), (2, "a", 0.9), (3, "a", 0.5),
+                (4, "b", 0.1)]
+        df = spark.createDataFrame(rows, "doc_id long, src string, q double")
+        out = cap_per_group(df, "src", "q", "doc_id", 2).collect()
+        got = {(r["src"], r["doc_id"], r["cap_rank"]) for r in out}
+        # tie on q=0.9 broken by lower id first
+        assert got == {("a", 1, 1), ("a", 2, 2), ("b", 4, 1)}
+
+    def test_n_validation(self, spark):
+        from db2pq_spark.operators.filtering import cap_per_group
+
+        df = spark.createDataFrame([(1, "a", 0.1)],
+                                   "doc_id long, src string, q double")
+        with pytest.raises(ValueError, match="must be >= 1"):
+            cap_per_group(df, "src", "q", "doc_id", 0)
