@@ -53,6 +53,9 @@ _EXTENSION = (
     "q124_nb_quality", "q125_dsir_sample", "q126_embedding_moments",
     "q127_cluster_representatives", "q128_mmr_select",
     "q129_nb_score_increment",
+    # round-10 additions — the corpus quality-filter battery
+    "q130_gopher_rules", "q131_edit_confirm", "q132_char_entropy",
+    "q133_source_cap", "q134_line_filter",
 )
 
 
@@ -231,6 +234,22 @@ def _q126_moments_arrow(spark, sf_dir: str):
     return embedding_moments(emb, "embedding", impl="arrow")
 
 
+def _q131_confirm_production(spark, sf_dir: str):
+    """Production two-phase fuzzy dedup: MinHash-LSH recall stage
+    (operator defaults) feeding the Levenshtein confirm. The gate's
+    q131 entry generates candidates with a (source, length-bucket)
+    blocked self-join so its oracle can replay the pair set exactly —
+    that blocking is quadratic within a block, an oracle surcharge,
+    not the deployed candidate generator."""
+    from db2pq_spark.operators.dedup import minhash_dedup
+    from db2pq_spark.operators.filtering import edit_confirm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup(docs, "text", "doc_id").select("id1", "id2")
+    return edit_confirm(docs, pairs, "text", "doc_id",
+                        min_sim=0.75, max_len=160)
+
+
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
@@ -243,7 +262,8 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q107_incremental_dedup": _q107_incremental_production,
               "q123_winnow_incremental": _q123_winnow_inc_production,
               "q125_dsir_sample": _q125_dsir_production,
-              "q126_embedding_moments": _q126_moments_arrow}
+              "q126_embedding_moments": _q126_moments_arrow,
+              "q131_edit_confirm": _q131_confirm_production}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -317,6 +337,13 @@ _CONFIGS = {
         "impl": "arrow",
         "note": "per-batch BLAS XtX partials; gate entry runs the "
                 "exact explode-pairs decimal path",
+    },
+    "q131_edit_confirm": {
+        "candidates": "minhash_dedup defaults (16x4, cap 1000)",
+        "min_sim_max_len": "0.75/160",
+        "note": "production recall stage; gate entry blocks by "
+                "(source, length-bucket) so the oracle replays the "
+                "pair set exactly",
     },
 }
 

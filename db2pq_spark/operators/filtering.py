@@ -306,14 +306,15 @@ def cap_per_group(
     Returns the input columns plus ``cap_rank`` (1-based) for the
     kept rows only.
 
-    Scale: one hash-partitioned window (``row_number`` needs no full
-    sort — each group sorts locally after the key shuffle). Group
-    skew is the failure mode at 100 TB: one mega-domain lands on one
-    task. AQE cannot split a window partition, so for pathologically
-    hot groups pre-thin with a two-phase cap (cap within each of k
-    salted sub-groups at ``n``, then cap the ≤ k·n survivors
-    globally) — exact for row_number since the global top-n of a
-    group is contained in the union of its sub-group top-n sets."""
+    Scale: one hash-partitioned window, and Spark plans a
+    ``WindowGroupLimit Partial`` BEFORE the exchange — every map task
+    forwards at most ``n`` rows per group it sees, so the shuffle
+    carries ≤ n·tasks rows per group instead of the group itself and
+    a mega-domain cannot flood one reducer. (That partial limit is
+    exactly the salted two-phase cap one would otherwise hand-write —
+    exact for ``row_number`` because a group's global top-n is
+    contained in the union of its per-task top-n sets — so nothing
+    manual is needed.)"""
     if int(n) < 1:
         raise ValueError(f"n={n} must be >= 1")
     w = (W.partitionBy(group_col)

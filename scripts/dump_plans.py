@@ -65,6 +65,22 @@ SHOWCASE = {
                 "and df broadcast back",
     "q97_weighted_sample": "weighted sample is a narrow score + "
                            "TakeOrderedAndProject — no full sort",
+    "q130_gopher_rules": "one narrow codegen'd projection — every "
+                         "ratio rule an integer cross-multiplication, "
+                         "no shuffle",
+    "q131_edit_confirm": "pair relation bounded by blocking; "
+                         "levenshtein is a codegen'd JVM expression "
+                         "over a 160-char prefix — pairs x prefix^2, "
+                         "never corpus^2",
+    "q132_char_entropy": "sequence+substr explode (no lambda in the "
+                         "Generate), map-side (id,ch) partial counts "
+                         "collapse each doc to its alphabet before "
+                         "the shuffle",
+    "q133_source_cap": "WindowGroupLimit Partial BEFORE the exchange: "
+                       "each map task forwards <=10 rows per source — "
+                       "a mega-source cannot flood one reducer",
+    "q134_line_filter": "purely narrow per-row transform (split + "
+                        "HOF filter + array_join) — no shuffle",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
     "q100_heavy_hitters": "corpus heavy hitters: map-side combine "

@@ -104,6 +104,9 @@ FAMILIES = [
                       "q128_mmr_select"]),
     ("lm_quality", ["q129_nb_score_increment", "q125_dsir_sample",
                     "q124_nb_quality", "q121_kneser_ney"]),
+    ("filtering", ["q133_source_cap", "q130_gopher_rules",
+                   "q134_line_filter", "q132_char_entropy"]),
+    ("edit_confirm", ["q131_edit_confirm"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 
@@ -216,13 +219,27 @@ def _overrides():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_moments(emb, "embedding", impl="arrow")
 
+    def q131(spark, sf_dir):
+        from db2pq_spark.operators.dedup import minhash_dedup
+        from db2pq_spark.operators.filtering import edit_confirm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production two-phase fuzzy dedup: LSH recall stage feeding
+        # the Levenshtein confirm (the gate's blocked self-join is an
+        # oracle-replay surcharge, quadratic within a block)
+        pairs = minhash_dedup(docs, "text", "doc_id") \
+            .select("id1", "id2")
+        return edit_confirm(docs, pairs, "text", "doc_id",
+                            min_sim=0.75, max_len=160)
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
             "q119_winnow_overlap": q119, "q118_split_leakage": q118,
             "q121_kneser_ney": q121, "q107_incremental_dedup": q107,
             "q123_winnow_incremental": q123,
-            "q125_dsir_sample": q125, "q126_embedding_moments": q126}
+            "q125_dsir_sample": q125, "q126_embedding_moments": q126,
+            "q131_edit_confirm": q131}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:
