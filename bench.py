@@ -250,6 +250,19 @@ def _q131_confirm_production(spark, sf_dir: str):
                         min_sim=0.75, max_len=160)
 
 
+def _q132_entropy_arrow(spark, sf_dir: str):
+    """Production char-entropy path (impl='arrow'): one mapInPandas
+    histogram pass — no per-character explode, no shuffle. The gate's
+    q132 entry pins the expression form whose per-char explode +
+    two-level aggregate the DuckDB oracle replays; that is ~300× the
+    row volume for the same (bit-identical) answer."""
+    from db2pq_spark.operators.filtering import char_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return char_entropy(docs, "text", "doc_id", impl="arrow") \
+        .select("id", "n_chars", "sum_clog2c")
+
+
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
@@ -263,7 +276,8 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q123_winnow_incremental": _q123_winnow_inc_production,
               "q125_dsir_sample": _q125_dsir_production,
               "q126_embedding_moments": _q126_moments_arrow,
-              "q131_edit_confirm": _q131_confirm_production}
+              "q131_edit_confirm": _q131_confirm_production,
+              "q132_char_entropy": _q132_entropy_arrow}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -344,6 +358,12 @@ _CONFIGS = {
         "note": "production recall stage; gate entry blocks by "
                 "(source, length-bucket) so the oracle replays the "
                 "pair set exactly",
+    },
+    "q132_char_entropy": {
+        "impl": "arrow",
+        "note": "mapInPandas histogram kernel, bit-identical to the "
+                "expression form; gate entry pins the per-char "
+                "explode the oracle replays",
     },
 }
 

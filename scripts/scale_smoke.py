@@ -219,6 +219,15 @@ def _overrides():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return embedding_moments(emb, "embedding", impl="arrow")
 
+    def q132(spark, sf_dir):
+        from db2pq_spark.operators.filtering import char_entropy
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production histogram kernel (bit-identical to the gate's
+        # per-char-explode expression form the oracle replays)
+        return char_entropy(docs, "text", "doc_id", impl="arrow") \
+            .select("id", "n_chars", "sum_clog2c")
+
     def q131(spark, sf_dir):
         from db2pq_spark.operators.dedup import minhash_dedup
         from db2pq_spark.operators.filtering import edit_confirm
@@ -239,7 +248,7 @@ def _overrides():
             "q121_kneser_ney": q121, "q107_incremental_dedup": q107,
             "q123_winnow_incremental": q123,
             "q125_dsir_sample": q125, "q126_embedding_moments": q126,
-            "q131_edit_confirm": q131}
+            "q131_edit_confirm": q131, "q132_char_entropy": q132}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:

@@ -110,6 +110,36 @@ class TestCharEntropy:
         assert out[3]["entropy"] == pytest.approx(2.0, abs=1e-6)
         assert out[3]["n_chars"] == 4
 
+    def test_arrow_impl_matches_expr_exactly(self, spark, sf_dir):
+        from db2pq_spark.operators.filtering import char_entropy
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        expr = {r["id"]: (r["n_chars"], r["sum_clog2c"]) for r in
+                char_entropy(docs, "text", "doc_id").collect()}
+        arrow = {r["id"]: (r["n_chars"], r["sum_clog2c"]) for r in
+                 char_entropy(docs, "text", "doc_id",
+                              impl="arrow").collect()}
+        # bit-for-bit on the decimal-accumulated value, not approx
+        assert arrow == expr
+
+    def test_arrow_skips_empty_and_null(self, spark):
+        from db2pq_spark.operators.filtering import char_entropy
+
+        df = spark.createDataFrame([(1, "ab"), (2, ""), (3, None)],
+                                   "doc_id long, text string")
+        out = char_entropy(df, "text", "doc_id", impl="arrow").collect()
+        assert [r["id"] for r in out] == [1]
+
+    def test_impl_validation(self, spark):
+        from db2pq_spark.operators.filtering import char_entropy
+
+        df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="unknown impl"):
+            char_entropy(df, "text", "doc_id", impl="pandas")
+        with pytest.raises(ValueError, match="round_digits"):
+            char_entropy(df, "text", "doc_id", round_digits=8,
+                         impl="arrow")
+
     def test_matches_python_entropy(self, spark):
         from collections import Counter
 
