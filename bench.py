@@ -55,7 +55,8 @@ _EXTENSION = (
     "q129_nb_score_increment",
     # round-10 additions — the corpus quality-filter battery
     "q130_gopher_rules", "q131_edit_confirm", "q132_char_entropy",
-    "q133_source_cap", "q134_line_filter",
+    "q133_source_cap", "q134_line_filter", "q135_vocab_coverage",
+    "q136_span_corruption",
 )
 
 

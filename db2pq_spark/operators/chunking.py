@@ -143,3 +143,96 @@ def pack_next_fit(
         return pdf.assign(bin=pd.array(bins, dtype="int64"))
 
     return df.groupBy(group_col).applyInPandas(fold, out_schema)
+
+
+def corruption_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block: int = 12,
+    span_len: int = 2,
+    rate: int = 5,
+    salt: str = "t5",
+) -> DataFrame:
+    """T5/UL2-style span-corruption plan: deterministic, reproducible
+    mask spans over each document's token sequence — the denoising-
+    objective preprocessing step (Raffel et al., arXiv:1910.10683
+    §3.1.4), relationally.
+
+    Each document's positions are cut into ``block``-token blocks; a
+    position is a span CANDIDATE when its portable content hash
+    (md5 of ``salt || id || '_' || pos`` — the
+    :func:`..sampling.hash_bucket` family, so any engine replays it)
+    falls in bucket 0 of ``rate``; each block masks at most one span,
+    starting at its first candidate and running ``span_len`` tokens,
+    clipped at the block edge — blocks make spans non-overlapping BY
+    CONSTRUCTION, which is what keeps the plan one-pass (a
+    sequential "skip positions inside the previous span" rule would
+    serialize per document). Expected mask fraction ≈
+    ``(1-(1-1/rate)^block) · span_len / block`` — ~15 % at the
+    defaults, the T5 regime.
+
+    Returns ``(id, blk, start_pos, n_masked, masked_text)`` — one row
+    per masked span; ``start_pos`` is 0-based in the document's token
+    sequence and ``masked_text`` the space-joined masked tokens (the
+    sentinel-replacement consumer needs exactly these).
+
+    Scale: one corpus tokenize + posexplode into ONE (id, block)
+    aggregate — no window (a first cut sorted the whole exploded
+    corpus through a per-block window min: 18.8× at the 100× replica;
+    this shape is ~7×). The block-min folds long state map-side; the
+    token payload only enters aggregate state for NEAR-CANDIDATE
+    rows — positions within ``span_len`` of some candidate in their
+    block, a per-row test of ``span_len`` codegen'd hashes that any
+    true span member satisfies (the block's first candidate is a
+    candidate) — so the shuffle carries ~``span_len/rate`` of the
+    corpus tokens instead of all of them, and the exact
+    in-``[start, start+clip)`` cut happens after the aggregate on a
+    ≤ a-few-element list. No self-join, no second corpus scan,
+    nothing driver-side."""
+    from db2pq_spark.operators.sampling import hash_bucket
+    from db2pq_spark.operators.textstats import tokens
+
+    if block < 1 or span_len < 1 or span_len > block or rate < 2:
+        raise ValueError(
+            f"need block >= 1, 1 <= span_len <= block, rate >= 2 "
+            f"(got block={block}, span_len={span_len}, rate={rate})")
+    pos = (df.select(F.col(id_col).alias("id"),
+                     tokens(text_col).alias("_toks"))
+           .select("id", F.posexplode("_toks").alias("pos", "tok")))
+
+    def cand_at(p):
+        return hash_bucket(F.concat_ws("_", F.col("id"), p),
+                           n_buckets=int(rate), salt=salt) == 0
+
+    blk = (F.col("pos") - (F.col("pos") % F.lit(int(block)))) \
+        / F.lit(int(block))
+    tagged = pos.select("id", "pos", "tok",
+                        blk.cast("bigint").alias("blk"),
+                        cand_at(F.col("pos")).alias("_cand"))
+    near = F.col("_cand")
+    for j in range(1, int(span_len)):
+        pj = F.col("pos") - F.lit(j)
+        near = near | ((pj >= F.col("blk") * F.lit(int(block)))
+                       & cand_at(pj))
+    spans = (tagged
+             .groupBy("id", "blk")
+             .agg(F.min(F.when(F.col("_cand"), F.col("pos")))
+                   .alias("_start"),
+                  F.collect_list(
+                      F.when(near, F.struct("pos", "tok")))
+                   .alias("_near"))
+             .where(F.col("_start").isNotNull()))
+    clip = F.least(
+        F.lit(int(span_len)),
+        (F.col("blk") + 1) * F.lit(int(block)) - F.col("_start"))
+    masked = F.sort_array(F.filter(
+        "_near",
+        lambda s: (s["pos"] >= F.col("_start"))
+        & (s["pos"] < F.col("_start") + clip)))
+    return spans.select(
+        "id", "blk",
+        F.col("_start").cast("bigint").alias("start_pos"),
+        F.size(masked).cast("bigint").alias("n_masked"),
+        F.array_join(F.transform(masked, lambda s: s["tok"]), " ")
+         .alias("masked_text"))

@@ -95,3 +95,63 @@ def encode_documents(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col), "token_ids",
         F.size("token_ids").cast("bigint").alias("n_tokens"),
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str,
+                   coverage_pct: int = 95,
+                   bounded: int | None = None) -> DataFrame:
+    """(token, freq, rank, cum_before, total, kept): top-p ("nucleus")
+    vocabulary truncation — the smallest frequency-ranked prefix of
+    the vocabulary whose cumulative token mass reaches
+    ``coverage_pct`` percent of the corpus. The standard way to size
+    a tokenizer vocabulary / pick an OOV cutoff: every token is kept
+    while the mass BEFORE it is still under the target, so the first
+    token crossing the threshold is included and coverage of the kept
+    set is ≥ the target.
+
+    ``kept`` is decided by exact integer cross-multiplication
+    (``100·cum_before < pct·total``) on exact long counts — no float
+    ever decides membership, so the DuckDB oracle replays it
+    bit-for-bit.
+
+    Scale shape: one corpus explode → token-count aggregate (map-side
+    combine collapses each partition to its vocabulary first); the
+    global rank AND the exclusive prefix sum both use the two-stage
+    range-partitioned construction in
+    :mod:`db2pq_spark.operators.ranking` — no single-partition window
+    even for a huge vocabulary (``bounded`` opts into the
+    one-partition fast path when the caller caps the vocab). The
+    corpus is scanned once; everything after the count aggregate is
+    vocabulary-sized."""
+    from db2pq_spark.operators.ranking import (
+        with_global_prefix_sum, with_global_rank)
+
+    if not (0 < int(coverage_pct) <= 100):
+        raise ValueError(f"coverage_pct={coverage_pct} must be in "
+                         "(0, 100]")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("freq"))
+    )
+    # three consumers (prefix sum, rank, total) — pin the vocab-sized
+    # count relation once so the corpus explode+aggregate runs exactly
+    # one job; without this the `total` branch re-scans and
+    # re-tokenizes the corpus (measured 2 FileScans and a 15.5× ratio
+    # at the 100× replica; 1 scan / ~8× after). Blocks are
+    # vocab-sized and released by the ContextCleaner with the result.
+    counts = counts.localCheckpoint(eager=True)
+    order = [F.desc("freq"), F.asc("token")]
+    with_cum = with_global_prefix_sum(
+        counts, "freq", order, out_col="cum_before", bounded=bounded)
+    ranked = with_global_rank(with_cum, order, rank_col="rank",
+                              bounded=bounded)
+    totals = counts.agg(F.sum("freq").alias("total"))
+    return (ranked.crossJoin(F.broadcast(totals))
+            .select("token", "freq", F.col("rank").cast("bigint")
+                    .alias("rank"),
+                    F.col("cum_before").cast("bigint")
+                     .alias("cum_before"),
+                    F.col("total").cast("bigint").alias("total"),
+                    ((F.lit(100) * F.col("cum_before"))
+                     < (F.lit(int(coverage_pct)) * F.col("total")))
+                    .alias("kept")))

@@ -2274,3 +2274,100 @@ def q134_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                         blocklist=("customer", "stream"),
                         keep_min_lines=2)
             .withColumnRenamed("id", "doc_id"))
+
+
+_Q135_SQL = f"""
+    WITH counts AS (
+      SELECT tok AS token, COUNT(*) AS freq
+      FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    w AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank,
+             COALESCE(SUM(freq) OVER (ORDER BY freq DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cum_before,
+             SUM(freq) OVER () AS total
+      FROM counts
+    )
+    SELECT token, CAST(freq AS BIGINT) AS freq,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           CAST(total AS BIGINT) AS total,
+           100 * cum_before < 95 * total AS kept
+    FROM w
+"""
+
+
+@query("q135_vocab_coverage", oracle=_Q135_SQL)
+def q135_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p ("nucleus") vocabulary truncation
+    (operators/vocab.py:vocab_coverage): the smallest
+    frequency-ranked vocabulary prefix whose cumulative token mass
+    reaches 95% of the corpus — the tokenizer-sizing / OOV-cutoff
+    decision as a relation. Membership is decided by exact integer
+    cross-multiplication on exact long counts. One corpus explode +
+    token-count aggregate; the global rank and exclusive prefix sum
+    both run the two-stage range-partitioned construction
+    (operators/ranking.py) — no single-partition window even for a
+    huge vocabulary. [extension]"""
+    from db2pq_spark.operators.vocab import vocab_coverage
+
+    return vocab_coverage(t(spark, sf_dir, "documents"), "text",
+                          coverage_pct=95)
+
+
+def _q136_oracle() -> str:
+    from db2pq_spark.operators.sampling import hash_bucket_sql
+
+    cand = hash_bucket_sql(
+        "CAST(doc_id AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)",
+        n_buckets=5, salt="t5")
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM toked
+    ),
+    p AS (
+      SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS tok,
+             (i - 1) // 12 AS blk,
+             {cand} = 0 AS cand
+      FROM pos
+    ),
+    st AS (
+      SELECT *, MIN(CASE WHEN cand THEN pos END)
+                  OVER (PARTITION BY doc_id, blk) AS strt
+      FROM p
+    )
+    SELECT doc_id AS id, CAST(blk AS BIGINT) AS blk,
+           CAST(MIN(strt) AS BIGINT) AS start_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_masked,
+           string_agg(tok, ' ' ORDER BY pos) AS masked_text
+    FROM st
+    WHERE strt IS NOT NULL AND pos >= strt
+      AND pos < strt + LEAST(2, (blk + 1) * 12 - strt)
+    GROUP BY doc_id, blk
+    """
+
+
+@query("q136_span_corruption", oracle=_q136_oracle())
+def q136_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption plan
+    (operators/chunking.py:corruption_spans, after arXiv:1910.10683
+    §3.1.4): deterministic mask spans — per 12-token block, at most
+    one span starting at the block's first md5-bucket candidate
+    position, 2 tokens, clipped at the block edge (~15% mask rate,
+    non-overlapping BY CONSTRUCTION so the plan stays one-pass). One
+    corpus tokenize + posexplode, a per-(id, block) window min, one
+    (id, block)-keyed aggregate — no self-join, no second corpus
+    scan. [extension]"""
+    from db2pq_spark.operators.chunking import corruption_spans
+
+    return corruption_spans(t(spark, sf_dir, "documents"), "text",
+                            "doc_id", block=12, span_len=2, rate=5,
+                            salt="t5")

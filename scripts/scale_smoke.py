@@ -106,7 +106,8 @@ FAMILIES = [
                     "q124_nb_quality", "q121_kneser_ney"]),
     ("filtering", ["q133_source_cap", "q130_gopher_rules",
                    "q134_line_filter", "q132_char_entropy"]),
-    ("edit_confirm", ["q131_edit_confirm"]),
+    ("span_confirm", ["q135_vocab_coverage", "q136_span_corruption",
+                      "q131_edit_confirm"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

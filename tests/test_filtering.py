@@ -225,3 +225,90 @@ class TestCapPerGroup:
                                    "doc_id long, src string, q double")
         with pytest.raises(ValueError, match="must be >= 1"):
             cap_per_group(df, "src", "q", "doc_id", 0)
+
+
+class TestVocabCoverage:
+    def test_coverage_semantics(self, spark):
+        from db2pq_spark.operators.vocab import vocab_coverage
+
+        # freq: a=5, b=3, c=1, d=1 → total 10. 70%: keep a (cum 0),
+        # b (cum 5 < 7); c has cum_before 8 ≥ 7 → cut. Ties c/d by token.
+        df = spark.createDataFrame(
+            [(1, "a a a a a b b b c d")], "doc_id long, text string")
+        out = {r["token"]: r for r in
+               vocab_coverage(df, "text", coverage_pct=70).collect()}
+        assert out["a"]["kept"] and out["b"]["kept"]
+        assert not out["c"]["kept"] and not out["d"]["kept"]
+        assert out["a"]["rank"] == 1 and out["b"]["cum_before"] == 5
+        assert out["c"]["rank"] == 3 and out["d"]["rank"] == 4
+        assert out["d"]["total"] == 10
+
+    def test_full_coverage_keeps_all(self, spark):
+        from db2pq_spark.operators.vocab import vocab_coverage
+
+        df = spark.createDataFrame([(1, "x y z")],
+                                   "doc_id long, text string")
+        rows = vocab_coverage(df, "text", coverage_pct=100).collect()
+        assert all(r["kept"] for r in rows)
+
+    def test_pct_validation(self, spark):
+        from db2pq_spark.operators.vocab import vocab_coverage
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="coverage_pct"):
+            vocab_coverage(df, "text", coverage_pct=0)
+
+
+class TestCorruptionSpans:
+    def test_spans_respect_blocks_and_length(self, spark):
+        from db2pq_spark.operators.chunking import corruption_spans
+
+        text = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame([(1, text), (2, text)],
+                                   "doc_id long, text string")
+        out = corruption_spans(df, "text", "doc_id",
+                               block=12, span_len=2, rate=5).collect()
+        assert out, "expected at least one span at these defaults"
+        for r in out:
+            blk_lo, blk_hi = r["blk"] * 12, (r["blk"] + 1) * 12
+            assert blk_lo <= r["start_pos"] < blk_hi
+            assert 1 <= r["n_masked"] <= 2
+            assert r["start_pos"] + r["n_masked"] <= blk_hi
+            assert len(r["masked_text"].split(" ")) == r["n_masked"]
+        # at most one span per (id, blk)
+        keys = [(r["id"], r["blk"]) for r in out]
+        assert len(keys) == len(set(keys))
+
+    def test_deterministic_and_salted(self, spark):
+        from db2pq_spark.operators.chunking import corruption_spans
+
+        text = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        a = {(r["id"], r["blk"], r["start_pos"]) for r in
+             corruption_spans(df, "text", "doc_id").collect()}
+        b = {(r["id"], r["blk"], r["start_pos"]) for r in
+             corruption_spans(df, "text", "doc_id").collect()}
+        assert a == b
+        c = {(r["id"], r["blk"], r["start_pos"]) for r in
+             corruption_spans(df, "text", "doc_id", salt="ul2").collect()}
+        assert a != c  # different salt → different mask plan
+
+    def test_mask_fraction_near_t5_regime(self, spark):
+        from db2pq_spark.operators.chunking import corruption_spans
+
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{i}_{j}" for j in range(120)))
+             for i in range(50)], "doc_id long, text string")
+        masked = corruption_spans(docs, "text", "doc_id") \
+            .agg(F.sum("n_masked")).collect()[0][0]
+        frac = masked / (50 * 120)
+        assert 0.08 < frac < 0.25  # ~15% expected at defaults
+
+    def test_param_validation(self, spark):
+        from db2pq_spark.operators.chunking import corruption_spans
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="span_len"):
+            corruption_spans(df, "text", "doc_id", block=4, span_len=5)
