@@ -197,9 +197,16 @@ def corruption_spans(
         raise ValueError(
             f"need block >= 1, 1 <= span_len <= block, rate >= 2 "
             f"(got block={block}, span_len={span_len}, rate={rate})")
-    pos = (df.select(F.col(id_col).alias("id"),
-                     tokens(text_col).alias("_toks"))
-           .select("id", F.posexplode("_toks").alias("pos", "tok")))
+    # tokenize behind a 1:1 Generate barrier (dedup._stage_col
+    # pattern): posexplode's implied size(...)>0 pruning filter would
+    # otherwise push INTO the scan and re-run the split regex twice
+    # more per row in DataFilters (the q96 pathology)
+    from db2pq_spark.operators.dedup import _stage_col
+
+    toked = _stage_col(df.select(F.col(id_col).alias("id"),
+                                 F.col(text_col).alias("_txt")),
+                       ["id"], tokens("_txt"), "_toks")
+    pos = toked.select("id", F.posexplode("_toks").alias("pos", "tok"))
 
     def cand_at(p):
         return hash_bucket(F.concat_ws("_", F.col("id"), p),

@@ -81,6 +81,16 @@ SHOWCASE = {
                        "a mega-source cannot flood one reducer",
     "q134_line_filter": "purely narrow per-row transform (split + "
                         "HOF filter + array_join) — no shuffle",
+    "q135_vocab_coverage": "counts pinned once (one corpus scan for "
+                           "three consumers); rank + prefix sum are "
+                           "the two-stage range-partitioned "
+                           "construction — no single-partition window",
+    "q136_span_corruption": "one posexplode into ONE (id, block) "
+                            "aggregate — block minima fold map-side, "
+                            "token payload enters state only for "
+                            "near-candidate positions (~span_len/rate "
+                            "of the corpus); no window sort, no "
+                            "self-join",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
     "q100_heavy_hitters": "corpus heavy hitters: map-side combine "
