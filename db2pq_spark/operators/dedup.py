@@ -903,6 +903,14 @@ def winnow_fingerprints(
     Families are mutually incompatible (disjoint fingerprint values) —
     which is what the ``_fp_hash`` stamp below enforces.
 
+    BREAKING DEFAULT CHANGE (round 9): ``token_hash`` flipped
+    ``xxhash64`` → ``arrow64``, so fingerprints computed under default
+    arguments changed value across versions. Persisted fingerprint
+    sets are safe: they carry the ``_fp_hash`` stamp and the
+    incremental path REFUSES a family mismatch instead of silently
+    missing every overlap; cross-family pair-set parity is pinned by
+    ``tests/test_review_fixes.py::TestWinnowCrossFamilyParity``.
+
     COMPATIBILITY NOTE: the default flipped ``xxhash64`` → ``arrow64``
     in round 9, so fingerprints computed under default arguments
     changed value across versions. A persisted corpus built under the
