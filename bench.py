@@ -56,7 +56,8 @@ _EXTENSION = (
     # round-10 additions — the corpus quality-filter battery
     "q130_gopher_rules", "q131_edit_confirm", "q132_char_entropy",
     "q133_source_cap", "q134_line_filter", "q135_vocab_coverage",
-    "q136_span_corruption",
+    "q136_span_corruption", "q137_repeated_lines",
+    "q138_repeated_lines_incremental",
 )
 
 

@@ -11,6 +11,13 @@ thresholds instead of float ratios, decimal-accumulated entropy terms):
 - :func:`line_filter` — C4-style line-level boilerplate removal
   (Raffel et al., arXiv:1910.10683 §2.2): per-line keep rules, document
   reassembly, retention stats.
+- :func:`remove_repeated_lines` — CCNet/RefinedWeb-style CORPUS-level
+  repeated-line removal (arXiv:1911.00359 §3): drop lines whose
+  normalized form recurs across the whole corpus, reassemble.
+- :func:`repeated_line_counts` / :func:`remove_repeated_lines_incremental`
+  — the persisted-state + new-batch shape of the same operator (the
+  incremental-dedup stamp discipline; the corpus state never
+  shuffles).
 - :func:`char_entropy` — character-distribution Shannon entropy, the
   classic gibberish / binary-noise / key-mash detector.
 - :func:`edit_confirm` — the exact verification stage of two-phase
@@ -162,6 +169,261 @@ def line_filter(
         F.array_join(kept, "\n").alias("text_kept"),
         (F.size(kept) >= F.lit(int(keep_min_lines))).alias("kept_doc"),
     )
+
+
+def _line_key_col(ln: Column, normalize: bool, line_key: str) -> Column:
+    """The corpus-wide line equality key: normalized (lower + trim +
+    whitespace-collapse) when ``normalize``, then either the xxhash64
+    of it (8-byte production key) or the string itself (oracle-
+    replayable)."""
+    if normalize:
+        ln = F.lower(F.regexp_replace(F.trim(ln), r"\s+", " "))
+    return F.xxhash64(ln) if line_key == "xxhash64" else ln
+
+
+def _line_repr(normalize: bool, line_key: str) -> str:
+    """The ``_lk_repr`` stamp value persisted line-count state carries
+    — key family and normalization are both baked into the key, so a
+    mismatch on either means the probe would match zero lines."""
+    return f"{line_key}|norm={int(bool(normalize))}"
+
+
+def _line_stage(df: DataFrame, text_col: str, id_col: str,
+                normalize: bool, line_key: str,
+                stage: str) -> DataFrame:
+    """Shared staging relation (id, _lines, _lk): per-doc line array +
+    per-line key array, materialized per ``stage`` (see
+    :func:`..dedup._span_stage` for the checkpoint/persist/none
+    trade) so the count pass and the rebuild pass re-read it instead
+    of re-splitting the corpus."""
+    if line_key not in ("xxhash64", "text"):
+        raise ValueError(f"unknown line_key {line_key!r} — expected "
+                         "'xxhash64' or 'text'")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        .alias("_lines"))
+    staged = staged.select(
+        "id", "_lines",
+        F.transform("_lines",
+                    lambda ln: _line_key_col(ln, normalize, line_key))
+        .alias("_lk"))
+    if stage == "checkpoint":
+        return staged.localCheckpoint(eager=False)
+    if stage == "persist":
+        from pyspark import StorageLevel
+
+        return staged.persist(StorageLevel.DISK_ONLY)
+    if stage == "none":
+        return staged
+    raise ValueError(f"unknown stage {stage!r} — expected "
+                     "'checkpoint', 'persist' or 'none'")
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_occurrences: int = 1,
+    normalize: bool = True,
+    line_key: str = "xxhash64",
+    stage: str = "checkpoint",
+) -> DataFrame:
+    """Corpus-level repeated-line (boilerplate) removal, after
+    CCNet (Wenzek et al., arXiv:1911.00359 §3, paragraph-hash dedup)
+    and RefinedWeb (Penedo et al., arXiv:2306.01116): drop every line
+    whose normalized form occurs more than ``max_occurrences`` times
+    across the WHOLE corpus (same-document repeats included) —
+    navigation bars, cookie banners, license headers. This is the
+    cross-document complement of :func:`line_filter`, whose C4 rules
+    look at one document at a time.
+
+    Returns ``(id, n_lines, n_kept, text_kept)`` for EVERY input
+    document (a doc whose lines are all boilerplate survives with
+    ``n_kept = 0, text_kept = ''``). Null text counts as empty.
+    Line order is preserved; the ORIGINAL line text is reassembled
+    even when matching ran on the normalized form
+    (``lower + trim + whitespace-collapse``, ``normalize=True``).
+
+    ``line_key`` picks the corpus-wide equality key: ``"xxhash64"``
+    (production default — 8-byte keys through the count shuffle) or
+    ``"text"`` (the normalized line itself — engine-replayable for
+    oracles, same result modulo 64-bit collisions).
+
+    Scale: the document text NEVER travels through a shuffle. One
+    staged per-doc pass (id, lines, keys) — materialized per
+    ``stage``, see :func:`..dedup._span_stage` for the
+    checkpoint/persist/none trade — then (1) bare keys explode
+    through a map-side-combined count whose ``> max_occurrences``
+    survivors are the boilerplate key set (vocabulary-sized: its
+    cardinality is ≤ total_lines/max_occurrences and real corpora
+    keep it tiny), (2) that set is force-broadcast back onto the
+    bare-key explode to collect each affected doc's hit-set (only
+    the duplicated minority aggregates, keyed by id), and (3) an
+    id-keyed join of hits against the staged relation filters each
+    doc's line array IN-ROW (interpreted lambda, linear in total
+    line count — the :func:`line_filter` precedent). AQE broadcasts
+    the hit relation when boilerplate is sparse, so the common case
+    is zero text movement end-to-end; a pathological
+    every-doc-affected corpus degrades to one id-keyed hash join,
+    never a sort, never a text-bearing groupBy."""
+    if int(max_occurrences) < 1:
+        raise ValueError(f"max_occurrences={max_occurrences} must be "
+                         ">= 1 (1 = keep only corpus-unique lines)")
+    staged = _line_stage(df, text_col, id_col, normalize, line_key,
+                         stage)
+    occ = staged.select("id", F.explode("_lk").alias("_k"))
+    boiler = (occ.groupBy("_k").agg(F.count("*").alias("_c"))
+              .filter(F.col("_c") > int(max_occurrences))
+              .select("_k"))
+    # the boilerplate key set is vocabulary-sized; without the forced
+    # broadcast the static planner can size the exploded occ side at
+    # its pre-explode scan bytes and build from it (the 217cdbd trap)
+    return _line_rebuild(staged, occ, boiler)
+
+
+def _line_rebuild(staged: DataFrame, occ: DataFrame,
+                  boiler: DataFrame) -> DataFrame:
+    """Filter each staged doc's line array against the (small)
+    boilerplate key set: broadcast the set onto the bare-key explode,
+    aggregate per-doc hit-sets from the duplicated minority only,
+    then drop matching lines IN-ROW — the document text itself never
+    enters a shuffle."""
+    hits = (occ.join(F.broadcast(boiler), "_k")
+            .groupBy("id").agg(F.collect_set("_k").alias("_bad"),
+                               F.count("*").alias("_nbad")))
+
+    zipped = F.arrays_zip(
+        F.col("_lines").alias("ln"),
+        F.col("_lk").alias("k"))
+    kept = F.when(
+        F.col("_bad").isNull(), F.col("_lines")).otherwise(
+        F.transform(
+            F.filter(zipped,
+                     lambda s: ~F.array_contains(F.col("_bad"), s["k"])),
+            lambda s: s["ln"]))
+    # n_kept comes from the hit COUNT, not size(kept): referencing the
+    # filtered array twice would re-run the interpreted lambda per
+    # reference once CollapseProject inlines it
+    return (staged.join(hits, "id", "left")
+            .select(F.col("id"),
+                    F.size("_lines").cast("bigint").alias("n_lines"),
+                    (F.size("_lines") - F.coalesce("_nbad", F.lit(0)))
+                    .cast("bigint").alias("n_kept"),
+                    F.array_join(kept, "\n").alias("text_kept")))
+
+
+def repeated_line_counts(
+    df: DataFrame,
+    text_col: str,
+    normalize: bool = True,
+    line_key: str = "xxhash64",
+) -> DataFrame:
+    """The persistable corpus line-frequency state for
+    :func:`remove_repeated_lines_incremental`: one row per distinct
+    line key — ``(line_hash, n_occ, _lk_repr)``. ``_lk_repr`` stamps
+    the key family AND the normalization flag (both are baked into
+    the key value, so probing under a different combination would
+    silently match zero lines — the stamp turns that into a loud
+    error, the ``_sig_repr``/``_fp_hash`` discipline from the
+    incremental dedup family).
+
+    To roll the state forward after admitting a batch, union this
+    over the batch with the prior state and re-aggregate:
+    ``state.union(new).groupBy(line_hash, _lk_repr).sum(n_occ)`` —
+    an 8-byte-key map-side-combined aggregate, never a text
+    shuffle."""
+    if line_key not in ("xxhash64", "text"):
+        raise ValueError(f"unknown line_key {line_key!r} — expected "
+                         "'xxhash64' or 'text'")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    keys = F.transform(
+        lines, lambda ln: _line_key_col(ln, normalize, line_key))
+    return (df.select(F.explode(keys).alias("line_hash"))
+            .groupBy("line_hash")
+            .agg(F.count("*").alias("n_occ"))
+            .select("line_hash", "n_occ",
+                    F.lit(_line_repr(normalize, line_key))
+                    .alias("_lk_repr")))
+
+
+def remove_repeated_lines_incremental(
+    batch: DataFrame,
+    line_counts: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_occurrences: int = 1,
+    normalize: bool = True,
+    line_key: str = "xxhash64",
+    stage: str = "checkpoint",
+) -> DataFrame:
+    """Clean a NEW-CRAWL batch against the standing corpus's
+    persisted line-frequency state (:func:`repeated_line_counts`)
+    PLUS the batch's own internal repeats — the daily-increment shape
+    of boilerplate removal at 100 TB, where re-counting the corpus
+    per batch is off the table. A batch line is dropped when
+    ``prior_count + batch_count > max_occurrences``.
+
+    Returns ``(id, n_lines, n_kept, text_kept)`` for the batch
+    documents, exactly :func:`remove_repeated_lines`'s contract.
+
+    ``line_counts`` MUST carry the ``_lk_repr`` stamp — a state
+    relation built under a different key family or normalization
+    flag shares no key values with the probe and would silently
+    drop nothing; mismatch (or a missing/mixed stamp) raises.
+
+    Scale (the batch-key semi-filter discipline of
+    ``exact_dedup_incremental``/``winnow_overlap_incremental``): the
+    persisted state never shuffles — it is semi-filtered by the
+    BROADCAST distinct batch key set (output ≤ batch's distinct line
+    count), the surviving (key, n_occ) rows join the batch's own
+    map-side-combined counts, and the merged boilerplate set
+    broadcasts into the same in-row rebuild as the full-corpus
+    operator. Document text moves nowhere."""
+    if int(max_occurrences) < 1:
+        raise ValueError(f"max_occurrences={max_occurrences} must be "
+                         ">= 1 (1 = keep only corpus-unique lines)")
+    expected = _line_repr(normalize, line_key)
+    if "_lk_repr" not in line_counts.columns:
+        raise ValueError(
+            "line_counts carries no _lk_repr stamp — the key family "
+            "and normalization flag are baked into the key values, "
+            "so an unstamped state cannot be safely probed (a "
+            "mismatch silently drops nothing). Build the state via "
+            "repeated_line_counts()")
+    stamps = sorted({r[0] for r in line_counts.select("_lk_repr")
+                     .distinct().limit(3).collect()},
+                    key=lambda v: (v is None, v))
+    if len(stamps) > 1:
+        raise ValueError(
+            f"line_counts mixes _lk_repr stamps {stamps} — re-build "
+            "the state with one (line_key, normalize) combination")
+    if stamps and stamps[0] != expected:
+        raise ValueError(
+            f"line_counts carries _lk_repr={stamps[0]!r} but the "
+            f"batch would be keyed with {expected!r} — key values "
+            "are incompatible and the probe would silently drop "
+            "nothing; pass the matching line_key/normalize")
+
+    staged = _line_stage(batch, text_col, id_col, normalize, line_key,
+                         stage)
+    occ = staged.select("id", F.explode("_lk").alias("_k"))
+    batch_cnt = occ.groupBy("_k").agg(F.count("*").alias("_bc"))
+    # state-side discipline: semi-filter the persisted counts by the
+    # broadcast batch key set — the state relation never shuffles and
+    # only keys the batch actually contains travel back
+    prior = (line_counts
+             .join(F.broadcast(occ.select(F.col("_k")
+                                          .alias("line_hash"))
+                               .distinct()),
+                   "line_hash", "left_semi")
+             .select(F.col("line_hash").alias("_k"),
+                     F.col("n_occ").alias("_pc")))
+    boiler = (batch_cnt.join(F.broadcast(prior), "_k", "left")
+              .filter((F.col("_bc") + F.coalesce("_pc", F.lit(0)))
+                      > int(max_occurrences))
+              .select("_k"))
+    return _line_rebuild(staged, occ, boiler)
 
 
 def char_entropy(

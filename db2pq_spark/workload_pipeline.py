@@ -2371,3 +2371,151 @@ def q136_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corruption_spans(t(spark, sf_dir, "documents"), "text",
                             "doc_id", block=12, span_len=2, rate=5,
                             salt="t5")
+
+
+_Q137_SQL = r"""
+    WITH relined AS (
+      SELECT doc_id,
+             regexp_replace(text, '(\S+( \S+){7}) ',
+                            '\1' || chr(10), 'g') AS rt
+      FROM documents
+    ),
+    ln AS (
+      SELECT doc_id,
+             unnest(string_split(rt, chr(10))) AS line,
+             unnest(range(1, len(string_split(rt, chr(10))) + 1))
+               AS pos
+      FROM relined
+    ),
+    norm AS (
+      SELECT doc_id, pos, line,
+             lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS k
+      FROM ln
+    ),
+    freq AS (
+      SELECT k FROM norm GROUP BY k HAVING COUNT(*) > 1
+    ),
+    kept AS (
+      SELECT n.doc_id, n.pos, n.line
+      FROM norm n ANTI JOIN freq f ON n.k = f.k
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CAST(len(string_split(rt, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(CAST(a.n_kept AS BIGINT), 0) AS n_kept,
+           COALESCE(a.text_kept, '') AS text_kept
+    FROM relined r LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q137_repeated_lines", oracle=_Q137_SQL)
+def q137_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-line (boilerplate) removal
+    (operators/filtering.py:remove_repeated_lines, after CCNet
+    arXiv:1911.00359 §3 / RefinedWeb arXiv:2306.01116): drop every
+    line whose normalized form occurs 2+ times across the WHOLE
+    corpus and reassemble — the cross-document complement of q134's
+    per-document C4 rules. Same deterministic 8-word re-lining of
+    the single-line fixture as q134. The gate pins
+    ``line_key='text'`` (engine-replayable string equality);
+    production default is xxhash64 keys — 8 bytes through the count
+    shuffle, identical output modulo 64-bit collisions. Document
+    text never shuffles: staged per-doc line arrays, bare-key
+    count, forced-broadcast boilerplate set, in-row array filter.
+    [extension]"""
+    from db2pq_spark.operators.filtering import remove_repeated_lines
+
+    docs = t(spark, sf_dir, "documents")
+    relined = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+( \S+){7}) ",
+                         "$1\n").alias("text"))
+    return (remove_repeated_lines(relined, "text", "doc_id",
+                                  max_occurrences=1, line_key="text")
+            .withColumnRenamed("id", "doc_id"))
+
+
+_Q138_SQL = r"""
+    WITH relined AS (
+      SELECT doc_id, regexp_replace(text, '(\S+( \S+){7}) ',
+                                    '\1' || chr(10), 'g') AS rt
+      FROM documents
+    ),
+    b AS (SELECT * FROM relined WHERE doc_id % 5 = 0),
+    cstate AS (
+      SELECT lower(regexp_replace(trim(l), '\s+', ' ', 'g')) AS k,
+             COUNT(*) AS pc
+      FROM (SELECT unnest(string_split(rt, chr(10))) AS l
+            FROM relined WHERE doc_id % 5 <> 0)
+      GROUP BY 1
+    ),
+    ln AS (
+      SELECT doc_id,
+             unnest(string_split(rt, chr(10))) AS line,
+             unnest(range(1, len(string_split(rt, chr(10))) + 1))
+               AS pos
+      FROM b
+    ),
+    norm AS (
+      SELECT doc_id, pos, line,
+             lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS k
+      FROM ln
+    ),
+    bcnt AS (SELECT k, COUNT(*) AS bc FROM norm GROUP BY k),
+    boiler AS (
+      SELECT bcnt.k FROM bcnt LEFT JOIN cstate USING (k)
+      WHERE bc + COALESCE(pc, 0) > 1
+    ),
+    kept AS (
+      SELECT n.doc_id, n.pos, n.line
+      FROM norm n ANTI JOIN boiler f ON n.k = f.k
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(string_split(rt, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(CAST(a.n_kept AS BIGINT), 0) AS n_kept,
+           COALESCE(a.text_kept, '') AS text_kept
+    FROM b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q138_repeated_lines_incremental", oracle=_Q138_SQL)
+def q138_repeated_lines_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Incremental repeated-line removal
+    (operators/filtering.py:remove_repeated_lines_incremental): clean
+    a new-crawl batch against the standing corpus's PERSISTED
+    line-frequency state plus the batch's own internal repeats — the
+    daily-increment shape where the corpus is never re-counted. Gate
+    split: every 5th document plays the batch, the rest build the
+    state via repeated_line_counts (stamped ``_lk_repr``; a key-
+    family or normalization mismatch raises instead of silently
+    dropping nothing). The state relation never shuffles: it is
+    semi-filtered by the broadcast batch key set, merged with the
+    batch's map-side-combined counts, and the boilerplate set
+    broadcasts into the same in-row rebuild as q137. [extension]"""
+    from db2pq_spark.operators.filtering import (
+        remove_repeated_lines_incremental,
+        repeated_line_counts,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    relined = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+( \S+){7}) ",
+                         "$1\n").alias("text"))
+    state = repeated_line_counts(
+        relined.filter(F.col("doc_id") % 5 != 0), "text",
+        line_key="text")
+    return (remove_repeated_lines_incremental(
+                relined.filter(F.col("doc_id") % 5 == 0), state,
+                "text", "doc_id", max_occurrences=1, line_key="text")
+            .withColumnRenamed("id", "doc_id"))

@@ -91,6 +91,15 @@ SHOWCASE = {
                             "near-candidate positions (~span_len/rate "
                             "of the corpus); no window sort, no "
                             "self-join",
+    "q137_repeated_lines": "document text never shuffles: staged "
+                           "per-doc line arrays, bare 8-byte-key "
+                           "map-side-combined count, forced-broadcast "
+                           "boilerplate set, in-row array filter",
+    "q138_repeated_lines_incremental": "persisted line-count state "
+                                       "never shuffles — semi-filtered "
+                                       "by the broadcast batch key "
+                                       "set (the q107/q108/q123 "
+                                       "batch-key discipline)",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
     "q100_heavy_hitters": "corpus heavy hitters: map-side combine "

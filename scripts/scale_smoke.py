@@ -108,6 +108,8 @@ FAMILIES = [
                    "q134_line_filter", "q132_char_entropy"]),
     ("span_confirm", ["q135_vocab_coverage", "q136_span_corruption",
                       "q131_edit_confirm"]),
+    ("line_dedup", ["q138_repeated_lines_incremental",
+                    "q137_repeated_lines"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

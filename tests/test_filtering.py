@@ -312,3 +312,164 @@ class TestCorruptionSpans:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="span_len"):
             corruption_spans(df, "text", "doc_id", block=4, span_len=5)
+
+
+class TestRemoveRepeatedLines:
+    DOCS = [
+        (1, "unique opening line\nSubscribe to our newsletter\nbody one"),
+        (2, "Subscribe to our newsletter\nbody two stays here"),
+        (3, "subscribe   to our newsletter\nbody three"),
+        (4, "Subscribe to our newsletter"),
+        (5, None),
+    ]
+
+    def _run(self, spark, docs=None, **kw):
+        from db2pq_spark.operators.filtering import remove_repeated_lines
+
+        df = spark.createDataFrame(docs or self.DOCS,
+                                   "doc_id long, text string")
+        out = remove_repeated_lines(df, "text", "doc_id", **kw)
+        return {r["id"]: r for r in out.collect()}
+
+    def test_corpus_repeated_line_removed_everywhere(self, spark):
+        # the banner recurs in docs 1-4 (doc 3 only via normalization)
+        rows = self._run(spark)
+        assert (rows[1]["n_lines"], rows[1]["n_kept"]) == (3, 2)
+        assert rows[1]["text_kept"] == "unique opening line\nbody one"
+        assert rows[2]["text_kept"] == "body two stays here"
+        # normalization: case + whitespace-collapse still matches,
+        # but the ORIGINAL line text is what reassembly preserves
+        assert rows[3]["text_kept"] == "body three"
+        # a doc that was ALL boilerplate survives, empty
+        assert (rows[4]["n_kept"], rows[4]["text_kept"]) == (0, "")
+
+    def test_null_text_is_empty_doc(self, spark):
+        rows = self._run(spark)
+        # null -> one empty line; it is corpus-unique here so it stays
+        assert (rows[5]["n_lines"], rows[5]["n_kept"]) == (1, 1)
+        assert rows[5]["text_kept"] == ""
+
+    def test_max_occurrences_threshold(self, spark):
+        # banner occurs 4x: allowed at max_occurrences=4, gone at 3
+        rows = self._run(spark, max_occurrences=4)
+        assert rows[4]["n_kept"] == 1
+        rows = self._run(spark, max_occurrences=3)
+        assert rows[4]["n_kept"] == 0
+
+    def test_no_normalize_is_exact_match(self, spark):
+        rows = self._run(spark, normalize=False)
+        # doc 3's spacing variant no longer matches the banner...
+        assert rows[3]["n_kept"] == 2
+        # ...but the exact-equal copies in docs 1/2/4 still go
+        assert rows[4]["n_kept"] == 0
+
+    def test_text_key_matches_hash_key(self, spark):
+        a = self._run(spark, line_key="xxhash64")
+        b = self._run(spark, line_key="text")
+        assert {k: (v["n_kept"], v["text_kept"]) for k, v in a.items()} \
+            == {k: (v["n_kept"], v["text_kept"]) for k, v in b.items()}
+
+    def test_same_doc_repeats_count(self, spark):
+        docs = [(1, "echo line\necho line\nmiddle part"),
+                (2, "other body")]
+        rows = self._run(spark, docs=docs)
+        # two occurrences inside ONE doc already exceed max=1
+        assert rows[1]["text_kept"] == "middle part"
+        assert rows[1]["n_kept"] == 1
+
+    def test_order_preserved_after_removal(self, spark):
+        docs = [(1, "a1 first\ndup here\na2 second\ndup here\na3 third"),
+                (2, "solo body")]
+        rows = self._run(spark, docs=docs)
+        assert rows[1]["text_kept"] == "a1 first\na2 second\na3 third"
+
+    def test_param_validation(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_occurrences"):
+            self._run(spark, max_occurrences=0)
+        with _pytest.raises(ValueError, match="line_key"):
+            self._run(spark, line_key="md5")
+        with _pytest.raises(ValueError, match="stage"):
+            self._run(spark, stage="cache")
+
+
+class TestRemoveRepeatedLinesIncremental:
+    CORPUS = [
+        (10, "Subscribe to our newsletter\nold body alpha"),
+        (11, "Subscribe to our newsletter\nold body beta"),
+        (12, "rare corpus line\nold body gamma"),
+    ]
+    BATCH = [
+        (1, "Subscribe to our newsletter\nfresh body one"),
+        (2, "rare corpus line\nfresh body two"),
+        (3, "batch echo\nbatch echo\nfresh body three"),
+        (4, "fresh body four only"),
+    ]
+
+    def _state(self, spark, **kw):
+        from db2pq_spark.operators.filtering import repeated_line_counts
+
+        corpus = spark.createDataFrame(self.CORPUS,
+                                       "doc_id long, text string")
+        return repeated_line_counts(corpus, "text", **kw)
+
+    def _run(self, spark, state=None, **kw):
+        from db2pq_spark.operators.filtering import (
+            remove_repeated_lines_incremental,
+        )
+
+        batch = spark.createDataFrame(self.BATCH,
+                                      "doc_id long, text string")
+        out = remove_repeated_lines_incremental(
+            batch, state if state is not None else self._state(spark),
+            "text", "doc_id", **kw)
+        return {r["id"]: r for r in out.collect()}
+
+    def test_prior_counts_plus_batch_counts_decide(self, spark):
+        rows = self._run(spark)
+        # banner: 2 prior + 1 batch > 1 -> dropped
+        assert rows[1]["text_kept"] == "fresh body one"
+        # 'rare corpus line': 1 prior + 1 batch = 2 > 1 -> dropped
+        assert rows[2]["text_kept"] == "fresh body two"
+        # batch-internal repeat alone exceeds the cap
+        assert rows[3]["text_kept"] == "fresh body three"
+        assert (rows[3]["n_lines"], rows[3]["n_kept"]) == (3, 1)
+        # corpus-unseen, batch-unique -> untouched
+        assert rows[4]["text_kept"] == "fresh body four only"
+
+    def test_max_occurrences_sums_both_sides(self, spark):
+        rows = self._run(spark, max_occurrences=2)
+        # banner total 3 > 2 -> still dropped
+        assert rows[1]["text_kept"] == "fresh body one"
+        # 'rare corpus line' total 2 <= 2 -> kept now
+        assert rows[2]["n_kept"] == 2
+
+    def test_state_counts_and_stamp(self, spark):
+        state = {r["line_hash"]: r for r in
+                 self._state(spark, line_key="text").collect()}
+        assert state["subscribe to our newsletter"]["n_occ"] == 2
+        assert state["rare corpus line"]["n_occ"] == 1
+        assert {r["_lk_repr"] for r in state.values()} \
+            == {"text|norm=1"}
+
+    def test_stamp_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        state = self._state(spark, line_key="text")
+        with _pytest.raises(ValueError, match="_lk_repr"):
+            self._run(spark, state=state, line_key="xxhash64")
+        with _pytest.raises(ValueError, match="_lk_repr"):
+            self._run(spark, state=state.drop("_lk_repr"),
+                      line_key="text")
+        with _pytest.raises(ValueError, match="normali"):
+            self._run(spark, state=state, line_key="text",
+                      normalize=False)
+
+    def test_hash_state_matches_text_state(self, spark):
+        a = self._run(spark, state=self._state(spark),
+                      line_key="xxhash64")
+        b = self._run(spark, state=self._state(spark, line_key="text"),
+                      line_key="text")
+        assert {k: (v["n_kept"], v["text_kept"]) for k, v in a.items()} \
+            == {k: (v["n_kept"], v["text_kept"]) for k, v in b.items()}
