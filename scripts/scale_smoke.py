@@ -54,9 +54,13 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.1"
 COPIES = int(os.environ.get("SMOKE_COPIES", "10"))
-#: fewer steady repetitions at big factors — individual runs are long
-#: enough to be stable there
-RUNS = 3 if COPIES <= 10 else 2
+#: 3 steady repetitions at every factor: big-factor runs were assumed
+#: "long enough to be stable" at 2, but back-to-back 100× script runs
+#: shipped q118 17.9s-min-of-3 and then 53.1s-min-of-2 with zero code
+#: change — IO-heavy queries on the freshly-written replica warm the
+#: page cache over SEVERAL runs (q118's recorded sequence 86→30→18 s),
+#: so min-of-2 regularly misses the steady state entirely
+RUNS = 3
 
 #: key columns to shift per table so each replica has distinct keys
 KEY_SHIFTS = {
@@ -108,6 +112,11 @@ FAMILIES = [
                    "q134_line_filter", "q132_char_entropy"]),
     ("span_confirm", ["q135_vocab_coverage", "q136_span_corruption",
                       "q131_edit_confirm"]),
+    # line_dedup runs the registry entries' gate config (text-string
+    # line keys) — a CONSERVATIVE upper bound: the production default
+    # (line_key='xxhash64') pushes 8-byte longs through the same count
+    # shuffle instead of full normalized lines, so it can only be
+    # lighter than what this smoke certifies.
     ("line_dedup", ["q138_repeated_lines_incremental",
                     "q137_repeated_lines"]),
 ]
@@ -331,9 +340,9 @@ def _worker_main() -> None:
     # freshly-written replica), which fabricates phantom super-linear
     # ratios; the minimum is the standard noise-robust estimator for a
     # fixed workload. ALL runs land in the sidecar so the spread stays
-    # visible, and at big copy factors a >1.5× disagreement between
-    # the first two runs triggers a third — min-of-2 under heap
-    # pressure has twice shipped numbers that didn't reproduce.
+    # visible, and at big copy factors a >1.5× residual disagreement
+    # across the three steady runs triggers one extra — min-of-2 under
+    # heap pressure twice shipped numbers that didn't reproduce.
     for name in names:
         fn = overrides.get(name) or workload.REGISTRY[name][0]
         load = round(os.getloadavg()[0], 2)
@@ -345,7 +354,7 @@ def _worker_main() -> None:
             fn(spark, sf_dir).collect()
             times.append(round(time.perf_counter() - t0, 3))
             cleanup()
-        if (COPIES >= 100 and len(times) == 2
+        if (COPIES >= 100 and len(times) == RUNS
                 and max(times) > 1.5 * min(times)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
