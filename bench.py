@@ -57,7 +57,7 @@ _EXTENSION = (
     "q130_gopher_rules", "q131_edit_confirm", "q132_char_entropy",
     "q133_source_cap", "q134_line_filter", "q135_vocab_coverage",
     "q136_span_corruption", "q137_repeated_lines",
-    "q138_repeated_lines_incremental",
+    "q138_repeated_lines_incremental", "q139_budget_select",
 )
 
 

@@ -42,7 +42,7 @@ from db2pq_spark.operators.sampling import (
 )
 
 __all__ = ["mix_plan", "mix_corpus", "mix_report", "mix_units_sql",
-           "mix_frac_keep_sql"]
+           "mix_frac_keep_sql", "select_until_budget"]
 
 
 def mix_plan(
@@ -212,3 +212,54 @@ def mix_frac_keep_sql(key_expr: str, frac_expr: str, salt: str = "",
                       n_buckets: int = DEFAULT_BUCKETS) -> str:
     """ANSI twin of the fractional-epoch keep decision."""
     return f"({hash_bucket_sql(key_expr, n_buckets, salt)} < {frac_expr})"
+
+
+def select_until_budget(
+    df: DataFrame,
+    score_col: str,
+    size_col: str,
+    id_col: str,
+    budget: int,
+    bounded: int | None = None,
+) -> DataFrame:
+    """Quality-ordered budget selection: rank every document by
+    ``(score desc, id asc)`` — a total order — and admit the prefix
+    that fits the budget: a document is **kept** iff the exclusive
+    cumulative size before it plus its own size is ``<= budget``
+    (greedy best-first admission, the standard "fill the token budget
+    with the best data" curation step; DataComp/Dolma-style). The
+    global complement of :func:`mix_corpus`, which apportions a budget
+    ACROSS sources by weight rather than by per-document quality.
+
+    Returns ``(id, score, size, rank, cum_before, kept)`` for every
+    input row, so callers can inspect the admission frontier;
+    membership is decided by exact integer comparison on bigint sizes
+    — no float near the decision.
+
+    Scale: the relation is corpus-sized but SKINNY (id, score, size);
+    the global rank and the exclusive prefix sum both run the
+    two-stage range-partitioned construction in
+    :mod:`db2pq_spark.operators.ranking` — one range shuffle each, a
+    driver fold over ≤ shuffle-partition-count longs, and NO
+    single-partition window at any size (``bounded`` opts into the
+    one-partition fast path for capped inputs). Ties on score break
+    by id, so reruns and engines agree row-for-row."""
+    from db2pq_spark.operators.ranking import (
+        with_global_prefix_sum, with_global_rank)
+
+    if int(budget) < 0:
+        raise ValueError(f"budget={budget} must be >= 0")
+    sel = df.select(F.col(id_col).alias("id"),
+                    F.col(score_col).alias("score"),
+                    F.col(size_col).cast("bigint").alias("size"))
+    order = [F.desc("score"), F.asc("id")]
+    with_cum = with_global_prefix_sum(
+        sel, "size", order, out_col="cum_before", bounded=bounded)
+    ranked = with_global_rank(with_cum, order, rank_col="rank",
+                              bounded=bounded)
+    return ranked.select(
+        "id", "score", "size",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+        ((F.col("cum_before") + F.col("size")) <= F.lit(int(budget)))
+        .alias("kept"))

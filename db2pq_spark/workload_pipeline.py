@@ -2519,3 +2519,49 @@ def q138_repeated_lines_incremental(spark: SparkSession,
                 relined.filter(F.col("doc_id") % 5 == 0), state,
                 "text", "doc_id", max_occurrences=1, line_key="text")
             .withColumnRenamed("id", "doc_id"))
+
+
+_Q139_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+             CAST(n_chars AS BIGINT) AS size
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, score, size,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+             COALESCE(SUM(size) OVER (ORDER BY score DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, score, size, CAST(rank AS BIGINT) AS rank,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           cum_before + size <= 50000 AS kept
+    FROM w
+"""
+
+
+@query("q139_budget_select", oracle=_Q139_SQL)
+def q139_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection
+    (operators/mixing.py:select_until_budget): rank every document by
+    (score desc, doc_id asc) and admit the greedy best-first prefix
+    whose cumulative size fits a 50k-char budget — the "fill the
+    budget with the best data" curation step (DataComp/Dolma recipe
+    shape), complementing q109's per-source weighted mixing. Gate
+    score = whitespace token count, size = n_chars; admission is an
+    exact bigint comparison. Both the global rank and the exclusive
+    prefix sum run the two-stage range-partitioned construction
+    (operators/ranking.py) — no single-partition window at any
+    corpus size. [extension]"""
+    from db2pq_spark.operators.mixing import select_until_budget
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("score"),
+        F.col("n_chars").cast("bigint").alias("size"))
+    return (select_until_budget(docs, "score", "size", "doc_id",
+                                budget=50_000)
+            .withColumnRenamed("id", "doc_id"))

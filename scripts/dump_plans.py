@@ -100,6 +100,10 @@ SHOWCASE = {
                                        "by the broadcast batch key "
                                        "set (the q107/q108/q123 "
                                        "batch-key discipline)",
+    "q139_budget_select": "global rank + exclusive prefix sum both "
+                          "two-stage range-partitioned — no "
+                          "single-partition window on the corpus-"
+                          "sized (skinny) relation",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
     "q100_heavy_hitters": "corpus heavy hitters: map-side combine "

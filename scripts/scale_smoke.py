@@ -119,6 +119,7 @@ FAMILIES = [
     # lighter than what this smoke certifies.
     ("line_dedup", ["q138_repeated_lines_incremental",
                     "q137_repeated_lines"]),
+    ("curation", ["q139_budget_select"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 
@@ -340,9 +341,11 @@ def _worker_main() -> None:
     # freshly-written replica), which fabricates phantom super-linear
     # ratios; the minimum is the standard noise-robust estimator for a
     # fixed workload. ALL runs land in the sidecar so the spread stays
-    # visible, and at big copy factors a >1.5× residual disagreement
-    # across the three steady runs triggers one extra — min-of-2 under
-    # heap pressure twice shipped numbers that didn't reproduce.
+    # visible, and at big copy factors measurement EXTENDS (cap 6)
+    # while the runs are still descending or the recent spread exceeds
+    # 1.5× — a minimum that sits on the last run means warm-up never
+    # converged, and min-of-2 under heap pressure twice shipped
+    # numbers that didn't reproduce.
     for name in names:
         fn = overrides.get(name) or workload.REGISTRY[name][0]
         load = round(os.getloadavg()[0], 2)
@@ -354,8 +357,14 @@ def _worker_main() -> None:
             fn(spark, sf_dir).collect()
             times.append(round(time.perf_counter() - t0, 3))
             cleanup()
-        if (COPIES >= 100 and len(times) == RUNS
-                and max(times) > 1.5 * min(times)):
+        # extend while still DESCENDING: a min that sits on the last
+        # run means the page-cache warm-up never converged (q136
+        # recorded 33.0 -> 27.5 -> 22.1 and stopped — the 17.2× "weak"
+        # row was an unconverged minimum, not a plan property). Also
+        # extend on >1.5× residual spread. Cap at 6 total runs.
+        while (COPIES >= 100 and len(times) < 6
+               and (times[-1] == min(times)
+                    or max(times[-3:]) > 1.5 * min(times[-3:]))):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(round(time.perf_counter() - t0, 3))

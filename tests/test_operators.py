@@ -1761,3 +1761,66 @@ class TestKmeans:
         ar = {r["id"]: r["cluster"] for r in a_ar.collect()}
         assert ex == ar
         assert c_ex == c_ar
+
+
+class TestSelectUntilBudget:
+    ROWS = [
+        # (id, score, size) — ranked by (score desc, id asc):
+        # 3(90,40) -> 1(80,30) -> 5(80,50) -> 2(50,20) -> 4(10,100)
+        (1, 80, 30),
+        (2, 50, 20),
+        (3, 90, 40),
+        (4, 10, 100),
+        (5, 80, 50),
+    ]
+
+    def _run(self, spark, budget, **kw):
+        from db2pq_spark.operators.mixing import select_until_budget
+
+        df = spark.createDataFrame(self.ROWS,
+                                   "id long, score long, size long")
+        out = select_until_budget(df, "score", "size", "id",
+                                  budget=budget, **kw)
+        return {r["id"]: r for r in out.collect()}
+
+    def test_greedy_prefix_admission(self, spark):
+        rows = self._run(spark, budget=100)
+        assert [rows[i]["rank"] for i in (3, 1, 5, 2, 4)] \
+            == [1, 2, 3, 4, 5]
+        assert [rows[i]["cum_before"] for i in (3, 1, 5, 2, 4)] \
+            == [0, 40, 70, 120, 140]
+        # 40+30 fit (70); adding 5's 50 would hit 120 > 100 -> cut
+        assert {i for i, r in rows.items() if r["kept"]} == {3, 1}
+
+    def test_budget_boundary_inclusive(self, spark):
+        rows = self._run(spark, budget=120)
+        # 70 + 50 == 120 fits exactly
+        assert {i for i, r in rows.items() if r["kept"]} == {3, 1, 5}
+
+    def test_tail_not_backfilled(self, spark):
+        # greedy prefix, not knapsack: once a doc overflows, later
+        # smaller docs are NOT admitted even if they would fit
+        rows = self._run(spark, budget=110)
+        assert {i for i, r in rows.items() if r["kept"]} == {3, 1}
+        assert not rows[2]["kept"]   # size 20 would fit, rank after cut
+
+    def test_zero_budget_and_validation(self, spark):
+        import pytest as _pytest
+
+        rows = self._run(spark, budget=0)
+        assert not any(r["kept"] for r in rows.values())
+        with _pytest.raises(ValueError, match="budget"):
+            self._run(spark, budget=-1)
+
+    def test_score_tie_breaks_by_id(self, spark):
+        rows = self._run(spark, budget=1000)
+        assert rows[1]["rank"] < rows[5]["rank"]   # both score 80
+        assert all(r["kept"] for r in rows.values())
+
+    def test_bounded_fast_path_matches(self, spark):
+        a = self._run(spark, budget=100)
+        b = self._run(spark, budget=100, bounded=10)
+        assert {i: (r["rank"], r["cum_before"], r["kept"])
+                for i, r in a.items()} \
+            == {i: (r["rank"], r["cum_before"], r["kept"])
+                for i, r in b.items()}
