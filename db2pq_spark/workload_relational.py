@@ -1420,9 +1420,30 @@ def q64_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``scripts/scale_smoke.py``, BENCH_DETAIL.json) — never here."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
+    # explicit NOT NULL prefilter on all three columns (the downstream
+    # joins/comparisons imply them anyway — a NULL suppkey/shipdate
+    # line can never join the supplier dim or satisfy the shipdate
+    # comparison): WITHOUT it, Catalyst infers isnotnull(sd)/(sk) on
+    # only the join-back leg and pushes them into that leg's scan, so
+    # the three copies of the shared subtree stop being canonically
+    # equal and AQE reuses nothing — three fact scans. With it every
+    # leg carries the identical filtered scan and stage reuse holds.
+    li = li.where(F.col("l_orderkey").isNotNull()
+                  & F.col("l_suppkey").isNotNull()
+                  & F.col("l_shipdate").isNotNull())
     o = t(spark, sf_dir, "orders") \
         .where(F.col("o_orderstatus") == "F").select("o_orderkey")
     lf = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    # ONE explicit orderkey shuffle of the slim 3-column fact relation:
+    # every aggregate key below (ok,sk,sd) → (ok,sk) → (ok) CONTAINS
+    # l_orderkey, and every join is on l_orderkey, so HashPartitioning
+    # (l_orderkey) satisfies all of their ClusteredDistributions — the
+    # whole chain plans with zero further exchanges (the repartition
+    # exchange itself is reused by the lc join-back branch). Without
+    # it, Catalyst keys the first aggregate on the full (ok,sk,sd)
+    # triple and each coarser step re-shuffles: four fact-scale
+    # exchanges, the suite's worst 100×-replica ratio.
+    lf = lf.repartition("l_orderkey")
     lc = lf.groupBy("l_orderkey", "l_suppkey", "l_shipdate") \
         .agg(F.count("*").alias("cnt"))
     supp = lc.groupBy("l_orderkey", "l_suppkey").agg(
