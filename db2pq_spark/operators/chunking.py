@@ -198,48 +198,56 @@ def corruption_spans(
             f"need block >= 1, 1 <= span_len <= block, rate >= 2 "
             f"(got block={block}, span_len={span_len}, rate={rate})")
     # tokenize behind a 1:1 Generate barrier (dedup._stage_col
-    # pattern): posexplode's implied size(...)>0 pruning filter would
-    # otherwise push INTO the scan and re-run the split regex twice
-    # more per row in DataFilters (the q96 pathology)
+    # pattern): the spans explode's implied size(...)>0 pruning filter
+    # would otherwise push INTO the scan and re-run the split regex
+    # twice more per row in DataFilters (the q96 pathology)
     from db2pq_spark.operators.dedup import _stage_col
 
     toked = _stage_col(df.select(F.col(id_col).alias("id"),
                                  F.col(text_col).alias("_txt")),
                        ["id"], tokens("_txt"), "_toks")
-    pos = toked.select("id", F.posexplode("_toks").alias("pos", "tok"))
 
-    def cand_at(p):
+    def cand(p):
         return hash_bucket(F.concat_ws("_", F.col("id"), p),
                            n_buckets=int(rate), salt=salt) == 0
 
-    blk = (F.col("pos") - (F.col("pos") % F.lit(int(block)))) \
-        / F.lit(int(block))
-    tagged = pos.select("id", "pos", "tok",
-                        blk.cast("bigint").alias("blk"),
-                        cand_at(F.col("pos")).alias("_cand"))
-    near = F.col("_cand")
-    for j in range(1, int(span_len)):
-        pj = F.col("pos") - F.lit(j)
-        near = near | ((pj >= F.col("blk") * F.lit(int(block)))
-                       & cand_at(pj))
-    spans = (tagged
-             .groupBy("id", "blk")
-             .agg(F.min(F.when(F.col("_cand"), F.col("pos")))
-                   .alias("_start"),
-                  F.collect_list(
-                      F.when(near, F.struct("pos", "tok")))
-                   .alias("_near"))
-             .where(F.col("_start").isNotNull()))
+    # The whole span computation happens IN-ROW on the token array —
+    # no posexplode, no shuffle, no aggregate state: per block, the
+    # first candidate position (a filter over the ≤``block``-element
+    # position range) and the ``span_len``-clipped slice of the token
+    # array. An earlier shape exploded every token and shuffled the
+    # near-candidate rows into an (id, block) collect_list aggregate:
+    # 2 md5 evaluations per token plus a corpus-wide exchange, ~15× at
+    # the 100× replica vs ~6× for this one-pass narrow plan (1 md5 per
+    # token, interpreted HOF but zero data movement — the only Generate
+    # is over the ~n/(block·rate)-element span array). Blocks make
+    # spans non-overlapping by construction, so nothing downstream
+    # needs cross-span state.
+    n = F.size("_toks")
+    blks = F.when(n > 0, F.sequence(
+        F.lit(0).cast("bigint"),
+        ((n - 1) / F.lit(int(block))).cast("bigint")))
+    span_of = lambda b: F.struct(  # noqa: E731
+        b.alias("blk"),
+        F.try_element_at(
+            F.filter(F.sequence(b * F.lit(int(block)),
+                                F.least((b + 1) * F.lit(int(block)),
+                                        n.cast("bigint")) - 1),
+                     cand), F.lit(1)).alias("start"))
+    spans = toked.select(
+        "id", "_toks",
+        F.explode(F.filter(F.transform(blks, span_of),
+                           lambda s: s["start"].isNotNull()))
+        .alias("_span"))
+    start = F.col("_span.start")
     clip = F.least(
         F.lit(int(span_len)),
-        (F.col("blk") + 1) * F.lit(int(block)) - F.col("_start"))
-    masked = F.sort_array(F.filter(
-        "_near",
-        lambda s: (s["pos"] >= F.col("_start"))
-        & (s["pos"] < F.col("_start") + clip)))
+        (F.col("_span.blk") + 1) * F.lit(int(block)) - start)
+    # slice is 1-based and self-truncates at the document end, exactly
+    # the "span clipped at the block edge AND the last token" contract
+    masked = F.slice("_toks", (start + 1).cast("int"), clip.cast("int"))
     return spans.select(
-        "id", "blk",
-        F.col("_start").cast("bigint").alias("start_pos"),
+        "id", F.col("_span.blk").cast("bigint").alias("blk"),
+        start.cast("bigint").alias("start_pos"),
         F.size(masked).cast("bigint").alias("n_masked"),
-        F.array_join(F.transform(masked, lambda s: s["tok"]), " ")
-         .alias("masked_text"))
+        F.array_join(masked, " ").alias("masked_text"))
