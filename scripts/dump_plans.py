@@ -30,10 +30,14 @@ SHOWCASE = {
                              "broadcasts the aggregate",
     "q64_waiting_supplier": "EXISTS/NOT EXISTS pair collapsed to "
                             "aggregates (no semi/anti self-joins, no "
-                            "ObjectHashAggregate): the one orderkey "
-                            "exchange is reused by every per-(order,"
-                            "supp)/per-order aggregate and the "
-                            "line-level rejoin",
+                            "ObjectHashAggregate): ONE explicit "
+                            "orderkey pre-partition of the 3-column "
+                            "fact satisfies every downstream "
+                            "aggregate/join distribution — a NOT NULL "
+                            "prefilter keeps the three legs "
+                            "canonically equal, so AQE stage reuse "
+                            "plans a single fact scan and zero "
+                            "further exchanges",
     "q71_volume_shipping": "double-aliased dimension (nation ×2) still "
                            "broadcasts; no cartesian",
     "q74_returned_items": "top-20 by exact-decimal revenue via "
@@ -85,12 +89,12 @@ SHOWCASE = {
                            "three consumers); rank + prefix sum are "
                            "the two-stage range-partitioned "
                            "construction — no single-partition window",
-    "q136_span_corruption": "one posexplode into ONE (id, block) "
-                            "aggregate — block minima fold map-side, "
-                            "token payload enters state only for "
-                            "near-candidate positions (~span_len/rate "
-                            "of the corpus); no window sort, no "
-                            "self-join",
+    "q136_span_corruption": "spans computed IN-ROW on the token array "
+                            "(transform/filter/slice per block): one "
+                            "corpus scan, zero Exchanges — the only "
+                            "Generate is over the ~n/(block*rate)-"
+                            "element span array; one md5 per position "
+                            "instead of the exploded shape's two",
     "q137_repeated_lines": "document text never shuffles: staged "
                            "per-doc line arrays, bare 8-byte-key "
                            "map-side-combined count, forced-broadcast "

@@ -139,6 +139,14 @@ class TestSubqueryDecorrelation:
         # relation per run and was the suite's worst variance source
         assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, \
             plan
+        # round 10: the explicit orderkey pre-partition + NOT NULL
+        # prefilter make all three legs canonically equal, so the
+        # final AQE plan reads the fact table exactly once — a second
+        # lineitem scan means pushdown broke leg canonicalization again
+        final = plan.split("== Initial Plan ==")[0]
+        n_fact = sum(1 for ln in final.splitlines()
+                     if "FileScan parquet" in ln and "lineitem" in ln)
+        assert n_fact == 1, f"{n_fact} lineitem scans in final plan"
 
     def test_uncorrelated_scalar_stays_subquery(self, spark, sf_correct_dir):
         # Q22 shape: the global-AVG threshold is a one-row uncorrelated
@@ -388,3 +396,18 @@ class TestRetrievalPlan:
                      if "FileScan parquet" in ln)
         assert n_scan == 1, f"{n_scan} corpus scans in final plan"
         assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+class TestSpanCorruptionPlan:
+    """corruption_spans (q136) computes spans in-row on the token
+    array — one corpus scan, the only Generate is over the tiny span
+    array, and NOTHING shuffles (round 10: the exploded-token
+    (id, block) aggregate shape it replaced was 15.4x at the 100x
+    replica; this narrow plan is ~4x)."""
+
+    def test_q136_no_exchange_single_scan(self, spark, sf_correct_dir):
+        plan = plan_of(spark, sf_correct_dir, "q136_span_corruption")
+        assert "Exchange" not in plan, "span corruption must not shuffle"
+        n_scan = sum(1 for ln in plan.splitlines()
+                     if "FileScan parquet" in ln)
+        assert n_scan == 1, f"{n_scan} corpus scans"
