@@ -194,3 +194,69 @@ def nb_quality_filter(
             .where(F.col("mean_logodds") >= F.lit(float(threshold)))
             .select(F.col("id").alias(id_col)))
     return df.join(keep, id_col, "left_semi")
+
+
+def perplexity_buckets(
+    df: DataFrame, text_col: str, id_col: str,
+    n_buckets: int = 3, discount: float = 0.75, keys: str = "exact",
+) -> DataFrame:
+    """CCNet's perplexity partition (arXiv:1911.00359 §4.3): rank the
+    corpus by per-document LM surprisal and cut it into ``n_buckets``
+    equal-population tiers — CCNet keeps "head" (most fluent third
+    under the LM), treats "middle" as usable and drops or down-weights
+    "tail". The LM is the corpus's own interpolated Kneser–Ney bigram
+    model (:func:`..textstats.kneser_ney_bigrams` — CCNet uses a
+    pretrained KenLM; self-scoring keeps the operator closed over the
+    relation and every count oracle-replayable).
+
+    Returns ``(id, n_bigrams, mean_units, rank, bucket)`` for every
+    document with ≥ 2 tokens: ``mean_units`` is the mean surprisal in
+    integer MICRO-BIT units — the per-bigram surprisal is rounded to
+    6 decimals, so the DECIMAL surprisal sum times 1e6 is exactly
+    integral (recovered via an exact ``decimal(20,6)`` re-cast: both
+    factor types stay inside precision 38, no Spark precision-loss
+    rounding), and the int64/int64 mean goes through one IEEE double
+    division + floor, which every engine computes identically —
+    ``rank`` the 1-based global row number under
+    ``(mean_units ASC, id ASC)`` (lowest surprisal = most fluent =
+    rank 1) and ``bucket`` the 1-based NTILE tier (1 = head).
+
+    Scale: the KN scoring keeps its one-explode/zipf-aggregate shape;
+    the ranking is the two-stage range-partitioned construction
+    (:func:`..ranking.global_rank_with_total` — NO single-partition
+    window; the corpus-sized relation shuffles once on the sort key)
+    and the tier cut is :func:`..ranking.ntile_expr` arithmetic on the
+    rank, bit-equal to SQL ``NTILE`` with no further data movement."""
+    from db2pq_spark.operators.ranking import (
+        global_rank_with_total, ntile_expr)
+    from db2pq_spark.operators.textstats import kneser_ney_bigrams
+
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets={n_buckets} must be >= 1")
+    scored = kneser_ney_bigrams(df, text_col, id_col,
+                                discount=discount, keys=keys)
+    # exact integer mean in micro-bits: every per-bigram surprisal is
+    # rounded to 6 decimals before the decimal accumulation, so the
+    # doc sum has at most 6 decimal places — the decimal(20,6) cast is
+    # exact (values ~1e4 bits fit), the ×1e6 product stays at
+    # precision 27 (no Spark precision-loss rounding), and the result
+    # is exactly integral. int64/int64 through ONE double division +
+    # floor is IEEE-deterministic (sums < 2^53), so the oracle's
+    # FLOOR(sum_units / n) replays the key bit-for-bit.
+    units_total = (F.col("sum_surprisal").cast("decimal(20,6)")
+                   * F.lit(1_000_000).cast("decimal(7,0)")) \
+        .cast("bigint")
+    mean = scored.select(
+        "id", "n_bigrams",
+        F.floor(units_total / F.col("n_bigrams")).cast("bigint")
+        .alias("mean_units"))
+    ranked, total = global_rank_with_total(
+        mean, [F.col("mean_units").asc(), F.col("id").asc()],
+        rank_col="rank")
+    if total == 0:
+        return ranked.select("id", "n_bigrams", "mean_units", "rank",
+                             F.lit(None).cast("bigint").alias("bucket"))
+    return ranked.select(
+        "id", "n_bigrams", "mean_units", "rank",
+        ntile_expr(F.col("rank"), total, int(n_buckets))
+        .cast("bigint").alias("bucket"))

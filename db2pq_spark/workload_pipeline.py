@@ -2565,3 +2565,77 @@ def q139_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (select_until_budget(docs, "score", "size", "doc_id",
                                 budget=50_000)
             .withColumnRenamed("id", "doc_id"))
+
+
+_Q140_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2)
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM bc GROUP BY 1
+    ),
+    cont AS (
+      SELECT w2, COUNT(*) AS n1b FROM bc GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS nt FROM bc),
+    probs AS (
+      SELECT w1, w2,
+             CAST(round(-log2(
+               greatest(CAST(c12 AS DOUBLE) - 0.75e0, 0e0)
+                 / CAST(c1 AS DOUBLE)
+               + (0.75e0 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 * (CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE))), 6)
+                  AS DECIMAL(28,10)) AS s
+      FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT doc_id AS id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(s * 1000000 AS BIGINT)) AS BIGINT)
+               AS sum_units
+      FROM bg JOIN probs USING (w1, w2)
+      GROUP BY doc_id
+    ),
+    m AS (
+      SELECT id, n_bigrams,
+             CAST(FLOOR(CAST(sum_units AS DOUBLE) / n_bigrams)
+                  AS BIGINT) AS mean_units
+      FROM doc
+    )
+    SELECT id, n_bigrams, mean_units,
+           CAST(ROW_NUMBER() OVER (ORDER BY mean_units, id)
+                AS BIGINT) AS rnk,
+           CAST(NTILE(3) OVER (ORDER BY mean_units, id)
+                AS BIGINT) AS bucket
+    FROM m
+"""
+
+
+@query("q140_ccnet_buckets", oracle=_Q140_SQL)
+def q140_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity partition
+    (operators/quality.py:perplexity_buckets, after arXiv:1911.00359
+    §4.3): the corpus ranked by per-document Kneser-Ney bigram
+    surprisal and cut into equal-population head/middle/tail tiers —
+    the classic "keep the fluent third" pretraining-data split. The
+    ordering key is the mean surprisal in integer micro-bit units
+    (exact decimal scaling + IEEE-deterministic floor division — no
+    engine-divergent comparison anywhere), the global rank is the
+    two-stage range-partitioned construction and the tier cut is
+    NTILE arithmetic on it (operators/ranking.py — no
+    single-partition window at any corpus size). [extension]"""
+    from db2pq_spark.operators.quality import perplexity_buckets
+
+    return (perplexity_buckets(t(spark, sf_dir, "documents"),
+                               "text", "doc_id", n_buckets=3)
+            .withColumnRenamed("rank", "rnk"))

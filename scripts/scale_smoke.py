@@ -119,7 +119,7 @@ FAMILIES = [
     # lighter than what this smoke certifies.
     ("line_dedup", ["q138_repeated_lines_incremental",
                     "q137_repeated_lines"]),
-    ("curation", ["q139_budget_select"]),
+    ("curation", ["q139_budget_select", "q140_ccnet_buckets"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

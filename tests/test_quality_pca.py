@@ -298,3 +298,49 @@ class TestNbTrainApply:
         assert got["n_tokens"] == 3
         assert float(got["sum_logodds"]) == pytest.approx(
             3 * float(oov_s))
+
+
+class TestPerplexityBuckets:
+    """perplexity_buckets (q140, round 10): CCNet head/middle/tail
+    partition by KN surprisal — tier population, ordering direction,
+    and the exact micro-bit key."""
+
+    def test_buckets_partition_the_corpus(self, spark):
+        from db2pq_spark.operators.quality import perplexity_buckets
+
+        # 9 docs: three repeat a fluent pattern (low surprisal under
+        # the self-trained LM), three are mid, three are distinct
+        # word-salad (high surprisal)
+        rows = (
+            [(i, "the cat sat on the mat and the cat sat") for i in range(3)]
+            + [(10 + i, f"the cat ran to a tree {i} fast") for i in range(3)]
+            + [(20 + i, f"zq{i} wv{i} xk{i} jb{i} qq{i} zz{i}")
+               for i in range(3)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = perplexity_buckets(df, "text", "doc_id", n_buckets=3)
+        got = {r["id"]: r for r in out.collect()}
+        assert len(got) == 9
+        # ranks are a permutation of 1..9, buckets 3/3/3
+        assert sorted(r["rank"] for r in got.values()) == list(range(1, 10))
+        from collections import Counter
+        assert Counter(r["bucket"] for r in got.values()) \
+            == {1: 3, 2: 3, 3: 3}
+        # the repeated fluent docs land in the head, word salad in tail
+        assert {got[i]["bucket"] for i in (0, 1, 2)} == {1}
+        assert {got[i]["bucket"] for i in (20, 21, 22)} == {3}
+        # rank follows (mean_units asc, id asc)
+        ordered = sorted(got.values(),
+                         key=lambda r: (r["mean_units"], r["id"]))
+        assert [r["rank"] for r in ordered] == list(range(1, 10))
+
+    def test_short_docs_excluded_and_bucket_count_validated(self, spark):
+        from db2pq_spark.operators.quality import perplexity_buckets
+
+        df = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, None), (4, "two words here ok")],
+            "doc_id long, text string")
+        out = perplexity_buckets(df, "text", "doc_id", n_buckets=2)
+        # only doc 4 has >= 2 tokens
+        assert [r["id"] for r in out.collect()] == [4]
+        with pytest.raises(ValueError, match="n_buckets"):
+            perplexity_buckets(df, "text", "doc_id", n_buckets=0)
