@@ -58,7 +58,7 @@ _EXTENSION = (
     "q133_source_cap", "q134_line_filter", "q135_vocab_coverage",
     "q136_span_corruption", "q137_repeated_lines",
     "q138_repeated_lines_incremental", "q139_budget_select",
-    "q140_ccnet_buckets",
+    "q140_ccnet_buckets", "q141_kn_score_increment",
 )
 
 

@@ -325,15 +325,7 @@ def kneser_ney_bigrams(
     linearly). The default lets AQE size them, because in the
     zero-vocab-collapse worst case ctx/cont are occurrence-sized and a
     forced broadcast would OOM."""
-    toked = (df.select(F.col(id_col).alias("id"),
-                       tokens(text_col).alias("_toks"))
-             .where(F.size("_toks") >= 2))
-    pairs = F.arrays_zip(
-        F.slice("_toks", F.lit(1), F.size("_toks") - 1),
-        F.slice("_toks", F.lit(2), F.size("_toks") - 1))
-    bg = (toked.select("id", F.explode(pairs).alias("_p"))
-          .select("id", F.col("_p").getField("0").alias("w1"),
-                  F.col("_p").getField("1").alias("w2")))
+    bg = _bigram_pairs(df, text_col, id_col)
     if keys == "hash":
         bg = bg.select(
             "id", F.xxhash64("w1").alias("w1"),
@@ -394,5 +386,137 @@ def kneser_ney_bigrams(
                     F.col("_sum").cast("decimal(38,10)")
                      .alias("sum_surprisal"),
                     # double mean for band filters; not oracle-compared
+                    (F.col("_sum").cast("double") / F.col("n_bigrams"))
+                     .alias("mean_surprisal")))
+
+
+def _bigram_pairs(df: DataFrame, text_col: str,
+                  id_col: str | None = None) -> DataFrame:
+    """(id?, w1, w2) consecutive-token pairs — the lambda-free
+    arrays_zip construction shared by :func:`kneser_ney_bigrams` and
+    the train/score split (docs with < 2 tokens contribute nothing)."""
+    cols = ([F.col(id_col).alias("id")] if id_col else []) \
+        + [tokens(text_col).alias("_toks")]
+    toked = df.select(*cols).where(F.size("_toks") >= 2)
+    pairs = F.arrays_zip(
+        F.slice("_toks", F.lit(1), F.size("_toks") - 1),
+        F.slice("_toks", F.lit(2), F.size("_toks") - 1))
+    keep = (["id"] if id_col else [])
+    return (toked.select(*keep, F.explode(pairs).alias("_p"))
+            .select(*keep, F.col("_p").getField("0").alias("w1"),
+                    F.col("_p").getField("1").alias("w2")))
+
+
+def kn_bigram_stats(df: DataFrame, text_col: str,
+                    keys: str = "exact") -> DataFrame:
+    """Train once, score increments — the persisted-LM half of the
+    CCNet deployment shape (a crawl increment is scored against a
+    FIXED language model, not a model retrained per batch): ONE
+    zipf-collapsed bigram-count relation ``(w1, w2, c12, _kn_keys)``
+    from which every Kneser–Ney statistic (contexts, continuations,
+    type total) derives. Persist it as parquet; feed it to
+    :func:`kn_score_documents`.
+
+    ``_kn_keys`` stamps the key family (``"exact"`` strings /
+    ``"hash"`` xxhash64 longs — same trade as
+    :func:`kneser_ney_bigrams`): a state built under one family
+    shares no key values with a probe under the other, so the stamp
+    lets the scorer REFUSE instead of silently scoring everything as
+    out-of-vocabulary (the ``_lk_repr``/``_sig_impl`` discipline of
+    the incremental dedup families)."""
+    bg = _bigram_pairs(df, text_col)
+    if keys == "hash":
+        bg = bg.select(F.xxhash64("w1").alias("w1"),
+                       F.xxhash64("w2").alias("w2"))
+    elif keys != "exact":
+        raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
+    return (bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+            .withColumn("_kn_keys", F.lit(keys)))
+
+
+def kn_score_documents(
+    batch: DataFrame, stats: DataFrame, text_col: str, id_col: str,
+    discount: float = 0.75, round_digits: int = 6,
+    keys: str = "exact",
+) -> DataFrame:
+    """Score an increment against persisted :func:`kn_bigram_stats` —
+    ``(id, n_bigrams, sum_surprisal, mean_surprisal)`` with the same
+    exactness discipline as :func:`kneser_ney_bigrams` (per-bigram
+    −log2 p rounded, DECIMAL-accumulated), extended to events the
+    self-scoring entry point never sees:
+
+    - seen (w1, w2): the full interpolated probability;
+    - seen w1, unseen pair: the discounted term is exactly 0, so
+      p = λ(w1)·Pcont(w2) — the standard KN backoff;
+    - unseen context w1: p = Pcont(w2) (pure continuation);
+    - unseen w2: Pcont = 1/(nt+1) — a deterministic floor strictly
+      below every seen continuation probability (documented choice;
+      any engine replays it).
+
+    Scale (the batch-key semi-filter discipline of the incremental
+    dedup/line families): the corpus-sized stats relation NEVER
+    shuffles — pair/context/continuation statistics are semi-filtered
+    by the BROADCAST distinct batch key sets before their (tiny)
+    aggregates, the type total is a scan-only 1-row count, and all
+    four join back to the batch's bigrams as broadcasts. A crawl
+    increment pays four pruned scans of the parquet state and one
+    batch-keyed aggregate."""
+    expected = keys
+    if keys not in ("exact", "hash"):
+        raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
+    if "_kn_keys" not in stats.columns:
+        raise ValueError(
+            "stats carries no _kn_keys stamp — a state built under a "
+            "different key family shares no key values with this "
+            "probe and every bigram would silently score as OOV. "
+            "Build the state via kn_bigram_stats()")
+    stamps = sorted({r[0] for r in stats.select("_kn_keys")
+                     .distinct().limit(3).collect()},
+                    key=lambda v: (v is None, v))
+    if len(stamps) > 1:
+        raise ValueError(f"stats mixes _kn_keys stamps {stamps} — "
+                         "re-build the state with one key family")
+    if stamps and stamps[0] != expected:
+        raise ValueError(f"stats was built with keys={stamps[0]!r} "
+                         f"but the probe asked for {expected!r}")
+    bc = stats.drop("_kn_keys")
+    bg = _bigram_pairs(batch, text_col, id_col)
+    if keys == "hash":
+        bg = bg.select("id", F.xxhash64("w1").alias("w1"),
+                       F.xxhash64("w2").alias("w2"))
+    pair_keys = bg.select("w1", "w2").distinct()
+    w1_keys = bg.select("w1").distinct()
+    w2_keys = bg.select("w2").distinct()
+    pair_s = bc.join(F.broadcast(pair_keys), ["w1", "w2"], "left_semi")
+    ctx = (bc.join(F.broadcast(w1_keys), "w1", "left_semi")
+           .groupBy("w1").agg(F.sum("c12").alias("c1"),
+                              F.count("*").alias("n1f")))
+    cont = (bc.join(F.broadcast(w2_keys), "w2", "left_semi")
+            .groupBy("w2").agg(F.count("*").alias("n1b")))
+    tot = bc.agg(F.count("*").alias("nt"))
+    d = F.lit(float(discount))
+    j = (bg.join(F.broadcast(pair_s), ["w1", "w2"], "left")
+         .join(F.broadcast(ctx), "w1", "left")
+         .join(F.broadcast(cont), "w2", "left")
+         .crossJoin(F.broadcast(tot)))
+    # evaluation order mirrored EXACTLY in the q141 oracle SQL
+    pc = F.when(F.col("n1b").isNotNull(),
+                F.col("n1b").cast("double") / F.col("nt").cast("double")) \
+        .otherwise(F.lit(1.0) / (F.col("nt").cast("double") + F.lit(1.0)))
+    p_seen = (F.greatest(F.coalesce(F.col("c12"), F.lit(0))
+                         .cast("double") - d, F.lit(0.0))
+              / F.col("c1").cast("double")
+              + (d * F.col("n1f").cast("double")
+                 / F.col("c1").cast("double")) * pc)
+    p = F.when(F.col("c1").isNotNull(), p_seen).otherwise(pc)
+    s = F.round(-F.log2(p), round_digits).cast("decimal(28,10)")
+    return (j.select("id", s.alias("s"))
+            .groupBy("id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("s").alias("_sum"))
+            .select("id",
+                    F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                    F.col("_sum").cast("decimal(38,10)")
+                     .alias("sum_surprisal"),
                     (F.col("_sum").cast("double") / F.col("n_bigrams"))
                      .alias("mean_surprisal")))

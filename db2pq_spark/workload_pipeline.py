@@ -2639,3 +2639,89 @@ def q140_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (perplexity_buckets(t(spark, sf_dir, "documents"),
                                "text", "doc_id", n_buckets=3)
             .withColumnRenamed("rank", "rnk"))
+
+
+_Q141_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    train_bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2 AND doc_id % 7 <> 0)
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM train_bg GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM bc GROUP BY 1
+    ),
+    cont AS (
+      SELECT w2, COUNT(*) AS n1b FROM bc GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS nt FROM bc),
+    bgb AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM toks WHERE len(toks) >= 2 AND doc_id % 7 = 0)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(-log2(
+               CASE WHEN ctx.c1 IS NOT NULL THEN
+                 greatest(CAST(COALESCE(bc.c12, 0) AS DOUBLE) - 0.75e0,
+                          0e0) / CAST(ctx.c1 AS DOUBLE)
+                 + (0.75e0 * CAST(ctx.n1f AS DOUBLE)
+                    / CAST(ctx.c1 AS DOUBLE))
+                   * (CASE WHEN cont.n1b IS NOT NULL
+                           THEN CAST(cont.n1b AS DOUBLE)
+                                / CAST(tot.nt AS DOUBLE)
+                           ELSE 1e0 / (CAST(tot.nt AS DOUBLE) + 1e0)
+                      END)
+               ELSE (CASE WHEN cont.n1b IS NOT NULL
+                          THEN CAST(cont.n1b AS DOUBLE)
+                               / CAST(tot.nt AS DOUBLE)
+                          ELSE 1e0 / (CAST(tot.nt AS DOUBLE) + 1e0)
+                     END)
+               END), 6) AS DECIMAL(28,10)) AS s
+      FROM bgb b
+      LEFT JOIN bc USING (w1, w2)
+      LEFT JOIN ctx USING (w1)
+      LEFT JOIN cont USING (w2)
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS DECIMAL(38,10)) AS sum_surprisal
+    FROM scored
+    GROUP BY doc_id
+"""
+
+
+@query("q141_kn_score_increment", oracle=_Q141_SQL)
+def q141_kn_score_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / score-increments LM quality scoring
+    (operators/textstats.py:kn_bigram_stats + kn_score_documents):
+    the Kneser-Ney bigram-count relation is trained on the standing
+    corpus (doc_id % 7 ≠ 0) and a new batch (doc_id % 7 = 0) is
+    scored against the FIXED model with the documented backoff/OOV
+    ladder — exactly how CCNet deploys its LM filter (pretrained
+    KenLM scoring each crawl; arXiv:1911.00359 §4.3). The persisted
+    stats relation never shuffles: pair/context/continuation
+    statistics are semi-filtered by broadcast batch key sets, the
+    type total is a scan-only count, and all four broadcast back to
+    the batch bigrams (the q107/q123/q138 batch-key discipline
+    applied to LM scoring). [extension]"""
+    from db2pq_spark.operators.textstats import (
+        kn_bigram_stats, kn_score_documents)
+
+    docs = t(spark, sf_dir, "documents")
+    stats = kn_bigram_stats(docs.filter(F.col("doc_id") % 7 != 0),
+                            "text")
+    return (kn_score_documents(docs.filter(F.col("doc_id") % 7 == 0),
+                               stats, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_bigrams", "sum_surprisal"))

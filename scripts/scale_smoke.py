@@ -108,6 +108,7 @@ FAMILIES = [
                       "q128_mmr_select"]),
     ("lm_quality", ["q129_nb_score_increment", "q125_dsir_sample",
                     "q124_nb_quality", "q121_kneser_ney"]),
+    ("lm_deploy", ["q141_kn_score_increment", "q140_ccnet_buckets"]),
     ("filtering", ["q133_source_cap", "q130_gopher_rules",
                    "q134_line_filter", "q132_char_entropy"]),
     ("span_confirm", ["q135_vocab_coverage", "q136_span_corruption",
@@ -119,7 +120,7 @@ FAMILIES = [
     # lighter than what this smoke certifies.
     ("line_dedup", ["q138_repeated_lines_incremental",
                     "q137_repeated_lines"]),
-    ("curation", ["q139_budget_select", "q140_ccnet_buckets"]),
+    ("curation", ["q139_budget_select"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

@@ -1824,3 +1824,73 @@ class TestSelectUntilBudget:
                 for i, r in a.items()} \
             == {i: (r["rank"], r["cum_before"], r["kept"])
                 for i, r in b.items()}
+
+
+class TestKnScoreIncrement:
+    """kn_bigram_stats + kn_score_documents (q141, round 10): the
+    persisted-LM scoring split with the backoff/OOV ladder and the
+    _kn_keys stamp discipline."""
+
+    @pytest.fixture()
+    def train(self, spark):
+        return spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+
+    def test_self_scoring_matches_one_shot(self, spark, train):
+        from db2pq_spark.operators.textstats import (
+            kn_bigram_stats, kn_score_documents, kneser_ney_bigrams)
+
+        stats = kn_bigram_stats(train, "text")
+        inc = {r["id"]: r for r in
+               kn_score_documents(train, stats, "text",
+                                  "doc_id").collect()}
+        one = {r["id"]: r for r in
+               kneser_ney_bigrams(train, "text", "doc_id").collect()}
+        assert set(inc) == set(one)
+        for i in one:
+            assert inc[i]["n_bigrams"] == one[i]["n_bigrams"]
+            assert inc[i]["sum_surprisal"] == one[i]["sum_surprisal"]
+
+    def test_oov_ladder(self, spark, train):
+        import math
+
+        from db2pq_spark.operators.textstats import (
+            kn_bigram_stats, kn_score_documents)
+
+        # train bc: (a,b)=3 (b,a)=1 (b,c)=1; ctx a:(3,1) b:(2,2);
+        # cont a=1 b=1 c=1; nt=3
+        stats = kn_bigram_stats(train, "text")
+        batch = spark.createDataFrame(
+            [(10, "a c"),     # seen ctx a, unseen pair, seen cont c
+             (11, "z b"),     # unseen ctx z, seen cont b
+             (12, "z q")],    # unseen ctx, unseen cont
+            "doc_id long, text string")
+        got = {r["id"]: float(r["sum_surprisal"]) for r in
+               kn_score_documents(batch, stats, "text",
+                                  "doc_id").collect()}
+        d = 0.75
+        p_ac = 0.0 / 3 + (d * 1 / 3) * (1 / 3)   # lambda(a)*Pcont(c)
+        p_zb = 1 / 3                              # Pcont(b)
+        p_zq = 1 / (3 + 1)                        # OOV floor
+        for i, p in ((10, p_ac), (11, p_zb), (12, p_zq)):
+            assert abs(got[i] - round(-math.log2(p), 6)) < 1e-6
+
+    def test_stamp_discipline(self, spark, train):
+        from db2pq_spark.operators.textstats import (
+            kn_bigram_stats, kn_score_documents)
+
+        stats = kn_bigram_stats(train, "text", keys="hash")
+        with pytest.raises(ValueError, match="keys='hash'"):
+            kn_score_documents(train, stats, "text", "doc_id",
+                               keys="exact")
+        with pytest.raises(ValueError, match="no _kn_keys stamp"):
+            kn_score_documents(train, stats.drop("_kn_keys"),
+                               "text", "doc_id")
+        mixed = stats.union(
+            kn_bigram_stats(train, "text", keys="exact"))
+        with pytest.raises(ValueError, match="mixes"):
+            kn_score_documents(train, mixed, "text", "doc_id")
+        # hash-stamped state probed as hash scores fine
+        rows = kn_score_documents(train, stats, "text", "doc_id",
+                                  keys="hash").collect()
+        assert len(rows) == 2
