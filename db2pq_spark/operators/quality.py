@@ -199,6 +199,7 @@ def nb_quality_filter(
 def perplexity_buckets(
     df: DataFrame, text_col: str, id_col: str,
     n_buckets: int = 3, discount: float = 0.75, keys: str = "exact",
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """CCNet's perplexity partition (arXiv:1911.00359 §4.3): rank the
     corpus by per-document LM surprisal and cut it into ``n_buckets``
@@ -233,8 +234,16 @@ def perplexity_buckets(
 
     if int(n_buckets) < 1:
         raise ValueError(f"n_buckets={n_buckets} must be >= 1")
+    # keys/broadcast_stats forward to the LM scorer: the gate pins
+    # keys="exact" (string keys + decimal accumulation — DuckDB
+    # replays rank and tier bit-for-bit); production runs keys="hash"
+    # + broadcast_stats=True (xxhash64 long keys, stats broadcast —
+    # the q121 production configuration, ~10x at the 100x replica;
+    # a 64-bit collision merges two bigram types' statistics, which
+    # perturbs a scoring signal, not a correctness contract)
     scored = kneser_ney_bigrams(df, text_col, id_col,
-                                discount=discount, keys=keys)
+                                discount=discount, keys=keys,
+                                broadcast_stats=broadcast_stats)
     # exact integer mean in micro-bits: every per-bigram surprisal is
     # rounded to 6 decimals before the decimal accumulation, so the
     # doc sum has at most 6 decimal places — the decimal(20,6) cast is

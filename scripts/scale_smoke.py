@@ -219,6 +219,16 @@ def _overrides():
         return kneser_ney_bigrams(docs, "text", "doc_id", keys="hash",
                                   broadcast_stats=True)
 
+    def q140(spark, sf_dir):
+        from db2pq_spark.operators.quality import perplexity_buckets
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production LM configuration (the q121 override's keys=hash +
+        # broadcast_stats); the gate entry pins keys="exact" so DuckDB
+        # replays rank and tier bit-for-bit
+        return perplexity_buckets(docs, "text", "doc_id",
+                                  keys="hash", broadcast_stats=True)
+
     def q125(spark, sf_dir):
         from db2pq_spark.operators.importance import dsir_sample
 
@@ -259,7 +269,8 @@ def _overrides():
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
             "q119_winnow_overlap": q119, "q118_split_leakage": q118,
-            "q121_kneser_ney": q121, "q107_incremental_dedup": q107,
+            "q121_kneser_ney": q121, "q140_ccnet_buckets": q140,
+            "q107_incremental_dedup": q107,
             "q123_winnow_incremental": q123,
             "q125_dsir_sample": q125, "q126_embedding_moments": q126,
             "q131_edit_confirm": q131, "q132_char_entropy": q132}
