@@ -423,7 +423,11 @@ def kn_bigram_stats(df: DataFrame, text_col: str,
     shares no key values with a probe under the other, so the stamp
     lets the scorer REFUSE instead of silently scoring everything as
     out-of-vocabulary (the ``_lk_repr``/``_sig_impl`` discipline of
-    the incremental dedup families)."""
+    the incremental dedup families). The stamp is carried BOTH as a
+    column value (authoritative — survives unions of mismatched
+    states) and as column-level schema metadata (``{"kn_keys": ...}``,
+    parquet round-trip safe), which lets the scorer fast-fail at plan
+    time without running a Spark job."""
     bg = _bigram_pairs(df, text_col)
     if keys == "hash":
         bg = bg.select(F.xxhash64("w1").alias("w1"),
@@ -431,13 +435,14 @@ def kn_bigram_stats(df: DataFrame, text_col: str,
     elif keys != "exact":
         raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
     return (bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-            .withColumn("_kn_keys", F.lit(keys)))
+            .select("*", F.lit(keys).alias(
+                "_kn_keys", metadata={"kn_keys": keys})))
 
 
 def kn_score_documents(
     batch: DataFrame, stats: DataFrame, text_col: str, id_col: str,
     discount: float = 0.75, round_digits: int = 6,
-    keys: str = "exact",
+    keys: str = "exact", broadcast_stats: bool = False,
 ) -> DataFrame:
     """Score an increment against persisted :func:`kn_bigram_stats` —
     ``(id, n_bigrams, sum_surprisal, mean_surprisal)`` with the same
@@ -456,11 +461,24 @@ def kn_score_documents(
     Scale (the batch-key semi-filter discipline of the incremental
     dedup/line families): the corpus-sized stats relation NEVER
     shuffles — pair/context/continuation statistics are semi-filtered
-    by the BROADCAST distinct batch key sets before their (tiny)
-    aggregates, the type total is a scan-only 1-row count, and all
-    four join back to the batch's bigrams as broadcasts. A crawl
-    increment pays four pruned scans of the parquet state and one
-    batch-keyed aggregate."""
+    by the distinct batch key sets before their (tiny) aggregates,
+    the type total is a scan-only 1-row count, and all four join back
+    to the batch's bigrams. ``broadcast_stats=False`` (default) lets
+    AQE size every one of those joins at runtime — small key sets and
+    semi-filtered stats still become broadcasts, but a huge increment
+    with a large vocabulary degrades to shuffle joins instead of
+    OOMing the driver. ``broadcast_stats=True`` force-broadcasts them
+    — pass it when the increment is a bounded crawl batch against a
+    zipf-bounded vocabulary (the CCNet deployment shape; same gating
+    stance as :func:`kneser_ney_bigrams`).
+
+    Stamp validation is FREE or plan-embedded, never an extra job:
+    the column-metadata stamp (when present) is checked at plan time;
+    the authoritative row-level check (catches unions of mismatched
+    states, and an EMPTY stats relation — which would otherwise send
+    every bigram to the OOV floor and score 0 surprisal everywhere)
+    is folded into the type-total aggregate the plan computes anyway
+    and raises at execution."""
     expected = keys
     if keys not in ("exact", "hash"):
         raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
@@ -470,34 +488,60 @@ def kn_score_documents(
             "different key family shares no key values with this "
             "probe and every bigram would silently score as OOV. "
             "Build the state via kn_bigram_stats()")
-    stamps = sorted({r[0] for r in stats.select("_kn_keys")
-                     .distinct().limit(3).collect()},
-                    key=lambda v: (v is None, v))
-    if len(stamps) > 1:
-        raise ValueError(f"stats mixes _kn_keys stamps {stamps} — "
-                         "re-build the state with one key family")
-    if stamps and stamps[0] != expected:
-        raise ValueError(f"stats was built with keys={stamps[0]!r} "
+    # plan-time fast path: kn_bigram_stats stamps the column metadata
+    # (parquet round-trip safe) — a wrong-family state fails HERE,
+    # before any job runs. States persisted without metadata (or
+    # unions that merged it away) fall through to the in-plan guard.
+    meta = stats.schema["_kn_keys"].metadata or {}
+    stamped = meta.get("kn_keys")
+    if stamped is not None and stamped != expected:
+        raise ValueError(f"stats was built with keys={stamped!r} "
                          f"but the probe asked for {expected!r}")
     bc = stats.drop("_kn_keys")
+    # authoritative guard, folded into the 1-row type-total aggregate
+    # the plan needs anyway (zero extra jobs — the old eager
+    # distinct().collect() validation re-ran the FULL training
+    # aggregate as a separate job when stats was an unpersisted
+    # DataFrame): nt is referenced by every probability expression,
+    # so column pruning can never drop the assertion.
+    mism = F.count(F.when(F.col("_kn_keys") != F.lit(expected), 1))
+    tot = (stats.agg(F.count("*").alias("_nt_raw"),
+                     mism.alias("_bad"))
+           .select(
+               F.when(F.col("_bad") > 0, F.raise_error(F.concat(
+                   F.lit("kn_score_documents: "),
+                   F.col("_bad").cast("string"),
+                   F.lit(" stats rows carry a _kn_keys stamp other "
+                         f"than {expected!r} — a state built under a "
+                         "different key family shares no key values "
+                         "with this probe; re-build it with "
+                         "kn_bigram_stats(keys=...)"))))
+               .when(F.col("_nt_raw") == 0, F.raise_error(F.lit(
+                   "kn_score_documents: stats relation is EMPTY "
+                   "(empty or fully-filtered training corpus) — "
+                   "every bigram would hit the OOV floor 1/(nt+1)=1 "
+                   "and score 0 surprisal, making every document "
+                   "look maximally fluent; refusing to silently "
+                   "mis-score")))
+               .otherwise(F.col("_nt_raw")).alias("nt")))
     bg = _bigram_pairs(batch, text_col, id_col)
     if keys == "hash":
         bg = bg.select("id", F.xxhash64("w1").alias("w1"),
                        F.xxhash64("w2").alias("w2"))
+    b = F.broadcast if broadcast_stats else (lambda rel: rel)
     pair_keys = bg.select("w1", "w2").distinct()
     w1_keys = bg.select("w1").distinct()
     w2_keys = bg.select("w2").distinct()
-    pair_s = bc.join(F.broadcast(pair_keys), ["w1", "w2"], "left_semi")
-    ctx = (bc.join(F.broadcast(w1_keys), "w1", "left_semi")
+    pair_s = bc.join(b(pair_keys), ["w1", "w2"], "left_semi")
+    ctx = (bc.join(b(w1_keys), "w1", "left_semi")
            .groupBy("w1").agg(F.sum("c12").alias("c1"),
                               F.count("*").alias("n1f")))
-    cont = (bc.join(F.broadcast(w2_keys), "w2", "left_semi")
+    cont = (bc.join(b(w2_keys), "w2", "left_semi")
             .groupBy("w2").agg(F.count("*").alias("n1b")))
-    tot = bc.agg(F.count("*").alias("nt"))
     d = F.lit(float(discount))
-    j = (bg.join(F.broadcast(pair_s), ["w1", "w2"], "left")
-         .join(F.broadcast(ctx), "w1", "left")
-         .join(F.broadcast(cont), "w2", "left")
+    j = (bg.join(b(pair_s), ["w1", "w2"], "left")
+         .join(b(ctx), "w1", "left")
+         .join(b(cont), "w2", "left")
          .crossJoin(F.broadcast(tot)))
     # evaluation order mirrored EXACTLY in the q141 oracle SQL
     pc = F.when(F.col("n1b").isNotNull(),

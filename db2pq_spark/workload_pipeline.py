@@ -2362,10 +2362,13 @@ def q136_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     §3.1.4): deterministic mask spans — per 12-token block, at most
     one span starting at the block's first md5-bucket candidate
     position, 2 tokens, clipped at the block edge (~15% mask rate,
-    non-overlapping BY CONSTRUCTION so the plan stays one-pass). One
-    corpus tokenize + posexplode, a per-(id, block) window min, one
-    (id, block)-keyed aggregate — no self-join, no second corpus
-    scan. [extension]"""
+    non-overlapping BY CONSTRUCTION so the plan stays one-pass).
+    Spans are computed IN-ROW on the token array
+    (transform/filter/slice per block): one corpus scan, ZERO
+    Exchanges — the only Generate explodes the
+    ~n/(block·rate)-element span array, one md5 per position instead
+    of the exploded shape's two (plan pinned by
+    tests/test_plan_hygiene.py). [extension]"""
     from db2pq_spark.operators.chunking import corruption_spans
 
     return corruption_spans(t(spark, sf_dir, "documents"), "text",
@@ -2714,7 +2717,10 @@ def q141_kn_score_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics are semi-filtered by broadcast batch key sets, the
     type total is a scan-only count, and all four broadcast back to
     the batch bigrams (the q107/q123/q138 batch-key discipline
-    applied to LM scoring). [extension]"""
+    applied to LM scoring; ``broadcast_stats=True`` is the
+    bounded-increment deployment config — the operator default lets
+    AQE size those joins so an unbounded increment can't OOM the
+    driver). [extension]"""
     from db2pq_spark.operators.textstats import (
         kn_bigram_stats, kn_score_documents)
 
@@ -2722,6 +2728,7 @@ def q141_kn_score_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = kn_bigram_stats(docs.filter(F.col("doc_id") % 7 != 0),
                             "text")
     return (kn_score_documents(docs.filter(F.col("doc_id") % 7 == 0),
-                               stats, "text", "doc_id")
+                               stats, "text", "doc_id",
+                               broadcast_stats=True)
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_bigrams", "sum_surprisal"))

@@ -1880,17 +1880,84 @@ class TestKnScoreIncrement:
             kn_bigram_stats, kn_score_documents)
 
         stats = kn_bigram_stats(train, "text", keys="hash")
+        # column-metadata fast path: wrong family fails at PLAN time,
+        # zero Spark jobs (round 11 — the old eager distinct().collect()
+        # validation re-ran the full training aggregate)
         with pytest.raises(ValueError, match="keys='hash'"):
             kn_score_documents(train, stats, "text", "doc_id",
                                keys="exact")
         with pytest.raises(ValueError, match="no _kn_keys stamp"):
             kn_score_documents(train, stats.drop("_kn_keys"),
                                "text", "doc_id")
-        mixed = stats.union(
-            kn_bigram_stats(train, "text", keys="exact"))
-        with pytest.raises(ValueError, match="mixes"):
-            kn_score_documents(train, mixed, "text", "doc_id")
         # hash-stamped state probed as hash scores fine
         rows = kn_score_documents(train, stats, "text", "doc_id",
                                   keys="hash").collect()
         assert len(rows) == 2
+
+    def test_row_level_guard_catches_mixed_and_unstamped(
+            self, spark, train):
+        """The authoritative in-plan guard (folded into the type-total
+        aggregate): unions that merged mismatched families, and states
+        whose column metadata was lost, still refuse at execution."""
+        from pyspark.errors.exceptions.base import PySparkException
+
+        from db2pq_spark.operators.textstats import (
+            kn_bigram_stats, kn_score_documents)
+
+        from pyspark.sql import functions as F
+
+        # per-row stamp drift (e.g. a hand-merged state): the column
+        # metadata still says 'exact' so the plan-time fast path
+        # passes — the row-level guard must fire at execution
+        exact = kn_bigram_stats(train, "text")
+        mixed = exact.select(
+            "w1", "w2", "c12",
+            F.when(F.col("c12") > 1, F.lit("hash"))
+             .otherwise(F.col("_kn_keys")).alias(
+                 "_kn_keys", metadata={"kn_keys": "exact"}))
+        with pytest.raises(PySparkException,
+                           match="stamp other than 'exact'"):
+            kn_score_documents(train, mixed, "text",
+                               "doc_id").collect()
+        # metadata-less state (e.g. persisted by an older build) whose
+        # rows carry the wrong family: the plan-time fast path is
+        # silent (no metadata to check), the guard still refuses
+        nometa = exact.select(
+            "w1", "w2", "c12",
+            F.concat(F.lit("hash"), F.lit("")).alias("_kn_keys"))
+        assert not (nometa.schema["_kn_keys"].metadata or {})
+        with pytest.raises(PySparkException,
+                           match="stamp other than 'exact'"):
+            kn_score_documents(train, nometa, "text", "doc_id",
+                               keys="exact").collect()
+
+    def test_empty_stats_refuses(self, spark, train):
+        """Empty stats => nt=0 => OOV floor 1/(nt+1)=1 => every bigram
+        scores 0 surprisal and every document looks maximally fluent;
+        the operator must refuse, not silently mis-score (round-11
+        ADVICE fix)."""
+        from pyspark.errors.exceptions.base import PySparkException
+        from pyspark.sql import functions as F
+
+        from db2pq_spark.operators.textstats import (
+            kn_bigram_stats, kn_score_documents)
+
+        empty = kn_bigram_stats(train, "text").where(F.lit(False))
+        with pytest.raises(PySparkException, match="EMPTY"):
+            kn_score_documents(train, empty, "text",
+                               "doc_id").collect()
+
+    def test_broadcast_stats_flag_same_answer(self, spark, train):
+        """broadcast_stats=True (the bounded-increment deployment
+        config) must be a pure plan hint — identical values to the
+        default AQE-sized path."""
+        from db2pq_spark.operators.textstats import (
+            kn_bigram_stats, kn_score_documents)
+
+        stats = kn_bigram_stats(train, "text")
+        a = {r["id"]: r["sum_surprisal"] for r in kn_score_documents(
+            train, stats, "text", "doc_id").collect()}
+        b = {r["id"]: r["sum_surprisal"] for r in kn_score_documents(
+            train, stats, "text", "doc_id",
+            broadcast_stats=True).collect()}
+        assert a == b
