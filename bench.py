@@ -11,6 +11,16 @@ Workload shapes mirror the reference's benchmark definitions
 ≈ comp.funda, small fixed-cost run) plus this engine's headline
 analytical queries and extension operators at sf0.1.
 
+Round-11 measurement isolation: queries run in a FRESH WORKER PROCESS
+per query family (≤4 related queries per JVM, lightest first), the
+same discipline scripts/scale_smoke.py adopted in round 10 — a single
+shared 56-query session AGES (stacked cache/checkpoint generations,
+GC debt) and fabricated round-over-round "regressions" on queries with
+zero code change (q64 2.24 s in-session vs 1.32 s isolated).
+Execution stays `.collect()` so historical BENCH comparisons remain
+valid; per-query loadavg, steady-run spread and worker pid land in
+BENCH_DETAIL.json so a contaminated number is self-diagnosing.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
 """
@@ -59,6 +69,9 @@ _EXTENSION = (
     "q136_span_corruption", "q137_repeated_lines",
     "q138_repeated_lines_incremental", "q139_budget_select",
     "q140_ccnet_buckets", "q141_kn_score_increment",
+    # round-11 additions — incremental semantic dedup + unigram LM
+    "q142_semdedup_incremental", "q143_unigram_train",
+    "q144_unigram_segment",
 )
 
 
@@ -382,60 +395,107 @@ def _short(name: str) -> str:
             "export_obs_1000_fixed_cost": "exp_head"}.get(name, name[:10])
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    load_before = [round(x, 2) for x in os.getloadavg()]
+#: query families — each runs in its OWN worker process (fresh JVM),
+#: lightest-first within a family, heaviest member last (the same
+#: isolation discipline as scripts/scale_smoke.py). Motivation
+#: (round 10 evidence): the old single shared 56-query session AGED —
+#: stacked cache/checkpoint generations and GC debt inflated late-slot
+#: queries (q64 measured 2.24 s in-session vs 1.32 s isolated in the
+#: smoke's fresh worker; five >1.25x r9->r10 "regressions" had zero
+#: code change and vanished under isolation). Grouping related queries
+#: amortizes JVM+warmup cost while keeping every session under ~12
+#: timed executions.
+_FAMILIES = [
+    ("exports", ["export_obs_1000_fixed_cost",
+                 "export_filtered_projected", "export_full_table"]),
+    ("relational_light", ["q06_forecast_revenue", "q08_running_total",
+                          "q19_tumbling_window", "q61_min_cost_supplier"]),
+    ("relational_mid", ["q66_hash_split", "q03_top_orders",
+                        "q05_region_revenue", "q20_sessionization"]),
+    ("relational_heavy", ["q94_range_join", "q01_pricing_summary",
+                          "q64_waiting_supplier"]),
+    ("retrieval_span", ["q96_bm25", "q103_vocab_encode",
+                        "q102_duplicate_spans", "q116_span_removal"]),
+    ("doc_filters", ["q133_source_cap", "q134_line_filter",
+                     "q132_char_entropy", "q130_gopher_rules"]),
+    ("dedup_mix", ["q110_quantize_embeddings", "q30_exact_dedup",
+                   "q109_source_mix", "q111_bloom_probe"]),
+    ("ann", ["q126_embedding_moments", "q115_quantized_topk",
+             "q33_cosine_topk", "q38_lsh_similarity"]),
+    ("lm_quality", ["q129_nb_score_increment", "q121_kneser_ney",
+                    "q124_nb_quality", "q125_dsir_sample"]),
+    ("text_pipeline", ["q113_training_pipeline", "q112_unigram_surprisal",
+                       "q31_text_profile", "q95_validation"]),
+    ("vocab_lines", ["q135_vocab_coverage", "q136_span_corruption",
+                     "q137_repeated_lines", "q139_budget_select"]),
+    ("tokenizer_winnow", ["q120_bpe_merges", "q122_bpe_segment",
+                          "q119_winnow_overlap",
+                          "q123_winnow_incremental"]),
+    ("minhash_confirm", ["q118_split_leakage", "q36_minhash_dedup",
+                         "q131_edit_confirm"]),
+    ("cluster_select", ["q127_cluster_representatives", "q117_kmeans",
+                        "q114_semantic_dedup", "q128_mmr_select"]),
+    ("lm_deploy", ["q141_kn_score_increment",
+                   "q138_repeated_lines_incremental",
+                   "q140_ccnet_buckets"]),
+    ("incremental_tokenizer", ["q142_semdedup_incremental",
+                               "q143_unigram_train",
+                               "q144_unigram_segment"]),
+]
+
+_EXPORT_NAMES = ("export_full_table", "export_filtered_projected",
+                 "export_obs_1000_fixed_cost")
+
+
+def _export_fn(name: str, eng, li):
+    """The three reference workload shapes (BASELINE.md)."""
+    if name == "export_full_table":
+        return lambda: eng.df_to_pq(
+            li, "bench", "lineitem_full",
+            last_modified="Last modified: 01/01/2026 00:00:00")
+    if name == "export_filtered_projected":
+        return lambda: eng.df_to_pq(
+            li, "bench", "lineitem_filtered",
+            keep=["^l_orderkey$", "^l_quantity$", "^l_extendedprice$",
+                  "^l_shipdate$", "^l_returnflag$"],
+            rename={"l_returnflag": "flag"},
+            col_types={"l_quantity": "decimal(12,2)"},
+            where="l_quantity > 25")
+    return lambda: eng.df_to_pq(li, "bench", "lineitem_head", obs=1000)
+
+
+def _worker_main() -> None:
+    """Measure ONE query family in this fresh process, then exit.
+
+    Per query: one COLD run (pays whole-stage-codegen compilation and
+    plan analysis — the session fixed cost a long-lived cluster pays
+    once), then min-of-2 STEADY runs. Execution stays `.collect()` —
+    unchanged since round 2 — so round-over-round BENCH comparisons
+    remain apples-to-apples (the scale smoke's noop-sink change is a
+    different instrument with a different question).
+
+    Env contract (set by the orchestrator): BENCH_WORKER_QUERIES
+    (comma list), BENCH_WORKER_SF, BENCH_WORKER_OUT (partial JSON).
+    """
+    import gc
 
     from db2pq_spark import workload
     from db2pq_spark.core import Engine
     from db2pq_spark.session import get_spark
 
-    spark = get_spark(app_name="db2pq_spark_bench")
+    names = os.environ["BENCH_WORKER_QUERIES"].split(",")
+    sf_dir = os.environ["BENCH_WORKER_SF"]
+    spark = get_spark(app_name="db2pq_spark_bench_worker",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     tmp = tempfile.mkdtemp(prefix="bench_repo_")
     eng = Engine(spark, tmp)
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-
-    def timed(name: str, fn) -> None:
-        # per-query fault isolation: one broken query must not zero out
-        # the whole bench artifact — record the error and keep going
-        t0 = time.perf_counter()
-        try:
-            fn()
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-            return
-        finally:
-            # queries that persist intermediates (LSH candidates,
-            # staged ranks) never unpersist them — across 20+
-            # sequential queries the leaked blocks fill the heap and
-            # later queries GC-thrash (measured: q36 4s → 20s late in
-            # a run). Isolate each timing by dropping cached blocks
-            # OUTSIDE the timed region — also on failure, which can
-            # leak too. clearCache only covers CacheManager entries;
-            # localCheckpoint blocks (minhash/LSH signature staging)
-            # are RDD storage freed by the ContextCleaner once the
-            # Python-side DataFrames are garbage — a gc pass makes
-            # that deterministic instead of whenever CPython gets
-            # around to it.
-            dt_ = time.perf_counter() - t0
-            spark.catalog.clearCache()
-            import gc
-
-            gc.collect()
-        timings[name] = round(dt_, 3)
-
+    # warm the JVM + file cache outside every timed region (footer
+    # reads and scan codegen are session fixed costs, not per-query
+    # throughput), and spawn the reused Python/Arrow worker pool so the
+    # first Arrow-kernel query isn't charged the fork/import cost
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # warm the JVM + file cache outside the timed region (all tables the
-    # timed queries touch — first-touch footer reads and codegen warmup
-    # are session fixed costs, not per-query throughput)
     li.count()
-    # spawn + warm the Python/Arrow worker pool (reused for the whole
-    # session — spark.python.worker.reuse) so the first Arrow-kernel
-    # query isn't charged the one-time fork/import cost
     from db2pq_spark.functions.arrow import series_pandas_udf
 
     spark.range(32).select(
@@ -447,78 +507,127 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench: warmup {tbl} FAILED: {exc}", file=sys.stderr)
 
-    # -- reference workload shapes (BASELINE.md) ---------------------------
-    timed("export_full_table", lambda: eng.df_to_pq(
-        li, "bench", "lineitem_full",
-        last_modified="Last modified: 01/01/2026 00:00:00"))
-    timed("export_filtered_projected", lambda: eng.df_to_pq(
-        li, "bench", "lineitem_filtered",
-        keep=["^l_orderkey$", "^l_quantity$", "^l_extendedprice$",
-              "^l_shipdate$", "^l_returnflag$"],
-        rename={"l_returnflag": "flag"},
-        col_types={"l_quantity": "decimal(12,2)"},
-        where="l_quantity > 25"))
-    timed("export_obs_1000_fixed_cost", lambda: eng.df_to_pq(
-        li, "bench", "lineitem_head", obs=1000))
+    def cleanup():
+        # between EVERY timed run: operators that stage intermediates
+        # (LSH candidates, staged ranks) build new cache/checkpoint
+        # blocks per invocation; clearCache drops CacheManager entries
+        # and the gc pass lets the ContextCleaner release
+        # localCheckpoint blocks deterministically
+        spark.catalog.clearCache()
+        gc.collect()
 
-    # -- headline analytical queries ---------------------------------------
-    for name in _ANALYTICAL:
-        fn = workload.REGISTRY[name][0]
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+    fns = {}
+    for name in names:
+        if name in _EXPORT_NAMES:
+            fns[name] = _export_fn(name, eng, li)
+        else:
+            qfn = _OVERRIDES.get(name) or workload.REGISTRY[name][0]
+            fns[name] = lambda qfn=qfn: qfn(spark, sf_dir).collect()
 
-    # -- extension operators ------------------------------------------------
-    for name in _EXTENSION:
-        fn = _OVERRIDES.get(name) or workload.REGISTRY[name][0]
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
-
-    # Steady-state timings for EVERY benched query: the first (timed)
-    # execution pays one-time whole-stage-codegen compilation and plan
-    # analysis (session fixed cost, data-independent — SCALE.md "Fixed
-    # costs"); subsequent runs show the per-query throughput a
-    # long-lived session/cluster actually gets. Steady is min-of-2 —
-    # single-shot timings on this box swing several-× on GC/page-cache
-    # noise (the same warm-then-min pattern every other timing
-    # instrument here uses). "value" keeps its cold-total semantics.
-    steady: dict[str, float] = {}
-
-    def steady_timed(name: str, fn) -> None:
-        best = None
-        for _ in range(2):
+    # two passes: COLD for the whole family first (one-time codegen +
+    # plan analysis per query), then STEADY min-of-3 — by the steady
+    # pass the session carries the same JIT/page-cache warmth a
+    # long-lived cluster has, without ever aging past ~16 executions
+    # (min-of-2 immediately after a single cold run under-warmed: the
+    # first fresh-worker cut measured light queries ~25% above both
+    # the aged-session r10 numbers and the smoke's isolated minima)
+    out: dict[str, dict] = {
+        name: {"load": round(os.getloadavg()[0], 2),
+               "worker_pid": os.getpid()} for name in names}
+    for name in names:
+        rec = out[name]
+        try:
             t0 = time.perf_counter()
-            try:
-                fn()
-            except Exception as exc:  # noqa: BLE001
-                print(f"bench: steady {name} FAILED: {exc}",
-                      file=sys.stderr)
-                return
-            finally:
-                dt = time.perf_counter() - t0
-                spark.catalog.clearCache()  # isolation, also on failure
-                import gc
-
-                gc.collect()  # release localCheckpoint blocks too
-            best = dt if best is None else min(best, dt)
-        steady[name] = round(best, 3)
-
-    tmp2 = tempfile.mkdtemp(prefix="bench_repo2_")
-    eng2 = Engine(spark, tmp2)
-    steady_timed("export_full_table", lambda: eng2.df_to_pq(
-        li, "bench", "lineitem_full",
-        last_modified="Last modified: 01/01/2026 00:00:00"))
-    steady_timed("export_filtered_projected", lambda: eng2.df_to_pq(
-        li, "bench", "lineitem_filtered",
-        keep=["^l_orderkey$", "^l_quantity$", "^l_extendedprice$",
-              "^l_shipdate$", "^l_returnflag$"],
-        rename={"l_returnflag": "flag"},
-        col_types={"l_quantity": "decimal(12,2)"},
-        where="l_quantity > 25"))
-    steady_timed("export_obs_1000_fixed_cost", lambda: eng2.df_to_pq(
-        li, "bench", "lineitem_head", obs=1000))
-    for name in _ANALYTICAL + _EXTENSION:
-        fn = _OVERRIDES.get(name) or workload.REGISTRY[name][0]
-        steady_timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
-    shutil.rmtree(tmp2, ignore_errors=True)
+            fns[name]()
+            rec["cold"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            # per-query fault isolation: one broken query must not
+            # zero out the family — record and keep going
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {rec['err']}", file=sys.stderr)
+        finally:
+            cleanup()
+    for name in names:
+        if "err" in out[name]:
+            continue
+        rec = out[name]
+        rec["load"] = round(os.getloadavg()[0], 2)
+        runs = []
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fns[name]()
+                runs.append(round(time.perf_counter() - t0, 3))
+                cleanup()
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"steady: {type(exc).__name__}: {exc}"[:500]
+            print(f"bench: steady {name} FAILED: {rec['err']}",
+                  file=sys.stderr)
+            cleanup()
+        if runs:
+            rec["steady_runs"] = runs
+            rec["steady"] = min(runs)
+    with open(os.environ["BENCH_WORKER_OUT"], "w") as fh:
+        json.dump(out, fh)
     shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+def _run_family(names: list[str], sf_dir: str) -> dict[str, dict]:
+    """Launch a fresh worker process for one family; return partials.
+
+    A worker crash (not a query error — those are caught in-worker)
+    degrades to per-query err records so the bench artifact survives."""
+    import subprocess
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
+        out_path = fh.name
+    env = dict(os.environ,
+               BENCH_WORKER_QUERIES=",".join(names),
+               BENCH_WORKER_SF=sf_dir,
+               BENCH_WORKER_OUT=out_path)
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True)
+    try:
+        with open(out_path) as fh:
+            res = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        res = {}
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-1000:] + proc.stderr[-3000:])
+        for name in names:
+            res.setdefault(name, {"err": f"worker rc={proc.returncode}"})
+    return res
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
+    # the tier tuples stay the benched-set source of truth; families
+    # are a partition of them — adding a query to one without the
+    # other must fail loudly, not silently drop it from the bench
+    tiers = set(_ANALYTICAL) | set(_EXTENSION) | set(_EXPORT_NAMES)
+    fam_qs = [q for _, names in _FAMILIES for q in names]
+    assert len(fam_qs) == len(set(fam_qs)), "duplicate query in families"
+    assert set(fam_qs) == tiers, (
+        f"family/tier drift: {set(fam_qs) ^ tiers}")
+
+    results: dict[str, dict] = {}
+    for fam, names in _FAMILIES:
+        print(f"bench family {fam}: {len(names)} queries",
+              file=sys.stderr, flush=True)
+        results.update(_run_family(names, sf_dir))
+
+    timings = {n: r["cold"] for n, r in results.items() if "cold" in r}
+    steady = {n: r["steady"] for n, r in results.items() if "steady" in r}
+    errors = {n: r["err"] for n, r in results.items() if "err" in r}
 
     total = round(sum(timings.values()), 3)
     load_after = [round(x, 2) for x in os.getloadavg()]
@@ -528,15 +637,20 @@ def main() -> None:
         "steady_state": steady,
         "steady_total": round(sum(steady.values()), 3),
         "sf": sf,
-        # which implementation/config each overridden query executed —
-        # python.worker.reuse is set by get_spark, so Arrow kernels run
-        # on the pre-warmed worker pool in every timed region
+        # round-11 isolation: fresh worker process per family (the
+        # scale-smoke discipline) — per-query loadavg at measurement
+        # start, steady run spread, and worker pid recorded below so a
+        # contaminated number is self-diagnosing
+        "isolation": "fresh worker process per query family",
+        "query_load": {n: r["load"] for n, r in results.items()
+                       if "load" in r},
+        "worker_pid": {n: r["worker_pid"] for n, r in results.items()
+                       if "worker_pid" in r},
+        "steady_runs": {n: r["steady_runs"] for n, r in results.items()
+                        if "steady_runs" in r},
+        "families": {fam: names for fam, names in _FAMILIES},
+        # which implementation/config each overridden query executed
         "configs": _CONFIGS,
-        "worker_reuse": spark.conf.get("spark.python.worker.reuse",
-                                       "true"),
-        # 1/5/15-min loadavg before/after: a contaminated run (another
-        # Spark session or a pytest suite sharing the box — the
-        # round-6 driver artifact) is self-diagnosing
         "load_before": load_before,
         "load_after": load_after,
         "short_names": {_short(k): k for k in steady},
@@ -556,9 +670,7 @@ def main() -> None:
               file=sys.stderr)
     # THE parseable record, printed last and kept far under the
     # driver's 2000-char tail window: steady-state per-query timings
-    # (min-of-2, the cross-round throughput number) under compact keys,
-    # 2-decimal rounding. Round-6's single fat line overflowed the tail
-    # and the official perf record came back parsed:null.
+    # (min-of-2 in an unaged worker) under compact keys, 2-dp.
     out = {
         "metric": "bench_steady_total_seconds",
         "value": round(sum(steady.values()), 2),
@@ -568,14 +680,13 @@ def main() -> None:
         "cold_total": round(total, 2),
         "load": [load_before[0], load_after[0]],
         "n_err": len(errors),
+        "iso": "worker-per-family",
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) >= 1500:
-        # Degrade, never abort: a fat line after the detail JSON went
-        # to stdout would leave the driver parsing the wrong record.
-        # Drop the per-query map (full version lives in
-        # BENCH_DETAIL.json) and keep the headline metrics.
+        # Degrade, never abort: drop the per-query map (full version
+        # lives in BENCH_DETAIL.json), keep the headline metrics.
         slim = {k: v for k, v in out.items() if k != "queries"}
         slim["queries_dropped"] = len(out["queries"])
         line = json.dumps(slim, separators=(",", ":"))
@@ -583,4 +694,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_WORKER_OUT"):
+        _worker_main()
+    else:
+        main()
