@@ -726,26 +726,69 @@ def _token_hash(col: Column, algo: str) -> Column:
     raise ValueError(f"unknown token_hash {algo!r}")
 
 
+def _simhash_from_hashes_udf():
+    """Arrow kernel: token-hash array (long) → packed 64-bit SimHash.
+
+    Per document: unpack each 64-bit token hash into its bit matrix,
+    sum ±1 votes per bit position, pack the sign vector — all int64
+    NumPy, so the result is BIT-IDENTICAL to the expression form (the
+    two paths share the JVM-side token hashes; only the vote fold
+    moves). The expression fold was the suite's worst GC citizen: an
+    interpreted ``zip_with`` allocating a boxed 64-long array per
+    TOKEN per document (~13k lambda evals for a 200-token doc), which
+    both cost ~3× and made q37's 100× timings swing 16.8–36.8 s on
+    collection pauses."""
+    import numpy as np
+    import pandas as pd
+
+    from db2pq_spark.functions.arrow import series_pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def kern(th: pd.Series) -> pd.Series:
+        out = np.empty(len(th), dtype=np.int64)
+        for i, hs in enumerate(th):
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)) \
+                .astype(np.int64)
+            votes = 2 * bits.sum(axis=0) - len(h)
+            packed = ((votes > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64)
+            out[i] = packed.astype(np.int64)
+        return pd.Series(out)
+
+    return series_pandas_udf(kern, "long")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
-            token_hash: str = "xxhash64") -> DataFrame:
+            token_hash: str = "xxhash64", impl: str = "arrow") -> DataFrame:
     """64-bit SimHash per document (id, simhash).
 
-    Token hashes vote per bit position (+1/-1); votes accumulate in a
-    single fold over the token-hash array (``zip_with(acc, ±1-vector,
-    +)``) and the sign vector packs back into one long. Fully **narrow**
-    — no explode, no shuffle: each document's signature is computed
-    where the document lives, which is exactly what you want scanning
-    100 TB of text. ``token_hash`` picks the per-token hash — see
-    :func:`_token_hash`. Under-partitioned small scans are pre-spread
-    so the vote fold uses every core (no-op at scale — see
-    :func:`..skew.ensure_parallelism`)."""
+    Token hashes vote per bit position (+1/-1); the vote fold + sign
+    packing run in ONE Arrow kernel over the JVM-computed token-hash
+    array (``impl="arrow"``, default) or as a pure expression fold
+    (``impl="expr"`` — the worker-free fallback; bit-identical output,
+    see :func:`_simhash_from_hashes_udf` for why it lost the default).
+    Fully **narrow** either way — no explode, no shuffle: each
+    document's signature is computed where the document lives, which
+    is exactly what you want scanning 100 TB of text. ``token_hash``
+    picks the per-token hash — see :func:`_token_hash`; both impls
+    consume the same hashes, so the choice is orthogonal.
+    Under-partitioned small scans are pre-spread so the fold uses
+    every core (no-op at scale — see :func:`..skew.ensure_parallelism`)."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown impl {impl!r} — 'arrow' or 'expr'")
     df = ensure_parallelism(df)
     df = df.filter(F.col(text_col).isNotNull()
                    & (F.trim(F.col(text_col)) != ""))  # degenerate docs out
     toks = F.split(normalize_text(text_col), " ")
     hashes = F.transform(toks, lambda t_: _token_hash(t_, token_hash))
+    if impl == "arrow":
+        kern = _simhash_from_hashes_udf()
+        return df.select(F.col(id_col).alias("id"),
+                         kern(hashes).alias("simhash"))
     masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
     votes = F.aggregate(
         hashes,
@@ -780,6 +823,7 @@ def simhash_dedup(
     num_chunks: int = 4,
     max_bucket: int | None = 1000,
     token_hash: str = "xxhash64",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via chunk blocking.
 
@@ -789,12 +833,15 @@ def simhash_dedup(
     then ``bit_count(xor)`` verifies. Recall is guaranteed only for
     ``max_hamming < num_chunks``; raising ``num_chunks`` widens the
     guarantee but shrinks chunk width (more candidates — the classic
-    recall/cost dial)."""
+    recall/cost dial). ``impl`` picks the signature kernel (see
+    :func:`simhash` — both produce bit-identical signatures, so pair
+    output is independent of the choice)."""
     from pyspark import StorageLevel
 
     chunk_bits = 64 // num_chunks
     mask = (1 << chunk_bits) - 1
-    sh = (simhash(df, text_col, id_col, token_hash=token_hash)
+    sh = (simhash(df, text_col, id_col, token_hash=token_hash,
+                  impl=impl)
           .persist(StorageLevel.MEMORY_AND_DISK))
     chunks = sh.select(
         "id",
