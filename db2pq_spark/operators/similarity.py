@@ -674,3 +674,137 @@ def semantic_dedup(
     return labeled.select(
         F.col(id_col), cluster.alias("cluster"),
         (cluster == F.col(id_col)).alias("is_kept"))
+
+
+def embedding_dedup_state(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    dim: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Train-once half of incremental semantic dedup: the persisted
+    LSH signature relation ``(id, vec, bucket, _ed_conf)`` an
+    increment is probed against (the persisted-state discipline of
+    ``minhash_signatures``/``kn_bigram_stats`` applied to embeddings).
+    Persist it as parquet once; feed it to
+    :func:`semantic_dedup_incremental` each batch — the marginal cost
+    per increment is one pruned scan of this table, never a corpus
+    re-signature.
+
+    ``_ed_conf`` stamps the plane family (``"p{planes}/d{dim}/s{seed}"``)
+    BOTH as a column value (authoritative — survives unions) and as
+    column metadata (parquet round-trip safe, checked at plan time):
+    buckets computed under one plane family share no values with a
+    probe under another, so a mismatched state must REFUSE instead of
+    silently reporting zero duplicates — the ``_kn_keys``/``_lk_repr``
+    stamp discipline.
+
+    Unlike :func:`embedding_neardup_pairs` (which auto-sizes planes
+    from a corpus count), the plane count is FIXED at state-build time
+    — an incremental deployment can't re-derive it per batch without
+    invalidating every persisted bucket. Pick ``num_planes`` for the
+    standing corpus's target bucket occupancy (2^planes buckets) and
+    rebuild the state when the corpus outgrows it."""
+    conf = f"p{num_planes}/d{dim}/s{seed}"
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), num_planes, dim, seed)
+         .alias("bucket"),
+        F.lit(conf).alias("_ed_conf", metadata={"ed_conf": conf}),
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    dim: int = 64,
+    seed: int = 0,
+    max_bucket: int | None = 2000,
+) -> DataFrame:
+    """Which NEW embeddings near-duplicate a standing corpus —
+    ``(batch_id, corpus_id, cos)`` pairs at ``cos >= threshold``
+    against a persisted :func:`embedding_dedup_state`. The SemDeDup
+    increment shape: a crawl batch is scored against the corpus
+    signature table, not a batch∪corpus re-cluster (the
+    ``minhash_dedup_incremental`` deployment pattern applied to
+    embedding space).
+
+    Exactly-parallel duplicates (cosine 1.0) share every hyperplane
+    sign with their base vector, so recall for true clones is
+    structural at any plane count — same property as
+    :func:`embedding_neardup_pairs`.
+
+    Plan shape is built around the corpus state NEVER shuffling:
+
+    - batch signatures are computed with the SAME deterministic plane
+      family the state was built under (validated: plan-time via the
+      ``_ed_conf`` column metadata, and per-row by a guard folded into
+      the state's bucket projection — zero extra jobs, raises instead
+      of silently scoring zero duplicates);
+    - the state is semi-filtered by the broadcast DISTINCT batch
+      buckets before anything else — a corpus bucket no batch member
+      hashes to can never produce a pair, so everything downstream
+      runs on the batch-matched minority;
+    - the skew guard counts buckets over that matched relation and
+      anti-broadcasts the hot ones (``max_bucket=None`` disables it —
+      exactness gates);
+    - the exact-cosine verify joins the broadcast batch signatures
+      back to the matched state rows — one narrow join, output
+      threshold-bounded.
+
+    The batch must be broadcastable (same contract as the query side
+    of ``cosine_topk`` and the batch side of every incremental dedup
+    operator here)."""
+    conf = f"p{num_planes}/d{dim}/s{seed}"
+    if "_ed_conf" not in state.columns:
+        raise ValueError(
+            "state carries no _ed_conf stamp — buckets built under an "
+            "unknown plane family share no values with this probe and "
+            "every batch vector would silently report zero duplicates. "
+            "Build the state via embedding_dedup_state()")
+    meta = state.schema["_ed_conf"].metadata or {}
+    stamped = meta.get("ed_conf")
+    if stamped is not None and stamped != conf:
+        raise ValueError(f"state was built with planes {stamped!r} but "
+                         f"the probe asked for {conf!r}")
+    # authoritative per-row guard folded into the bucket projection the
+    # plan reads anyway (bucket feeds the semi filter AND the pair
+    # join, so column pruning can never drop it) — catches unions of
+    # mismatched states and metadata-less persisted relations
+    guarded = state.select(
+        F.col("id").alias("corpus_id"),
+        F.col("vec").alias("cvec"),
+        F.when(F.col("_ed_conf") == conf, F.col("bucket"))
+         .otherwise(F.raise_error(F.concat(
+             F.lit("semantic_dedup_incremental: state row built under "
+                   "plane family "),
+             F.col("_ed_conf"),
+             F.lit(f" but the probe asked for {conf!r} — rebuild the "
+                   "state or pass matching num_planes/dim/seed"))))
+         .alias("bucket"),
+    )
+    bsig = batch.select(
+        F.col(id_col).alias("batch_id"),
+        F.col(vec_col).alias("bvec"),
+        lsh_signature(F.col(vec_col), num_planes, dim, seed)
+         .alias("bucket"),
+    )
+    bkeys = bsig.select("bucket").distinct()
+    matched = guarded.join(F.broadcast(bkeys), "bucket", "left_semi")
+    if max_bucket is not None:
+        hot = (matched.groupBy("bucket").count()
+               .filter(F.col("count") > max_bucket).select("bucket"))
+        matched = matched.join(F.broadcast(hot), "bucket", "left_anti")
+    return (matched.join(F.broadcast(bsig), "bucket")
+            .where(F.col("batch_id") != F.col("corpus_id"))
+            .select("batch_id", "corpus_id",
+                    F.round(cosine(F.col("bvec"), F.col("cvec")), 4)
+                     .alias("cos"))
+            .filter(F.col("cos") >= threshold))
