@@ -1,0 +1,429 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training.
+
+[extension — not in the reference] Learns a unigram language-model
+tokenizer vocabulary (Kudo 2018, *Subword Regularization*,
+arXiv:1804.10959 §3) — the second major tokenizer family next to BPE
+(``operators/bpe.py``), as deployed by SentencePiece/T5/LLaMA. This is
+the deterministic **hard-EM (Viterbi) variant**: expected piece counts
+come from each word's single BEST segmentation rather than the full
+forward-backward lattice, zero-usage pieces are pruned each round, and
+character pieces are always retained (the coverage guarantee). Every
+round is bit-replayable cross-engine — the q143/q144 gate oracles
+replay seed, EM rounds and segmentation in DuckDB (the CTE-per-round
+pattern of q120's BPE and q117's k-means).
+
+Scale shape — the same distinct-word trick as BPE: training runs on
+the word-frequency relation, never the corpus. Per EM round:
+
+- candidate enumeration is an in-row substring explode over each
+  word's ≤ ``max_word_len`` characters (narrow),
+- the piece-match join keys the candidate relation against the
+  vocabulary scores (zipf-bounded; AQE broadcasts it when it fits),
+- Viterbi DP runs per word inside an Arrow-batched kernel over the
+  grouped candidate lists — the vocabulary is NEVER collected to the
+  driver and no step is quadratic in corpus size,
+- the M-step is one (piece, weighted-count) aggregate.
+
+Determinism contract (mirrored exactly in the oracle SQL):
+
+- words: whitespace tokens of the shared ``normalize_text``; words
+  longer than ``max_word_len`` are excluded from training and pass
+  through segmentation as a single opaque piece;
+- piece scores: ``round(-log2(cnt / total), 6)`` per piece, held as
+  micro-bit BIGINTs (decimal-exact ×10^6 — the q140 integer ordering
+  key), so DP sums are integer arithmetic and replay in any engine;
+- unseen-in-round characters score the OOV floor
+  ``round(log2(total + 1), 6)`` — strictly above every seen piece,
+  same floor family as the KN scorer;
+- best segmentation: minimal (score_sum, piece_count,
+  space-joined-path) — the string tie-break is byte-order on both
+  engines for the normalized (ASCII-folded) token alphabet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.bpe import word_freqs
+
+__all__ = ["unigram_seed", "unigram_train", "unigram_segment_words",
+           "unigram_segment", "unigram_seed_sql", "unigram_round_sql",
+           "unigram_viterbi_sql"]
+
+#: default config — short pieces, bounded words; the gate pins these
+MAX_PIECE_LEN = 4
+MAX_WORD_LEN = 16
+
+
+def _bounded_words(wf: DataFrame, max_word_len: int) -> DataFrame:
+    return wf.where(F.length("word") <= max_word_len)
+
+
+def unigram_seed(
+    wf: DataFrame, max_piece_len: int = MAX_PIECE_LEN,
+    min_count: int = 2, max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Seed vocabulary ``(piece, cnt)``: every substring of length
+    1..``max_piece_len`` of every (bounded) word, frequency-weighted;
+    multi-char pieces below ``min_count`` are dropped, single
+    characters are always kept (coverage). One narrow explode over the
+    word relation + one zipf-bounded aggregate."""
+    w = _bounded_words(wf, max_word_len)
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.transform(
+            F.sequence(F.lit(0),
+                       F.least(F.lit(max_piece_len),
+                               F.length("word") - i + 1) - 1),
+            lambda n: F.col("word").substr(i, n + 1)),
+    ))
+    return (w.select("freq", F.explode(subs).alias("piece"))
+            .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+            .where((F.length("piece") == 1)
+                   | (F.col("cnt") >= min_count)))
+
+
+def _scores(vocab: DataFrame) -> DataFrame:
+    """(piece, s_bits): micro-bit integer Viterbi costs from counts —
+    ``round(-log2(cnt/total), 6) × 10^6`` via exact decimal arithmetic
+    (the double→decimal→bigint chain is exact once round() fixes 6
+    digits; cross-engine equality of round(-log2(...), 6) is the
+    established q121/q140/q141 discipline). Zero-count pieces
+    (characters retained for coverage after a round never used them)
+    are EXCLUDED — they score the floor instead (−log2(0) is not a
+    number)."""
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
+    s = F.round(-F.log2(F.col("cnt").cast("double")
+                        / F.col("tot").cast("double")), 6) \
+        .cast("decimal(18,6)")
+    return (vocab.where(F.col("cnt") > 0)
+            .crossJoin(F.broadcast(tot))
+            .select("piece",
+                    (s * 1_000_000).cast("bigint").alias("s_bits")))
+
+
+def _floor_bits(vocab: DataFrame) -> DataFrame:
+    """1-row (floor_bits): the unseen-character floor
+    ``round(log2(total+1), 6) × 10^6`` — strictly above every seen
+    piece's cost."""
+    return vocab.agg(
+        (F.round(F.log2(F.sum("cnt").cast("double") + 1.0), 6)
+          .cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint").alias("floor_bits"))
+
+
+def _viterbi_words(words: DataFrame, vocab: DataFrame,
+                   max_piece_len: int) -> DataFrame:
+    """Viterbi-segment each distinct (word, freq): returns
+    ``(word, freq, path: array<string>, np, score_bits)``.
+
+    Candidates = in-row substring positions joined to the vocabulary
+    scores (plus the floor for single characters absent from the
+    round's vocabulary — coverage is guaranteed, so the DP always
+    completes). The DP itself runs in an Arrow-batched kernel per
+    word over the grouped candidate arrays: O(len × max_piece_len)
+    per word, vocabulary never driver-side."""
+    import pandas as pd
+
+    from db2pq_spark.functions.arrow import series_pandas_udf
+
+    cand = words.select(
+        "word", "freq",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(F.lit(0),
+                           F.least(F.lit(max_piece_len),
+                                   F.length("word") - i + 1) - 1),
+                lambda n: F.struct(
+                    (i + n).alias("endpos"),
+                    (n + 1).alias("plen"),
+                    F.col("word").substr(i, n + 1).alias("piece"))),
+        ))).alias("c"))
+    scored = (cand.join(_scores(vocab).hint("broadcast"),
+                        cand["c.piece"] == F.col("piece"), "left")
+              .crossJoin(F.broadcast(_floor_bits(vocab)))
+              .select("word", "freq",
+                      F.col("c.endpos").alias("endpos"),
+                      F.col("c.plen").alias("plen"),
+                      F.col("c.piece").alias("piece"),
+                      F.coalesce(
+                          F.col("s_bits"),
+                          F.when(F.col("c.plen") == 1,
+                                 F.col("floor_bits"))).alias("s_bits"))
+              .where(F.col("s_bits").isNotNull()))
+    grouped = (scored.groupBy("word", "freq")
+               .agg(F.collect_list(F.struct("endpos", "plen", "piece",
+                                            "s_bits")).alias("cands")))
+
+    def dp(words_s, cands_s):
+        # StructType scalar pandas UDFs return a pandas.DataFrame
+        # (one column per field), not a Series of dicts
+        out = []
+        for word, cands in zip(words_s, cands_s):
+            n = len(word)
+            by_end: dict[int, list] = {}
+            for c in cands:
+                by_end.setdefault(int(c["endpos"]), []).append(
+                    (int(c["plen"]), str(c["piece"]),
+                     int(c["s_bits"])))
+            # best[j] = (score, np, path_str, path_list) for prefix j
+            best = [None] * (n + 1)
+            best[0] = (0, 0, "", [])
+            for j in range(1, n + 1):
+                cur = None
+                for plen, piece, sbits in sorted(by_end.get(j, [])):
+                    prev = best[j - plen]
+                    if prev is None:
+                        continue
+                    ps = (prev[2] + " " + piece) if prev[2] else piece
+                    cand_t = (prev[0] + sbits, prev[1] + 1, ps,
+                              prev[3] + [piece])
+                    if cur is None or cand_t[:3] < cur[:3]:
+                        cur = cand_t
+                best[j] = cur
+            b = best[n]
+            out.append((b[3], b[1], b[0]))
+        return pd.DataFrame(out, columns=["path", "np", "score_bits"])
+
+    kernel = series_pandas_udf(
+        dp, "struct<path: array<string>, np: int, score_bits: long>")
+    return (grouped.select(
+        "word", "freq",
+        kernel(F.col("word"), F.col("cands")).alias("r"))
+        .select("word", "freq", F.col("r.path").alias("path"),
+                F.col("r.np").alias("np"),
+                F.col("r.score_bits").alias("score_bits")))
+
+
+def unigram_train(
+    df: DataFrame, text_col: str, rounds: int = 2,
+    max_piece_len: int = MAX_PIECE_LEN, min_count: int = 2,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Train the unigram-LM vocabulary: seed → ``rounds`` hard-EM
+    rounds (Viterbi E-step, count M-step, zero-usage multi-char pieces
+    pruned, characters retained at their usage count — 0 scores the
+    floor next round). Returns the final ``(piece, cnt)`` relation.
+
+    Each round's vocabulary is ``localCheckpoint``-pinned: the
+    per-round plan would otherwise nest ``rounds`` deep through the
+    Arrow kernel (the BPE/k-means lineage guard), and both consumers
+    of a round's vocab (scores + floor) read the pinned relation."""
+    wf = _bounded_words(word_freqs(df, text_col), max_word_len) \
+        .localCheckpoint(eager=False)
+    vocab = unigram_seed(wf, max_piece_len, min_count, max_word_len) \
+        .localCheckpoint(eager=True)
+    chars = (wf.select("freq", F.explode(F.split("word", ""))
+                       .alias("piece"))
+             .where(F.col("piece") != "")
+             .select("piece").distinct())
+    for _ in range(rounds):
+        seg = _viterbi_words(wf, vocab, max_piece_len)
+        usage = (seg.select("freq", F.explode("path").alias("piece"))
+                 .groupBy("piece").agg(F.sum("freq").alias("cnt")))
+        vocab = (chars.join(usage, "piece", "left")
+                 .select("piece", F.coalesce("cnt", F.lit(0))
+                         .alias("cnt"))
+                 .unionByName(usage.join(chars, "piece", "left_anti"))
+                 ).localCheckpoint(eager=True)
+    return vocab
+
+
+def unigram_segment_words(
+    df: DataFrame, text_col: str, rounds: int = 2,
+    max_piece_len: int = MAX_PIECE_LEN, min_count: int = 2,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Train on the corpus, then Viterbi-segment the distinct words
+    with the final vocabulary: ``(word, freq, n_pieces, pieces)``
+    with ``pieces`` the space-joined best path."""
+    wf = _bounded_words(word_freqs(df, text_col), max_word_len) \
+        .localCheckpoint(eager=False)
+    vocab = unigram_train(df, text_col, rounds, max_piece_len,
+                          min_count, max_word_len)
+    seg = _viterbi_words(wf, vocab, max_piece_len)
+    return seg.select("word", "freq",
+                      F.col("np").cast("bigint").alias("n_pieces"),
+                      F.concat_ws(" ", "path").alias("pieces"))
+
+
+def unigram_segment(
+    df: DataFrame, text_col: str, id_col: str, rounds: int = 2,
+    max_piece_len: int = MAX_PIECE_LEN, min_count: int = 2,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Segment every document with the corpus-trained unigram LM
+    (train → apply, the full Kudo pipeline): ``(id, n_words,
+    n_pieces, segmented)`` — per-word best paths joined in word
+    order. Oversized words (> ``max_word_len``) pass through as one
+    opaque piece. The corpus pays one tokenize + one (word) join
+    against the distinct-word segmentation relation."""
+    from db2pq_spark.operators.dedup import normalize_text
+
+    seg = unigram_segment_words(df, text_col, rounds, max_piece_len,
+                                min_count, max_word_len) \
+        .select("word", "n_pieces", "pieces")
+    toks = (df.filter(F.col(text_col).isNotNull()
+                      & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(F.split(normalize_text(text_col),
+                                         " ")).alias("pos", "word"))
+            .where(F.col("word") != ""))
+    joined = toks.join(seg, "word", "left").select(
+        "id", "pos",
+        F.coalesce("pieces", F.col("word")).alias("pieces"),
+        F.coalesce("n_pieces", F.lit(1)).alias("np"))
+    return (joined.groupBy("id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("np").alias("n_pieces"),
+                 F.concat_ws(" ", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("pos", "pieces"))),
+                     lambda s: s["pieces"])).alias("segmented"))
+            .select("id", F.col("n_words").cast("bigint").alias("n_words"),
+                    F.col("n_pieces").cast("bigint").alias("n_pieces"),
+                    "segmented"))
+
+
+# ---------------------------------------------------------------- SQL
+# DuckDB oracle generators — replay seed, EM rounds and Viterbi DP
+# closed-form (CTE-per-round like q120's BPE; the DP is an unrolled
+# position chain, one CTE per prefix length).
+
+def unigram_seed_sql(wf: str, max_piece_len: int = MAX_PIECE_LEN,
+                     min_count: int = 2,
+                     max_word_len: int = MAX_WORD_LEN) -> str:
+    """Seed CTE body over a ``(word, freq)`` relation named ``wf``."""
+    return f"""
+      SELECT piece, SUM(freq) AS cnt FROM (
+        SELECT freq,
+               substr(word, i.i, n.n) AS piece
+        FROM {wf},
+             LATERAL (SELECT unnest(generate_series(1, len(word)))
+                      AS i) i,
+             LATERAL (SELECT unnest(generate_series(1,
+                      LEAST({max_piece_len}, len(word) - i.i + 1)))
+                      AS n) n
+        WHERE len(word) <= {max_word_len}
+      ) GROUP BY piece
+      HAVING len(piece) = 1 OR SUM(freq) >= {min_count}"""
+
+
+def _scores_sql(vocab: str) -> str:
+    return f"""(
+      SELECT piece,
+             CAST(CAST(round(-log2(CAST(cnt AS DOUBLE)
+                             / (SELECT CAST(SUM(cnt) AS DOUBLE)
+                                FROM {vocab})), 6)
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS s_bits
+      FROM {vocab} WHERE cnt > 0)"""
+
+
+def _floor_sql(vocab: str) -> str:
+    return f"""(
+      SELECT CAST(CAST(round(log2(CAST(SUM(cnt) AS DOUBLE) + 1e0), 6)
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS floor_bits
+      FROM {vocab})"""
+
+
+def unigram_viterbi_sql(tag: str, words: str, vocab: str,
+                        max_piece_len: int = MAX_PIECE_LEN,
+                        max_word_len: int = MAX_WORD_LEN) -> str:
+    """CTE chain ``{tag}_cand, {tag}_b0..{tag}_b{W}, {tag}_seg``:
+    Viterbi-segment the ``(word, freq)`` relation ``words`` against
+    the ``(piece, cnt)`` relation ``vocab``. ``{tag}_seg`` has
+    ``(word, freq, np, path)`` — the unrolled-DP replay of the Arrow
+    kernel, one CTE per prefix length, arg-min per (word, prefix) by
+    (score, piece count, path string)."""
+    W = max_word_len
+    ctes = [f"""
+    {tag}_cand AS MATERIALIZED (
+      SELECT c.word, c.freq, c.endpos, c.plen, c.piece,
+             COALESCE(v.s_bits,
+                      CASE WHEN c.plen = 1 THEN f.floor_bits END)
+               AS s_bits
+      FROM (
+        SELECT word, freq, i.i + n.n - 1 AS endpos, n.n AS plen,
+               substr(word, i.i, n.n) AS piece
+        FROM {words},
+             LATERAL (SELECT unnest(generate_series(1, len(word)))
+                      AS i) i,
+             LATERAL (SELECT unnest(generate_series(1,
+                      LEAST({max_piece_len}, len(word) - i.i + 1)))
+                      AS n) n
+      ) c
+      LEFT JOIN {_scores_sql(vocab)} v USING (piece)
+      CROSS JOIN {_floor_sql(vocab)} f
+      WHERE COALESCE(v.s_bits,
+                     CASE WHEN c.plen = 1 THEN f.floor_bits END)
+            IS NOT NULL
+    ),
+    {tag}_b0 AS MATERIALIZED (
+      SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS score,
+             0 AS np, '' AS path
+      FROM {words}
+    )"""]
+    for j in range(1, W + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT * FROM {tag}_b{j - k}"
+            for k in range(1, min(max_piece_len, j) + 1))
+        ctes.append(f"""
+    {tag}_b{j} AS MATERIALIZED (
+      SELECT word, freq, pos, score, np, path FROM (
+        SELECT b.word, b.freq, {j} AS pos,
+               b.score + c.s_bits AS score, b.np + 1 AS np,
+               CASE WHEN b.path = '' THEN c.piece
+                    ELSE b.path || ' ' || c.piece END AS path,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.word
+                 ORDER BY b.score + c.s_bits, b.np + 1,
+                          CASE WHEN b.path = '' THEN c.piece
+                               ELSE b.path || ' ' || c.piece END
+               ) AS rn
+        FROM ({prevs}) b
+        JOIN {tag}_cand c
+          ON c.word = b.word AND c.endpos = {j}
+         AND c.plen = {j} - b.pos
+      ) WHERE rn = 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT * FROM {tag}_b{j} WHERE len(word) = {j}"
+        for j in range(1, W + 1))
+    ctes.append(f"""
+    {tag}_seg AS MATERIALIZED (
+      SELECT word, freq, np, path FROM ({finals})
+    )""")
+    return ",".join(ctes)
+
+
+def unigram_round_sql(tag: str, words: str, vin: str, vout: str,
+                      max_piece_len: int = MAX_PIECE_LEN,
+                      max_word_len: int = MAX_WORD_LEN) -> str:
+    """One hard-EM round: Viterbi against ``vin`` → usage counts →
+    ``vout`` (chars kept at 0, zero-usage multi-char pieces pruned)."""
+    vit = unigram_viterbi_sql(tag, words, vin, max_piece_len,
+                              max_word_len)
+    return f"""{vit},
+    {tag}_usage AS MATERIALIZED (
+      SELECT piece, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest(string_split(path, ' ')) AS piece
+        FROM {tag}_seg
+      ) GROUP BY piece
+    ),
+    {tag}_chars AS MATERIALIZED (
+      SELECT DISTINCT substr(word, i.i, 1) AS piece
+      FROM {words},
+           LATERAL (SELECT unnest(generate_series(1, len(word)))
+                    AS i) i
+    ),
+    {vout} AS MATERIALIZED (
+      SELECT c.piece, COALESCE(u.cnt, 0) AS cnt
+      FROM {tag}_chars c LEFT JOIN {tag}_usage u USING (piece)
+      UNION ALL
+      SELECT u.piece, u.cnt FROM {tag}_usage u
+      ANTI JOIN {tag}_chars c ON u.piece = c.piece
+    )"""

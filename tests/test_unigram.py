@@ -1,0 +1,180 @@
+"""Unigram-LM tokenizer training/segmentation (operators/unigram.py,
+q143/q144): seed construction, Viterbi determinism, hard-EM pruning,
+coverage guarantees, and the oracle-replay SQL generators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd"), (3, "ababab")],
+        "doc_id long, text string")
+
+
+class TestSeed:
+    def test_substring_counts(self, spark):
+        from db2pq_spark.operators.bpe import word_freqs
+        from db2pq_spark.operators.unigram import unigram_seed
+
+        df = spark.createDataFrame([(1, "ab ab")],
+                                   "doc_id long, text string")
+        got = {r["piece"]: r["cnt"] for r in
+               unigram_seed(word_freqs(df, "text"),
+                            min_count=1).collect()}
+        # "ab" appears twice as a word -> substrings a,b,ab each x2
+        assert got == {"a": 2, "b": 2, "ab": 2}
+
+    def test_min_count_prunes_multichar_keeps_chars(self, spark):
+        from db2pq_spark.operators.bpe import word_freqs
+        from db2pq_spark.operators.unigram import unigram_seed
+
+        df = spark.createDataFrame([(1, "xy")],
+                                   "doc_id long, text string")
+        got = {r["piece"] for r in
+               unigram_seed(word_freqs(df, "text"),
+                            min_count=2).collect()}
+        assert got == {"x", "y"}  # "xy" count 1 < min_count; chars stay
+
+    def test_oversized_words_excluded(self, spark):
+        from db2pq_spark.operators.bpe import word_freqs
+        from db2pq_spark.operators.unigram import unigram_seed
+
+        df = spark.createDataFrame(
+            [(1, "ok " + "z" * 40)], "doc_id long, text string")
+        got = {r["piece"] for r in
+               unigram_seed(word_freqs(df, "text"),
+                            min_count=1).collect()}
+        assert "z" not in got and got == {"o", "k", "ok"}
+
+
+class TestTrainSegment:
+    def test_em_prunes_unused_pieces(self, spark, docs):
+        from db2pq_spark.operators.unigram import unigram_train
+
+        vocab = {r["piece"]: r["cnt"] for r in
+                 unigram_train(docs, "text", rounds=2).collect()}
+        # 'abab' dominates: its best segmentation is the whole-word
+        # piece, so interior pieces like 'ba' get zero usage and are
+        # pruned; single chars survive (coverage) even at zero count
+        assert "abab" in vocab
+        assert "ba" not in vocab
+        for ch in "abcd":
+            assert ch in vocab
+
+    def test_segment_words_viterbi_is_deterministic(self, spark, docs):
+        from db2pq_spark.operators.unigram import unigram_segment_words
+
+        a = {r["word"]: (r["n_pieces"], r["pieces"]) for r in
+             unigram_segment_words(docs, "text", rounds=1).collect()}
+        b = {r["word"]: (r["n_pieces"], r["pieces"]) for r in
+             unigram_segment_words(docs, "text", rounds=1).collect()}
+        assert a == b
+        # the frequent word segments as one piece
+        assert a["abab"] == (1, "abab")
+
+    def test_segment_documents_reassembles_in_order(self, spark, docs):
+        from db2pq_spark.operators.unigram import unigram_segment
+
+        got = {r["id"]: r for r in
+               unigram_segment(docs, "text", "doc_id",
+                               rounds=1).collect()}
+        assert set(got) == {1, 2, 3}
+        r1 = got[1]
+        assert r1["n_words"] == 3
+        # reassembly preserves word order: two 'abab' words then 'cd'
+        assert r1["segmented"].startswith("abab")
+        assert r1["segmented"].endswith("cd")
+        assert r1["n_pieces"] == len(r1["segmented"].split(" "))
+
+    def test_oversized_word_passes_through(self, spark):
+        from db2pq_spark.operators.unigram import unigram_segment
+
+        big = "z" * 40
+        df = spark.createDataFrame(
+            [(1, f"ab {big}")], "doc_id long, text string")
+        row = unigram_segment(df, "text", "doc_id",
+                              rounds=1).collect()[0]
+        assert row["n_words"] == 2
+        assert big in row["segmented"].split(" ")  # one opaque piece
+
+    def test_coverage_no_word_dropped(self, spark, docs):
+        """Every bounded word segments (chars always in vocab, floor
+        for zero-usage chars) — the DP can never dead-end."""
+        from db2pq_spark.operators.bpe import word_freqs
+        from db2pq_spark.operators.unigram import unigram_segment_words
+
+        words = {r["word"] for r in
+                 word_freqs(docs, "text")
+                 .where(F.length("word") <= 16).collect()}
+        seg = {r["word"] for r in
+               unigram_segment_words(docs, "text", rounds=2).collect()}
+        assert seg == words
+
+
+class TestOracleSql:
+    """The SQL generators replay the Spark results bit-for-bit in
+    DuckDB — the q143/q144 gate contract, checked here at toy scale so
+    a drift fails fast and locally."""
+
+    def _duck(self, docs_rows):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs_rows)
+        return con
+
+    def test_train_matches_duckdb_replay(self, spark, docs):
+        from db2pq_spark.operators.unigram import (
+            unigram_round_sql, unigram_seed_sql, unigram_train)
+        from db2pq_spark.workload_base import _TOKENS
+
+        spark_v = {(r["piece"], r["cnt"]) for r in
+                   unigram_train(docs, "text", rounds=2).collect()}
+        sql = f"""
+        WITH wf AS (
+          SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT unnest({_TOKENS}) AS w FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '')
+          WHERE w <> '' GROUP BY 1
+        ),
+        wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+        v0 AS ({unigram_seed_sql('wfb')}),
+        {unigram_round_sql('r1', 'wfb', 'v0', 'v1')},
+        {unigram_round_sql('r2', 'wfb', 'v1', 'v2')}
+        SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v2
+        """
+        rows = [(r[0], int(r[1])) for r in self._duck(
+            [(1, "abab abab cd"), (2, "abab cd cd"), (3, "ababab")])
+            .execute(sql).fetchall()]
+        assert spark_v == set(rows)
+
+    def test_viterbi_matches_duckdb_replay(self, spark, docs):
+        from db2pq_spark.operators.unigram import (
+            unigram_seed_sql, unigram_segment_words,
+            unigram_viterbi_sql)
+        from db2pq_spark.workload_base import _TOKENS
+
+        spark_v = {(r["word"], r["n_pieces"], r["pieces"]) for r in
+                   unigram_segment_words(docs, "text",
+                                         rounds=0).collect()}
+        sql = f"""
+        WITH wf AS (
+          SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT unnest({_TOKENS}) AS w FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '')
+          WHERE w <> '' GROUP BY 1
+        ),
+        wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+        v0 AS ({unigram_seed_sql('wfb')}),
+        {unigram_viterbi_sql('fin', 'wfb', 'v0')}
+        SELECT word, CAST(np AS BIGINT) AS np, path FROM fin_seg
+        """
+        rows = {(r[0], int(r[1]), r[2]) for r in self._duck(
+            [(1, "abab abab cd"), (2, "abab cd cd"), (3, "ababab")])
+            .execute(sql).fetchall()}
+        assert spark_v == rows
