@@ -2732,3 +2732,137 @@ def q141_kn_score_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                broadcast_stats=True)
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_bigrams", "sum_surprisal"))
+
+
+@query(
+    "q142_semdedup_incremental",
+    oracle="""
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS batch_id,
+           CAST(vec_id AS BIGINT) AS corpus_id,
+           CAST(1.0 AS DOUBLE) AS cos
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def q142_semdedup_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup — the train-once/probe-increments
+    variant of q114 (operators/similarity.py:embedding_dedup_state +
+    semantic_dedup_incremental, after SemDeDup arXiv:2303.09540
+    deployed the CCNet-increment way): the standing corpus's LSH
+    signature relation is built ONCE, and a new batch (scaled clones
+    of the first 20 vectors — cosine exactly 1.0, so recall is
+    structural: parallel vectors share every hyperplane sign) is
+    probed against it. The oracle derives the answer in closed form:
+    each planted clone pairs with its base vector at cos 1.0, and the
+    random fixture embeddings admit no other pair at threshold 0.999
+    (the q114 fixture argument). Plan: the state never shuffles —
+    broadcast distinct batch buckets semi-filter it, the skew guard
+    counts only the matched minority, and the exact-cosine verify is
+    one broadcast join (the q107/q123/q138/q141 batch-discipline
+    applied to embedding space). [extension]"""
+    from db2pq_spark.operators.similarity import (
+        embedding_dedup_state, semantic_dedup_incremental)
+
+    emb = t(spark, sf_dir, "embeddings")
+    state = embedding_dedup_state(emb)
+    batch = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25))
+         .alias("embedding"))
+    return (semantic_dedup_incremental(batch, state, threshold=0.999)
+            .select("batch_id", "corpus_id", "cos"))
+
+
+def _q143_oracle() -> str:
+    from db2pq_spark.operators.unigram import (
+        unigram_round_sql, unigram_seed_sql)
+
+    return f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKENS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> '' GROUP BY 1
+    ),
+    wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+    v0 AS ({unigram_seed_sql('wfb')}),
+    {unigram_round_sql('r1', 'wfb', 'v0', 'v1')},
+    {unigram_round_sql('r2', 'wfb', 'v1', 'v2')}
+    SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v2
+    """
+
+
+@query("q143_unigram_train", oracle=_q143_oracle())
+def q143_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer vocabulary training
+    (operators/unigram.py:unigram_train, after Kudo 2018
+    arXiv:1804.10959 §3, hard-EM variant): substring seed vocabulary
+    → two Viterbi-E-step / count-M-step rounds, zero-usage pieces
+    pruned, characters retained for coverage. The oracle replays
+    seed, both EM rounds and every Viterbi DP closed-form in DuckDB
+    (unrolled position chain, one CTE per prefix length — the q120
+    CTE-per-round pattern taken to per-position granularity). Scale:
+    training runs on the distinct-word relation (the BPE trick); the
+    E-step is a substring explode + vocabulary join + Arrow DP
+    kernel, the M-step one zipf-bounded aggregate — the vocabulary
+    never visits the driver. [extension]"""
+    from db2pq_spark.operators.unigram import unigram_train
+
+    return (unigram_train(t(spark, sf_dir, "documents"), "text",
+                          rounds=2)
+            .select("piece", F.col("cnt").cast("bigint").alias("cnt")))
+
+
+def _q144_oracle() -> str:
+    from db2pq_spark.operators.unigram import (
+        unigram_round_sql, unigram_seed_sql, unigram_viterbi_sql)
+
+    return f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKENS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> '' GROUP BY 1
+    ),
+    wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+    v0 AS ({unigram_seed_sql('wfb')}),
+    {unigram_round_sql('r1', 'wfb', 'v0', 'v1')},
+    {unigram_viterbi_sql('fin', 'wfb', 'v1')},
+    segw AS (
+      SELECT word, CAST(np AS BIGINT) AS n_pieces, path AS pieces
+      FROM fin_seg
+    ),
+    toks AS (
+      SELECT doc_id, t.w AS word, t.pos
+      FROM (SELECT doc_id, {_TOKENS} AS ws FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '') d,
+           LATERAL (SELECT unnest(ws) AS w,
+                           unnest(generate_series(1, len(ws))) AS pos) t
+      WHERE t.w <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(s.n_pieces, 1)) AS BIGINT) AS n_pieces,
+           string_agg(COALESCE(s.pieces, tk.word), ' '
+                      ORDER BY tk.pos) AS segmented
+    FROM toks tk LEFT JOIN segw s USING (word)
+    GROUP BY doc_id
+    """
+
+
+@query("q144_unigram_segment", oracle=_q144_oracle())
+def q144_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmentation with the corpus-trained unigram LM
+    (operators/unigram.py:unigram_segment — train one EM round, then
+    Viterbi-segment every document; the full Kudo pipeline, the
+    unigram twin of q122's BPE segmentation). Oversized words pass
+    through as one opaque piece. The corpus pays one tokenize and one
+    word-keyed join against the distinct-word segmentation relation —
+    per-document reassembly is the only doc-keyed shuffle.
+    [extension]"""
+    from db2pq_spark.operators.unigram import unigram_segment
+
+    return (unigram_segment(t(spark, sf_dir, "documents"), "text",
+                            "doc_id", rounds=1)
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_words", "n_pieces", "segmented"))

@@ -121,6 +121,13 @@ FAMILIES = [
     ("line_dedup", ["q138_repeated_lines_incremental",
                     "q137_repeated_lines"]),
     ("curation", ["q139_budget_select"]),
+    # round-11 additions: incremental semantic dedup (bounded batch
+    # probing the growing state — the realistic increment regime) and
+    # the unigram-LM tokenizer pair (distinct-word training; word
+    # cardinality grows ~linearly under the per-copy token suffixes,
+    # the adversarial vocabulary-growth regime, same as q121)
+    ("inc_tokenizer", ["q142_semdedup_incremental",
+                       "q143_unigram_train", "q144_unigram_segment"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 
