@@ -293,6 +293,24 @@ class TestSimhash:
         assert (1, 3) in pairs and pairs[(1, 3)] <= 10
         assert not any(4 in p for p in pairs)
 
+    def test_arrow_kernel_bit_identical_to_expr(self, docs):
+        """Round 11: the Arrow vote/pack kernel (new default — the
+        interpreted 64-wide zip_with fold was the q37 variance root
+        cause) consumes the same JVM token hashes, so SIGNATURES must
+        be bit-identical, per token-hash family."""
+        from db2pq_spark.operators.dedup import simhash
+
+        for fam in ("xxhash64", "md5_60"):
+            a = {r["id"]: r["simhash"] for r in
+                 simhash(docs, "text", "doc_id", token_hash=fam,
+                         impl="arrow").collect()}
+            e = {r["id"]: r["simhash"] for r in
+                 simhash(docs, "text", "doc_id", token_hash=fam,
+                         impl="expr").collect()}
+            assert a == e, fam
+        with pytest.raises(ValueError, match="impl"):
+            simhash(docs, "text", "doc_id", impl="nonsense")
+
 
 class TestNgramJaccard:
     def test_exact_pair_is_one(self, docs):
@@ -1690,6 +1708,107 @@ class TestSemanticDedup:
                 semantic_dedup(df, threshold=0.999, dim=3)
                 .where("is_kept").collect()]
         assert sorted(kept) == [0, 1]  # one keeper per direction
+
+
+class TestSemanticDedupIncremental:
+    """embedding_dedup_state + semantic_dedup_incremental (q142): the
+    train-once/probe-increments SemDeDup shape with the _ed_conf stamp
+    discipline."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+                (3, [0.0, 0.0, 1.0]), (4, [1.0, 1.0, 0.0])]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_clones_found_non_dups_not(self, spark, corpus):
+        from db2pq_spark.operators.similarity import (
+            embedding_dedup_state, semantic_dedup_incremental)
+
+        state = embedding_dedup_state(corpus, dim=3)
+        batch = spark.createDataFrame(
+            [(101, [2.0, 0.0, 0.0]),    # clone of 1 (scaled)
+             (102, [0.0, 0.5, 0.0]),    # clone of 2 (scaled)
+             (103, [1.0, -1.0, 0.0])],  # near nothing at 0.999
+            "vec_id long, embedding array<float>")
+        got = {(r["batch_id"], r["corpus_id"]): r["cos"] for r in
+               semantic_dedup_incremental(batch, state,
+                                          threshold=0.999,
+                                          dim=3).collect()}
+        assert got == {(101, 1): 1.0, (102, 2): 1.0}
+
+    def test_matches_batch_side_of_full_neardup(self, spark, corpus):
+        """Incremental probe == the batch×corpus slice of running the
+        full pair generator over corpus ∪ batch (same planes)."""
+        from db2pq_spark.operators.similarity import (
+            embedding_dedup_state, embedding_neardup_pairs,
+            semantic_dedup_incremental)
+
+        from pyspark.sql import functions as F
+
+        batch = corpus.select(
+            (F.col("vec_id") + 100).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(3.0))
+             .alias("embedding"))
+        state = embedding_dedup_state(corpus, num_planes=8, dim=3)
+        inc = {(r["batch_id"], r["corpus_id"]) for r in
+               semantic_dedup_incremental(
+                   batch, state, threshold=0.999, num_planes=8,
+                   dim=3, max_bucket=None).collect()}
+        full = embedding_neardup_pairs(
+            corpus.unionByName(batch), threshold=0.999,
+            num_planes=8, dim=3, max_bucket=10**9)
+        want = {(r["id2"], r["id1"]) for r in full.collect()
+                if r["id2"] > 100 and r["id1"] <= 100}
+        assert inc == want and len(inc) == 4
+
+    def test_stamp_discipline(self, spark, corpus):
+        from pyspark.errors.exceptions.base import PySparkException
+        from pyspark.sql import functions as F
+
+        from db2pq_spark.operators.similarity import (
+            embedding_dedup_state, semantic_dedup_incremental)
+
+        state = embedding_dedup_state(corpus, num_planes=8, dim=3)
+        batch = corpus.limit(1)
+        # plan-time metadata fast path: wrong plane family, zero jobs
+        with pytest.raises(ValueError, match="p8/d3/s0"):
+            semantic_dedup_incremental(batch, state, num_planes=12,
+                                       dim=3)
+        with pytest.raises(ValueError, match="no _ed_conf stamp"):
+            semantic_dedup_incremental(batch, state.drop("_ed_conf"),
+                                       dim=3)
+        # metadata-less state with wrong-family rows: the per-row
+        # guard folded into the bucket projection refuses at execution
+        nometa = state.withColumn(
+            "_ed_conf", F.concat(F.col("_ed_conf"), F.lit("")))
+        assert not (nometa.schema["_ed_conf"].metadata or {})
+        # AQE can surface the guard as a multi-stage materialization
+        # failure (raw Py4J error, not a converted PySparkException) —
+        # assert on the USER_RAISED_EXCEPTION message either way
+        with pytest.raises(Exception, match="plane family"):
+            semantic_dedup_incremental(batch, nometa, num_planes=10,
+                                       dim=3).collect()
+
+    def test_state_parquet_round_trip(self, spark, corpus, tmp_path):
+        """The deployment shape: state persisted as parquet, probed in
+        a later session — metadata stamp survives the round trip."""
+        from db2pq_spark.operators.similarity import (
+            embedding_dedup_state, semantic_dedup_incremental)
+
+        p = str(tmp_path / "ed_state.parquet")
+        embedding_dedup_state(corpus, dim=3).write.parquet(p)
+        state = spark.read.parquet(p)
+        assert (state.schema["_ed_conf"].metadata or {}).get(
+            "ed_conf") == "p12/d3/s0"
+        batch = corpus.select(
+            (F.col("vec_id") + 100).alias("vec_id"), "embedding")
+        got = {(r["batch_id"], r["corpus_id"]) for r in
+               semantic_dedup_incremental(batch, state,
+                                          threshold=0.999,
+                                          dim=3).collect()}
+        assert got == {(101, 1), (102, 2), (103, 3), (104, 4)}
 
 
 class TestKmeans:

@@ -344,3 +344,58 @@ class TestPerplexityBuckets:
         assert [r["id"] for r in out.collect()] == [4]
         with pytest.raises(ValueError, match="n_buckets"):
             perplexity_buckets(df, "text", "doc_id", n_buckets=0)
+
+
+class TestKnHashConfigParity:
+    """Round-11 (verdict item): q121/q140 production runs keys='hash'
+    (xxhash64 long bigram keys, double accumulation) while the gate
+    pins keys='exact' (string keys, decimal accumulation). At fixture
+    scale a 64-bit collision is vanishingly unlikely, so the hash
+    config must reproduce the exact config's RANKING-LEVEL outputs:
+    identical bigram counts per document and identical
+    perplexity-tier/bucket assignment. (Sum values differ by ulps —
+    double vs decimal accumulation order — which is why the parity is
+    asserted on counts, ranks and tiers, not raw sums; the same
+    bridge-test shape as the winnow arrow64<->xxhash64 pair-set
+    parity.)"""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, " ".join(
+            f"w{(i * 7 + j * 3) % 23}" for j in range(12 + i % 9)))
+            for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_kneser_ney_same_bigram_counts_and_order(self, docs):
+        from db2pq_spark.operators.textstats import kneser_ney_bigrams
+
+        exact = {r["id"]: (r["n_bigrams"], float(r["sum_surprisal"]))
+                 for r in kneser_ney_bigrams(
+                     docs, "text", "doc_id").collect()}
+        hashed = {r["id"]: (r["n_bigrams"], float(r["sum_surprisal"]))
+                  for r in kneser_ney_bigrams(
+                      docs, "text", "doc_id", keys="hash",
+                      broadcast_stats=True).collect()}
+        assert set(exact) == set(hashed)
+        for i in exact:
+            assert exact[i][0] == hashed[i][0]  # identical counts
+            # identical statistics modulo accumulation-order ulps
+            assert abs(exact[i][1] - hashed[i][1]) < 1e-6 * max(
+                1.0, abs(exact[i][1]))
+        # the quality ORDERING (what a filter consumes) is identical
+        rank_e = sorted(exact, key=lambda i: (exact[i][1] / exact[i][0],
+                                              i))
+        rank_h = sorted(hashed, key=lambda i: (hashed[i][1]
+                                               / hashed[i][0], i))
+        assert rank_e == rank_h
+
+    def test_perplexity_buckets_same_tiers(self, docs):
+        from db2pq_spark.operators.quality import perplexity_buckets
+
+        exact = {r["id"]: (r["rank"], r["bucket"]) for r in
+                 perplexity_buckets(docs, "text", "doc_id").collect()}
+        hashed = {r["id"]: (r["rank"], r["bucket"]) for r in
+                  perplexity_buckets(docs, "text", "doc_id",
+                                     keys="hash",
+                                     broadcast_stats=True).collect()}
+        assert exact == hashed
