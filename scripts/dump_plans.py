@@ -108,6 +108,19 @@ SHOWCASE = {
                           "two-stage range-partitioned — no "
                           "single-partition window on the corpus-"
                           "sized (skinny) relation",
+    "q142_semdedup_incremental": "the corpus signature state never "
+                                 "shuffles: broadcast distinct batch "
+                                 "buckets semi-filter it, the skew "
+                                 "count runs on the matched minority, "
+                                 "cosine verify is one broadcast join",
+    "q143_unigram_train": "training on the distinct-word relation: "
+                          "substring explode + broadcast vocab-score "
+                          "join + Arrow DP kernel per EM round — "
+                          "the vocabulary never visits the driver",
+    "q144_unigram_segment": "corpus pays one tokenize + one word-"
+                            "keyed join against the distinct-word "
+                            "segmentation; doc reassembly is the "
+                            "only doc-keyed shuffle",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
     "q100_heavy_hitters": "corpus heavy hitters: map-side combine "

@@ -73,6 +73,15 @@ class TestJoinStrategy:
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 3
 
+    def test_q142_state_never_shuffles(self, spark, sf_correct_dir):
+        # incremental semantic dedup (round 11): the corpus signature
+        # state is semi-filtered and verified via broadcasts only —
+        # no sort-merge, no state-side wide exchange
+        plan = plan_of(spark, sf_correct_dir,
+                       "q142_semdedup_incremental", execute=True)
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
 
 class TestCodegen:
     def test_q01_is_whole_stage_codegen(self, spark, sf_correct_dir):
