@@ -71,7 +71,7 @@ _EXTENSION = (
     "q140_ccnet_buckets", "q141_kn_score_increment",
     # round-11 additions — incremental semantic dedup + unigram LM
     "q142_semdedup_incremental", "q143_unigram_train",
-    "q144_unigram_segment",
+    "q144_unigram_segment", "q145_unigram_segment_increment",
 )
 
 
@@ -440,6 +440,7 @@ _FAMILIES = [
                    "q140_ccnet_buckets"]),
     ("incremental_tokenizer", ["q142_semdedup_incremental",
                                "q143_unigram_train",
+                               "q145_unigram_segment_increment",
                                "q144_unigram_segment"]),
 ]
 

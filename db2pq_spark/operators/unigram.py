@@ -48,8 +48,9 @@ from pyspark.sql import functions as F
 from db2pq_spark.operators.bpe import word_freqs
 
 __all__ = ["unigram_seed", "unigram_train", "unigram_segment_words",
-           "unigram_segment", "unigram_seed_sql", "unigram_round_sql",
-           "unigram_viterbi_sql"]
+           "unigram_segment", "unigram_vocab_state",
+           "unigram_segment_batch", "unigram_seed_sql",
+           "unigram_round_sql", "unigram_viterbi_sql"]
 
 #: default config — short pieces, bounded words; the gate pins these
 MAX_PIECE_LEN = 4
@@ -427,3 +428,100 @@ def unigram_round_sql(tag: str, words: str, vin: str, vout: str,
       SELECT u.piece, u.cnt FROM {tag}_usage u
       ANTI JOIN {tag}_chars c ON u.piece = c.piece
     )"""
+
+
+def unigram_vocab_state(
+    df: DataFrame, text_col: str, rounds: int = 2,
+    max_piece_len: int = MAX_PIECE_LEN, min_count: int = 2,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Train-once half of tokenizer deployment: the trained vocabulary
+    ``(piece, cnt, _ug_conf)`` with the TRAINING CONFIGURATION stamped
+    (``"l{max_piece_len}/w{max_word_len}"``) — as a column value
+    (authoritative) and as parquet-round-trip-safe column metadata
+    (plan-time fast path). Persist it as parquet; feed it to
+    :func:`unigram_segment_batch` each crawl increment.
+
+    Why the stamp matters here: segmentation enumerates candidate
+    substrings up to the PROBE's ``max_piece_len`` — probing a
+    vocabulary trained with longer pieces silently misses every piece
+    beyond the probe bound and mis-segments everything, with no error
+    (the exact silent-wrong-answer class the ``_kn_keys``/``_ed_conf``
+    stamps refuse)."""
+    conf = f"l{max_piece_len}/w{max_word_len}"
+    return unigram_train(df, text_col, rounds, max_piece_len,
+                         min_count, max_word_len) \
+        .select("piece", "cnt", F.lit(conf).alias(
+            "_ug_conf", metadata={"ug_conf": conf}))
+
+
+def unigram_segment_batch(
+    batch: DataFrame, vocab: DataFrame, text_col: str, id_col: str,
+    max_piece_len: int = MAX_PIECE_LEN,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Segment a NEW batch of documents against a persisted
+    :func:`unigram_vocab_state` — ``(id, n_words, n_pieces,
+    segmented)``, the tokenizer-deployment twin of
+    :func:`..textstats.kn_score_documents` (train once, tokenize every
+    increment with the FIXED vocabulary; a SentencePiece model file
+    re-expressed as a relation).
+
+    Scale: the vocabulary never shuffles — the batch pays one
+    tokenize, the distinct-word Viterbi (substring explode + vocab
+    join + Arrow DP), and one word-keyed join back; out-of-vocabulary
+    characters score the floor, oversized words pass through as one
+    opaque piece (same ladder as :func:`unigram_segment`).
+
+    Validation is job-free: the ``_ug_conf`` column metadata is
+    checked at plan time; the authoritative per-row guard is folded
+    into the count column the scoring plan reads anyway."""
+    from db2pq_spark.operators.dedup import normalize_text
+
+    conf = f"l{max_piece_len}/w{max_word_len}"
+    if "_ug_conf" not in vocab.columns:
+        raise ValueError(
+            "vocab carries no _ug_conf stamp — a vocabulary trained "
+            "under a different piece/word bound silently mis-segments "
+            "every document. Build the state via unigram_vocab_state()")
+    meta = vocab.schema["_ug_conf"].metadata or {}
+    stamped = meta.get("ug_conf")
+    if stamped is not None and stamped != conf:
+        raise ValueError(f"vocab was trained with config {stamped!r} "
+                         f"but the probe asked for {conf!r}")
+    guarded = vocab.select(
+        "piece",
+        F.when(F.col("_ug_conf") == conf, F.col("cnt"))
+         .otherwise(F.raise_error(F.concat(
+             F.lit("unigram_segment_batch: vocab row trained under "),
+             F.col("_ug_conf"),
+             F.lit(f" but the probe asked for {conf!r} — rebuild the "
+                   "state or pass matching max_piece_len/max_word_len"))))
+         .alias("cnt"))
+    toks = (batch.filter(F.col(text_col).isNotNull()
+                         & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(F.split(normalize_text(text_col),
+                                         " ")).alias("pos", "word"))
+            .where(F.col("word") != ""))
+    words = (toks.where(F.length("word") <= max_word_len)
+             .select("word").distinct()
+             .select("word", F.lit(1).alias("freq")))
+    seg = _viterbi_words(words, guarded, max_piece_len).select(
+        "word", F.col("np").cast("bigint").alias("n_pieces"),
+        F.concat_ws(" ", "path").alias("pieces"))
+    joined = toks.join(seg, "word", "left").select(
+        "id", "pos",
+        F.coalesce("pieces", F.col("word")).alias("pieces"),
+        F.coalesce("n_pieces", F.lit(1)).alias("np"))
+    return (joined.groupBy("id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("np").alias("n_pieces"),
+                 F.concat_ws(" ", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("pos", "pieces"))),
+                     lambda s: s["pieces"])).alias("segmented"))
+            .select("id",
+                    F.col("n_words").cast("bigint").alias("n_words"),
+                    F.col("n_pieces").cast("bigint").alias("n_pieces"),
+                    "segmented"))

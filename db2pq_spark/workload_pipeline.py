@@ -2866,3 +2866,76 @@ def q144_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "doc_id", rounds=1)
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_words", "n_pieces", "segmented"))
+
+
+def _q145_oracle() -> str:
+    from db2pq_spark.operators.unigram import (
+        unigram_round_sql, unigram_seed_sql, unigram_viterbi_sql)
+
+    return f"""
+    WITH standing AS (
+      SELECT text FROM documents WHERE doc_id % 7 <> 0
+    ),
+    wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKENS}) AS w FROM standing
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> '' GROUP BY 1
+    ),
+    wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+    v0 AS ({unigram_seed_sql('wfb')}),
+    {unigram_round_sql('r1', 'wfb', 'v0', 'v1')},
+    btoks AS (
+      SELECT doc_id, t.w AS word, t.pos
+      FROM (SELECT doc_id, {_TOKENS} AS ws FROM documents
+            WHERE doc_id % 7 = 0
+              AND text IS NOT NULL AND trim(text) <> '') d,
+           LATERAL (SELECT unnest(ws) AS w,
+                           unnest(generate_series(1, len(ws))) AS pos) t
+      WHERE t.w <> ''
+    ),
+    bwf AS (
+      SELECT word, CAST(1 AS BIGINT) AS freq
+      FROM (SELECT DISTINCT word FROM btoks WHERE len(word) <= 16)
+    ),
+    {unigram_viterbi_sql('fin', 'bwf', 'v1')},
+    segw AS (
+      SELECT word, CAST(np AS BIGINT) AS n_pieces, path AS pieces
+      FROM fin_seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(s.n_pieces, 1)) AS BIGINT) AS n_pieces,
+           string_agg(COALESCE(s.pieces, tk.word), ' '
+                      ORDER BY tk.pos) AS segmented
+    FROM btoks tk LEFT JOIN segw s USING (word)
+    GROUP BY doc_id
+    """
+
+
+@query("q145_unigram_segment_increment", oracle=_q145_oracle())
+def q145_unigram_segment_increment(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Train-once / tokenize-increments unigram-LM deployment
+    (operators/unigram.py:unigram_vocab_state + unigram_segment_batch
+    — a SentencePiece model file re-expressed as a stamped relation):
+    the vocabulary is trained on the standing corpus (doc_id % 7 ≠ 0)
+    and a new crawl batch (doc_id % 7 = 0) is segmented against the
+    FIXED vocabulary — the tokenizer twin of q141's persisted-LM
+    scoring. Out-of-vocabulary characters score the floor, oversized
+    words pass through opaque; the `_ug_conf` stamp refuses a
+    mismatched piece/word bound (which would silently mis-segment)
+    via a plan-time metadata check plus a per-row guard folded into
+    the count column. The vocabulary never shuffles — the batch pays
+    one tokenize, the distinct-word Viterbi and one word-keyed join
+    back. [extension]"""
+    from db2pq_spark.operators.unigram import (
+        unigram_segment_batch, unigram_vocab_state)
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = unigram_vocab_state(docs.filter(F.col("doc_id") % 7 != 0),
+                                "text", rounds=1)
+    return (unigram_segment_batch(docs.filter(F.col("doc_id") % 7 == 0),
+                                  vocab, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_words", "n_pieces", "segmented"))

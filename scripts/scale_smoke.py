@@ -127,7 +127,9 @@ FAMILIES = [
     # cardinality grows ~linearly under the per-copy token suffixes,
     # the adversarial vocabulary-growth regime, same as q121)
     ("inc_tokenizer", ["q142_semdedup_incremental",
-                       "q143_unigram_train", "q144_unigram_segment"]),
+                       "q143_unigram_train",
+                       "q145_unigram_segment_increment",
+                       "q144_unigram_segment"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

@@ -178,3 +178,75 @@ class TestOracleSql:
             [(1, "abab abab cd"), (2, "abab cd cd"), (3, "ababab")])
             .execute(sql).fetchall()}
         assert spark_v == rows
+
+
+class TestSegmentBatch:
+    """unigram_vocab_state + unigram_segment_batch (q145): the
+    train-once/tokenize-increments deployment shape with the _ug_conf
+    stamp discipline."""
+
+    def test_self_batch_matches_one_shot(self, spark, docs):
+        from db2pq_spark.operators.unigram import (
+            unigram_segment, unigram_segment_batch,
+            unigram_vocab_state)
+
+        vocab = unigram_vocab_state(docs, "text", rounds=1)
+        inc = {r["id"]: (r["n_words"], r["n_pieces"], r["segmented"])
+               for r in unigram_segment_batch(
+                   docs, vocab, "text", "doc_id").collect()}
+        one = {r["id"]: (r["n_words"], r["n_pieces"], r["segmented"])
+               for r in unigram_segment(docs, "text", "doc_id",
+                                        rounds=1).collect()}
+        assert inc == one
+
+    def test_oov_words_still_segment(self, spark, docs):
+        from db2pq_spark.operators.unigram import (
+            unigram_segment_batch, unigram_vocab_state)
+
+        vocab = unigram_vocab_state(docs, "text", rounds=1)
+        batch = spark.createDataFrame(
+            [(9, "xyz ab " + "q" * 40)], "doc_id long, text string")
+        row = unigram_segment_batch(batch, vocab, "text",
+                                    "doc_id").collect()[0]
+        # unseen chars take the floor (char-by-char), oversized word
+        # passes through opaque
+        assert row["n_words"] == 3
+        assert "x y z" in row["segmented"]
+        assert "q" * 40 in row["segmented"].split(" ")
+
+    def test_stamp_discipline(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from db2pq_spark.operators.unigram import (
+            unigram_segment_batch, unigram_vocab_state)
+
+        vocab = unigram_vocab_state(docs, "text", rounds=1)
+        # plan-time metadata fast path: zero jobs
+        with pytest.raises(ValueError, match="l4/w16"):
+            unigram_segment_batch(docs, vocab, "text", "doc_id",
+                                  max_piece_len=2)
+        with pytest.raises(ValueError, match="no _ug_conf stamp"):
+            unigram_segment_batch(docs, vocab.drop("_ug_conf"),
+                                  "text", "doc_id")
+        # metadata-less wrong-family rows: per-row guard at execution
+        nometa = vocab.select(
+            "piece", "cnt",
+            F.concat(F.lit("l9/w16"), F.lit("")).alias("_ug_conf"))
+        assert not (nometa.schema["_ug_conf"].metadata or {})
+        with pytest.raises(Exception, match="trained under"):
+            unigram_segment_batch(docs, nometa, "text",
+                                  "doc_id").collect()
+
+    def test_state_parquet_round_trip(self, spark, docs, tmp_path):
+        from db2pq_spark.operators.unigram import (
+            unigram_segment_batch, unigram_vocab_state)
+
+        p = str(tmp_path / "ug_vocab.parquet")
+        unigram_vocab_state(docs, "text", rounds=1) \
+            .write.parquet(p)
+        vocab = spark.read.parquet(p)
+        assert (vocab.schema["_ug_conf"].metadata or {}).get(
+            "ug_conf") == "l4/w16"
+        rows = unigram_segment_batch(docs, vocab, "text",
+                                     "doc_id").collect()
+        assert len(rows) == 3
