@@ -495,10 +495,42 @@ def main() -> None:
                          "worker_pid_big": large[name]["worker_pid"]}
 
     if only:
-        # isolated re-measure mode: no .md/.json artifacts, just the
-        # sidecar-shaped record on stdout
+        # isolated re-measure mode: no artifacts by default, just the
+        # sidecar-shaped record on stdout. SMOKE_MERGE=1 additionally
+        # merges the measured rows into the existing committed
+        # .json/.md pair (each sidecar row carries its own runs/load/
+        # pid, so a per-row refresh stays self-describing) — the way
+        # a NEW query joins the artifacts without re-measuring the
+        # other ~50 (a full regen is ~1.5 h at 100×).
         print(json.dumps({"copies": COPIES, "isolated": True,
                           "queries": sidecar}, indent=1))
+        if os.environ.get("SMOKE_MERGE") == "1":
+            out_md = ("/root/repo/SCALE_SMOKE.md" if COPIES == 10
+                      else f"/root/repo/SCALE_SMOKE_{COPIES}x.md")
+            out_js = out_md.replace(".md", ".json")
+            with open(out_js) as fh:
+                full = json.load(fh)
+            full["queries"].update(sidecar)
+            with open(out_js, "w") as fh:
+                json.dump(full, fh, indent=1)
+            # regenerate the .md table from the merged sidecar so the
+            # two stay consistent (ordering: FAMILIES order)
+            with open(out_md) as fh:
+                md = fh.read()
+            head, table = md.split("| query |", 1)
+            rows = ["| query | sf0.1 s | " f"{COPIES}× s | ratio |",
+                    "|---|---|---|---|"]
+            for name in [q for _, qs in FAMILIES for q in qs]:
+                s = full["queries"].get(name)
+                if s:
+                    rows.append(
+                        f"| {name} | {s['min_small']} | {s['min_big']} "
+                        f"| {s['ratio']:.1f}× |")
+            tail = table.split("\n\n", 1)
+            trailer = ("\n\n" + tail[1]) if len(tail) > 1 else "\n"
+            with open(out_md, "w") as fh:
+                fh.write(head + "\n".join(rows) + trailer)
+            print(f"merged {len(sidecar)} rows into {out_md} + .json")
         if not prebuilt:
             import shutil
             shutil.rmtree(big, ignore_errors=True)
