@@ -274,3 +274,40 @@ def view_purchase_attribution(events: DataFrame,
     return v.join(p, cond).select(
         F.col("v_user").alias("user_id"), "view_id", "purchase_id",
         "view_time", "purchase_time", "purchase_value")
+
+
+def stream_semantic_dedup_incremental(
+    vec_stream: DataFrame,
+    state: DataFrame,
+    on_batch,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **dedup_kw,
+):
+    """Streaming semantic (embedding) near-dup screening against a
+    persisted :func:`db2pq_spark.operators.similarity.
+    embedding_dedup_state`: each micro-batch of incoming vectors runs
+    :func:`db2pq_spark.operators.similarity.semantic_dedup_incremental`
+    via ``foreachBatch``; ``on_batch(pairs_df, epoch_id)`` receives
+    the verified (batch_id, corpus_id, cos) pairs — the embedding
+    twin of :func:`stream_dedup_incremental`, with the same
+    the-micro-batch-IS-the-broadcast-side design: the signature state
+    never shuffles on any trigger, and the ``_ed_conf`` stamp refuses
+    a state built under a different plane family before the first
+    trigger fires (the ``num_planes``/``dim``/``seed`` kwargs must
+    match the persisted state). Returns the configured
+    ``DataStreamWriter`` — call ``.trigger(...)`` / ``.start()``.
+
+    [extension — the reference has no streaming surface, SURVEY §2.12]
+    """
+    from db2pq_spark.operators.similarity import (
+        semantic_dedup_incremental)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = semantic_dedup_incremental(
+            batch_df, state, threshold=threshold, id_col=id_col,
+            vec_col=vec_col, **dedup_kw)
+        on_batch(pairs, epoch_id)
+
+    return vec_stream.writeStream.foreachBatch(_process)

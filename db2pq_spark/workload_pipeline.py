@@ -2939,3 +2939,73 @@ def q145_unigram_segment_increment(spark: SparkSession,
                                   vocab, "text", "doc_id")
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_words", "n_pieces", "segmented"))
+
+
+def _q146_oracle() -> str:
+    from db2pq_spark.operators.unigram import (
+        unigram_round_sql, unigram_seed_sql)
+    from db2pq_spark.operators.wordpiece import wordpiece_greedy_sql
+
+    return f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKENS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> '' GROUP BY 1
+    ),
+    wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+    v0 AS ({unigram_seed_sql('wfb')}),
+    {unigram_round_sql('r1', 'wfb', 'v0', 'v1')},
+    toksall AS (
+      SELECT doc_id, t.w AS word, t.pos
+      FROM (SELECT doc_id, {_TOKENS} AS ws FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '') d,
+           LATERAL (SELECT unnest(ws) AS w,
+                           unnest(generate_series(1, len(ws))) AS pos) t
+      WHERE t.w <> ''
+    ),
+    dwords AS (
+      SELECT word, CAST(1 AS BIGINT) AS freq
+      FROM (SELECT DISTINCT word FROM toksall)
+    ),
+    {wordpiece_greedy_sql('wp', 'dwords', 'v1')},
+    segw AS (
+      SELECT word, CAST(np AS BIGINT) AS n_pieces, path AS pieces
+      FROM wp_seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(COUNT(CASE WHEN s.pieces = '[UNK]' THEN 1 END)
+                AS BIGINT) AS n_unk,
+           CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
+           string_agg(s.pieces, ' ' ORDER BY tk.pos) AS segmented
+    FROM toksall tk JOIN segw s USING (word)
+    GROUP BY doc_id
+    """
+
+
+@query("q146_wordpiece_segment", oracle=_q146_oracle())
+def q146_wordpiece_segment(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match corpus segmentation
+    (operators/wordpiece.py:wordpiece_segment, after BERT
+    arXiv:1810.04805's MaxMatch inference): the third tokenizer
+    family next to BPE (q122) and the unigram LM (q144) — at each
+    position consume the longest vocabulary piece, unmatchable or
+    oversized words degrade to [UNK] (strict membership, NO character
+    floor — the deployed-vocabulary inference contract; n_unk is the
+    standard tokenizer-coverage health metric). Vocabulary: one
+    unigram-EM round over the corpus (the replayable q143 chain).
+    Greedy choice is score-free and unique, so the oracle replays the
+    walk as an unrolled forward chain, one CTE per step. Same scale
+    shape as the unigram family: distinct-word segmentation, one
+    corpus tokenize, one word-keyed join back. [extension]"""
+    from db2pq_spark.operators.unigram import unigram_train
+    from db2pq_spark.operators.wordpiece import wordpiece_segment
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = unigram_train(docs, "text", rounds=1)
+    return (wordpiece_segment(docs, "text", "doc_id", vocab)
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "n_words", "n_unk", "n_pieces",
+                    "segmented"))

@@ -130,6 +130,7 @@ FAMILIES = [
                        "q143_unigram_train",
                        "q145_unigram_segment_increment",
                        "q144_unigram_segment"]),
+    ("wordpiece", ["q146_wordpiece_segment"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

@@ -235,3 +235,51 @@ class TestStreamIncrementalDedup:
         assert expect and set(got) == expect
         assert len(got) == len(set(got))  # no pair double-emitted
         assert len(epochs) > 1  # genuinely exercised multiple triggers
+
+
+class TestStreamSemanticDedupIncremental:
+    def test_matches_batch_operator(self, spark, sf_correct_dir,
+                                    tmp_path):
+        """The streamed micro-batches must reproduce exactly the batch
+        probe's pairs over the same finite input, across >1 trigger —
+        the embedding twin of TestStreamIncrementalDedup."""
+        from db2pq_spark.operators.similarity import (
+            embedding_dedup_state, semantic_dedup_incremental)
+        from db2pq_spark.streaming.windows import (
+            stream_semantic_dedup_incremental)
+
+        emb = spark.read.parquet(f"{sf_correct_dir}/embeddings.parquet")
+        state = embedding_dedup_state(emb).localCheckpoint(eager=True)
+        # planted clones of the first 20 vectors (the q142 fixture
+        # argument: parallel vectors share every hyperplane sign)
+        batch = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.25))
+             .alias("embedding"))
+
+        src = str(tmp_path / "vec_stream_src")
+        batch.repartition(4).write.parquet(src)
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        got: list[tuple] = []
+        epochs: set[int] = set()
+
+        def sink(pairs, epoch_id):
+            epochs.add(epoch_id)
+            got.extend((r["batch_id"], r["corpus_id"])
+                       for r in pairs.collect())
+
+        q = (stream_semantic_dedup_incremental(
+                stream, state, sink, threshold=0.999)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.awaitTermination()
+
+        expect = {(r["batch_id"], r["corpus_id"])
+                  for r in semantic_dedup_incremental(
+                      batch, state, threshold=0.999).collect()}
+        assert expect and set(got) == expect
+        assert len(got) == len(set(got))
+        assert len(epochs) > 1

@@ -250,3 +250,94 @@ class TestSegmentBatch:
         rows = unigram_segment_batch(docs, vocab, "text",
                                      "doc_id").collect()
         assert len(rows) == 3
+
+
+class TestWordpiece:
+    """wordpiece_segment_words / wordpiece_segment (q146): greedy
+    longest-match with strict [UNK] semantics."""
+
+    @pytest.fixture()
+    def vocab(self, spark):
+        return spark.createDataFrame(
+            [("a",), ("b",), ("ab",), ("abab",), ("c",)],
+            "piece string")
+
+    def test_greedy_longest_match(self, spark, vocab):
+        from db2pq_spark.operators.wordpiece import (
+            wordpiece_segment_words)
+
+        words = spark.createDataFrame(
+            [("ababa", 1), ("abc", 1), ("ca", 1)],
+            "word string, freq long")
+        got = {r["word"]: (r["n_pieces"], r["pieces"]) for r in
+               wordpiece_segment_words(words, vocab).collect()}
+        # greedy takes 'abab' then 'a' (Viterbi might differ; greedy
+        # is the defining behavior here)
+        assert got["ababa"] == (2, "abab a")
+        assert got["abc"] == (2, "ab c")
+        assert got["ca"] == (2, "c a")
+
+    def test_unk_on_unmatchable_and_oversized(self, spark, vocab):
+        from db2pq_spark.operators.wordpiece import (
+            wordpiece_segment_words)
+
+        words = spark.createDataFrame(
+            [("abxb", 1),        # 'x' matches nothing -> whole [UNK]
+             ("zzz", 1),         # no char matches at all
+             ("a" * 40, 1)],     # oversized -> [UNK]
+            "word string, freq long")
+        got = {r["word"]: (r["n_pieces"], r["pieces"]) for r in
+               wordpiece_segment_words(words, vocab).collect()}
+        assert got["abxb"] == (1, "[UNK]")
+        assert got["zzz"] == (1, "[UNK]")
+        assert got["a" * 40] == (1, "[UNK]")
+
+    def test_document_reassembly_counts_unk(self, spark, vocab):
+        from db2pq_spark.operators.wordpiece import wordpiece_segment
+
+        df = spark.createDataFrame(
+            [(1, "abab xq abab")], "doc_id long, text string")
+        row = wordpiece_segment(df, "text", "doc_id",
+                                vocab).collect()[0]
+        assert row["n_words"] == 3 and row["n_unk"] == 1
+        assert row["segmented"] == "abab [UNK] abab"
+        assert row["n_pieces"] == 3
+
+    def test_matches_duckdb_replay(self, spark, docs):
+        """q146's contract at toy scale: Spark greedy == the unrolled
+        SQL forward chain, vocabulary from one unigram-EM round."""
+        from db2pq_spark.operators.unigram import (
+            unigram_round_sql, unigram_seed_sql, unigram_train)
+        from db2pq_spark.operators.wordpiece import (
+            wordpiece_greedy_sql, wordpiece_segment_words)
+        from db2pq_spark.workload_base import _TOKENS
+
+        from db2pq_spark.operators.bpe import word_freqs
+
+        vocab = unigram_train(docs, "text", rounds=1)
+        words = word_freqs(docs, "text")
+        spark_v = {(r["word"], r["n_pieces"], r["pieces"]) for r in
+                   wordpiece_segment_words(words, vocab).collect()}
+        sql = f"""
+        WITH wf AS (
+          SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT unnest({_TOKENS}) AS w FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '')
+          WHERE w <> '' GROUP BY 1
+        ),
+        wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+        v0 AS ({unigram_seed_sql('wfb')}),
+        {unigram_round_sql('r1', 'wfb', 'v0', 'v1')},
+        {wordpiece_greedy_sql('wp', 'wf', 'v1')}
+        SELECT word, CAST(np AS BIGINT) AS np, path FROM wp_seg
+        """
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        [(1, "abab abab cd"), (2, "abab cd cd"),
+                         (3, "ababab")])
+        rows = {(r[0], int(r[1]), r[2])
+                for r in con.execute(sql).fetchall()}
+        assert spark_v == rows
