@@ -72,7 +72,7 @@ _EXTENSION = (
     # round-11 additions — incremental semantic dedup + unigram LM
     "q142_semdedup_incremental", "q143_unigram_train",
     "q144_unigram_segment", "q145_unigram_segment_increment",
-    "q146_wordpiece_segment",
+    "q146_wordpiece_segment", "q147_gopher_repetition",
 )
 
 
@@ -443,7 +443,8 @@ _FAMILIES = [
                                "q143_unigram_train",
                                "q145_unigram_segment_increment",
                                "q144_unigram_segment"]),
-    ("wordpiece", ["q146_wordpiece_segment"]),
+    ("wordpiece", ["q147_gopher_repetition",
+                   "q146_wordpiece_segment"]),
 ]
 
 _EXPORT_NAMES = ("export_full_table", "export_filtered_projected",

@@ -135,3 +135,167 @@ def scrub_pii(df: DataFrame, col: str,
         col: scrubbed,
         f"{col}_redactions": F.coalesce(counts.cast("bigint"), F.lit(0)),
     })
+
+
+#: Gopher §A1.1 repetition thresholds (Rae et al. arXiv:2112.11446,
+#: Table A1): max fraction of characters in the TOP n-gram (n=2..4)
+#: and max fraction of characters covered by DUPLICATED n-grams
+#: (n=5..10), expressed in integer percent for exact cross-multiplied
+#: decisions.
+GOPHER_TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_MAX_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str, id_col: str,
+    top_max_pct: dict[int, int] | None = None,
+    dup_max_pct: dict[int, int] | None = None,
+) -> DataFrame:
+    """The n-gram half of Gopher's repetition-removal battery (Rae et
+    al. arXiv:2112.11446 §A1.1 — the companion of
+    :func:`..filtering.gopher_rules`, which implements the
+    word/symbol/stopword rules): per document,
+
+    - ``top{n}_chars`` (n = 2..4): characters attributed to the MOST
+      FREQUENT n-gram — ``count × chars(gram)``, where ``chars`` is
+      the gram's length in the single-space-joined normalized token
+      stream (intra-gram separator spaces count; ties broken by the
+      lexicographically smallest gram);
+    - ``dup{n}_chars`` (n = 5..10): characters COVERED by n-grams
+      occurring 2+ times — the union of the occurrences' character
+      intervals, so overlapping duplicates never double-count
+      (Gopher's "fraction of characters contained in duplicate
+      n-grams");
+    - ``n_chars``: the stream length — every fraction's denominator;
+    - ``pass``: the conjunction of all nine rules, decided by integer
+      cross-multiplication (``chars × 100 <= pct × n_chars``) so no
+      float ever decides a flag (the q130 discipline).
+
+    All char accounting is exact integers, which is what lets the
+    gate oracle replay every column bit-for-bit.
+
+    Scale: gram enumeration is IN-ROW (one flatten/transform over the
+    token array — 9 gram sizes ≈ 9× token volume, linear); counts are
+    one (id, n, gram)-keyed map-side-combined aggregate; the coverage
+    union is the classic gaps-and-islands window PARTITIONED PER
+    (doc, n) — millions of tiny partitions, embarrassingly parallel,
+    never a global sort. Documents shorter than ``n`` tokens score 0
+    for that ``n`` (vacuously passing, as in Gopher)."""
+    top_max_pct = dict(GOPHER_TOP_NGRAM_MAX_PCT if top_max_pct is None
+                       else top_max_pct)
+    dup_max_pct = dict(GOPHER_DUP_NGRAM_MAX_PCT if dup_max_pct is None
+                       else dup_max_pct)
+    top_ns, dup_ns = sorted(top_max_pct), sorted(dup_max_pct)
+    from db2pq_spark.operators.dedup import normalize_text
+
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col).alias("id"),
+                    F.split(normalize_text(text_col), " ").alias("_toks"))
+            .where((F.size("_toks") > 0)
+                   & (F.element_at("_toks", 1) != "")))
+    # char offset of token j (1-based) in the single-space-joined
+    # stream: prefix sum of len(tok)+1 — built in-row
+    offs = F.aggregate(
+        "_toks",
+        F.struct(F.array().cast("array<int>").alias("arr"),
+                 F.lit(0).alias("pos")),
+        lambda acc, t_: F.struct(
+            F.array_append(acc["arr"], acc["pos"]).alias("arr"),
+            (acc["pos"] + F.length(t_) + 1).alias("pos")),
+        lambda acc: acc["arr"])
+    base = base.select(
+        "id", "_toks", offs.alias("_offs"),
+        F.length(F.concat_ws(" ", "_toks")).alias("n_chars"))
+    # every (n, char interval, gram) in ONE in-row flatten — the char
+    # interval is resolved against the offsets array BEFORE the
+    # explode, so the m-element offsets array never rides the m-row
+    # gram relation through the shuffle (that would be O(m²) bytes
+    # per document)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _grams_for(n: int):
+        # sequence(1, x) DESCENDS when x < 1 (emitting index 0), so
+        # clamp to 1 and blank the whole list for docs shorter than n
+        arr = F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size("_toks") - n + 1, F.lit(1))),
+            lambda j: F.struct(
+                F.lit(n).alias("n"),
+                F.element_at("_offs", j).alias("s"),
+                (F.element_at("_offs", j)
+                 + F.length(F.concat_ws(
+                     " ", F.slice("_toks", j, n)))).alias("e"),
+                F.concat_ws(" ", F.slice("_toks", j, n)).alias("gram")))
+        return F.when(F.size("_toks") >= n, arr) \
+            .otherwise(F.slice(arr, 1, 0))
+
+    gram_arr = F.flatten(F.array(*[_grams_for(n) for n in all_ns]))
+    grams = base.select(
+        "id", F.explode(gram_arr).alias("g")
+    ).select("id", F.col("g.n").alias("n"), F.col("g.s").alias("s"),
+             F.col("g.e").alias("e"), F.col("g.gram").alias("gram"))
+    counts = (grams.groupBy("id", "n", "gram")
+              .agg(F.count("*").alias("cnt"),
+                   F.collect_list(F.struct("s", "e")).alias("ivs")))
+    # top n-gram chars (n in top_ns): max by (cnt, tie -> smallest
+    # gram) via min(struct(-cnt, gram)) — one hash aggregate. Only
+    # grams occurring 2+ times qualify: a count-1 "top" gram is not
+    # repetition, and on short documents its single occurrence alone
+    # can exceed the threshold (documented deviation from
+    # implementations that skip the count guard; Gopher's corpora are
+    # long web pages where the distinction never binds)
+    top = (counts.where(F.col("n").isin([int(x) for x in top_ns])
+                        & (F.col("cnt") >= 2))
+           .groupBy("id", "n")
+           .agg(F.min(F.struct((-F.col("cnt")).alias("_negc"),
+                               F.col("gram").alias("gram")))
+                .alias("_t"))
+           .select("id", "n",
+                   ((-F.col("_t._negc"))
+                    * F.length("_t.gram")).alias("chars")))
+    # duplicated-gram coverage (n in dup_ns): explode occurrence
+    # intervals, gaps-and-islands union per (id, n)
+    from pyspark.sql import Window as W
+
+    dup_iv = (counts.where(F.col("n").isin([int(x) for x in dup_ns])
+                           & (F.col("cnt") >= 2))
+              .select("id", "n", F.explode("ivs").alias("iv"))
+              .select("id", "n", F.col("iv.s").alias("s"),
+                      F.col("iv.e").alias("e")))
+    w = W.partitionBy("id", "n").orderBy("s", "e") \
+        .rowsBetween(W.unboundedPreceding, -1)
+    dup = (dup_iv.withColumn("_pmax", F.max("e").over(w))
+           .select("id", "n",
+                   F.greatest(
+                       F.col("e") - F.greatest(
+                           F.col("s"), F.coalesce(F.col("_pmax"),
+                                                  F.col("s"))),
+                       F.lit(0)).alias("_cov"))
+           .groupBy("id", "n").agg(F.sum("_cov").alias("chars")))
+    per_n = top.unionByName(dup)
+    agg_cols = [F.coalesce(
+        F.max(F.when(F.col("n") == n, F.col("chars"))), F.lit(0))
+        .cast("bigint").alias(f"top{n}_chars") for n in top_ns] + \
+        [F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("chars"))), F.lit(0))
+         .cast("bigint").alias(f"dup{n}_chars") for n in dup_ns]
+    stats = per_n.groupBy("id").agg(*agg_cols)
+    out = base.select("id", "n_chars").join(stats, "id", "left")
+    out = out.select(
+        "id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        *[F.coalesce(F.col(f"top{n}_chars"), F.lit(0)).cast("bigint")
+          .alias(f"top{n}_chars") for n in top_ns],
+        *[F.coalesce(F.col(f"dup{n}_chars"), F.lit(0)).cast("bigint")
+          .alias(f"dup{n}_chars") for n in dup_ns])
+    checks = [
+        F.col(f"top{n}_chars") * 100 <= F.lit(int(top_max_pct[n]))
+        * F.col("n_chars") for n in top_ns
+    ] + [
+        F.col(f"dup{n}_chars") * 100 <= F.lit(int(dup_max_pct[n]))
+        * F.col("n_chars") for n in dup_ns
+    ]
+    passed = checks[0]
+    for c in checks[1:]:
+        passed = passed & c
+    return out.select("*", passed.alias("pass"))

@@ -3009,3 +3009,115 @@ def q146_wordpiece_segment(spark: SparkSession,
             .withColumnRenamed("id", "doc_id")
             .select("doc_id", "n_words", "n_unk", "n_pieces",
                     "segmented"))
+
+
+_Q147_SQL = f"""
+    WITH toked AS (
+      SELECT doc_id AS id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    tk AS (
+      SELECT id, toks, len(toks) AS m,
+             len(array_to_string(toks, ' ')) AS n_chars
+      FROM toked WHERE len(toks) > 0 AND toks[1] <> ''
+    ),
+    offs AS (
+      SELECT id, t.pos AS j,
+             COALESCE(SUM(len(t.tok) + 1) OVER (
+               PARTITION BY id ORDER BY t.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS s0
+      FROM tk,
+           LATERAL (SELECT unnest(toks) AS tok,
+                           unnest(generate_series(1, m)) AS pos) t
+    ),
+    g AS (
+      SELECT t.id, n.n, j.j,
+             array_to_string(t.toks[j.j : j.j + n.n - 1], ' ') AS gram
+      FROM tk t,
+           (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) n,
+           LATERAL (SELECT unnest(generate_series(1, t.m - n.n + 1))
+                    AS j) j
+      WHERE t.m >= n.n
+    ),
+    g2 AS (
+      SELECT g.id, g.n, g.gram, o.s0 AS s, o.s0 + len(g.gram) AS e
+      FROM g JOIN offs o ON o.id = g.id AND o.j = g.j
+    ),
+    counts AS (
+      SELECT id, n, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2, 3
+    ),
+    topc AS (
+      SELECT id, n, chars FROM (
+        SELECT id, n, cnt * len(gram) AS chars,
+               ROW_NUMBER() OVER (PARTITION BY id, n
+                                  ORDER BY cnt DESC, gram ASC) AS rn
+        FROM counts WHERE n IN (2, 3, 4) AND cnt >= 2
+      ) WHERE rn = 1
+    ),
+    dupiv AS (
+      SELECT g2.id, g2.n, g2.s, g2.e
+      FROM g2 JOIN counts c
+        ON c.id = g2.id AND c.n = g2.n AND c.gram = g2.gram
+      WHERE g2.n >= 5 AND c.cnt >= 2
+    ),
+    cov AS (
+      SELECT id, n,
+             GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0) AS c
+      FROM (SELECT id, n, s, e,
+                   MAX(e) OVER (PARTITION BY id, n ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM dupiv)
+    ),
+    dupc AS (SELECT id, n, SUM(c) AS chars FROM cov GROUP BY 1, 2),
+    pern AS (SELECT * FROM topc UNION ALL SELECT * FROM dupc),
+    piv AS (
+      SELECT id,
+             {", ".join(
+                 f"COALESCE(MAX(CASE WHEN n = {n} THEN chars END), 0)"
+                 f" AS {k}{n}_chars"
+                 for k, ns in (("top", (2, 3, 4)),
+                               ("dup", (5, 6, 7, 8, 9, 10)))
+                 for n in ns)}
+      FROM pern GROUP BY id
+    )
+    SELECT tk.id AS doc_id, CAST(tk.n_chars AS BIGINT) AS n_chars,
+           {", ".join(
+               f"CAST(COALESCE(p.{k}{n}_chars, 0) AS BIGINT)"
+               f" AS {k}{n}_chars"
+               for k, ns in (("top", (2, 3, 4)),
+                             ("dup", (5, 6, 7, 8, 9, 10)))
+               for n in ns)},
+           ({" AND ".join(
+               [f"COALESCE(p.top{n}_chars, 0) * 100 <= {p} * tk.n_chars"
+                for n, p in ((2, 20), (3, 18), (4, 16))]
+               + [f"COALESCE(p.dup{n}_chars, 0) * 100 <= {p} * tk.n_chars"
+                  for n, p in ((5, 15), (6, 14), (7, 13), (8, 12),
+                               (9, 11), (10, 10))])}) AS keep
+    FROM tk LEFT JOIN piv p ON p.id = tk.id
+"""
+
+
+@query("q147_gopher_repetition", oracle=_Q147_SQL)
+def q147_gopher_repetition(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The n-gram half of Gopher's repetition battery
+    (operators/repetition.py:gopher_repetition, after Rae et al.
+    arXiv:2112.11446 §A1.1 Table A1 — the companion of q130's
+    word/symbol/stopword rules): per document, characters attributed
+    to the most frequent 2/3/4-gram and characters COVERED by
+    duplicated 5..10-grams (interval union — overlapping duplicates
+    never double-count), plus the nine-threshold keep verdict, all
+    exact integers decided by cross-multiplication. Plan: one in-row
+    gram flatten (9 sizes, char intervals resolved against the
+    offsets array BEFORE the explode), one (id, n, gram)-keyed
+    map-side-combined count, a per-(doc, n)-partitioned
+    gaps-and-islands window — linear in corpus tokens, no global
+    sort. [extension]"""
+    from db2pq_spark.operators.repetition import gopher_repetition
+
+    return (gopher_repetition(t(spark, sf_dir, "documents"), "text",
+                              "doc_id")
+            .withColumnRenamed("id", "doc_id")
+            .withColumnRenamed("pass", "keep"))

@@ -121,6 +121,11 @@ SHOWCASE = {
                             "keyed join against the distinct-word "
                             "segmentation; doc reassembly is the "
                             "only doc-keyed shuffle",
+    "q147_gopher_repetition": "one in-row gram flatten (9 sizes, "
+                              "char intervals resolved BEFORE the "
+                              "explode), map-side-combined (id,n,"
+                              "gram) count, per-(doc,n) island "
+                              "windows — no global sort",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
     "q100_heavy_hitters": "corpus heavy hitters: map-side combine "

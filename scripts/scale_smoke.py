@@ -130,7 +130,8 @@ FAMILIES = [
                        "q143_unigram_train",
                        "q145_unigram_segment_increment",
                        "q144_unigram_segment"]),
-    ("wordpiece", ["q146_wordpiece_segment"]),
+    ("wordpiece", ["q147_gopher_repetition",
+                   "q146_wordpiece_segment"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 

@@ -902,6 +902,63 @@ class TestRepetition:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestGopherRepetition:
+    """gopher_repetition (q147): the n-gram half of Gopher §A1.1 —
+    top-gram char attribution, duplicated-gram coverage union, exact
+    integer verdicts."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "a b a b a b a b a b a b"),   # top-2gram dominated
+             (2, "one two three four five six seven eight"),  # clean
+             (3, "x y z w v x y z w v x y z w v q"),  # dup 5-grams
+             (4, "solo")],                     # shorter than every n
+            "doc_id long, text string")
+
+    def test_exact_char_accounting(self, spark, docs):
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        got = {r["id"]: r for r in
+               gopher_repetition(docs, "text", "doc_id").collect()}
+        # doc 1: 'a b' occurs 6x, len 3 -> 18 of 23 chars; fails
+        assert got[1]["n_chars"] == 23
+        assert got[1]["top2_chars"] == 18
+        assert got[1]["pass"] is False
+        # doc 2: no gram repeats -> all zero, passes (the count>=2
+        # guard: a count-1 'top' gram is not repetition)
+        assert all(got[2][f"top{n}_chars"] == 0 for n in (2, 3, 4))
+        assert all(got[2][f"dup{n}_chars"] == 0 for n in range(5, 11))
+        assert got[2]["pass"] is True
+        # doc 4: shorter than every n -> vacuous pass
+        assert got[4]["pass"] is True and got[4]["n_chars"] == 4
+
+    def test_coverage_union_never_double_counts(self, spark):
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        # overlapping duplicated 5-grams tile the whole stream: the
+        # union must equal n_chars exactly, not the sum of intervals
+        df = spark.createDataFrame(
+            [(1, "a b c d e a b c d e a b c d e")],
+            "doc_id long, text string")
+        r = gopher_repetition(df, "text", "doc_id").collect()[0]
+        assert r["dup5_chars"] == r["n_chars"] == 29
+
+    def test_custom_thresholds(self, spark, docs):
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        # loosen every threshold -> everything passes. The top-gram
+        # attribution is count x len, so OVERLAPPING occurrences can
+        # legitimately exceed 100% of the doc (doc 1's 'a b a' is
+        # 5 x 5 = 25 chars of a 23-char stream) — 200% clears it;
+        # the dup coverage is a true union, always <= 100%.
+        got = {r["id"]: r["pass"] for r in gopher_repetition(
+            docs, "text", "doc_id",
+            top_max_pct={2: 200, 3: 200, 4: 200},
+            dup_max_pct={n: 100 for n in range(5, 11)}).collect()}
+        assert all(got.values())
+
+
 class TestScrubPii:
     def test_redacts_and_counts(self, spark):
         from db2pq_spark.operators.repetition import scrub_pii
