@@ -280,6 +280,17 @@ def _q132_entropy_arrow(spark, sf_dir: str):
         .select("id", "n_chars", "sum_clog2c")
 
 
+def _q147_hash_keys(spark, sf_dir: str):
+    """Production gram keys: xxhash64 over slices of the per-token
+    hash array — gram strings never constructed (bit-identical values
+    by the (count, length) tie discipline; the gate entry pins
+    keys='exact' so DuckDB replays the gram keys)."""
+    from db2pq_spark.operators.repetition import gopher_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_repetition(docs, "text", "doc_id", keys="hash")
+
+
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
@@ -294,7 +305,8 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q125_dsir_sample": _q125_dsir_production,
               "q126_embedding_moments": _q126_moments_arrow,
               "q131_edit_confirm": _q131_confirm_production,
-              "q132_char_entropy": _q132_entropy_arrow}
+              "q132_char_entropy": _q132_entropy_arrow,
+              "q147_gopher_repetition": _q147_hash_keys}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -375,6 +387,12 @@ _CONFIGS = {
         "note": "production recall stage; gate entry blocks by "
                 "(source, length-bucket) so the oracle replays the "
                 "pair set exactly",
+    },
+    "q147_gopher_repetition": {
+        "keys": "hash",
+        "note": "production xxhash64 gram keys over token-hash "
+                "slices (no gram strings); gate entry pins "
+                "keys='exact' for the DuckDB replay",
     },
     "q132_char_entropy": {
         "impl": "arrow",

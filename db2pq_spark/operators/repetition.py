@@ -150,6 +150,7 @@ def gopher_repetition(
     df: DataFrame, text_col: str, id_col: str,
     top_max_pct: dict[int, int] | None = None,
     dup_max_pct: dict[int, int] | None = None,
+    keys: str = "exact",
 ) -> DataFrame:
     """The n-gram half of Gopher's repetition-removal battery (Rae et
     al. arXiv:2112.11446 §A1.1 — the companion of
@@ -159,8 +160,11 @@ def gopher_repetition(
     - ``top{n}_chars`` (n = 2..4): characters attributed to the MOST
       FREQUENT n-gram — ``count × chars(gram)``, where ``chars`` is
       the gram's length in the single-space-joined normalized token
-      stream (intra-gram separator spaces count; ties broken by the
-      lexicographically smallest gram);
+      stream (intra-gram separator spaces count; count ties prefer
+      the LONGEST gram — the conservative flag — so ``chars`` is
+      determined by (count, length) alone and any residual tie is
+      value-invariant, which is what makes the hash and exact key
+      configurations bit-identical);
     - ``dup{n}_chars`` (n = 5..10): characters COVERED by n-grams
       occurring 2+ times — the union of the occurrences' character
       intervals, so overlapping duplicates never double-count
@@ -174,9 +178,23 @@ def gopher_repetition(
     All char accounting is exact integers, which is what lets the
     gate oracle replay every column bit-for-bit.
 
+    ``keys``: ``"exact"`` (default, the gate configuration) keys the
+    count aggregate by the gram STRING — DuckDB-replayable, ties
+    broken by the lexicographically smallest gram. ``"hash"`` is the
+    production configuration (the q102 span-key discipline): gram
+    keys are ``xxhash64`` over SLICES of the per-token hash array —
+    gram strings are never constructed at all (for n = 10 the string
+    build + shuffle were ~50× the token volume in bytes; measured
+    12.4 s → ~3 s at sf0.1), a 64-bit collision merges two grams'
+    statistics — a negligible perturbation of a filtering signal,
+    same stance as the xxhash64 span/winnow keys; the (count, length)
+    tie discipline makes the two configurations otherwise
+    bit-identical (pinned by test).
+
     Scale: gram enumeration is IN-ROW (one flatten/transform over the
-    token array — 9 gram sizes ≈ 9× token volume, linear); counts are
-    one (id, n, gram)-keyed map-side-combined aggregate; the coverage
+    token array — 9 gram sizes ≈ 9× token volume, linear; char
+    intervals are pure offset arithmetic, no strings); counts are one
+    (id, n, key)-keyed map-side-combined aggregate; the coverage
     union is the classic gaps-and-islands window PARTITIONED PER
     (doc, n) — millions of tiny partitions, embarrassingly parallel,
     never a global sort. Documents shorter than ``n`` tokens score 0
@@ -185,6 +203,8 @@ def gopher_repetition(
                        else top_max_pct)
     dup_max_pct = dict(GOPHER_DUP_NGRAM_MAX_PCT if dup_max_pct is None
                        else dup_max_pct)
+    if keys not in ("exact", "hash"):
+        raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
     top_ns, dup_ns = sorted(top_max_pct), sorted(dup_max_pct)
     from db2pq_spark.operators.dedup import normalize_text
 
@@ -194,8 +214,10 @@ def gopher_repetition(
                     F.split(normalize_text(text_col), " ").alias("_toks"))
             .where((F.size("_toks") > 0)
                    & (F.element_at("_toks", 1) != "")))
-    # char offset of token j (1-based) in the single-space-joined
-    # stream: prefix sum of len(tok)+1 — built in-row
+    # char offsets in the single-space-joined stream: offs[j] = start
+    # of token j (1-based), PLUS one sentinel offs[m+1] = total + 1 —
+    # so every gram's char length is offs[j+n] - offs[j] - 1, pure
+    # integer arithmetic, never a string build
     offs = F.aggregate(
         "_toks",
         F.struct(F.array().cast("array<int>").alias("arr"),
@@ -203,11 +225,16 @@ def gopher_repetition(
         lambda acc, t_: F.struct(
             F.array_append(acc["arr"], acc["pos"]).alias("arr"),
             (acc["pos"] + F.length(t_) + 1).alias("pos")),
-        lambda acc: acc["arr"])
+        lambda acc: F.array_append(acc["arr"], acc["pos"]))
     base = base.select(
         "id", "_toks", offs.alias("_offs"),
         F.length(F.concat_ws(" ", "_toks")).alias("n_chars"))
-    # every (n, char interval, gram) in ONE in-row flatten — the char
+    if keys == "hash":
+        base = base.select(
+            "id", "_offs", "n_chars",
+            F.transform("_toks", lambda t_: F.xxhash64(t_))
+             .alias("_th"))
+    # every (n, char interval, key) in ONE in-row flatten — the char
     # interval is resolved against the offsets array BEFORE the
     # explode, so the m-element offsets array never rides the m-row
     # gram relation through the shuffle (that would be O(m²) bytes
@@ -217,29 +244,38 @@ def gopher_repetition(
     def _grams_for(n: int):
         # sequence(1, x) DESCENDS when x < 1 (emitting index 0), so
         # clamp to 1 and blank the whole list for docs shorter than n
+        def entry(j):
+            s = F.element_at("_offs", j)
+            # the j+n index is clamped: for docs shorter than n the
+            # whole array is discarded by the when() below, but ANSI
+            # element_at still type-checks/evaluates the clamped
+            # branch entry eagerly enough to throw on a raw overrun
+            e = F.element_at(
+                "_offs", F.least(j + n, F.size("_offs"))) - 1
+            key = (F.xxhash64(F.slice("_th", j, n)) if keys == "hash"
+                   else F.concat_ws(" ", F.slice("_toks", j, n)))
+            return F.struct(F.lit(n).alias("n"), s.alias("s"),
+                            e.alias("e"), key.alias("key"))
+
+        src = "_th" if keys == "hash" else "_toks"
         arr = F.transform(
             F.sequence(F.lit(1),
-                       F.greatest(F.size("_toks") - n + 1, F.lit(1))),
-            lambda j: F.struct(
-                F.lit(n).alias("n"),
-                F.element_at("_offs", j).alias("s"),
-                (F.element_at("_offs", j)
-                 + F.length(F.concat_ws(
-                     " ", F.slice("_toks", j, n)))).alias("e"),
-                F.concat_ws(" ", F.slice("_toks", j, n)).alias("gram")))
-        return F.when(F.size("_toks") >= n, arr) \
+                       F.greatest(F.size(src) - n + 1, F.lit(1))),
+            entry)
+        return F.when(F.size(src) >= n, arr) \
             .otherwise(F.slice(arr, 1, 0))
 
     gram_arr = F.flatten(F.array(*[_grams_for(n) for n in all_ns]))
     grams = base.select(
         "id", F.explode(gram_arr).alias("g")
     ).select("id", F.col("g.n").alias("n"), F.col("g.s").alias("s"),
-             F.col("g.e").alias("e"), F.col("g.gram").alias("gram"))
-    counts = (grams.groupBy("id", "n", "gram")
+             F.col("g.e").alias("e"), F.col("g.key").alias("key"))
+    counts = (grams.groupBy("id", "n", "key")
               .agg(F.count("*").alias("cnt"),
+                   F.min(F.col("e") - F.col("s")).alias("glen"),
                    F.collect_list(F.struct("s", "e")).alias("ivs")))
     # top n-gram chars (n in top_ns): max by (cnt, tie -> smallest
-    # gram) via min(struct(-cnt, gram)) — one hash aggregate. Only
+    # key) via min(struct(-cnt, key)) — one hash aggregate. Only
     # grams occurring 2+ times qualify: a count-1 "top" gram is not
     # repetition, and on short documents its single occurrence alone
     # can exceed the threshold (documented deviation from
@@ -249,11 +285,12 @@ def gopher_repetition(
                         & (F.col("cnt") >= 2))
            .groupBy("id", "n")
            .agg(F.min(F.struct((-F.col("cnt")).alias("_negc"),
-                               F.col("gram").alias("gram")))
+                               (-F.col("glen")).alias("_negl"),
+                               F.col("key").alias("key")))
                 .alias("_t"))
            .select("id", "n",
                    ((-F.col("_t._negc"))
-                    * F.length("_t.gram")).alias("chars")))
+                    * (-F.col("_t._negl"))).alias("chars")))
     # duplicated-gram coverage (n in dup_ns): explode occurrence
     # intervals, gaps-and-islands union per (id, n)
     from pyspark.sql import Window as W

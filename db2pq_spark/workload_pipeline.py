@@ -3051,7 +3051,8 @@ _Q147_SQL = f"""
       SELECT id, n, chars FROM (
         SELECT id, n, cnt * len(gram) AS chars,
                ROW_NUMBER() OVER (PARTITION BY id, n
-                                  ORDER BY cnt DESC, gram ASC) AS rn
+                                  ORDER BY cnt DESC, len(gram) DESC,
+                                           gram ASC) AS rn
         FROM counts WHERE n IN (2, 3, 4) AND cnt >= 2
       ) WHERE rn = 1
     ),

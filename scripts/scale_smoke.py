@@ -263,6 +263,15 @@ def _overrides():
         return char_entropy(docs, "text", "doc_id", impl="arrow") \
             .select("id", "n_chars", "sum_clog2c")
 
+    def q147(spark, sf_dir):
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production keys: xxhash64 over token-hash slices — gram
+        # strings never built (bit-identical values; the gate entry
+        # pins keys='exact' so DuckDB replays the gram keys)
+        return gopher_repetition(docs, "text", "doc_id", keys="hash")
+
     def q131(spark, sf_dir):
         from db2pq_spark.operators.dedup import minhash_dedup
         from db2pq_spark.operators.filtering import edit_confirm
@@ -284,7 +293,8 @@ def _overrides():
             "q107_incremental_dedup": q107,
             "q123_winnow_incremental": q123,
             "q125_dsir_sample": q125, "q126_embedding_moments": q126,
-            "q131_edit_confirm": q131, "q132_char_entropy": q132}
+            "q131_edit_confirm": q131, "q132_char_entropy": q132,
+            "q147_gopher_repetition": q147}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:

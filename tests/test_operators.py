@@ -958,6 +958,21 @@ class TestGopherRepetition:
             dup_max_pct={n: 100 for n in range(5, 11)}).collect()}
         assert all(got.values())
 
+    def test_hash_config_bit_identical(self, spark, docs):
+        """keys='hash' (production: xxhash64 over token-hash slices,
+        gram strings never built) must reproduce the exact config
+        bit-for-bit — the (count, length) tie discipline makes the
+        values key-order-invariant."""
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        a = {r["id"]: tuple(r) for r in gopher_repetition(
+            docs, "text", "doc_id").collect()}
+        b = {r["id"]: tuple(r) for r in gopher_repetition(
+            docs, "text", "doc_id", keys="hash").collect()}
+        assert a == b
+        with pytest.raises(ValueError, match="keys"):
+            gopher_repetition(docs, "text", "doc_id", keys="nope")
+
 
 class TestScrubPii:
     def test_redacts_and_counts(self, spark):
