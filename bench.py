@@ -586,9 +586,14 @@ def _worker_main() -> None:
             print(f"bench: steady {name} FAILED: {rec['err']}",
                   file=sys.stderr)
             cleanup()
-        if runs:
+        if runs and "err" not in rec:
             rec["steady_runs"] = runs
             rec["steady"] = min(runs)
+        elif runs:
+            # a partially-failed steady loop must not feed the headline
+            # steady_total AND the error count at the same time — keep
+            # the partial timings for diagnosis only
+            rec["partial_steady_runs"] = runs
     with open(os.environ["BENCH_WORKER_OUT"], "w") as fh:
         json.dump(out, fh)
     shutil.rmtree(tmp, ignore_errors=True)

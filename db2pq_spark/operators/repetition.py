@@ -217,15 +217,24 @@ def gopher_repetition(
     # char offsets in the single-space-joined stream: offs[j] = start
     # of token j (1-based), PLUS one sentinel offs[m+1] = total + 1 —
     # so every gram's char length is offs[j+n] - offs[j] - 1, pure
-    # integer arithmetic, never a string build
-    offs = F.aggregate(
-        "_toks",
-        F.struct(F.array().cast("array<int>").alias("arr"),
-                 F.lit(0).alias("pos")),
-        lambda acc, t_: F.struct(
-            F.array_append(acc["arr"], acc["pos"]).alias("arr"),
-            (acc["pos"] + F.length(t_) + 1).alias("pos")),
-        lambda acc: F.array_append(acc["arr"], acc["pos"]))
+    # integer arithmetic, never a string build. The prefix scan runs
+    # as an Arrow cumsum kernel over the (length+1) array — a Catalyst
+    # aggregate+array_append fold copies the accumulator each step,
+    # O(m²) element copies per m-token document, which silently breaks
+    # the linear-in-corpus-tokens claim on very long documents; only
+    # ints cross the Arrow boundary (2m+1 per doc)
+    from db2pq_spark.functions.arrow import series_pandas_udf
+
+    def _offs_kernel(lens):
+        import numpy as np
+        import pandas as pd
+        return pd.Series(
+            [np.concatenate(([0], np.cumsum(np.asarray(v,
+                                                       dtype=np.int64))))
+             .astype(np.int32) for v in lens])
+
+    offs = series_pandas_udf(_offs_kernel, "array<int>")(
+        F.transform("_toks", lambda t_: F.length(t_) + 1))
     base = base.select(
         "id", "_toks", offs.alias("_offs"),
         F.length(F.concat_ws(" ", "_toks")).alias("n_chars"))

@@ -717,6 +717,31 @@ def embedding_dedup_state(
     )
 
 
+def validate_ed_state(state: DataFrame, num_planes: int, dim: int,
+                      seed: int) -> str:
+    """Plan-time validation of an :func:`embedding_dedup_state`
+    relation against a requested plane family — raises on a missing
+    ``_ed_conf`` column or a mismatched metadata stamp WITHOUT running
+    a job, and returns the expected conf string. Exposed so streaming
+    wrappers can refuse a wrong-family state eagerly, before the first
+    trigger fires, instead of at the first non-empty micro-batch.
+    (Metadata-less persisted states still rely on the per-row guard
+    folded into the bucket projection.)"""
+    conf = f"p{num_planes}/d{dim}/s{seed}"
+    if "_ed_conf" not in state.columns:
+        raise ValueError(
+            "state carries no _ed_conf stamp — buckets built under an "
+            "unknown plane family share no values with this probe and "
+            "every batch vector would silently report zero duplicates. "
+            "Build the state via embedding_dedup_state()")
+    meta = state.schema["_ed_conf"].metadata or {}
+    stamped = meta.get("ed_conf")
+    if stamped is not None and stamped != conf:
+        raise ValueError(f"state was built with planes {stamped!r} but "
+                         f"the probe asked for {conf!r}")
+    return conf
+
+
 def semantic_dedup_incremental(
     batch: DataFrame,
     state: DataFrame,
@@ -762,18 +787,7 @@ def semantic_dedup_incremental(
     The batch must be broadcastable (same contract as the query side
     of ``cosine_topk`` and the batch side of every incremental dedup
     operator here)."""
-    conf = f"p{num_planes}/d{dim}/s{seed}"
-    if "_ed_conf" not in state.columns:
-        raise ValueError(
-            "state carries no _ed_conf stamp — buckets built under an "
-            "unknown plane family share no values with this probe and "
-            "every batch vector would silently report zero duplicates. "
-            "Build the state via embedding_dedup_state()")
-    meta = state.schema["_ed_conf"].metadata or {}
-    stamped = meta.get("ed_conf")
-    if stamped is not None and stamped != conf:
-        raise ValueError(f"state was built with planes {stamped!r} but "
-                         f"the probe asked for {conf!r}")
+    conf = validate_ed_state(state, num_planes, dim, seed)
     # authoritative per-row guard folded into the bucket projection the
     # plan reads anyway (bucket feeds the semi filter AND the pair
     # join, so column pruning can never drop it) — catches unions of

@@ -504,7 +504,11 @@ def kn_score_documents(
     # aggregate as a separate job when stats was an unpersisted
     # DataFrame): nt is referenced by every probability expression,
     # so column pruning can never drop the assertion.
-    mism = F.count(F.when(F.col("_kn_keys") != F.lit(expected), 1))
+    # eqNullSafe: a NULL stamp (e.g. a state hand-merged via
+    # unionByName(allowMissingColumns=True)) must count as a mismatch,
+    # not vanish under three-valued `!=`
+    mism = F.count(
+        F.when(~F.col("_kn_keys").eqNullSafe(F.lit(expected)), 1))
     tot = (stats.agg(F.count("*").alias("_nt_raw"),
                      mism.alias("_bad"))
            .select(

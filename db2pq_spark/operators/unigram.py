@@ -106,8 +106,12 @@ def _scores(vocab: DataFrame) -> DataFrame:
 
 def _floor_bits(vocab: DataFrame) -> DataFrame:
     """1-row (floor_bits): the unseen-character floor
-    ``round(log2(total+1), 6) × 10^6`` — strictly above every seen
-    piece's cost."""
+    ``round(log2(total+1), 6) × 10^6`` — ≥ every seen piece's cost.
+    (Not STRICTLY above at scale: for total ≳ 1.44e6 the 6-digit
+    rounding makes log2(total+1) and a count-1 piece's log2(total)
+    collide; nothing here relies on strictness — ties resolve through
+    the deterministic (np, path) ordering — and both engines compute
+    the same floor, so cross-engine determinism is unaffected.)"""
     return vocab.agg(
         (F.round(F.log2(F.sum("cnt").cast("double") + 1.0), 6)
           .cast("decimal(18,6)") * 1_000_000)

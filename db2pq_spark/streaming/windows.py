@@ -294,15 +294,29 @@ def stream_semantic_dedup_incremental(
     twin of :func:`stream_dedup_incremental`, with the same
     the-micro-batch-IS-the-broadcast-side design: the signature state
     never shuffles on any trigger, and the ``_ed_conf`` stamp refuses
-    a state built under a different plane family before the first
-    trigger fires (the ``num_planes``/``dim``/``seed`` kwargs must
-    match the persisted state). Returns the configured
-    ``DataStreamWriter`` — call ``.trigger(...)`` / ``.start()``.
+    a state built under a different plane family eagerly, HERE, before
+    the first trigger fires (validated via
+    :func:`~db2pq_spark.operators.similarity.validate_ed_state` — a
+    missing stamp column or a mismatched metadata stamp raises at wire
+    time; a metadata-less persisted state still falls back to the
+    per-row guard inside the micro-batch plan). The
+    ``num_planes``/``dim``/``seed`` kwargs must match the persisted
+    state. Returns the configured ``DataStreamWriter`` — call
+    ``.trigger(...)`` / ``.start()``.
 
     [extension — the reference has no streaming surface, SURVEY §2.12]
     """
+    import inspect
+
     from db2pq_spark.operators.similarity import (
-        semantic_dedup_incremental)
+        semantic_dedup_incremental, validate_ed_state)
+
+    sig = inspect.signature(semantic_dedup_incremental)
+    validate_ed_state(
+        state,
+        dedup_kw.get("num_planes", sig.parameters["num_planes"].default),
+        dedup_kw.get("dim", sig.parameters["dim"].default),
+        dedup_kw.get("seed", sig.parameters["seed"].default))
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         pairs = semantic_dedup_incremental(
