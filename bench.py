@@ -491,10 +491,12 @@ def _worker_main() -> None:
 
     Per query: one COLD run (pays whole-stage-codegen compilation and
     plan analysis — the session fixed cost a long-lived cluster pays
-    once), then min-of-2 STEADY runs. Execution stays `.collect()` —
-    unchanged since round 2 — so round-over-round BENCH comparisons
-    remain apples-to-apples (the scale smoke's noop-sink change is a
-    different instrument with a different question).
+    once), then min-of-3 STEADY runs. The HEADLINE execution stays
+    `.collect()` — unchanged since round 2 — so round-over-round BENCH
+    comparisons remain apples-to-apples; a noop-sink BRIDGE column
+    (min-of-2, the scale smoke's instrument) is recorded alongside it
+    since round 12 so a future migration off `.collect()` keeps
+    continuity.
 
     Env contract (set by the orchestrator): BENCH_WORKER_QUERIES
     (comma list), BENCH_WORKER_SF, BENCH_WORKER_OUT (partial JSON).
@@ -594,6 +596,30 @@ def _worker_main() -> None:
             # steady_total AND the error count at the same time — keep
             # the partial timings for diagnosis only
             rec["partial_steady_runs"] = runs
+    # bridge column (round 12): the same plans timed through Spark's
+    # built-in `noop` sink — the scale smoke's instrument — recorded
+    # ALONGSIDE the collect-based steady column so a future round can
+    # migrate BENCH off `.collect()` (Py4J row pickling dominates
+    # output-heavy queries) without losing round-over-round
+    # continuity. Exports already ARE a sink write; they skip it.
+    for name in names:
+        rec = out[name]
+        if "err" in rec or name in _EXPORT_NAMES:
+            continue
+        qfn = _OVERRIDES.get(name) or workload.REGISTRY[name][0]
+        nruns = []
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qfn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                nruns.append(round(time.perf_counter() - t0, 3))
+                cleanup()
+        except Exception as exc:  # noqa: BLE001
+            rec["noop_err"] = f"{type(exc).__name__}: {exc}"[:200]
+        if nruns and "noop_err" not in rec:
+            rec["noop_runs"] = nruns
+            rec["noop"] = min(nruns)
     with open(os.environ["BENCH_WORKER_OUT"], "w") as fh:
         json.dump(out, fh)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -675,6 +701,13 @@ def main() -> None:
                        if "worker_pid" in r},
         "steady_runs": {n: r["steady_runs"] for n, r in results.items()
                         if "steady_runs" in r},
+        # noop-sink bridge column (round 12): same plans, smoke's
+        # instrument — the migration path off .collect() with
+        # continuity preserved (headline stays collect-based)
+        "steady_noop": {n: r["noop"] for n, r in results.items()
+                        if "noop" in r},
+        "noop_total": round(sum(r["noop"] for r in results.values()
+                                if "noop" in r), 3),
         "families": {fam: names for fam, names in _FAMILIES},
         # which implementation/config each overridden query executed
         "configs": _CONFIGS,
@@ -707,6 +740,7 @@ def main() -> None:
         "cold_total": round(total, 2),
         "load": [load_before[0], load_after[0]],
         "n_err": len(errors),
+        "noop_total": detail["noop_total"],
         "iso": "worker-per-family",
         "detail": "BENCH_DETAIL.json",
     }

@@ -586,6 +586,7 @@ def edit_confirm(
     id_col: str,
     min_sim: float = 0.8,
     max_len: int | None = None,
+    confirmed_only: bool = False,
 ) -> DataFrame:
     """Exact verification stage of two-phase fuzzy dedup: for each
     candidate pair, Levenshtein distance over normalized text and a
@@ -604,11 +605,27 @@ def edit_confirm(
     on a bounded prefix; pairs whose difference lives past the prefix
     read as more similar than they are).
 
+    ``confirmed_only=True`` is the production scale path: it returns
+    ONLY the confirmed rows — provably identical to the full output
+    filtered on ``confirmed`` (pinned by test) — which licenses two
+    prunes the audit-everything default cannot take:
+
+    - **length-gap prune**: ``levenshtein(a,b) >= |len(a)-len(b)|``,
+      so a pair whose length gap alone breaks the edit budget
+      (``(maxlen-gap)·100 < pct·maxlen``) is dropped by one integer
+      predicate BEFORE any Levenshtein runs — at corpus scale most
+      recall-stage false positives die here for free;
+    - **banded Levenshtein** (when ``max_len`` bounds the prefix):
+      Spark's threshold form ``levenshtein(l, r, k)`` runs the
+      O(len·k) band and returns −1 past the budget
+      ``k = ⌊(100−pct)·max_len/100⌋`` instead of filling the O(len²)
+      matrix; every KEPT row's distance is exact because confirmation
+      itself requires ``dist ≤ (100−pct)·maxlen/100 ≤ k``.
+
     Scale: two id-keyed hash joins attach texts to the (already
     candidate-bounded) pair relation, then a narrow codegen'd
-    ``levenshtein`` per pair — cost is pairs × prefix², never
-    corpus²; Spark's threshold form short-circuits rows that can't
-    reach ``min_sim``."""
+    ``levenshtein`` per pair — cost is pairs × prefix·budget with
+    ``confirmed_only`` (pairs × prefix² without), never corpus²."""
     pct = _pct(min_sim, "min_sim")
     txt = normalize_text(text_col)
     if max_len is not None:
@@ -619,21 +636,39 @@ def edit_confirm(
                                  F.col("_txt").alias("_t1")), "id1")
               .join(texts.select(F.col("_id").alias("id2"),
                                  F.col("_txt").alias("_t2")), "id2"))
-    dist = F.levenshtein("_t1", "_t2").cast("bigint")
-    maxlen = F.greatest(F.length("_t1"), F.length("_t2")).cast("bigint")
+    len1 = F.length("_t1").cast("bigint")
+    len2 = F.length("_t2").cast("bigint")
+    maxlen = F.greatest(len1, len2)
+    if confirmed_only:
+        gap = F.abs(len1 - len2)
+        joined = joined.where(
+            (maxlen - gap) * 100 >= F.lit(pct) * maxlen)
+        if max_len is not None:
+            budget = (int(max_len) * (100 - pct)) // 100
+            dist = F.levenshtein("_t1", "_t2", budget).cast("bigint")
+        else:
+            dist = F.levenshtein("_t1", "_t2").cast("bigint")
+    else:
+        dist = F.levenshtein("_t1", "_t2").cast("bigint")
     out = joined.select(
         "id1", "id2", dist.alias("dist"),
-        F.length("_t1").cast("bigint").alias("len1"),
-        F.length("_t2").cast("bigint").alias("len2"),
+        len1.alias("len1"), len2.alias("len2"),
         maxlen.alias("_ml"))
-    return out.select(
+    out = out.select(
         "id1", "id2", "dist", "len1", "len2",
         F.when(F.col("_ml") > 0,
                (F.col("_ml") - F.col("dist")) / F.col("_ml"))
          .otherwise(F.lit(1.0)).alias("sim"),
-        (((F.col("_ml") - F.col("dist")) * 100)
-         >= F.lit(pct) * F.col("_ml")).alias("confirmed"),
+        # dist = −1 flags the banded form's budget overrun, never a
+        # real distance — it must read as unconfirmed, not as a
+        # negative (better-than-zero) edit count
+        ((F.col("dist") >= 0)
+         & (((F.col("_ml") - F.col("dist")) * 100)
+            >= F.lit(pct) * F.col("_ml"))).alias("confirmed"),
     )
+    if confirmed_only:
+        out = out.where(F.col("confirmed"))
+    return out
 
 
 def cap_per_group(

@@ -279,11 +279,16 @@ def _overrides():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         # production two-phase fuzzy dedup: LSH recall stage feeding
         # the Levenshtein confirm (the gate's blocked self-join is an
-        # oracle-replay surcharge, quadratic within a block)
+        # oracle-replay surcharge, quadratic within a block).
+        # confirmed_only: a deleting pipeline consumes confirmed pairs
+        # only, which licenses the length-gap prune + banded
+        # levenshtein (output identity with the audit path is pinned
+        # by tests/test_filtering.py)
         pairs = minhash_dedup(docs, "text", "doc_id") \
             .select("id1", "id2")
         return edit_confirm(docs, pairs, "text", "doc_id",
-                            min_sim=0.75, max_len=160)
+                            min_sim=0.75, max_len=160,
+                            confirmed_only=True)
 
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,

@@ -195,6 +195,65 @@ class TestEditConfirm:
                          max_len=11).collect()[0]
         assert r["dist"] == 0 and r["len1"] == 11
 
+    def test_confirmed_only_matches_full_filtered(self, spark):
+        # the production scale path (length-gap prune + banded
+        # levenshtein) must be row- and value-identical to the
+        # audit-everything default filtered on confirmed — on the
+        # real corpus fixture, where gap-pruned, band-overrun and
+        # confirmed pairs all occur
+        from db2pq_spark.operators.filtering import (
+            blocked_pairs, edit_confirm)
+        from tests.conftest import SF_SMOKE
+
+        base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        # the fixture corpus has no confirmed pairs under this
+        # blocking — clone a few documents with 1-char edits (same
+        # source, same length bucket) so confirmed, band-overrun and
+        # gap-pruned pairs all occur
+        clones = (base.orderBy("doc_id").limit(5)
+                  .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          F.concat(F.substring("text", 1, 100),
+                                   F.lit("x"),
+                                   F.expr("substring(text, 102)"))
+                          .alias("text"),
+                          *[c for c in base.columns
+                            if c not in ("doc_id", "text")]))
+        docs = base.unionByName(clones) \
+            .withColumn("_bkt", F.floor(F.col("n_chars") / F.lit(8)))
+        pairs = blocked_pairs(docs, "doc_id", ["source", "_bkt"])
+        full = edit_confirm(docs, pairs, "text", "doc_id",
+                            min_sim=0.75, max_len=160)
+        fast = edit_confirm(docs, pairs, "text", "doc_id",
+                            min_sim=0.75, max_len=160,
+                            confirmed_only=True)
+        key = ["id1", "id2"]
+        want = sorted(
+            full.where("confirmed").collect(),
+            key=lambda r: tuple(r[k] for k in key))
+        got = sorted(fast.collect(),
+                     key=lambda r: tuple(r[k] for k in key))
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert len(got) > 0  # fixture must actually exercise the path
+
+    def test_confirmed_only_gap_prune_never_drops_confirmable(
+            self, spark):
+        from db2pq_spark.operators.filtering import edit_confirm
+
+        # gap 5 on maxlen 10 → best-case sim 0.5 < 0.75: pruned; the
+        # zero-gap rewrite at the same length confirms through the
+        # banded form with an exact distance
+        docs = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "abcde"), (3, "abcdefghxy")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2), (1, 3)],
+                                      "id1 long, id2 long")
+        out = {(r["id1"], r["id2"]): r for r in
+               edit_confirm(docs, pairs, "text", "doc_id",
+                            min_sim=0.75, max_len=160,
+                            confirmed_only=True).collect()}
+        assert (1, 2) not in out
+        assert out[(1, 3)]["dist"] == 2 and out[(1, 3)]["confirmed"]
+
     def test_blocked_pairs(self, spark):
         from db2pq_spark.operators.filtering import blocked_pairs
 
