@@ -73,6 +73,8 @@ _EXTENSION = (
     "q142_semdedup_incremental", "q143_unigram_train",
     "q144_unigram_segment", "q145_unigram_segment_increment",
     "q146_wordpiece_segment", "q147_gopher_repetition",
+    # round-12 additions
+    "q148_unigram_soft",
 )
 
 
@@ -461,6 +463,7 @@ _FAMILIES = [
                                "q143_unigram_train",
                                "q145_unigram_segment_increment",
                                "q144_unigram_segment"]),
+    ("soft_tokenizer", ["q148_unigram_soft"]),
     ("wordpiece", ["q147_gopher_repetition",
                    "q146_wordpiece_segment"]),
 ]

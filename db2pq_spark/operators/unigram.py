@@ -119,7 +119,9 @@ def _floor_bits(vocab: DataFrame) -> DataFrame:
 
 
 def _viterbi_words(words: DataFrame, vocab: DataFrame,
-                   max_piece_len: int) -> DataFrame:
+                   max_piece_len: int, scores: DataFrame | None = None,
+                   floor: DataFrame | None = None,
+                   exclude_full: bool = False) -> DataFrame:
     """Viterbi-segment each distinct (word, freq): returns
     ``(word, freq, path: array<string>, np, score_bits)``.
 
@@ -128,7 +130,14 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
     round's vocabulary — coverage is guaranteed, so the DP always
     completes). The DP itself runs in an Arrow-batched kernel per
     word over the grouped candidate arrays: O(len × max_piece_len)
-    per word, vocabulary never driver-side."""
+    per word, vocabulary never driver-side.
+
+    ``scores``/``floor`` override the raw-count cost relations (the
+    soft-EM trainer scores micro-count vocabularies);
+    ``exclude_full`` drops the full-width candidate — the
+    likelihood-loss prune asks "what does segmenting this piece
+    WITHOUT itself cost", Kudo 2018 §4.2's alternative
+    segmentation."""
     import pandas as pd
 
     from db2pq_spark.functions.arrow import series_pandas_udf
@@ -146,9 +155,11 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
                     (n + 1).alias("plen"),
                     F.col("word").substr(i, n + 1).alias("piece"))),
         ))).alias("c"))
-    scored = (cand.join(_scores(vocab).hint("broadcast"),
+    sc = _scores(vocab) if scores is None else scores
+    fl = _floor_bits(vocab) if floor is None else floor
+    scored = (cand.join(sc.hint("broadcast"),
                         cand["c.piece"] == F.col("piece"), "left")
-              .crossJoin(F.broadcast(_floor_bits(vocab)))
+              .crossJoin(F.broadcast(fl))
               .select("word", "freq",
                       F.col("c.endpos").alias("endpos"),
                       F.col("c.plen").alias("plen"),
@@ -158,6 +169,8 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
                           F.when(F.col("c.plen") == 1,
                                  F.col("floor_bits"))).alias("s_bits"))
               .where(F.col("s_bits").isNotNull()))
+    if exclude_full:
+        scored = scored.where(F.col("plen") < F.length("word"))
     grouped = (scored.groupBy("word", "freq")
                .agg(F.collect_list(F.struct("endpos", "plen", "piece",
                                             "s_bits")).alias("cands")))
@@ -337,14 +350,23 @@ def _floor_sql(vocab: str) -> str:
 
 def unigram_viterbi_sql(tag: str, words: str, vocab: str,
                         max_piece_len: int = MAX_PIECE_LEN,
-                        max_word_len: int = MAX_WORD_LEN) -> str:
+                        max_word_len: int = MAX_WORD_LEN,
+                        scores_sql: str | None = None,
+                        floor_sql: str | None = None,
+                        exclude_full: bool = False) -> str:
     """CTE chain ``{tag}_cand, {tag}_b0..{tag}_b{W}, {tag}_seg``:
     Viterbi-segment the ``(word, freq)`` relation ``words`` against
     the ``(piece, cnt)`` relation ``vocab``. ``{tag}_seg`` has
     ``(word, freq, np, path)`` — the unrolled-DP replay of the Arrow
     kernel, one CTE per prefix length, arg-min per (word, prefix) by
-    (score, piece count, path string)."""
+    (score, piece count, path string). ``scores_sql``/``floor_sql``/
+    ``exclude_full`` mirror the same knobs on
+    :func:`_viterbi_words` (the soft-EM prune's alternative
+    segmentation)."""
     W = max_word_len
+    sc = _scores_sql(vocab) if scores_sql is None else scores_sql
+    fl = _floor_sql(vocab) if floor_sql is None else floor_sql
+    excl = "AND c.plen < len(c.word)" if exclude_full else ""
     ctes = [f"""
     {tag}_cand AS MATERIALIZED (
       SELECT c.word, c.freq, c.endpos, c.plen, c.piece,
@@ -361,11 +383,11 @@ def unigram_viterbi_sql(tag: str, words: str, vocab: str,
                       LEAST({max_piece_len}, len(word) - i.i + 1)))
                       AS n) n
       ) c
-      LEFT JOIN {_scores_sql(vocab)} v USING (piece)
-      CROSS JOIN {_floor_sql(vocab)} f
+      LEFT JOIN {sc} v USING (piece)
+      CROSS JOIN {fl} f
       WHERE COALESCE(v.s_bits,
                      CASE WHEN c.plen = 1 THEN f.floor_bits END)
-            IS NOT NULL
+            IS NOT NULL {excl}
     ),
     {tag}_b0 AS MATERIALIZED (
       SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS score,
@@ -400,7 +422,7 @@ def unigram_viterbi_sql(tag: str, words: str, vocab: str,
         for j in range(1, W + 1))
     ctes.append(f"""
     {tag}_seg AS MATERIALIZED (
-      SELECT word, freq, np, path FROM ({finals})
+      SELECT word, freq, np, path, score FROM ({finals})
     )""")
     return ",".join(ctes)
 

@@ -3122,3 +3122,48 @@ def q147_gopher_repetition(spark: SparkSession,
                               "doc_id")
             .withColumnRenamed("id", "doc_id")
             .withColumnRenamed("pass", "keep"))
+
+
+def _q148_oracle() -> str:
+    from db2pq_spark.operators.unigram_soft import (
+        soft_prune_sql, soft_round_sql, soft_seed_sql)
+
+    return f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest({_TOKENS}) AS w FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE w <> '' GROUP BY 1
+    ),
+    wfb AS (SELECT word, freq FROM wf WHERE len(word) <= 16),
+    v0 AS ({soft_seed_sql('wfb')}),
+    {soft_round_sql('r1', 'wfb', 'v0', 'v1')},
+    {soft_round_sql('r2', 'wfb', 'v1', 'v2')},
+    {soft_prune_sql('pr', 'v2', 200)}
+    SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM pr_final
+    """
+
+
+@query("q148_unigram_soft", oracle=_q148_oracle())
+def q148_unigram_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL SentencePiece unigram training — soft EM + likelihood-loss
+    prune (operators/unigram_soft.py:unigram_train_soft, Kudo 2018
+    arXiv:1804.10959 §4.2; q143 is the hard-EM/Viterbi variant): the
+    E-step takes EXPECTED piece counts over the whole segmentation
+    lattice (forward-backward), and training ends by pruning to the
+    200-piece vocabulary that least degrades corpus likelihood
+    (per-piece loss = expected count × cost delta of the piece's best
+    alternative segmentation; characters always survive). The oracle
+    replays seed, both lattice rounds (alpha/beta one CTE per
+    position, fixed-association sums — bit-identical doubles) and the
+    prune closed-form in DuckDB; posteriors cross to integers
+    (6-digit micro-units) per occurrence BEFORE any aggregation, so
+    no float reduction order can diverge. Scale: everything runs on
+    the distinct bounded-word relation (the BPE trick); the lattice
+    DP is an Arrow kernel per word; the prune's Viterbi runs over the
+    zipf-bounded vocabulary itself. [extension]"""
+    from db2pq_spark.operators.unigram_soft import unigram_train_soft
+
+    return (unigram_train_soft(t(spark, sf_dir, "documents"), "text",
+                               rounds=2, vocab_size=200)
+            .select("piece", F.col("cnt").cast("bigint").alias("cnt")))

@@ -132,6 +132,10 @@ FAMILIES = [
                        "q144_unigram_segment"]),
     ("wordpiece", ["q147_gopher_repetition",
                    "q146_wordpiece_segment"]),
+    # round-12: soft-EM unigram training (forward-backward lattice +
+    # likelihood-loss prune) — same distinct-word scale shape as
+    # q143, roughly 2× the per-word kernel work (alpha AND beta)
+    ("soft_tokenizer", ["q148_unigram_soft"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 
