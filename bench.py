@@ -74,7 +74,8 @@ _EXTENSION = (
     "q144_unigram_segment", "q145_unigram_segment_increment",
     "q146_wordpiece_segment", "q147_gopher_repetition",
     # round-12 additions
-    "q148_unigram_soft",
+    "q148_unigram_soft", "q149_longest_dup_span",
+    "q150_longest_span_removal",
 )
 
 
@@ -293,6 +294,25 @@ def _q147_hash_keys(spark, sf_dir: str):
     return gopher_repetition(docs, "text", "doc_id", keys="hash")
 
 
+def _q149_hash_keys(spark, sf_dir: str):
+    """Production level keys: xxhash64 composition — gram strings
+    never built (the gate pins keys='exact' against the independent
+    substring-enumeration oracle)."""
+    from db2pq_spark.operators.suffixes import longest_dup_span
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return longest_dup_span(docs, "text", "doc_id", keys="hash")
+
+
+def _q150_hash_keys(spark, sf_dir: str):
+    """Production removal config (xxhash64-composed level keys)."""
+    from db2pq_spark.operators.suffixes import remove_long_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_long_dup_spans(docs, "text", "doc_id", min_len=8,
+                                 keys="hash")
+
+
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
@@ -308,7 +328,9 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q126_embedding_moments": _q126_moments_arrow,
               "q131_edit_confirm": _q131_confirm_production,
               "q132_char_entropy": _q132_entropy_arrow,
-              "q147_gopher_repetition": _q147_hash_keys}
+              "q147_gopher_repetition": _q147_hash_keys,
+              "q149_longest_dup_span": _q149_hash_keys,
+              "q150_longest_span_removal": _q150_hash_keys}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -396,6 +418,17 @@ _CONFIGS = {
                 "slices (no gram strings); gate entry pins "
                 "keys='exact' for the DuckDB replay",
     },
+    "q149_longest_dup_span": {
+        "keys": "hash",
+        "note": "production xxhash64-composed doubling keys; gate "
+                "entry pins keys='exact' against the INDEPENDENT "
+                "substring-enumeration oracle",
+    },
+    "q150_longest_span_removal": {
+        "keys": "hash", "min_len": 8,
+        "note": "production xxhash64-composed doubling keys; gate "
+                "entry pins keys='exact'",
+    },
     "q132_char_entropy": {
         "impl": "arrow",
         "note": "mapInPandas histogram kernel, bit-identical to the "
@@ -464,6 +497,8 @@ _FAMILIES = [
                                "q145_unigram_segment_increment",
                                "q144_unigram_segment"]),
     ("soft_tokenizer", ["q148_unigram_soft"]),
+    ("suffix_dedup", ["q149_longest_dup_span",
+                      "q150_longest_span_removal"]),
     ("wordpiece", ["q147_gopher_repetition",
                    "q146_wordpiece_segment"]),
 ]

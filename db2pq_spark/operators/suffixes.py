@@ -1,0 +1,304 @@
+"""Suffix-array-style longest exact duplicated substring.
+
+[extension — not in the reference] The exact-substring half of Lee et
+al., *Deduplicating Training Data Makes Language Models Better*
+(arXiv:2107.06499 §4.1), beyond the fixed-n span counts of
+``dedup.duplicate_spans`` (q102/q116): for every document, the EXACT
+token length of its longest substring that occurs 2+ times anywhere in
+the corpus (any document, including itself, overlaps allowed) — the
+signal the paper's suffix array exists to produce — plus the removal
+pass that cuts every maximal duplicated run of at least ``min_len``
+tokens. Re-expressed as a distributed relational plan:
+
+1. **Prefix doubling** (Karp–Miller–Rosenberg): level-k keys identify
+   2^k-token spans; level k+1 composes each key from its two level-k
+   halves in one (id, pos)-keyed self-join — a span can only be
+   duplicated if both halves are, so survivor sets shrink
+   geometrically and each level is one map-side-combined count over
+   8-byte composed keys. ``log2(longest duplicated span)`` levels
+   total, never a suffix sort, never all-pairs.
+2. **Bucketed neighbor-LCP extension**: a position whose top
+   surviving level is k has its exact match length in
+   ``[2^k, 2^{k+1})``; its best partner shares the level-k bucket, so
+   sorting each bucket by the NEXT ``2^k`` tokens and taking the
+   longest common prefix with the two sort neighbors yields the exact
+   extension (the suffix-array LCP property: a suffix's best match is
+   lexicographically adjacent — any consistent alphabet relabeling,
+   including per-token hashes, preserves it). One window per level
+   over the surviving minority; LCP is an in-row ``zip_with`` fold.
+
+``keys="hash"`` (production) composes xxhash64 keys — spans never
+materialize as strings (the q102/q147 stance; 64-bit collisions are
+the documented approximation). ``keys="exact"`` composes the actual
+token grams — collision-free, pinned by the gate whose DuckDB oracle
+computes ground truth INDEPENDENTLY (full substring enumeration), not
+by replay.
+
+The duplication threshold is fixed at 2 occurrences (the paper's
+setting): the neighbor-LCP argument bounds the extension by the
+*pairwise* match, which coincides with the duplication threshold only
+at 2 — higher thresholds would need k-wide neighbor windows.
+
+Known skew path: a boilerplate span repeated millions of times keeps
+its positions in one extension bucket at every level; the per-bucket
+sort is that bucket's O(b log b). ``max_bucket`` caps the sorted
+members per bucket (deterministic smallest-(id,pos) sample) — capped
+buckets report a LOWER BOUND on the extension (never on 2^k itself);
+``None`` (gate) is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["longest_dup_span", "position_match_lengths",
+           "remove_long_dup_spans"]
+
+#: hard cap on doubling levels (2^20-token spans) — a runaway guard,
+#: not a tuning knob; real corpora stop far earlier
+MAX_LEVELS = 20
+
+
+def _lcp(a: Column, b: Column) -> Column:
+    """Length of the longest common prefix of two arrays (0 when
+    either is NULL — a missing sort neighbor)."""
+    z = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    mismatch = F.array_position(z, False)
+    return (F.when(a.isNull() | b.isNull(), F.lit(0))
+            .when(mismatch > 0, mismatch - 1)
+            .otherwise(F.least(F.size(a), F.size(b))))
+
+
+def _prepare(df: DataFrame, text_col: str, id_col: str,
+             keys: str) -> DataFrame:
+    """(id, _tk, _kk): normalized tokens plus the key alphabet the
+    doubling runs on (the tokens themselves, or xxhash64 relabels —
+    equality-equivalent, which is all the LCP argument needs)."""
+    if keys not in ("exact", "hash"):
+        raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
+    from db2pq_spark.operators.dedup import normalize_text
+    from db2pq_spark.operators.skew import ensure_parallelism
+
+    base = (ensure_parallelism(df)
+            .filter(F.col(text_col).isNotNull()
+                    & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col).alias("id"),
+                    F.split(normalize_text(text_col), " ").alias("_tk"))
+            .where((F.size("_tk") > 0)
+                   & (F.element_at("_tk", 1) != "")))
+    kk = (F.transform("_tk", lambda t_: F.xxhash64(t_))
+          if keys == "hash" else F.col("_tk"))
+    return base.select("id", "_tk", kk.alias("_kk")) \
+        .localCheckpoint(eager=False)
+
+
+def position_match_lengths(
+    base_or_df: DataFrame, text_col: str | None = None,
+    id_col: str | None = None, keys: str = "hash",
+    max_bucket: int | None = None, min_len: int = 1,
+) -> DataFrame:
+    """(id, pos, mlen): for every token position starting a duplicated
+    substring of at least ``min_len`` tokens, the EXACT length of the
+    longest substring starting there that occurs 2+ times (positions
+    below the threshold are absent). The doubling + neighbor-LCP
+    core; :func:`longest_dup_span` aggregates it per document and
+    :func:`remove_long_dup_spans` cuts from it. Accepts either a raw
+    (df, text_col, id_col) triple or a pre-``_prepare``-d relation.
+
+    ``min_len`` > 1 starts the doubling at level
+    ``k0 = floor(log2(min_len))`` — the 2^k0-gram keys are computed
+    in ONE in-row pass (a slice hash per position, the q147 gram-key
+    shape), skipping the low levels entirely. Those are the expensive
+    ones: level 0 aggregates every corpus token, level k0 only the
+    positions of duplicated 2^k0-grams. Any position with
+    ``mlen >= min_len >= 2^k0`` survives level k0, so nothing the
+    threshold asks for is lost."""
+    base = (base_or_df if text_col is None
+            else _prepare(base_or_df, text_col, id_col, keys))
+
+    def compose(k1: Column, k2: Column) -> Column:
+        if keys == "hash":
+            return F.xxhash64(k1, k2)
+        return F.concat_ws(" ", k1, k2)
+
+    k0 = max(int(min_len).bit_length() - 1, 0)
+    step = 1 << k0
+    if step == 1:
+        # level 0: every positioned token, keyed by itself
+        lvl = (base.select("id",
+                           F.posexplode("_kk").alias("p0", "key"))
+               .select("id", (F.col("p0") + 1).alias("pos"), "key"))
+    else:
+        # level k0 directly: one in-row slice key per position
+        if keys == "hash":
+            key0 = F.transform(
+                F.sequence(F.lit(1), F.size("_kk") - step + 1),
+                lambda j: F.xxhash64(F.slice("_kk", j, step)))
+        else:
+            key0 = F.transform(
+                F.sequence(F.lit(1), F.size("_kk") - step + 1),
+                lambda j: F.concat_ws(" ", F.slice("_kk", j, step)))
+        lvl = (base.where(F.size("_kk") >= step)
+               .select("id", F.posexplode(key0).alias("p0", "key"))
+               .select("id", (F.col("p0") + 1).alias("pos"), "key"))
+    survivors: list[tuple[int, DataFrame]] = []
+    for level in range(k0, MAX_LEVELS):
+        dup_keys = (lvl.groupBy("key").agg(F.count("*").alias("c"))
+                    .where(F.col("c") >= 2).select("key"))
+        surv = lvl.join(dup_keys, "key", "left_semi") \
+            .localCheckpoint(eager=True)
+        if surv.isEmpty():
+            break
+        survivors.append((level, surv.select(
+            F.lit(level).alias("level"), "id", "pos", "key")))
+        # level k+1 candidates: positions whose BOTH 2^k halves are
+        # duplicated — self-join on (id, pos + 2^k)
+        right = surv.select(
+            "id", (F.col("pos") - F.lit(step)).alias("pos"),
+            F.col("key").alias("key2"))
+        lvl = (surv.join(right, ["id", "pos"])
+               .select("id", "pos",
+                       compose(F.col("key"), F.col("key2"))
+                       .alias("key")))
+        step *= 2
+
+    if not survivors:
+        # empty relation with the right id type (ids may be strings)
+        return base.select(
+            "id", F.lit(1).alias("pos"),
+            F.lit(1).alias("mlen")).where(F.lit(False))
+    all_surv = survivors[0][1]
+    for _, s in survivors[1:]:
+        all_surv = all_surv.unionByName(s)
+    # k*(id, pos): the top surviving level of each position
+    top = (all_surv.groupBy("id", "pos")
+           .agg(F.max("level").alias("level")))
+
+    # extension per level: sort each level-k bucket by the next 2^k
+    # tokens; exact match length = 2^k + max neighbor LCP
+    parts = []
+    for level, surv in survivors:
+        step = 2 ** level
+        sl = (surv.join(base.select("id", "_kk"), "id")
+              .select("level", "id", "pos", "key",
+                      F.slice("_kk", F.col("pos") + F.lit(step),
+                              F.lit(step)).alias("_sl")))
+        capped_floor = None
+        if max_bucket is not None:
+            cap = W.partitionBy("key").orderBy("id", "pos")
+            sl = sl.withColumn("_bn", F.row_number().over(cap))
+            # beyond-cap members keep the 2^k floor instead of
+            # vanishing — the cap bounds only the EXTENSION work, so
+            # a capped answer is a lower bound never below 2^k
+            capped_floor = (sl.where(F.col("_bn") > int(max_bucket))
+                            .select("level", "id", "pos",
+                                    F.lit(step).alias("mlen")))
+            sl = sl.where(F.col("_bn") <= int(max_bucket)).drop("_bn")
+        w = W.partitionBy("key").orderBy("_sl", "id", "pos")
+        ext = F.greatest(
+            _lcp(F.col("_sl"), F.lag("_sl").over(w)),
+            _lcp(F.col("_sl"), F.lead("_sl").over(w)))
+        part = sl.select("level", "id", "pos",
+                         (F.lit(step) + ext).alias("mlen"))
+        if capped_floor is not None:
+            part = part.unionByName(capped_floor)
+        parts.append(part)
+    mlens = parts[0]
+    for p in parts[1:]:
+        mlens = mlens.unionByName(p)
+    # only each position's TOP level is its exact answer (lower levels
+    # under-extend: the true partner still shares the longer prefix)
+    return mlens.join(top, ["level", "id", "pos"]) \
+        .select("id", "pos", "mlen")
+
+
+def longest_dup_span(
+    df: DataFrame, text_col: str, id_col: str,
+    keys: str = "hash", max_bucket: int | None = None,
+) -> DataFrame:
+    """Per document: ``(id, n_tokens, max_dup_len, max_dup_pos)`` —
+    the exact token length of the longest substring occurring 2+
+    times corpus-wide, and the leftmost 1-based token position where
+    it starts (0/0 when the document shares no token at all).
+
+    See the module docstring for the plan; every per-level step is
+    one self-join + one count aggregate + one semi-join, and the
+    extension is one window per level over the surviving minority."""
+    base = _prepare(df, text_col, id_col, keys)
+    docs = base.select("id", F.size("_tk").alias("n_tokens"))
+    pm = position_match_lengths(base, keys=keys, max_bucket=max_bucket)
+    per_doc = (pm.groupBy("id")
+               .agg(F.max(F.struct(F.col("mlen"),
+                                   (-F.col("pos")).alias("_np")))
+                    .alias("_t"))
+               .select("id", F.col("_t.mlen").alias("max_dup_len"),
+                       (-F.col("_t._np")).alias("max_dup_pos")))
+    return (docs.join(per_doc, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.coalesce("max_dup_len", F.lit(0)).cast("bigint")
+                    .alias("max_dup_len"),
+                    F.coalesce("max_dup_pos", F.lit(0)).cast("bigint")
+                    .alias("max_dup_pos")))
+
+
+def remove_long_dup_spans(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 8,
+    keys: str = "hash", max_bucket: int | None = None,
+) -> DataFrame:
+    """Cut every token covered by a maximal duplicated span of at
+    least ``min_len`` tokens — the removal pass completing the Lee et
+    al. exact-substring pipeline at LONGEST-MATCH granularity (the
+    fixed-n twin is ``dedup.remove_duplicate_spans``; this variant
+    never cuts a merely-n-gram-sized repeat, only runs whose exact
+    duplicated length reaches ``min_len``).
+
+    Returns ``(id, n_tokens, n_removed, cleaned)`` with ``cleaned``
+    the space-joined kept tokens in order (empty string when the
+    whole document is duplicated boilerplate).
+
+    Scale: intervals ``[pos, pos+mlen)`` for qualifying positions are
+    union-merged per document with the q116/q147 gaps-and-islands
+    window (overlapping maximal runs collapse to islands — a
+    duplicated BLOCK contributes its length once, not length²), the
+    merged islands explode to covered positions (Σ island lengths ≤
+    n_tokens — linear), and kept tokens reassemble with one per-doc
+    aggregate."""
+    base = _prepare(df, text_col, id_col, keys)
+    pm = position_match_lengths(base, keys=keys, max_bucket=max_bucket,
+                                min_len=int(min_len))
+    ivs = (pm.where(F.col("mlen") >= int(min_len))
+           .select("id", F.col("pos").alias("s"),
+                   (F.col("pos") + F.col("mlen")).alias("e")))
+    w = W.partitionBy("id").orderBy("s", "e") \
+        .rowsBetween(W.unboundedPreceding, -1)
+    isl = (ivs.withColumn("_pmax", F.max("e").over(w))
+           .withColumn("_new", F.when(
+               F.col("_pmax").isNull()
+               | (F.col("s") > F.col("_pmax")), 1).otherwise(0))
+           .withColumn("_isl", F.sum("_new").over(
+               W.partitionBy("id").orderBy("s", "e")
+               .rowsBetween(W.unboundedPreceding, 0)))
+           .groupBy("id", "_isl")
+           .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    covered = isl.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("e") - 1))
+        .alias("pos"))
+    toks = (base.select("id", F.posexplode("_tk").alias("p0", "tok"))
+            .select("id", (F.col("p0") + 1).alias("pos"), "tok"))
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    docs = base.select("id", F.size("_tk").alias("n_tokens"))
+    out = (kept.groupBy("id")
+           .agg(F.count("*").alias("n_kept"),
+                F.concat_ws(" ", F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct("pos", "tok"))),
+                    lambda s_: s_["tok"])).alias("cleaned")))
+    return (docs.join(out, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    (F.col("n_tokens")
+                     - F.coalesce("n_kept", F.lit(0))).cast("bigint")
+                    .alias("n_removed"),
+                    F.coalesce("cleaned", F.lit("")).alias("cleaned")))

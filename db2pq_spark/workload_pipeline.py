@@ -3167,3 +3167,148 @@ def q148_unigram_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (unigram_train_soft(t(spark, sf_dir, "documents"), "text",
                                rounds=2, vocab_size=200)
             .select("piece", F.col("cnt").cast("bigint").alias("cnt")))
+
+
+_Q149_SQL = f"""
+    WITH tkf AS (
+      SELECT doc_id, ws, len(ws) AS n FROM (
+        SELECT doc_id, {_TOKENS} AS ws FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE len(ws) > 0 AND ws[1] <> ''
+    ),
+    spans AS (
+      SELECT doc_id, i.i AS pos, l.l AS L,
+             array_to_string(ws[i.i:i.i + l.l - 1], ' ') AS gram
+      FROM tkf,
+           LATERAL (SELECT unnest(generate_series(1, n)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(1, n - i.i + 1))
+                    AS l) l
+    ),
+    cnt AS (SELECT gram FROM spans GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (SELECT s.doc_id, s.pos, s.L
+            FROM spans s JOIN cnt USING (gram)),
+    best AS (SELECT doc_id, MAX(L) AS max_dup_len
+             FROM dup GROUP BY doc_id),
+    bpos AS (
+      SELECT d.doc_id, b.max_dup_len, MIN(d.pos) AS max_dup_pos
+      FROM dup d JOIN best b
+        ON b.doc_id = d.doc_id AND d.L = b.max_dup_len
+      GROUP BY d.doc_id, b.max_dup_len
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.max_dup_len, 0) AS BIGINT) AS max_dup_len,
+           CAST(COALESCE(p.max_dup_pos, 0) AS BIGINT) AS max_dup_pos
+    FROM tkf t LEFT JOIN bpos p USING (doc_id)
+"""
+
+
+@query("q149_longest_dup_span", oracle=_Q149_SQL)
+def q149_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact-substring dedup
+    (operators/suffixes.py:longest_dup_span, Lee et al.
+    arXiv:2107.06499 §4.1 — the EXACT longest-match signal beyond
+    q102's fixed-n span counts): per document, the exact token length
+    of its longest substring occurring 2+ times anywhere in the
+    corpus, plus the leftmost start position. Plan: prefix doubling
+    (2^k-span keys composed from level-k−1 halves; survivors shrink
+    geometrically; one self-join + one map-side-combined count per
+    level, never a suffix sort) then bucketed neighbor-LCP extension
+    (sort each top-level bucket by the next 2^k tokens; the
+    suffix-array LCP-adjacency property makes two neighbor
+    comparisons exact). The gate pins keys='exact' (composed keys ARE
+    the grams — collision-free) and the DuckDB oracle computes ground
+    truth INDEPENDENTLY by full substring enumeration — a different
+    algorithm agreeing on every value, not a replay. Production
+    keys='hash' composes xxhash64 and never builds a gram string.
+    [extension]"""
+    from db2pq_spark.operators.suffixes import longest_dup_span
+
+    return longest_dup_span(t(spark, sf_dir, "documents"), "text",
+                            "doc_id", keys="exact")
+
+
+_Q150_SQL = f"""
+    WITH tkf AS (
+      SELECT doc_id, ws, len(ws) AS n FROM (
+        SELECT doc_id, {_TOKENS} AS ws FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+      WHERE len(ws) > 0 AND ws[1] <> ''
+    ),
+    spans AS (
+      SELECT doc_id, i.i AS pos, l.l AS L,
+             array_to_string(ws[i.i:i.i + l.l - 1], ' ') AS gram
+      FROM tkf,
+           LATERAL (SELECT unnest(generate_series(1, n)) AS i) i,
+           LATERAL (SELECT unnest(generate_series(1, n - i.i + 1))
+                    AS l) l
+    ),
+    cnt AS (SELECT gram FROM spans GROUP BY gram HAVING COUNT(*) >= 2),
+    mlen AS (SELECT s.doc_id, s.pos, MAX(s.L) AS m
+             FROM spans s JOIN cnt USING (gram)
+             GROUP BY s.doc_id, s.pos),
+    ivs AS (SELECT doc_id, pos AS s, pos + m AS e
+            FROM mlen WHERE m >= 8),
+    isl AS (
+      SELECT doc_id, _isl, MIN(s) AS s, MAX(e) AS e FROM (
+        SELECT doc_id, s, e,
+               SUM(_new) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS _isl
+        FROM (
+          SELECT doc_id, s, e,
+                 CASE WHEN _pmax IS NULL OR s > _pmax
+                      THEN 1 ELSE 0 END AS _new
+          FROM (SELECT doc_id, s, e,
+                       MAX(e) OVER (PARTITION BY doc_id
+                                    ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS _pmax
+                FROM ivs)))
+      GROUP BY doc_id, _isl
+    ),
+    covered AS (
+      SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos
+      FROM isl
+    ),
+    toks AS (
+      SELECT doc_id, t.pos, ws[t.pos] AS tok
+      FROM tkf, LATERAL (SELECT unnest(generate_series(1, n))
+                         AS pos) t
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok
+      FROM toks tk ANTI JOIN covered c
+        ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned, '') AS cleaned
+    FROM tkf t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q150_longest_span_removal", oracle=_Q150_SQL)
+def q150_longest_span_removal(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Longest-match exact-substring REMOVAL
+    (operators/suffixes.py:remove_long_dup_spans — the cut pass
+    completing Lee et al. arXiv:2107.06499's pipeline at exact
+    longest-match granularity; q116 is the fixed-n twin): every token
+    covered by a maximal duplicated run of ≥ 8 tokens is cut,
+    overlapping runs union-merged first (gaps-and-islands per doc —
+    a duplicated BLOCK pays its length once, not length²), kept
+    tokens reassembled in order. The oracle recomputes per-position
+    exact match lengths by full substring enumeration (independent
+    ground truth, not a replay) and replays only the interval-union
+    semantics. Gate pins keys='exact'; production keys='hash' never
+    builds gram strings. [extension]"""
+    from db2pq_spark.operators.suffixes import remove_long_dup_spans
+
+    return remove_long_dup_spans(t(spark, sf_dir, "documents"),
+                                 "text", "doc_id", min_len=8,
+                                 keys="exact")

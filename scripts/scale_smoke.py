@@ -136,6 +136,13 @@ FAMILIES = [
     # likelihood-loss prune) — same distinct-word scale shape as
     # q143, roughly 2× the per-word kernel work (alpha AND beta)
     ("soft_tokenizer", ["q148_unigram_soft"]),
+    # round-12: suffix-doubling exact-substring dedup — production
+    # hash keys (the gate's exact string composition is an
+    # oracle-replay surcharge); duplicate structure grows linearly
+    # under the per-copy token suffixes, so survivor sets and the
+    # extension buckets grow with real content, not replication
+    ("suffix_dedup", ["q149_longest_dup_span",
+                      "q150_longest_span_removal"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 
@@ -294,6 +301,21 @@ def _overrides():
                             min_sim=0.75, max_len=160,
                             confirmed_only=True)
 
+    def q149(spark, sf_dir):
+        from db2pq_spark.operators.suffixes import longest_dup_span
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production: xxhash64-composed level keys (gram strings never
+        # built; the gate pins keys='exact' for its independent oracle)
+        return longest_dup_span(docs, "text", "doc_id", keys="hash")
+
+    def q150(spark, sf_dir):
+        from db2pq_spark.operators.suffixes import remove_long_dup_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_long_dup_spans(docs, "text", "doc_id",
+                                     min_len=8, keys="hash")
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
@@ -303,7 +325,9 @@ def _overrides():
             "q123_winnow_incremental": q123,
             "q125_dsir_sample": q125, "q126_embedding_moments": q126,
             "q131_edit_confirm": q131, "q132_char_entropy": q132,
-            "q147_gopher_repetition": q147}
+            "q147_gopher_repetition": q147,
+            "q149_longest_dup_span": q149,
+            "q150_longest_span_removal": q150}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:
