@@ -75,7 +75,7 @@ _EXTENSION = (
     "q146_wordpiece_segment", "q147_gopher_repetition",
     # round-12 additions
     "q148_unigram_soft", "q149_longest_dup_span",
-    "q150_longest_span_removal",
+    "q150_longest_span_removal", "q151_pq_adc_topk",
 )
 
 
@@ -294,6 +294,21 @@ def _q147_hash_keys(spark, sf_dir: str):
     return gopher_repetition(docs, "text", "doc_id", keys="hash")
 
 
+def _q151_pq_production(spark, sf_dir: str):
+    """Production IVF-PQ: arrow trainers/encoder, 8×16 codebooks,
+    8-cell coarse quantizer with 4-probe — the deployed ANN config
+    (the gate entry pins the tiny 2×4 exact-decimal configuration its
+    CTE-replay oracle can afford)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db2pq_spark.operators.pq import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_topk(emb, emb.where(F.col("vec_id") < 20),
+                       k_top=10, m=8, k_codes=16, n_clusters=8,
+                       n_probe=4, impl="arrow")
+
+
 def _q149_hash_keys(spark, sf_dir: str):
     """Production level keys: xxhash64 composition — gram strings
     never built (the gate pins keys='exact' against the independent
@@ -330,7 +345,8 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q132_char_entropy": _q132_entropy_arrow,
               "q147_gopher_repetition": _q147_hash_keys,
               "q149_longest_dup_span": _q149_hash_keys,
-              "q150_longest_span_removal": _q150_hash_keys}
+              "q150_longest_span_removal": _q150_hash_keys,
+              "q151_pq_adc_topk": _q151_pq_production}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -429,6 +445,13 @@ _CONFIGS = {
         "note": "production xxhash64-composed doubling keys; gate "
                 "entry pins keys='exact'",
     },
+    "q151_pq_adc_topk": {
+        "index": "ivf-pq", "m_k": "8x16", "coarse": "8 cells/4 probe",
+        "impl": "arrow",
+        "note": "production IVF-PQ (arrow trainers, BLAS encode); "
+                "gate entry pins the 2x4 exact-decimal config its "
+                "CTE-replay oracle affords",
+    },
     "q132_char_entropy": {
         "impl": "arrow",
         "note": "mapInPandas histogram kernel, bit-identical to the "
@@ -497,8 +520,8 @@ _FAMILIES = [
                                "q145_unigram_segment_increment",
                                "q144_unigram_segment"]),
     ("soft_tokenizer", ["q148_unigram_soft"]),
-    ("suffix_dedup", ["q149_longest_dup_span",
-                      "q150_longest_span_removal"]),
+    ("suffix_dedup", ["q151_pq_adc_topk", "q150_longest_span_removal",
+                      "q149_longest_dup_span"]),
     ("wordpiece", ["q147_gopher_repetition",
                    "q146_wordpiece_segment"]),
 ]

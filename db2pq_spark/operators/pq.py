@@ -1,0 +1,415 @@
+"""Product-quantization ANN (IVF-PQ building blocks).
+
+[extension — not in the reference] Product quantization (Jégou,
+Douze, Schmid 2011, *Product Quantization for Nearest Neighbor
+Search*, IEEE TPAMI 33(1)) — the capability step past the scalar
+quantizer (q110/q115) and the coarse-only IVF (q46): split each
+``dim``-vector into ``m`` subspaces of ``d = dim/m`` components, train
+a ``k``-centroid codebook per subspace (the already-gated
+deterministic Lloyd trainer, ``clustering.kmeans_fit``), encode every
+vector as ``m`` byte-ish codes, and answer queries with ADC
+(asymmetric distance computation): per query, ONE ``m × k`` lookup
+table of exact partial distances to every codebook centroid, then
+each encoded vector's distance is ``m`` table lookups — no float math
+per candidate, no decode.
+
+Scale shape:
+
+- **train**: ``m`` sequential ``kmeans_fit`` runs on in-row slices —
+  each is the q117-verified plan (narrow explode + broadcast
+  centroid join + bounded k×d driver fold per round);
+- **encode**: one posexplode of the corpus joined to the broadcast
+  ``m·k·d``-row codebook relation, exact-decimal argmin per
+  (id, subspace), one per-id fold to the code array — n×k×dim narrow
+  rows, the kmeans_assign shape; ``impl="arrow"`` runs the same
+  argmin as one NumPy distance tensor per Arrow batch (production;
+  not bit-replayable on boundary ties, same contract as
+  kmeans_fit's arrow mode);
+- **ADC top-k**: the query side is tiny (queries × m × k lookup
+  table, broadcast); candidates pay one code explode + one broadcast
+  join + one (query, id) decimal aggregate — never a per-candidate
+  float vector op;
+- **IVF-PQ**: the composition with the coarse quantizer — candidates
+  restricted to the query's ``n_probe`` nearest cells first, ADC
+  re-ranks only that minority. (Codes quantize RAW vectors, not
+  cell residuals — the IVFADC paper variant encodes residuals for
+  tighter cells; documented simplification, recall measured as-is.)
+
+Determinism (gate config ``impl="exact"``): every distance is an
+exact-decimal sum of squared double differences, argmins tie to the
+lower code/cluster, and the q151 oracle replays training
+CTE-per-round (the q117 pattern, once per subspace), encoding and the
+ADC table closed-form — codes and distances are hash-verified, not
+just plausible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.clustering import _DEC, kmeans_fit
+
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk",
+           "pq_subspace_sql", "pq_encode_sql", "pq_adc_sql"]
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")) \
+        .where(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError("no vectors to train on")
+    return int(row["d"])
+
+
+def pq_train(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    m: int = 4, k: int = 8, iterations: int = 2,
+    dim: int | None = None, impl: str = "exact",
+) -> list[list[list[float]]]:
+    """Train the ``m`` per-subspace codebooks: returns
+    ``codebooks[sub][code] = centroid`` (``dim/m`` floats each) — the
+    PQ model, ``m·k·d`` floats total (driver-bounded, broadcastable
+    by construction). Each subspace trains the deterministic
+    :func:`~db2pq_spark.operators.clustering.kmeans_fit` on the
+    in-row vector slice (lowest-id seeding, exact-decimal distances,
+    9-digit rounded means — the q117 contract)."""
+    dim = _dim_of(df, vec_col) if dim is None else int(dim)
+    if dim % int(m) != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if impl not in ("exact", "arrow"):
+        raise ValueError(f"unknown pq train impl {impl!r}")
+    d = dim // int(m)
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # lowest-id seeding, per subspace = the same k rows sliced — the
+    # exact kmeans_fit init each subspace would compute alone
+    init = base.orderBy("id").limit(int(k)).collect()
+    books = [[[float(x) for x in r["vec"][s * d:(s + 1) * d]]
+              for r in init] for s in range(int(m))]
+    # all m subspaces train JOINTLY: the per-subspace Lloyd rounds are
+    # independent, so one assignment pass (the pq_encode argmin — the
+    # identical per-(id, sub) decimal math kmeans_fit would run on
+    # each slice) and one (sub, code, subdim) mean aggregate update
+    # every codebook per round — iterations total rounds instead of
+    # m × iterations sequential ones, bit-identical centroids (the
+    # q151 oracle replays the per-subspace chains and agrees)
+    for _ in range(int(iterations)):
+        assigned = pq_encode(base, books, "vec", "id", impl=impl) \
+            .select("id", F.posexplode("codes").alias("sub", "code"))
+        vals = (base.select("id",
+                            F.posexplode("vec").alias("pos", "_x"))
+                .select("id",
+                        (F.col("pos") / d).cast("int").alias("sub"),
+                        (F.col("pos") % d).alias("subdim"),
+                        F.col("_x").cast("double").alias("_x")))
+        means = (assigned.join(vals, ["id", "sub"])
+                 .groupBy("sub", "code", "subdim")
+                 .agg(F.sum(F.col("_x").cast(_DEC)).alias("_s"),
+                      F.count("*").alias("_c"))
+                 .select("sub", "code", "subdim",
+                         F.round(F.col("_s").cast("double")
+                                 / F.col("_c"), 9).alias("_m"))
+                 .collect())  # bounded: m × k × d rows
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["sub"], r["code"]), {})[r["subdim"]] = \
+                float(r["_m"])
+        books = [[([got[(s, c)][i] for i in range(d)]
+                   if (s, c) in got else books[s][c])
+                  for c in range(int(k))] for s in range(int(m))]
+    return books
+
+
+def _codebook_df(spark, codebooks) -> DataFrame:
+    rows = [(s, c, sd, float(x))
+            for s, book in enumerate(codebooks)
+            for c, ctr in enumerate(book)
+            for sd, x in enumerate(ctr)]
+    return spark.createDataFrame(
+        rows, "sub int, code int, subdim int, c double")
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list[list[list[float]]],
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    impl: str = "exact",
+) -> DataFrame:
+    """(id, codes): each vector's ``m`` nearest-centroid codes, in
+    subspace order. ``impl="exact"`` is the engine-replayable
+    exact-decimal argmin; ``impl="arrow"`` computes all ``m`` argmins
+    in one NumPy distance tensor per Arrow batch (production)."""
+    if impl not in ("exact", "arrow"):
+        raise ValueError(f"unknown pq encode impl {impl!r}")
+    d = len(codebooks[0][0])
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        from db2pq_spark.functions.arrow import series_pandas_udf
+
+        cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, d)
+        mm = cb.shape[0]
+
+        def kern(vecs):
+            out = []
+            for v in vecs:
+                x = np.asarray(v, dtype=np.float64).reshape(mm, 1, d)
+                d2 = ((x - cb) ** 2).sum(axis=2)        # (m, k)
+                out.append(d2.argmin(axis=1).astype("int32"))
+            return pd.Series(out)
+
+        enc = series_pandas_udf(kern, "array<int>")
+        return base.select("id", enc(F.col("vec")).alias("codes"))
+    cdf = _codebook_df(df.sparkSession, codebooks)
+    terms = (base.select("id", F.posexplode("vec").alias("pos", "_x"))
+             .select("id", (F.col("pos") / d).cast("int").alias("sub"),
+                     (F.col("pos") % d).alias("subdim"),
+                     F.col("_x").cast("double").alias("_x"))
+             .join(F.broadcast(cdf), ["sub", "subdim"])
+             .select("id", "sub", "code",
+                     ((F.col("_x") - F.col("c"))
+                      * (F.col("_x") - F.col("c"))).cast(_DEC)
+                     .alias("_t")))
+    d2 = terms.groupBy("id", "sub", "code").agg(F.sum("_t").alias("_d2"))
+    best = (d2.groupBy("id", "sub")
+            .agg(F.min(F.struct("_d2", "code")).alias("_m"))
+            .select("id", "sub", F.col("_m.code").alias("code")))
+    return (best.groupBy("id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"]).alias("codes")))
+
+
+def pq_adc_topk(
+    encoded: DataFrame, queries: DataFrame,
+    codebooks: list[list[list[float]]], k_top: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: ``(query_id, vec_id, adc_d2, rank)`` — the ``k_top``
+    encoded vectors with the smallest table-lookup distance per query
+    (ties to the lower id; self-matches excluded). ``encoded`` is a
+    :func:`pq_encode` relation; queries stay raw vectors (asymmetric:
+    only the CORPUS is quantized)."""
+    spark = queries.sparkSession
+    d = len(codebooks[0][0])
+    cdf = _codebook_df(spark, codebooks)
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    lut = (q.select("query_id", F.posexplode("qvec").alias("pos", "_x"))
+           .select("query_id",
+                   (F.col("pos") / d).cast("int").alias("sub"),
+                   (F.col("pos") % d).alias("subdim"),
+                   F.col("_x").cast("double").alias("_x"))
+           .join(F.broadcast(cdf), ["sub", "subdim"])
+           .groupBy("query_id", "sub", "code")
+           .agg(F.sum(((F.col("_x") - F.col("c"))
+                       * (F.col("_x") - F.col("c"))).cast(_DEC))
+                .alias("partial")))
+    cand = (encoded.select(F.col("id").alias("vec_id"),
+                           F.posexplode("codes").alias("sub", "code"))
+            .join(F.broadcast(lut), ["sub", "code"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("partial").alias("_d2")))
+    w = W.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k_top))
+            .select("query_id", "vec_id",
+                    F.col("_d2").cast("double").alias("adc_d2"),
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def ivf_pq_topk(
+    corpus: DataFrame, queries: DataFrame, k_top: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    m: int = 4, k_codes: int = 8, n_clusters: int = 16,
+    n_probe: int = 4, iterations: int = 2, impl: str = "arrow",
+) -> DataFrame:
+    """The standard IVF-PQ index as one composition: the
+    deterministic coarse quantizer (:func:`kmeans_fit`) buckets the
+    corpus into inverted lists, each query probes its ``n_probe``
+    nearest cells, and ADC over PQ codes re-ranks ONLY that minority
+    — the q46 IVF shape with the per-candidate exact re-rank replaced
+    by table lookups. Returns ``(query_id, vec_id, adc_d2, rank)``."""
+    assigned, centroids = kmeans_fit(corpus, vec_col, id_col,
+                                     k=int(n_clusters),
+                                     iterations=int(iterations),
+                                     impl=impl)
+    books = pq_train(corpus, vec_col, id_col, m=m, k=k_codes,
+                     iterations=iterations, impl=impl)
+    codes = pq_encode(corpus, books, vec_col, id_col, impl=impl)
+    enc = assigned.select(F.col("id"), "cluster") \
+        .join(codes, "id")
+    cdf = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>")
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qc = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "cluster",
+        F.aggregate(
+            F.zip_with("qvec", "centroid",
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x).alias("dist2"))
+    wq = W.partitionBy("query_id").orderBy(F.asc("dist2"),
+                                           F.asc("cluster"))
+    probes = (qc.withColumn("p", F.row_number().over(wq))
+              .where(F.col("p") <= int(n_probe))
+              .select("query_id", "cluster"))
+    cells = enc.join(F.broadcast(probes), "cluster") \
+        .select("id", "codes", "query_id")
+    # ADC restricted to probed cells: reuse the lookup-table join but
+    # key it per (query, candidate) pair from the cell restriction
+    spark = corpus.sparkSession
+    d = len(books[0][0])
+    cbdf = _codebook_df(spark, books)
+    lut = (q.select("query_id", F.posexplode("qvec").alias("pos", "_x"))
+           .select("query_id",
+                   (F.col("pos") / d).cast("int").alias("sub"),
+                   (F.col("pos") % d).alias("subdim"),
+                   F.col("_x").cast("double").alias("_x"))
+           .join(F.broadcast(cbdf), ["sub", "subdim"])
+           .groupBy("query_id", "sub", "code")
+           .agg(F.sum(((F.col("_x") - F.col("c"))
+                       * (F.col("_x") - F.col("c"))).cast(_DEC))
+                .alias("partial")))
+    cand = (cells.select("query_id", F.col("id").alias("vec_id"),
+                         F.posexplode("codes").alias("sub", "code"))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(lut), ["query_id", "sub", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("partial").alias("_d2")))
+    w = W.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k_top))
+            .select("query_id", "vec_id",
+                    F.col("_d2").cast("double").alias("adc_d2"),
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+# ---------------------------------------------------------------- SQL
+# DuckDB oracle generators — replay per-subspace training
+# CTE-per-round (the q117 pattern on vector slices), encoding and the
+# ADC table closed-form.
+
+def pq_subspace_sql(tag: str, base: str, lo: int, d: int, k: int,
+                    iterations: int, round_scale: int = 9) -> str:
+    """CTE chain ending in ``{tag}_cb(code, subdim, c)``: train one
+    subspace codebook on ``{base}(id, vec)`` slice components
+    ``vec[lo+1 .. lo+d]`` — lowest-id seeding, exact-decimal
+    distances, ROUND(…, {round_scale}) means, empty clusters keep the
+    previous centroid (the q117 replay, parameterized)."""
+    ctes = [f"""
+    {tag}_c0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS code,
+             vec[{lo + 1}:{lo + d}] AS centroid
+      FROM (SELECT id, vec FROM {base} ORDER BY id LIMIT {k})
+    )"""]
+    for r in range(1, iterations + 1):
+        prev = f"{tag}_c{r - 1}"
+        ctes.append(f"""
+    {tag}_d{r} AS MATERIALIZED (
+      SELECT b.id, c.code,
+             SUM(CAST((b.vec[{lo} + i] - c.centroid[i])
+                      * (b.vec[{lo} + i] - c.centroid[i])
+                      AS DECIMAL(28,10))) AS d2
+      FROM {base} b, {prev} c,
+           unnest(generate_series(1, {d})) AS t(i)
+      GROUP BY b.id, c.code
+    ),
+    {tag}_a{r} AS MATERIALIZED (
+      SELECT id, code FROM (
+        SELECT id, code,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d2, code) AS rn
+        FROM {tag}_d{r}) WHERE rn = 1
+    ),
+    {tag}_m{r} AS MATERIALIZED (
+      SELECT a.code, i AS subdim,
+             ROUND(CAST(SUM(CAST(b.vec[{lo} + i] AS DECIMAL(28,10)))
+                        AS DOUBLE) / COUNT(*), {round_scale}) AS m
+      FROM {tag}_a{r} a JOIN {base} b USING (id),
+           unnest(generate_series(1, {d})) AS t(i)
+      GROUP BY a.code, i
+    ),
+    {tag}_c{r} AS MATERIALIZED (
+      SELECT p.code, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM {prev} p LEFT JOIN (
+        SELECT code, array_agg(m ORDER BY subdim) AS centroid
+        FROM {tag}_m{r} GROUP BY code) n USING (code)
+    )""")
+    ctes.append(f"""
+    {tag}_cb AS MATERIALIZED (
+      SELECT code, i - 1 AS subdim, centroid[i] AS c
+      FROM {tag}_c{iterations},
+           unnest(generate_series(1, {d})) AS t(i)
+    )""")
+    return ",".join(ctes)
+
+
+def pq_encode_sql(tag: str, base: str, sub_tags: list[str],
+                  d: int) -> str:
+    """CTE ``{tag}_codes(id, sub, code)``: exact-decimal argmin of
+    each vector slice against each subspace's ``{sub_tag}_cb``."""
+    parts = []
+    for s, st in enumerate(sub_tags):
+        lo = s * d
+        parts.append(f"""
+        SELECT id, {s} AS sub, code FROM (
+          SELECT b.id, cb.code,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY b.id
+                   ORDER BY SUM(CAST(
+                     (b.vec[{lo} + cb.subdim + 1] - cb.c)
+                     * (b.vec[{lo} + cb.subdim + 1] - cb.c)
+                     AS DECIMAL(28,10))), cb.code
+                 ) AS rn
+          FROM {base} b, {st}_cb cb
+          GROUP BY b.id, cb.code
+        ) WHERE rn = 1""")
+    body = "\n        UNION ALL ".join(parts)
+    return f"""
+    {tag}_codes AS MATERIALIZED (
+        {body}
+    )"""
+
+
+def pq_adc_sql(tag: str, base: str, codes: str, queries: str,
+               sub_tags: list[str], d: int, k_top: int) -> str:
+    """CTEs ``{tag}_lut, {tag}_topk``: the per-query ADC lookup table
+    and the (adc_d2, vec_id)-ranked top-``k_top`` per query."""
+    luts = []
+    for s, st in enumerate(sub_tags):
+        lo = s * d
+        luts.append(f"""
+        SELECT q.id AS query_id, {s} AS sub, cb.code,
+               SUM(CAST((q.vec[{lo} + cb.subdim + 1] - cb.c)
+                        * (q.vec[{lo} + cb.subdim + 1] - cb.c)
+                        AS DECIMAL(28,10))) AS partial
+        FROM {queries} q, {st}_cb cb
+        GROUP BY q.id, cb.code""")
+    lut_body = "\n        UNION ALL ".join(luts)
+    return f"""
+    {tag}_lut AS MATERIALIZED (
+        {lut_body}
+    ),
+    {tag}_topk AS MATERIALIZED (
+      SELECT query_id, vec_id, CAST(d2 AS DOUBLE) AS adc_d2,
+             CAST(rn AS BIGINT) AS rank
+      FROM (
+        SELECT s.query_id, s.vec_id, s.d2,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.d2, s.vec_id) AS rn
+        FROM (
+          SELECT l.query_id, c.id AS vec_id, SUM(l.partial) AS d2
+          FROM {codes} c JOIN {tag}_lut l
+            ON l.sub = c.sub AND l.code = c.code
+          WHERE c.id <> l.query_id
+          GROUP BY l.query_id, c.id
+        ) s
+      ) WHERE rn <= {k_top}
+    )"""

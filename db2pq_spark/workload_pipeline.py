@@ -3312,3 +3312,57 @@ def q150_longest_span_removal(spark: SparkSession,
     return remove_long_dup_spans(t(spark, sf_dir, "documents"),
                                  "text", "doc_id", min_len=8,
                                  keys="exact")
+
+
+def _q151_oracle() -> str:
+    from db2pq_spark.operators.pq import (
+        pq_adc_sql, pq_encode_sql, pq_subspace_sql)
+
+    d = 32  # dim 64 / m 2
+    subs = [pq_subspace_sql(f"s{i}", "base", i * d, d, k=4,
+                            iterations=1) for i in range(2)]
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    qs AS (SELECT id, vec FROM base WHERE id < 3),
+    {",".join(subs)},
+    {pq_encode_sql('enc', 'base', ['s0', 's1'], d)},
+    {pq_adc_sql('adc', 'base', 'enc_codes', 'qs', ['s0', 's1'], d,
+                k_top=10)}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, adc_d2, rank
+    FROM adc_topk
+    """
+
+
+@query("q151_pq_adc_topk", oracle=_q151_oracle())
+def q151_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py — Jégou et al. 2011
+    IEEE TPAMI 33(1), the capability step past q110/q115's scalar
+    quantizer and q46's coarse-only IVF): per-subspace codebooks from
+    the q117-verified deterministic Lloyd trainer, corpus encoded to
+    m nearest-centroid codes, queries answered by ADC — one m×k
+    exact-decimal lookup table per query, each candidate scored by m
+    table lookups, never a per-candidate vector op. The oracle
+    replays training CTE-per-round per subspace (the q117 pattern on
+    vector slices), the encoding argmins and the ADC table
+    closed-form — codes and distances hash-verified. Scale: the
+    codebook relation is m·k·d rows (broadcast), encode is the
+    kmeans_assign narrow shape, the query side stays tiny, and
+    ivf_pq_topk composes the coarse quantizer in front so ADC touches
+    only probed cells. [extension]"""
+    from db2pq_spark.operators.pq import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", "vec_id", m=2, k=4,
+                     iterations=1, dim=64)
+    codes = pq_encode(emb, books, "embedding", "vec_id")
+    return pq_adc_topk(codes, emb.where(F.col("vec_id") < 3), books,
+                       k_top=10, vec_col="embedding",
+                       id_col="vec_id") \
+        .select(F.col("query_id").cast("bigint").alias("query_id"),
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                "adc_d2", "rank")

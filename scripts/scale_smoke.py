@@ -143,6 +143,9 @@ FAMILIES = [
     # extension buckets grow with real content, not replication
     ("suffix_dedup", ["q149_longest_dup_span",
                       "q150_longest_span_removal"]),
+    # round-12: production IVF-PQ (arrow trainers, 8x16 codebooks,
+    # 4-probe) — embedding cardinality grows with the replicas
+    ("ivf_pq", ["q151_pq_adc_topk"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 
@@ -316,6 +319,17 @@ def _overrides():
         return remove_long_dup_spans(docs, "text", "doc_id",
                                      min_len=8, keys="hash")
 
+    def q151(spark, sf_dir):
+        from db2pq_spark.operators.pq import ivf_pq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # production IVF-PQ: arrow trainers/encoder, 8x16 codebooks,
+        # 8-cell coarse quantizer, 4-probe (the gate pins the 2x4
+        # exact-decimal config its CTE-replay oracle affords)
+        return ivf_pq_topk(emb, emb.where(F.col("vec_id") < 20),
+                           k_top=10, m=8, k_codes=16, n_clusters=8,
+                           n_probe=4, impl="arrow")
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
@@ -327,7 +341,8 @@ def _overrides():
             "q131_edit_confirm": q131, "q132_char_entropy": q132,
             "q147_gopher_repetition": q147,
             "q149_longest_dup_span": q149,
-            "q150_longest_span_removal": q150}
+            "q150_longest_span_removal": q150,
+            "q151_pq_adc_topk": q151}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:
