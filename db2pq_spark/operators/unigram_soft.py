@@ -221,8 +221,9 @@ def prune_vocab(vocab: DataFrame, vocab_size: int,
 
     Scale: the alt Viterbi's word relation is the multi-char
     vocabulary itself — zipf-bounded, NOT the corpus — and the
-    ranking window runs over that same bounded relation (a global
-    window over ≤ |vocab| rows, the q140-style bounded sort)."""
+    ranking is a sorted LIMIT (``TakeOrderedAndProject``: per-task
+    top-k folds, never a single-partition window sort); the keep
+    budget needs |chars|, an alphabet-bounded driver count."""
     chars = vocab.where(F.length("piece") == 1)
     multi = vocab.where(F.length("piece") > 1)
     alt = (_viterbi_words(
@@ -232,21 +233,15 @@ def prune_vocab(vocab: DataFrame, vocab_size: int,
         floor=_floor_bits_micro(vocab), exclude_full=True)
         .select(F.col("word").alias("piece"),
                 F.col("score_bits").alias("alt_bits")))
-    n_chars = chars.agg(F.count("*").alias("n_chars"))
+    n_chars = chars.count()  # alphabet-bounded driver action
+    keep_k = max(int(vocab_size) - n_chars, 0)
     loss = (multi.join(alt, "piece").join(_scores(vocab), "piece")
             .select("piece", "cnt",
                     (F.col("cnt").cast("decimal(38,0)")
                      * (F.col("alt_bits") - F.col("s_bits"))
                      .cast("decimal(18,0)")).alias("loss")))
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.col("loss").desc(), F.col("piece").asc())
-    kept = (loss.withColumn("rn", F.row_number().over(w))
-            .crossJoin(F.broadcast(n_chars))
-            .where(F.col("rn")
-                   <= F.greatest(F.lit(int(vocab_size))
-                                 - F.col("n_chars"), F.lit(0)))
-            .select("piece", "cnt"))
+    kept = (loss.orderBy(F.col("loss").desc(), F.col("piece").asc())
+            .limit(keep_k).select("piece", "cnt"))
     return chars.select("piece", "cnt").unionByName(kept)
 
 

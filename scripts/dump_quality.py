@@ -62,6 +62,22 @@ def main() -> None:
             .select("vec_id", "qvec", "qscale")
         return quantized_cosine_topk(corpus_q, queries, k=K)
 
+    def _pq(emb, queries):
+        from db2pq_spark.operators.pq import (
+            pq_adc_topk, pq_encode, pq_train)
+
+        books = pq_train(emb, m=8, k=16, iterations=2, impl="arrow")
+        codes = pq_encode(emb, books, impl="arrow")
+        return pq_adc_topk(codes, queries, books, k_top=K) \
+            .withColumnRenamed("vec_id", "neighbor_id")
+
+    def _ivf_pq(emb, queries):
+        from db2pq_spark.operators.pq import ivf_pq_topk
+
+        return ivf_pq_topk(emb, queries, k_top=K, m=8, k_codes=16,
+                           n_clusters=16, n_probe=4, impl="arrow") \
+            .withColumnRenamed("vec_id", "neighbor_id")
+
     results = []
 
     exact = topk_sets(cosine_topk(emb, queries, k=K))  # warm
@@ -87,6 +103,11 @@ def main() -> None:
          lambda: lsh_bucket_topk(emb, queries, k=K)),
         ("quantized_cosine_topk (int8 storage, exact scoring)",
          lambda: _quantized(emb, queries)),
+        ("pq_adc_topk (8x16 codebooks, ADC table lookups)",
+         lambda: _pq(emb, queries)),
+        ("ivf_pq_topk (8x16 PQ behind 16-cell/4-probe coarse "
+         "quantizer)",
+         lambda: _ivf_pq(emb, queries)),
     ]:
         # warm once (codegen + any per-call training), then report the
         # best of 2 steady runs — the cold first execution otherwise

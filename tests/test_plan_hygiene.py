@@ -82,6 +82,28 @@ class TestJoinStrategy:
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
 
+    def test_q151_adc_candidate_side_broadcasts_lut(self, spark,
+                                                    sf_correct_dir):
+        # PQ ADC (round 12): the query-side lookup table and the
+        # codebook relation must BROADCAST to the encoded corpus —
+        # the candidate side never sort-merges, and nothing is a
+        # cartesian product
+        plan = plan_of(spark, sf_correct_dir, "q151_pq_adc_topk",
+                       execute=True)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q149_doubling_never_goes_cartesian(self, spark,
+                                                sf_correct_dir):
+        # suffix doubling (round 12): every per-level step is a keyed
+        # join (key semi-filter, (id,pos) self-join) — never a
+        # cartesian product; the only sorts are the per-bucket
+        # extension windows
+        plan = plan_of(spark, sf_correct_dir, "q149_longest_dup_span",
+                       execute=True)
+        assert "CartesianProduct" not in plan
+
 
 class TestCodegen:
     def test_q01_is_whole_stage_codegen(self, spark, sf_correct_dir):
