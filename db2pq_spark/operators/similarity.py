@@ -91,6 +91,52 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` most-similar corpus vectors carrying a DIFFERENT label — the
+    "looks like a positive but isn't" set dense-retriever training
+    pipelines mine (DPR, Karpukhin et al. 2020 §3.2; the same-label
+    vectors are the positives and must be excluded, not just the query
+    itself).
+
+    Plan shape is :func:`cosine_topk`'s: the tiny query set (vectors +
+    labels) broadcasts into a nested-loop join against the corpus with
+    the label-mismatch predicate applied AT the join (so excluded
+    candidates never reach scoring), then one query-keyed window rank.
+    The corpus never shuffles for the join. [extension — the reference
+    has no similarity surface; driver charter]"""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"),
+                       F.col(label_col).alias("_qlab"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"),
+                      F.col(label_col).alias("_clab"))
+    scored = (
+        c.join(F.broadcast(q),
+               (F.col("query_id") != F.col("neighbor_id"))
+               & ~F.col("_qlab").eqNullSafe(F.col("_clab")))
+        .select("query_id", "neighbor_id",
+                F.col("_clab").alias("neg_label"),
+                cosine(F.col("qvec"), F.col("cvec")).alias("cos_raw"))
+    )
+    cos = (F.round("cos_raw", round_digits) if round_digits is not None
+           else F.col("cos_raw"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    return (scored.select("query_id", "neighbor_id", "neg_label",
+                          cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
 #: (num_planes, dim, seed) -> list of ±1.0 plane vectors; planes are
 #: tiny (planes × dim floats) and deterministic, so a process-lifetime
 #: cache is safe.

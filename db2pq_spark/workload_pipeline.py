@@ -3366,3 +3366,47 @@ def q151_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("query_id").cast("bigint").alias("query_id"),
                 F.col("vec_id").cast("bigint").alias("vec_id"),
                 "adc_d2", "rank")
+
+
+_Q152_SQL = """
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neg_label,
+             ROUND(
+               list_dot_product(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[])
+               / (SQRT(list_dot_product(q.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]))
+                  * SQRT(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))),
+               4) AS cos
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id AND c.label IS DISTINCT FROM q.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, cos, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@query("q152_hard_negatives", oracle=_Q152_SQL)
+def q152_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives) —
+    DPR-style contrastive-training negatives (Karpukhin et al. 2020
+    §3.2): per query, the top-5 most-cosine-similar vectors whose
+    label DIFFERS from the query's (same-label vectors are positives
+    and are excluded at the join, before scoring). Same broadcast
+    nested-loop + query-keyed rank shape as q33; the oracle replays
+    the scoring and exclusion brute-force. [extension]"""
+    from db2pq_spark.operators.similarity import hard_negatives
+
+    emb = t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)

@@ -2152,3 +2152,36 @@ class TestKnScoreIncrement:
             train, stats, "text", "doc_id",
             broadcast_stats=True).collect()}
         assert a == b
+
+
+class TestHardNegatives:
+    def test_same_label_excluded_and_ranked(self, spark):
+        from db2pq_spark.operators.similarity import hard_negatives
+
+        rows = [
+            (1, [1.0, 0.0, 0.0], 7),
+            (2, [1.0, 0.001, 0.0], 7),   # near-identical but SAME label
+            (3, [1.0, 0.1, 0.0], 8),     # closest different-label
+            (4, [0.0, 1.0, 0.0], 8),     # orthogonal, different label
+            (5, [-1.0, 0.0, 0.0], 9),    # opposite, different label
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = hard_negatives(df, df.filter("vec_id = 1"), k=3)
+        got = [(r["neighbor_id"], r["neg_label"], r["rank"])
+               for r in out.orderBy("rank").collect()]
+        # 2 shares label 7 with the query -> excluded despite cos ~ 1
+        assert [g[0] for g in got] == [3, 4, 5]
+        assert [g[1] for g in got] == [8, 8, 9]
+
+    def test_null_label_never_matches_itself(self, spark):
+        from db2pq_spark.operators.similarity import hard_negatives
+
+        rows = [(1, [1.0, 0.0], None), (2, [1.0, 0.01], None),
+                (3, [0.9, 0.1], 5)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = hard_negatives(df, df.filter("vec_id = 1"), k=5)
+        # NULL label vs NULL label is "same" under null-safe equality:
+        # vec 2 is a positive (unknown-but-matching), only 3 survives
+        assert [r["neighbor_id"] for r in out.collect()] == [3]
