@@ -3410,3 +3410,87 @@ def q152_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _q153_oracle() -> str:
+    from db2pq_spark.operators.logreg import logreg_sql
+    from db2pq_spark.operators.sampling import hash_bucket_sql
+
+    body = logreg_sql("documents", _TOKENS, "doc_id",
+                      "(source = 'src0')",
+                      hash_bucket_sql("tok", 64, salt="lr"),
+                      n_buckets=64, epochs=3, lr_micro=500_000)
+    return f"""
+    WITH {body}
+    SELECT id, n_feats, margin_units, prob6, predicted FROM scored
+    """
+
+
+@query("q153_logreg_quality", oracle=_q153_oracle())
+def q153_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-trained quality classifier
+    (operators/logreg.py — the fastText-style supervised filter of the
+    GPT-3 appendix-A / FineWeb-Edu lineage, and the iterative sibling
+    of q124's closed-form Naive Bayes): hashed bag-of-words features,
+    3 epochs of full-batch logistic-loss gradient descent with
+    micro-unit integer weights, then every document scored under the
+    final weights. Margins are exact int64 sums; residuals round to
+    micro-units BEFORE aggregation so no float reduction order can
+    diverge; weight updates are pure integer floor-divisions replayed
+    by the oracle (engines agree wherever their exp doubles agree —
+    the established log2/exp stance). Per epoch: one broadcast-weight
+    margin pass + one id-keyed gradient join; the only driver
+    materialization is the 65-row gradient vector (the k-means-class
+    bounded fold). Gate pins md5 feature buckets; production uses
+    xxhash64 at 2^12+ buckets. [extension]"""
+    from db2pq_spark.operators.logreg import (
+        logreg_score, logreg_train, logreg_weights_df)
+
+    docs = t(spark, sf_dir, "documents")
+    w = logreg_train(docs, "text", "doc_id",
+                     F.col("source") == "src0",
+                     n_buckets=64, epochs=3, lr_micro=500_000)
+    return logreg_score(docs, logreg_weights_df(spark, w),
+                        "text", "doc_id", n_buckets=64)
+
+
+def _q154_oracle() -> str:
+    from db2pq_spark.operators.logreg import logreg_sql
+    from db2pq_spark.operators.sampling import hash_bucket_sql
+
+    body = logreg_sql(
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 0)",
+        _TOKENS, "doc_id", "(source = 'src0')",
+        hash_bucket_sql("tok", 64, salt="lr"),
+        n_buckets=64, epochs=3, lr_micro=500_000,
+        score_docs="(SELECT * FROM documents WHERE doc_id % 7 = 0)")
+    return f"""
+    WITH {body}
+    SELECT id, n_feats, margin_units, prob6, predicted FROM scored
+    """
+
+
+@query("q154_logreg_score_increment", oracle=_q154_oracle())
+def q154_logreg_score_increment(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Train-once / score-increments deployment of q153
+    (operators/logreg.py:logreg_weights_df + logreg_score — the same
+    discipline as the persisted MinHash signatures, KN stats, and
+    unigram vocabulary): weights fit on the standing corpus
+    (doc_id % 7 != 0) persist as a 65-row stamped relation; a new
+    batch (doc_id % 7 == 0) is scored with one explode, one forced
+    broadcast of the weight relation, one doc-keyed re-aggregate —
+    the standing corpus is never touched. The _lr_b stamp is
+    validated null-safely in-row inside the join (weights from a
+    different hash space raise, costing no extra job). Hashed
+    features cannot be OOV, so the join stays inner. [extension]"""
+    from db2pq_spark.operators.logreg import (
+        logreg_score, logreg_train, logreg_weights_df)
+
+    docs = t(spark, sf_dir, "documents")
+    w = logreg_train(docs.where(F.col("doc_id") % 7 != 0),
+                     "text", "doc_id", F.col("source") == "src0",
+                     n_buckets=64, epochs=3, lr_micro=500_000)
+    return logreg_score(docs.where(F.col("doc_id") % 7 == 0),
+                        logreg_weights_df(spark, w),
+                        "text", "doc_id", n_buckets=64)

@@ -1,0 +1,84 @@
+"""Gradient-descent logistic regression (operators/logreg.py)."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from db2pq_spark.operators.logreg import (
+    logreg_features, logreg_score, logreg_train, logreg_weights_df)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "good fine excellent good", 1),
+        (2, "good nice excellent fine", 1),
+        (3, "fine good good nice", 1),
+        (4, "bad awful terrible bad", 0),
+        (5, "awful bad terrible junk", 0),
+        (6, "junk terrible awful bad", 0),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, y int")
+
+
+class TestLogregTrain:
+    def test_separable_corpus_is_classified(self, spark):
+        df = _corpus(spark)
+        w = logreg_train(df, "text", "id", F.col("y") == 1,
+                         n_buckets=32, epochs=5)
+        out = logreg_score(df, logreg_weights_df(spark, w), "text",
+                           "id", n_buckets=32)
+        got = {r["id"]: r["predicted"] for r in out.collect()}
+        assert got == {1: True, 2: True, 3: True,
+                       4: False, 5: False, 6: False}
+
+    def test_zero_epochs_returns_zero_weights(self, spark):
+        w = logreg_train(_corpus(spark), "text", "id",
+                         F.col("y") == 1, n_buckets=16, epochs=0)
+        assert w == [0] * 17
+
+    def test_empty_corpus_raises(self, spark):
+        empty = _corpus(spark).where(F.lit(False))
+        with pytest.raises(ValueError, match="empty corpus"):
+            logreg_train(empty, "text", "id", F.col("y") == 1)
+
+    def test_bias_row_present_for_every_doc(self, spark):
+        x = logreg_features(_corpus(spark), "text", "id",
+                            F.col("y") == 1, n_buckets=8)
+        bias = x.where(F.col("feat") == 8)
+        assert bias.count() == 6
+        assert bias.agg(F.sum("cnt")).collect()[0][0] == 6
+
+
+class TestLogregScore:
+    def test_stamp_mismatch_raises(self, spark):
+        df = _corpus(spark)
+        w = logreg_train(df, "text", "id", F.col("y") == 1,
+                         n_buckets=16, epochs=1)
+        wdf = logreg_weights_df(spark, w)  # stamped _lr_b = 16
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception) as ei:
+            logreg_score(df, wdf, "text", "id", n_buckets=32).collect()
+        assert "n_buckets" in str(ei.value)
+
+    def test_null_stamp_refused(self, spark):
+        df = _corpus(spark)
+        wdf = spark.createDataFrame(
+            [(f, 0, None) for f in range(17)],
+            "feat bigint, wu bigint, _lr_b bigint")
+        with pytest.raises(Exception) as ei:
+            logreg_score(df, wdf, "text", "id", n_buckets=16).collect()
+        assert "n_buckets" in str(ei.value)
+
+    def test_score_matches_train_corpus_margins(self, spark):
+        # scoring the training corpus under its own weights reproduces
+        # the final-epoch margin relation the trainer would compute
+        df = _corpus(spark)
+        w = logreg_train(df, "text", "id", F.col("y") == 1,
+                         n_buckets=32, epochs=2)
+        out = logreg_score(df, logreg_weights_df(spark, w), "text",
+                           "id", n_buckets=32).collect()
+        for r in out:
+            assert (r["margin_units"] > 0) == r["predicted"]
+            assert 0.0 <= r["prob6"] <= 1.0
