@@ -1,0 +1,116 @@
+"""Distributed PageRank — integer-deterministic power iteration.
+
+Web-crawl curation weights sources by link centrality (Common Crawl
+publishes harmonic-centrality and PageRank rankings of its hosts and
+uses them for seed prioritization; Fortunato & Flammini 2007 for the
+estimator family). This module is the repo's general graph-centrality
+operator: the classic damped power iteration, expressed relationally so
+every step is one edge-relation join plus one destination-keyed
+aggregate — the same distributed-iteration discipline as the hash-min
+connected-components operator (:mod:`.components`), with a fixed
+iteration count for a bounded, replayable plan.
+
+Reference repo has no graph surface (ETL/sync only,
+``/root/reference/README.md:1-17``); [extension] per the driver
+charter.
+
+Cross-engine determinism: ranks are int64 MICRO-UNITS of the uniform
+start mass (``r₀ = 10⁶`` per node — PageRank scaled by N·10⁶). All
+rank quantities are non-negative, so every division is a plain integer
+floor division (Spark ``div``, DuckDB ``//`` — identical on
+non-negatives), and every sum is an exact int64 aggregate: no float
+enters the recurrence, so engines replay each other bit-for-bit with
+no rounding escape hatch needed. Floor losses leak ≤1 unit of mass per
+edge per iteration — deterministic, and irrelevant to the ranking use.
+
+The recurrence (damping d = num/den, default 17/20 = 0.85):
+
+    r'(v) = (10⁶ − (10⁶·num) div den)
+          + (num · (Σ_{u→v} r(u) div outdeg(u) + dangling div N)) div den
+
+with the dangling mass (nodes with no out-edges) redistributed
+uniformly, as in the classic formulation.
+
+Scale shape per iteration: one (rank ⋈ edges) join keyed on the source
+node, one destination-keyed partial+final SUM, one 1-row dangling
+aggregate broadcast back. The edge relation is the corpus-sized input;
+ranks are node-sized. Nothing node- or edge-sized is ever collected —
+the node count rides as a 1-row broadcast relation. The rank relation
+is ``localCheckpoint``-ed per step (the :mod:`.components` iteration
+discipline — each rank state is referenced three times by the next
+step, so an unchecked lineage re-derives the whole prefix 3^k times),
+and the edge/degree relations once up front. Skewed in-degree (a hub
+page) is an AQE skew-join case, not an operator redesign:
+contributions are partially aggregated map-side before the hub's
+partition sees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+#: micro-unit start mass per node
+_UNIT = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    iterations: int = 5, damping: tuple[int, int] = (17, 20),
+    nodes: DataFrame | None = None, node_col: str = "node",
+) -> DataFrame:
+    """(node, rank_units) after ``iterations`` damped power steps.
+
+    ``edges`` is a directed edge relation (duplicate edges count as
+    parallel edges — pre-``distinct`` if that is not wanted).
+    ``nodes`` optionally supplies the full node universe (one column
+    ``node_col``); nodes absent from ``edges`` are dangling and their
+    mass redistributes uniformly. Defaults to the nodes present in
+    the edge relation. ``damping`` is an exact rational num/den."""
+    num, den = (int(damping[0]), int(damping[1]))
+    if not 0 < num <= den:
+        raise ValueError(f"damping {damping} must satisfy 0 < num <= den")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if nodes is None:
+        node_rel = (e.select(F.col("_src").alias("node"))
+                    .union(e.select(F.col("_dst").alias("node")))
+                    .distinct())
+    else:
+        node_rel = nodes.select(F.col(node_col).alias("node")).distinct()
+    e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy(F.col("_src").alias("node")) \
+        .agg(F.count("*").alias("deg"))
+    base = (node_rel.join(outdeg, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("deg"), F.lit(0)).cast("bigint")
+                    .alias("deg"))
+            .localCheckpoint(eager=True))
+    # base is checkpointed (a job ran anyway) — take N from it once
+    # instead of re-deriving the distinct-node lineage per iteration
+    n_nodes = base.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty graph")
+    teleport = _UNIT - (_UNIT * num) // den
+
+    r = base.select("node", "deg",
+                    F.lit(_UNIT).cast("bigint").alias("ru"))
+    for _ in range(int(iterations)):
+        contrib = (r.where(F.col("deg") > 0)
+                   .join(e, F.col("node") == F.col("_src"))
+                   .select(F.col("_dst").alias("node"),
+                           F.expr("ru div deg").alias("_c")))
+        insum = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        dang = r.where(F.col("deg") == 0) \
+            .agg(F.coalesce(F.sum("ru"), F.lit(0)).alias("_dsum"))
+        r = (base.join(insum, "node", "left")
+             .crossJoin(F.broadcast(dang))
+             .select("node", "deg",
+                     F.lit(teleport).cast("bigint")
+                     + F.expr(f"({num} * (coalesce(_s, 0)"
+                              f" + (_dsum div {n_nodes}))) div {den}")
+                     .cast("bigint"))
+             .toDF("node", "deg", "ru")
+             .localCheckpoint(eager=True))
+    return r.select("node", F.col("ru").alias("rank_units"))

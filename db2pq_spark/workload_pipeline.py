@@ -3494,3 +3494,88 @@ def q154_logreg_score_increment(spark: SparkSession,
     return logreg_score(docs.where(F.col("doc_id") % 7 == 0),
                         logreg_weights_df(spark, w),
                         "text", "doc_id", n_buckets=64)
+
+
+def _q155_oracle(iterations: int = 5) -> str:
+    teleport = 1_000_000 - (1_000_000 * 17) // 20
+    ctes = ["""
+    pr_pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    pr_edges AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pr_pairs
+      UNION ALL
+      SELECT s * 2 + 1, c * 2 FROM pr_pairs
+    ),
+    pr_nodes AS (
+      SELECT c_custkey * 2 AS node FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1 FROM supplier
+    ),
+    pr_deg AS (
+      SELECT n.node, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+      FROM pr_nodes n LEFT JOIN (
+        SELECT src AS node, COUNT(*) AS deg FROM pr_edges GROUP BY 1
+      ) d USING (node)
+    ),
+    pr_n AS (SELECT COUNT(*) AS n FROM pr_nodes),
+    pr_r0 AS (
+      SELECT node, deg, CAST(1000000 AS BIGINT) AS ru FROM pr_deg
+    )"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+    pr_c{i} AS (
+      SELECT e.dst AS node, CAST(r.ru // r.deg AS BIGINT) AS c
+      FROM pr_r{i - 1} r JOIN pr_edges e ON r.node = e.src
+      WHERE r.deg > 0
+    ),
+    pr_s{i} AS (SELECT node, SUM(c) AS s FROM pr_c{i} GROUP BY 1),
+    pr_d{i} AS (
+      SELECT COALESCE(SUM(ru), 0) AS dsum FROM pr_r{i - 1}
+      WHERE deg = 0
+    ),
+    pr_r{i} AS (
+      SELECT b.node, b.deg,
+             CAST({teleport}
+               + (17 * (COALESCE(s.s, 0) + (d.dsum // nc.n))) // 20
+               AS BIGINT) AS ru
+      FROM pr_deg b LEFT JOIN pr_s{i} s USING (node), pr_d{i} d, pr_n nc
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT node, ru AS rank_units FROM pr_r{iterations}
+    """
+
+
+@query("q155_pagerank", oracle=_q155_oracle())
+def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/graph.py — the crawl-curation
+    centrality signal; Common Crawl publishes PageRank/harmonic host
+    rankings for seed weighting) over the symmetrized customer↔supplier
+    trade graph (distinct orders⋈lineitem pairs; node ids 2c / 2s+1
+    keep the key spaces disjoint; customers with no orders are the
+    dangling set). 5 damped (17/20) power steps in int64 micro-units —
+    every division a non-negative integer floor, every sum exact, so
+    the oracle replays the recurrence bit-for-bit with no float
+    anywhere. Per step: one source-keyed rank⋈edges join + one
+    destination-keyed partial/final SUM + a 1-row broadcast dangling
+    aggregate; nothing collected, the node count rides as a 1-row
+    broadcast. [extension]"""
+    from db2pq_spark.operators.graph import pagerank
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"))
+             .distinct())
+    edges = (pairs.select((F.col("c") * 2).alias("src"),
+                          (F.col("s") * 2 + 1).alias("dst"))
+             .union(pairs.select((F.col("s") * 2 + 1).alias("src"),
+                                 (F.col("c") * 2).alias("dst"))))
+    nodes = (t(spark, sf_dir, "customer")
+             .select((F.col("c_custkey") * 2).alias("node"))
+             .union(t(spark, sf_dir, "supplier")
+                    .select((F.col("s_suppkey") * 2 + 1).alias("node"))))
+    return pagerank(edges, iterations=5, nodes=nodes)
