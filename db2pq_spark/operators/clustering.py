@@ -34,7 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_fit", "kmeans_assign"]
+__all__ = ["kmeans_fit", "kmeans_assign", "prototype_prune",
+           "kmeans_sql_chain"]
 
 #: decimal type for exact, order-independent distance / mean sums.
 #: SUM over (28,10) terms yields (38,10) in both Spark and DuckDB —
@@ -186,3 +187,118 @@ def kmeans_fit(
         centroids = [got.get(ci, centroids[ci]) for ci in range(len(centroids))]
 
     return assign(base, centroids, "vec", "id"), centroids
+
+
+def prototype_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    drop: tuple[int, int] = (1, 4),
+    impl: str = "exact",
+) -> DataFrame:
+    """SSL-prototype diversity pruning — the second half of D4
+    (Sorscher et al. 2022 "Beyond neural scaling laws"; Tirumala et
+    al. 2023 D4 applies it after SemDeDup): cluster the embedding
+    space, rank each point by distance to its OWN centroid, and drop
+    the closest ``drop = num/den`` fraction per cluster — the most
+    prototypical (least informative) examples. Returns the kept rows
+    as ``(id, cluster, d2, proto_rank)`` where ``proto_rank`` is the
+    1-based within-cluster proximity rank (1 = most prototypical —
+    always dropped first).
+
+    Determinism: distances are the trainer's exact-decimal sums, the
+    rank order (cluster, d2, id) is total, and the per-cluster drop
+    count is integer arithmetic ``(n_c · num) div den`` — fully
+    engine-replayable given :func:`kmeans_fit`'s contract.
+
+    Scale: the within-cluster rank is the range-partitioned global
+    rank over (cluster, d2, id) (NO per-cluster window — k is small,
+    so ``partitionBy(cluster)`` would funnel the corpus into k tasks);
+    per-cluster minima/counts are a k-bounded aggregate broadcast
+    back. Nothing corpus-sized is collected."""
+    from db2pq_spark.operators.ranking import global_rank_with_total
+
+    num, den = (int(drop[0]), int(drop[1]))
+    if not 0 <= num < den:
+        raise ValueError(f"drop {drop} must satisfy 0 <= num < den")
+    assigned, centroids = kmeans_fit(df, vec_col, id_col, k=k,
+                                     iterations=iterations, impl=impl)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(ci, d, float(x))
+         for ci, c in enumerate(centroids) for d, x in enumerate(c)],
+        "cluster int, dim int, c double")
+    d2 = (assigned.select("id", "cluster",
+                          F.posexplode("vec").alias("dim", "_x"))
+          .join(F.broadcast(cdf), ["cluster", "dim"])
+          .select("id", "cluster",
+                  ((F.col("_x").cast("double") - F.col("c"))
+                   * (F.col("_x").cast("double") - F.col("c")))
+                  .cast(_DEC).alias("_t"))
+          .groupBy("id", "cluster").agg(F.sum("_t").alias("d2")))
+    ranked, _ = global_rank_with_total(
+        d2, [F.col("cluster").asc(), F.col("d2").asc(),
+             F.col("id").asc()], rank_col="_gr")
+    stats = ranked.groupBy("cluster").agg(
+        F.min("_gr").alias("_minr"), F.count("*").alias("_cn"))
+    return (ranked.join(F.broadcast(stats), "cluster")
+            .select("id", "cluster", "d2",
+                    (F.col("_gr") - F.col("_minr") + 1).cast("bigint")
+                    .alias("proto_rank"), "_cn")
+            .where(F.expr(f"proto_rank > (_cn * {num}) div {den}"))
+            .drop("_cn"))
+
+
+def kmeans_sql_chain(tag: str, base: str, k: int, iterations: int,
+                     round_scale: int = 9) -> str:
+    """DuckDB CTE chain replaying :func:`kmeans_fit` (the q117 oracle,
+    parameterized): ``{tag}c0`` the lowest-id init, then per round
+    exact-decimal distances → argmin assignment → rounded decimal-mean
+    update with empty-cluster fallback, ending with the final
+    assignment ``{tag}a{iterations+1}`` joined against its distances
+    ``{tag}d{iterations+1}``. ``base`` must provide (id, vec) with
+    ``vec`` a DOUBLE[]."""
+    ctes = [f"""
+    {tag}c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             vec AS centroid
+      FROM (SELECT id, vec FROM {base} ORDER BY id LIMIT {k})
+    )"""]
+    for i in range(1, iterations + 2):
+        ctes.append(f"""
+    {tag}d{i} AS (
+      SELECT b.id, c.cluster,
+             SUM(CAST((b.vec[i] - c.centroid[i])
+                      * (b.vec[i] - c.centroid[i])
+                      AS DECIMAL(28,10))) AS d2
+      FROM {base} b, {tag}c{i - 1} c,
+           unnest(generate_series(1, len(b.vec))) AS t(i)
+      GROUP BY b.id, c.cluster
+    ),
+    {tag}a{i} AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d2, cluster) AS rn
+        FROM {tag}d{i}) WHERE rn = 1
+    )""")
+        if i == iterations + 1:
+            break
+        ctes.append(f"""
+    {tag}m{i} AS (
+      SELECT a.cluster, i - 1 AS dim,
+             ROUND(CAST(SUM(CAST(b.vec[i] AS DECIMAL(28,10)))
+                        AS DOUBLE) / COUNT(*), {round_scale}) AS m
+      FROM {tag}a{i} a JOIN {base} b USING (id),
+           unnest(generate_series(1, len(b.vec))) AS t(i)
+      GROUP BY a.cluster, i
+    ),
+    {tag}c{i} AS (
+      SELECT p.cluster, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM {tag}c{i - 1} p LEFT JOIN (
+        SELECT cluster, array_agg(m ORDER BY dim) AS centroid
+        FROM {tag}m{i} GROUP BY cluster) n USING (cluster)
+    )""")
+    return ",".join(ctes)

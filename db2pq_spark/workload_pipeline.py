@@ -3579,3 +3579,54 @@ def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .union(t(spark, sf_dir, "supplier")
                     .select((F.col("s_suppkey") * 2 + 1).alias("node"))))
     return pagerank(edges, iterations=5, nodes=nodes)
+
+
+def _q156_oracle() -> str:
+    from db2pq_spark.operators.clustering import kmeans_sql_chain
+
+    chain = kmeans_sql_chain("pp", "ppbase", k=4, iterations=2)
+    return f"""
+    WITH ppbase AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    {chain},
+    ppown AS (
+      SELECT d.id, d.cluster, d.d2
+      FROM ppd3 d JOIN ppa3 a USING (id, cluster)
+    ),
+    ppranked AS (
+      SELECT id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY d2, id) AS proto_rank,
+             COUNT(*) OVER (PARTITION BY cluster) AS cn
+      FROM ppown
+    )
+    SELECT id, CAST(cluster AS INT) AS cluster, d2,
+           CAST(proto_rank AS BIGINT) AS proto_rank
+    FROM ppranked
+    WHERE proto_rank > (cn * 1) // 4
+    """
+
+
+@query("q156_prototype_prune", oracle=_q156_oracle())
+def q156_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype diversity pruning
+    (operators/clustering.py:prototype_prune — the second half of D4,
+    Tirumala et al. 2023, after q114's SemDeDup; Sorscher et al. 2022
+    for the prototype-distance criterion): k-means the embedding
+    space with the q117-verified deterministic trainer, rank each
+    point by exact-decimal distance to its own centroid, drop the
+    closest quarter per cluster (most prototypical = least
+    informative). The within-cluster rank is the range-partitioned
+    global rank over (cluster, d2, id) — NO per-cluster window, which
+    would funnel the corpus into k tasks; per-cluster counts are a
+    k-bounded broadcast. The oracle replays the trainer CTE-per-round
+    plus the rank/drop arithmetic. [extension]"""
+    from db2pq_spark.operators.clustering import prototype_prune
+
+    emb = t(spark, sf_dir, "embeddings")
+    return prototype_prune(emb, "embedding", "vec_id", k=4,
+                           iterations=2, drop=(1, 4)) \
+        .select("id", F.col("cluster").cast("int").alias("cluster"),
+                "d2", "proto_rank")

@@ -2185,3 +2185,44 @@ class TestHardNegatives:
         # NULL label vs NULL label is "same" under null-safe equality:
         # vec 2 is a positive (unknown-but-matching), only 3 survives
         assert [r["neighbor_id"] for r in out.collect()] == [3]
+
+
+class TestPrototypePrune:
+    def _emb(self, spark):
+        # two tight clusters around (0,0) and (10,10); point 1 and 5
+        # ARE the k=2 lowest-id seeds
+        rows = [
+            (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.2, 0.1]),
+            (4, [0.3, 0.3]),
+            (5, [10.0, 10.0]), (6, [10.1, 10.0]), (7, [10.2, 10.1]),
+            (8, [10.4, 10.3]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_drops_closest_quarter_per_cluster(self, spark):
+        from db2pq_spark.operators.clustering import prototype_prune
+
+        out = prototype_prune(self._emb(spark), k=2, iterations=1,
+                              drop=(1, 4)).collect()
+        kept = {r["id"] for r in out}
+        # 4 points per cluster, drop (4*1) div 4 = 1 each: the point
+        # nearest its centroid goes; the far edges survive
+        assert len(kept) == 6
+        assert 4 in kept and 8 in kept
+        for r in out:
+            assert r["proto_rank"] > 1  # rank-1 prototypes were cut
+
+    def test_drop_zero_keeps_everything(self, spark):
+        from db2pq_spark.operators.clustering import prototype_prune
+
+        out = prototype_prune(self._emb(spark), k=2, iterations=1,
+                              drop=(0, 1))
+        assert out.count() == 8
+
+    def test_bad_fraction_raises(self, spark):
+        from db2pq_spark.operators.clustering import prototype_prune
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="drop"):
+            prototype_prune(self._emb(spark), k=2, drop=(4, 4))
