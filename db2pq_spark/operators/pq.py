@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from db2pq_spark.operators.clustering import _DEC, kmeans_fit
 
 __all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk",
+           "pq_books_df", "pq_books_restore",
            "pq_subspace_sql", "pq_encode_sql", "pq_adc_sql"]
 
 
@@ -413,3 +414,51 @@ def pq_adc_sql(tag: str, base: str, codes: str, queries: str,
         ) s
       ) WHERE rn <= {k_top}
     )"""
+
+
+def pq_books_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """The trained codebooks as a persistable stamped relation —
+    ``(sub, code, subdim, c, _pq_m, _pq_k, _pq_d)``; write it as
+    parquet once and the index survives across batch arrivals (the
+    train-once discipline of the persisted MinHash signatures, KN
+    stats, and logreg weights). Stamps carry the geometry so a
+    restore under different expectations refuses instead of silently
+    mis-slicing."""
+    m = len(codebooks)
+    k = len(codebooks[0]) if m else 0
+    d = len(codebooks[0][0]) if k else 0
+    rows = [(s, c, sd, float(x), m, k, d)
+            for s, book in enumerate(codebooks)
+            for c, ctr in enumerate(book)
+            for sd, x in enumerate(ctr)]
+    return spark.createDataFrame(
+        rows, "sub int, code int, subdim int, c double,"
+              " _pq_m int, _pq_k int, _pq_d int")
+
+
+def pq_books_restore(books_df: DataFrame, m: int, k: int,
+                     d: int) -> list[list[list[float]]]:
+    """Rebuild the driver-side codebook matrix from a persisted
+    :func:`pq_books_df` relation, refusing geometry mismatches. The
+    collect is bounded by construction (m·k·d rows — the same class
+    as the trainer's own per-round fold); stamps are validated
+    null-safely on every row during the fold."""
+    rows = books_df.collect()
+    if not rows:
+        raise ValueError("pq_books_restore: empty codebook relation")
+    books = [[[None] * int(d) for _ in range(int(k))]
+             for _ in range(int(m))]
+    for r in rows:
+        if (r["_pq_m"], r["_pq_k"], r["_pq_d"]) != (m, k, d):
+            raise ValueError(
+                f"pq_books_restore: codebooks stamped "
+                f"m={r['_pq_m']} k={r['_pq_k']} d={r['_pq_d']}, "
+                f"caller expects m={m} k={k} d={d}")
+        books[r["sub"]][r["code"]][r["subdim"]] = float(r["c"])
+    for s in range(int(m)):
+        for c in range(int(k)):
+            if any(x is None for x in books[s][c]):
+                raise ValueError(
+                    f"pq_books_restore: centroid (sub={s}, code={c}) "
+                    "has missing components")
+    return books

@@ -3630,3 +3630,61 @@ def q156_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                            iterations=2, drop=(1, 4)) \
         .select("id", F.col("cluster").cast("int").alias("cluster"),
                 "d2", "proto_rank")
+
+
+def _q157_oracle() -> str:
+    from db2pq_spark.operators.pq import (
+        pq_adc_sql, pq_encode_sql, pq_subspace_sql)
+
+    d = 32  # dim 64 / m 2
+    subs = [pq_subspace_sql(f"is{i}", "standing", i * d, d, k=4,
+                            iterations=1) for i in range(2)]
+    return f"""
+    WITH standing AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id % 5 <> 0
+    ),
+    newq AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id % 5 = 0 AND vec_id < 15
+    ),
+    {",".join(subs)},
+    {pq_encode_sql('ienc', 'standing', ['is0', 'is1'], d)},
+    {pq_adc_sql('iadc', 'standing', 'ienc_codes', 'newq',
+                ['is0', 'is1'], d, k_top=10)}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(vec_id AS BIGINT) AS vec_id, adc_d2, rank
+    FROM iadc_topk
+    """
+
+
+@query("q157_pq_increment", oracle=_q157_oracle())
+def q157_pq_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / query-increments PQ deployment
+    (operators/pq.py:pq_books_df + pq_books_restore — the persisted-
+    index discipline of the MinHash signature corpus and the logreg
+    weights, applied to the q151 quantizer): codebooks train on the
+    standing corpus (vec_id % 5 != 0), round-trip through the stamped
+    persistable (sub, code, subdim, c) relation (geometry stamps
+    refuse a mis-matched restore), and a NEW batch's queries
+    (vec_id % 5 == 0, first 3) are answered by ADC against the
+    standing codes — the standing corpus is encoded once and never
+    re-trained when batches arrive. Oracle replays training on the
+    standing slice, encoding, and the ADC tables closed-form.
+    [extension]"""
+    from db2pq_spark.operators.pq import (
+        pq_adc_topk, pq_books_df, pq_books_restore, pq_encode,
+        pq_train)
+
+    emb = t(spark, sf_dir, "embeddings")
+    standing = emb.where(F.col("vec_id") % 5 != 0)
+    newq = emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 15))
+    books = pq_train(standing, "embedding", "vec_id", m=2, k=4,
+                     iterations=1, dim=64)
+    restored = pq_books_restore(pq_books_df(spark, books), 2, 4, 32)
+    codes = pq_encode(standing, restored, "embedding", "vec_id")
+    return pq_adc_topk(codes, newq, restored, k_top=10,
+                       vec_col="embedding", id_col="vec_id") \
+        .select(F.col("query_id").cast("bigint").alias("query_id"),
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                "adc_d2", "rank")

@@ -146,3 +146,52 @@ class TestRecall:
                              n_probe=2).select("query_id", "vec_id")
         r2 = narrow.join(exact, ["query_id", "vec_id"]).count() / n
         assert r2 >= 0.15
+
+
+class TestBooksPersistence:
+    def _emb(self, spark):
+        rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(8)])
+                for i in range(12)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_roundtrip_is_exact(self, spark):
+        from db2pq_spark.operators.pq import (
+            pq_books_df, pq_books_restore, pq_train)
+
+        books = pq_train(self._emb(spark), m=2, k=3, iterations=1,
+                         dim=8)
+        back = pq_books_restore(pq_books_df(spark, books), 2, 3, 4)
+        assert back == books
+
+    def test_geometry_mismatch_refused(self, spark):
+        from db2pq_spark.operators.pq import (
+            pq_books_df, pq_books_restore, pq_train)
+
+        import pytest as _pytest
+        books = pq_train(self._emb(spark), m=2, k=3, iterations=1,
+                         dim=8)
+        bdf = pq_books_df(spark, books)
+        with _pytest.raises(ValueError, match="stamped"):
+            pq_books_restore(bdf, 4, 3, 2)
+
+    def test_empty_relation_refused(self, spark):
+        from db2pq_spark.operators.pq import (
+            pq_books_df, pq_books_restore)
+
+        import pytest as _pytest
+        empty = pq_books_df(spark, [[[0.0]]]).limit(0)
+        with _pytest.raises(ValueError, match="empty"):
+            pq_books_restore(empty, 1, 1, 1)
+
+    def test_missing_component_refused(self, spark):
+        from db2pq_spark.operators.pq import (
+            pq_books_df, pq_books_restore)
+        from pyspark.sql import functions as F
+
+        import pytest as _pytest
+        bdf = pq_books_df(spark, [[[1.0, 2.0], [3.0, 4.0]]])
+        holey = bdf.where(~((F.col("code") == 1)
+                            & (F.col("subdim") == 1)))
+        with _pytest.raises(ValueError, match="missing components"):
+            pq_books_restore(holey, 1, 2, 2)
