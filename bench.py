@@ -76,6 +76,11 @@ _EXTENSION = (
     # round-12 additions
     "q148_unigram_soft", "q149_longest_dup_span",
     "q150_longest_span_removal", "q151_pq_adc_topk",
+    "q152_hard_negatives", "q153_logreg_quality",
+    "q154_logreg_score_increment", "q155_pagerank",
+    "q156_prototype_prune", "q157_pq_increment",
+    "q158_cms_heavy_hitters", "q159_classifier_auc",
+    "q160_token_mi", "q161_label_propagation", "q162_calibration",
 )
 
 
@@ -328,6 +333,123 @@ def _q150_hash_keys(spark, sf_dir: str):
                                  keys="hash")
 
 
+def _q153_logreg_production(spark, sf_dir: str):
+    """Production feature config: xxhash64 buckets (no hex-string
+    md5 build), 4096-dim hashed space — the fastText-scale feature
+    width (the gate pins md5/64 so DuckDB replays buckets)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db2pq_spark.operators.logreg import (
+        logreg_score, logreg_train, logreg_weights_df)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = logreg_train(docs, "text", "doc_id",
+                     F.col("source") == "src0", n_buckets=4096,
+                     epochs=3, keys="xxhash64")
+    return logreg_score(docs, logreg_weights_df(spark, w), "text",
+                        "doc_id", n_buckets=4096, keys="xxhash64")
+
+
+def _q154_logreg_inc_production(spark, sf_dir: str):
+    """Production increment: xxhash64/4096 features, weights trained
+    on the standing corpus, batch scored under the broadcast."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db2pq_spark.operators.logreg import (
+        logreg_score, logreg_train, logreg_weights_df)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = logreg_train(docs.where(F.col("doc_id") % 7 != 0), "text",
+                     "doc_id", F.col("source") == "src0",
+                     n_buckets=4096, epochs=3, keys="xxhash64")
+    return logreg_score(docs.where(F.col("doc_id") % 7 == 0),
+                        logreg_weights_df(spark, w), "text",
+                        "doc_id", n_buckets=4096, keys="xxhash64")
+
+
+def _q156_prune_arrow(spark, sf_dir: str):
+    """Production trainer: arrow (BLAS) assignment, k=8 — the gate
+    pins the exact-decimal k=4 config its CTE oracle replays."""
+    from db2pq_spark.operators.clustering import prototype_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return prototype_prune(emb, "embedding", "vec_id", k=8,
+                           iterations=2, drop=(1, 4), impl="arrow")
+
+
+def _q157_pq_inc_production(spark, sf_dir: str):
+    """Production increment config: arrow trainer/encoder, 8×16
+    codebooks (the q151 production geometry), standing/batch split."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db2pq_spark.operators.pq import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    standing = emb.where(F.col("vec_id") % 5 != 0)
+    newq = emb.where((F.col("vec_id") % 5 == 0)
+                     & (F.col("vec_id") < 100))
+    books = pq_train(standing, "embedding", "vec_id", m=8, k=16,
+                     iterations=2, dim=64, impl="arrow")
+    codes = pq_encode(standing, books, "embedding", "vec_id",
+                      impl="arrow")
+    return pq_adc_topk(codes, newq, books, k_top=10,
+                       vec_col="embedding", id_col="vec_id")
+
+
+def _q158_cms_production(spark, sf_dir: str):
+    """Production sketch geometry: xxhash64 row hashes, d=4, w=65536
+    (the gate pins d=3/w=256/md5 so DuckDB replays every cell)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db2pq_spark.operators.cms import (
+        cms_build, cms_merge, cms_probe)
+    from db2pq_spark.operators.textstats import tokens as _tk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d, w = 4, 65536
+    merged = cms_merge(
+        cms_build(docs.where(F.col("doc_id") % 5 != 0), "text",
+                  depth=d, width=w, keys="xxhash64"),
+        cms_build(docs.where(F.col("doc_id") % 5 == 0), "text",
+                  depth=d, width=w, keys="xxhash64"),
+        depth=d, width=w, keys="xxhash64")
+    exact = (docs.select(F.explode(_tk("text")).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20))
+    est = cms_probe(merged, exact, "tok", depth=d, width=w,
+                    keys="xxhash64")
+    return exact.join(est, "tok")
+
+
+def _q159_auc_production(spark, sf_dir: str):
+    """AUC over the production classifier config (xxhash64/4096)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db2pq_spark.operators.evalmetrics import roc_auc
+
+    scored = _q153_logreg_production(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = scored.join(
+        docs.select(F.col("doc_id").alias("id"),
+                    (F.col("source") == "src0").alias("_y")), "id")
+    return roc_auc(joined, "margin_units", F.col("_y"))
+
+
+def _q162_calibration_production(spark, sf_dir: str):
+    """Calibration over the production classifier config."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from db2pq_spark.operators.evalmetrics import calibration_buckets
+
+    scored = _q153_logreg_production(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = scored.join(
+        docs.select(F.col("doc_id").alias("id"),
+                    (F.col("source") == "src0").alias("_y")), "id")
+    return calibration_buckets(joined, "prob6", F.col("_y"))
+
+
 _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q36_minhash_dedup": _q36_minhash_default,
               "q110_quantize_embeddings": _q110_quantize_real_shape,
@@ -346,7 +468,14 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q147_gopher_repetition": _q147_hash_keys,
               "q149_longest_dup_span": _q149_hash_keys,
               "q150_longest_span_removal": _q150_hash_keys,
-              "q151_pq_adc_topk": _q151_pq_production}
+              "q151_pq_adc_topk": _q151_pq_production,
+              "q153_logreg_quality": _q153_logreg_production,
+              "q154_logreg_score_increment": _q154_logreg_inc_production,
+              "q156_prototype_prune": _q156_prune_arrow,
+              "q157_pq_increment": _q157_pq_inc_production,
+              "q158_cms_heavy_hitters": _q158_cms_production,
+              "q159_classifier_auc": _q159_auc_production,
+              "q162_calibration": _q162_calibration_production}
 
 #: executed-configuration provenance, recorded verbatim in the JSON so
 #: a future timing shift can be attributed to config vs plan changes
@@ -524,6 +653,16 @@ _FAMILIES = [
                       "q149_longest_dup_span"]),
     ("wordpiece", ["q147_gopher_repetition",
                    "q146_wordpiece_segment"]),
+    # round-12 additions: the trained classifier pair, graph/prune,
+    # and the PQ increment next to its q151 sibling's family
+    ("classifier", ["q152_hard_negatives",
+                    "q154_logreg_score_increment",
+                    "q153_logreg_quality"]),
+    ("graph_prune", ["q157_pq_increment", "q156_prototype_prune",
+                     "q155_pagerank"]),
+    ("sketch_mi", ["q158_cms_heavy_hitters", "q160_token_mi",
+                   "q161_label_propagation"]),
+    ("classifier_eval", ["q162_calibration", "q159_classifier_auc"]),
 ]
 
 _EXPORT_NAMES = ("export_full_table", "export_filtered_projected",

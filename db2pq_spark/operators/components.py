@@ -229,3 +229,47 @@ def cluster_representatives(
                     (-F.col("_b.neg_id")).alias("rep_id"),
                     F.col("_b.q").alias("rep_quality"),
                     "n_members"))
+
+
+def propagate_labels(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Metadata repair across duplicate clusters — majority-vote label
+    propagation: rows connected by ``pairs`` (near-dup edges from any
+    of the dedup screens) form components; each component's rows all
+    receive the component's most common label (ties to the
+    lexicographically/numerically smallest — a total order, so the
+    vote is deterministic). The standard fix for per-copy metadata
+    noise (language-ID flips on mirrored pages, source tags on
+    re-crawls): the duplicate structure carries more signal than any
+    single row's tag.
+
+    Returns ``(id, comp, label, label_repaired)`` for rows that belong
+    to a component (singletons keep their label by definition — union
+    them back downstream if "every row" semantics are needed).
+
+    Shape: :func:`connected_components` (hash-min iteration or the
+    bounded union-find fast path), one id-keyed label join, one
+    (comp, label)-keyed count, one comp-keyed argmax via a
+    min-of-struct aggregate (map-side combined; no window), one comp
+    broadcast-friendly join back."""
+    comp = connected_components(pairs, src, dst)
+    labeled = (comp.withColumnRenamed("id", "_cid")
+               .join(df.select(F.col(id_col).alias("_cid"),
+                               F.col(label_col).alias("_lab")),
+                     "_cid"))
+    votes = labeled.groupBy("comp", "_lab").agg(
+        F.count("*").alias("_cnt"))
+    winner = (votes.groupBy("comp")
+              .agg(F.min(F.struct((-F.col("_cnt")).alias("_nc"),
+                                  F.col("_lab").alias("_l")))
+                   .alias("_w"))
+              .select("comp", F.col("_w._l").alias("label_repaired")))
+    return (labeled.join(winner, "comp")
+            .select(F.col("_cid").alias("id"), "comp",
+                    F.col("_lab").alias("label"), "label_repaired"))

@@ -90,15 +90,20 @@ def logreg_features(
 
 
 def _margins(x: DataFrame, w_units: list[int]) -> DataFrame:
-    """(id, y, mu) — exact int64 margins under the literal weight
-    vector (micro-units). The weights ride as a plan literal (B+1
-    elements — broadcast-free, join-free: margin is an in-row
-    ``element_at`` per design tuple plus one doc-keyed sum)."""
-    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in w_units])
-    return (x.select("id", "y",
-                     (F.col("cnt")
-                      * F.element_at(arr, F.col("feat").cast("int") + 1))
-                     .alias("_t"))
+    """(id, y, mu) — exact int64 margins under the weight vector
+    (micro-units). Weights ship as ONE ``createDataFrame`` relation
+    broadcast into a feat-keyed join — NOT a plan-literal array: a
+    production-width vector (4097 elements) as ``F.array(*lits)``
+    costs thousands of Py4J round trips PER EPOCH in driver-side plan
+    construction (~7 s/epoch measured at B=4096 — the q38
+    literal-array postmortem shape). The broadcast join is narrow, so
+    the upstream id-partitioning survives for the doc-keyed sum."""
+    spark = x.sparkSession
+    wdf = spark.createDataFrame(
+        [(f, int(wu)) for f, wu in enumerate(w_units)],
+        "feat bigint, wu bigint")
+    return (x.join(F.broadcast(wdf), "feat")
+            .select("id", "y", (F.col("cnt") * F.col("wu")).alias("_t"))
             .groupBy("id", "y").agg(F.sum("_t").alias("mu")))
 
 
@@ -129,7 +134,12 @@ def logreg_train(
     weight update ``w −= (lr_micro · (g // N)) // 10⁶`` driver-side
     (Python ``//`` = floor; the oracle replays both divisions)."""
     x = logreg_features(df, text_col, id_col, label, n_buckets, keys)
-    x = x.persist()
+    # one extra up-front shuffle onto the doc key: the design relation
+    # leaves its build groupBy partitioned by (id, y, feat), which
+    # satisfies NEITHER the per-epoch margin aggregate (id, y) nor the
+    # gradient join (id); clustered by id, every epoch runs
+    # exchange-free except the B-bounded feature aggregate
+    x = x.repartition("id").persist()
     try:
         n_docs = x.where(F.col("feat") == n_buckets).count()
         if n_docs == 0:

@@ -269,3 +269,70 @@ def perplexity_buckets(
         "id", "n_bigrams", "mean_units", "rank",
         ntile_expr(F.col("rank"), total, int(n_buckets))
         .cast("bigint").alias("bucket"))
+
+
+def token_mi(
+    df: DataFrame, text_col: str, id_col: str, positive: Column,
+    k: int = 30, round_digits: int = 6,
+) -> DataFrame:
+    """Mutual-information feature selection (the classic text-
+    classification feature ranker — Manning, Raghavan & Schütze, IIR
+    §13.5.1): rank tokens by I(presence; label) over documents,
+
+        I = Σ_{e_t∈{0,1}, e_c∈{0,1}} (n_ec/N) · log2(n_ec·N / (n_e·n_c)),
+
+    zero-count cells contributing 0. The tokens that most separate
+    the seed from the rest — the diagnostic complement of the NB/
+    logreg scorers (what IS the classifier keying on), and the
+    vocabulary a production filter would restrict its features to.
+
+    Returns the top-``k`` ``(tok, n11, n10, n01, n00, mi)`` by
+    (mi desc, tok asc) — mi rounded to ``round_digits`` so the order
+    is a cross-engine total one; counts are exact int64 (document
+    PRESENCE — a token twice in one doc counts once).
+
+    Shape: one corpus explode → per-doc distinct (in-row
+    array_distinct, before the explode — no corpus-sized distinct
+    shuffle) → one zipf-bounded token aggregate with conditional
+    partials → broadcast 1-row totals → TakeOrdered top-k. All the
+    established plan shapes; the only corpus-sized shuffle is the
+    token aggregate."""
+    from db2pq_spark.operators.textstats import tokens
+
+    base = df.select(F.col(id_col).alias("id"),
+                     positive.cast("int").alias("_y"),
+                     F.array_distinct(tokens(text_col)).alias("_tks"))
+    pres = base.select("id", "_y", F.explode("_tks").alias("tok"))
+    counts = (pres.groupBy("tok")
+              .agg(F.sum("_y").alias("n11"),
+                   F.sum(F.lit(1) - F.col("_y")).alias("n10")))
+    totals = base.agg(F.count("*").alias("nn_total"),
+                      F.sum("_y").alias("np_total"))
+
+    def _term(nij: Column, ne: Column, nc: Column, n: Column) -> Column:
+        # (nij/N) * log2(nij*N / (ne*nc)); 0 when the cell is empty
+        return F.when(nij > 0,
+                      (nij.cast("double") / n.cast("double"))
+                      * F.log2((nij * n).cast("double")
+                               / (ne * nc).cast("double"))) \
+            .otherwise(F.lit(0.0))
+
+    n = F.col("nn_total")
+    npos = F.col("np_total")
+    n11, n10 = F.col("n11"), F.col("n10")
+    n01 = npos - n11
+    n00 = n - npos - n10
+    n1_ = n11 + n10
+    n0_ = n - n1_
+    mi = F.round(
+        _term(n11, n1_, npos, n) + _term(n10, n1_, n - npos, n)
+        + _term(n01, n0_, npos, n) + _term(n00, n0_, n - npos, n),
+        round_digits)
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("tok", F.col("n11").cast("bigint"),
+                    F.col("n10").cast("bigint"),
+                    n01.cast("bigint").alias("n01"),
+                    n00.cast("bigint").alias("n00"),
+                    mi.alias("mi"))
+            .orderBy(F.desc("mi"), F.asc("tok"))
+            .limit(int(k)))

@@ -3688,3 +3688,336 @@ def q157_pq_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("query_id").cast("bigint").alias("query_id"),
                 F.col("vec_id").cast("bigint").alias("vec_id"),
                 "adc_d2", "rank")
+
+
+def _q158_oracle(depth: int = 3, width: int = 256) -> str:
+    from db2pq_spark.operators.cms import cms_col_sql
+
+    def cells(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT {r} AS row, {cms_col_sql('tok', r, width)} AS col"
+            f" FROM {src}" for r in range(depth))
+
+    probe = "\n      UNION ALL ".join(
+        f"SELECT tok, {r} AS row,"
+        f" {cms_col_sql('tok', r, width)} AS col FROM cexact"
+        for r in range(depth))
+    return f"""
+    WITH ctoks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    cexact AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM ctoks GROUP BY tok
+      ORDER BY exact_cnt DESC, tok LIMIT 20
+    ),
+    ccells AS (
+      SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({cells('ctoks')})
+      GROUP BY row, col
+    ),
+    cprobe AS ({probe}),
+    cest AS (
+      SELECT p.tok, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+      FROM cprobe p LEFT JOIN ccells s USING (row, col)
+      GROUP BY p.tok
+    )
+    SELECT e.tok, e.exact_cnt, cest.est,
+           cest.est >= e.exact_cnt AS overcount_ok
+    FROM cexact e JOIN cest USING (tok)
+    """
+
+
+@query("q158_cms_heavy_hitters", oracle=_q158_oracle())
+def q158_cms_heavy_hitters(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency state (operators/cms.py — Cormode &
+    Muthukrishnan 2005: d×w counter grid, row-salted hashes, point
+    query = min over d counters, overcounts only): the standing
+    corpus (doc_id % 5 != 0) and a new batch (doc_id % 5 == 0) are
+    sketched separately and MERGED cell-wise — the fixed-size
+    incremental-state sibling of the exact heavy hitters (q100) with
+    O(d·w) state instead of vocabulary-sized. The gate probes the
+    exact global top-20 tokens and asserts the one-sided error
+    contract (est ≥ exact) per probe; the oracle sketches the union
+    corpus directly, so equality PROVES the merge is lossless. Gate
+    pins d=3, w=256, md5 hashes (DuckDB replays every cell);
+    production runs xxhash64 at d=4, w=65536. [extension]"""
+    from db2pq_spark.operators.cms import (
+        cms_build, cms_merge, cms_probe)
+    from db2pq_spark.operators.textstats import tokens as _tk
+
+    docs = t(spark, sf_dir, "documents")
+    d, w = 3, 256
+    standing = cms_build(docs.where(F.col("doc_id") % 5 != 0),
+                         "text", depth=d, width=w)
+    batch = cms_build(docs.where(F.col("doc_id") % 5 == 0),
+                      "text", depth=d, width=w)
+    merged = cms_merge(standing, batch, depth=d, width=w)
+    exact = (docs.select(F.explode(_tk("text")).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20))
+    est = cms_probe(merged, exact, "tok", depth=d, width=w)
+    return (exact.join(est, "tok")
+            .select("tok", F.col("exact_cnt").cast("bigint"),
+                    "est",
+                    (F.col("est") >= F.col("exact_cnt"))
+                    .alias("overcount_ok")))
+
+
+def _q159_oracle() -> str:
+    from db2pq_spark.operators.logreg import logreg_sql
+    from db2pq_spark.operators.sampling import hash_bucket_sql
+
+    body = logreg_sql("documents", _TOKENS, "doc_id",
+                      "(source = 'src0')",
+                      hash_bucket_sql("tok", 64, salt="lr"),
+                      n_buckets=64, epochs=3, lr_micro=500_000)
+    return f"""
+    WITH {body},
+    aucsc AS (
+      SELECT s.margin_units AS s, b.y
+      FROM scored s JOIN lrbase b USING (id)
+    ),
+    aucg AS (
+      SELECT s, COUNT(*) AS n, SUM(y) AS np_s FROM aucsc GROUP BY s
+    ),
+    aucr AS (
+      SELECT np_s, n,
+             2 * COALESCE(SUM(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + n + 1 AS r2
+      FROM aucg
+    ),
+    auct AS (
+      SELECT SUM(np_s) AS n_pos, SUM(n) - SUM(np_s) AS n_neg,
+             SUM(np_s * r2) AS r2pos
+      FROM aucr
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(r2pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2.0e0 * n_pos * n_neg), 6)
+           END AS auc
+    FROM auct
+    """
+
+
+@query("q159_classifier_auc", oracle=_q159_oracle())
+def q159_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (operators/evalmetrics.py:roc_auc —
+    Mann–Whitney rank-sum identity, ties at half credit) of the q153
+    logistic-regression margins against the seed labels: score-keyed
+    aggregate, range-partitioned exclusive prefix sum (no single-
+    partition window), doubled average ranks so every quantity stays
+    exact int64 until the one final IEEE division. The training half
+    replays q153's oracle; the AUC half replays the rank arithmetic.
+    [extension]"""
+    from db2pq_spark.operators.evalmetrics import roc_auc
+    from db2pq_spark.operators.logreg import (
+        logreg_score, logreg_train, logreg_weights_df)
+
+    docs = t(spark, sf_dir, "documents")
+    w = logreg_train(docs, "text", "doc_id",
+                     F.col("source") == "src0",
+                     n_buckets=64, epochs=3, lr_micro=500_000)
+    scored = logreg_score(docs, logreg_weights_df(spark, w), "text",
+                          "doc_id", n_buckets=64)
+    joined = scored.join(
+        docs.select(F.col("doc_id").alias("id"),
+                    (F.col("source") == "src0").alias("_y")), "id")
+    return roc_auc(joined, "margin_units", F.col("_y"))
+
+
+_Q160_SQL = f"""
+    WITH mibase AS (
+      SELECT doc_id, CAST(source = 'src0' AS INT) AS y,
+             list_distinct({_TOKENS}) AS tks
+      FROM documents
+    ),
+    mipres AS (
+      SELECT doc_id, y, unnest(tks) AS tok FROM mibase
+    ),
+    micounts AS (
+      SELECT tok, SUM(y) AS n11, SUM(1 - y) AS n10
+      FROM mipres GROUP BY tok
+    ),
+    mitot AS (
+      SELECT COUNT(*) AS n, SUM(y) AS np FROM mibase
+    )
+    SELECT tok,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(np - n11 AS BIGINT) AS n01,
+           CAST(n - np - n10 AS BIGINT) AS n00,
+           round(
+             (CASE WHEN n11 > 0 THEN
+               (CAST(n11 AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST(n11 * n AS DOUBLE)
+                      / CAST((n11 + n10) * np AS DOUBLE))
+              ELSE 0.0e0 END)
+             + (CASE WHEN n10 > 0 THEN
+               (CAST(n10 AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST(n10 * n AS DOUBLE)
+                      / CAST((n11 + n10) * (n - np) AS DOUBLE))
+              ELSE 0.0e0 END)
+             + (CASE WHEN np - n11 > 0 THEN
+               (CAST(np - n11 AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST((np - n11) * n AS DOUBLE)
+                      / CAST((n - n11 - n10) * np AS DOUBLE))
+              ELSE 0.0e0 END)
+             + (CASE WHEN n - np - n10 > 0 THEN
+               (CAST(n - np - n10 AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST((n - np - n10) * n AS DOUBLE)
+                      / CAST((n - n11 - n10) * (n - np) AS DOUBLE))
+              ELSE 0.0e0 END), 6) AS mi
+    FROM micounts, mitot
+    ORDER BY mi DESC, tok LIMIT 30
+"""
+
+
+@query("q160_token_mi", oracle=_Q160_SQL)
+def q160_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature selection
+    (operators/quality.py:token_mi — IIR §13.5.1): tokens ranked by
+    I(presence; seed label), the diagnostic complement of the NB/
+    logreg scorers and the vocabulary a production filter restricts
+    its features to. Per-doc presence is in-row array_distinct BEFORE
+    the explode (no corpus-sized distinct shuffle); the token
+    aggregate is zipf-bounded, totals a broadcast 1-row relation,
+    top-k a TakeOrdered. [extension]"""
+    from db2pq_spark.operators.quality import token_mi
+
+    docs = t(spark, sf_dir, "documents")
+    return token_mi(docs, "text", "doc_id",
+                    F.col("source") == "src0", k=30)
+
+
+_Q161_SQL = f"""
+    WITH lpdocs AS (
+      SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000, text, 'zz' AS lang FROM documents
+      WHERE text IS NOT NULL AND doc_id < 15
+      UNION ALL
+      SELECT doc_id + 2000000, text, lang FROM documents
+      WHERE text IS NOT NULL AND doc_id < 15
+    ),
+    lph AS (
+      SELECT doc_id, lang, md5({_NORM}) AS h FROM lpdocs
+    ),
+    lpg AS (
+      SELECT doc_id, lang,
+             MIN(doc_id) OVER (PARTITION BY h) AS comp,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM lph
+    ),
+    lpvotes AS (
+      SELECT comp, lang, COUNT(*) AS cnt
+      FROM lpg WHERE n >= 2 GROUP BY comp, lang
+    ),
+    lpwin AS (
+      SELECT comp, lang AS label_repaired FROM (
+        SELECT comp, lang,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY cnt DESC, lang) AS rn
+        FROM lpvotes) WHERE rn = 1
+    )
+    SELECT g.doc_id AS id, g.comp, g.lang AS label,
+           w.label_repaired
+    FROM lpg g JOIN lpwin w USING (comp)
+    WHERE g.n >= 2
+"""
+
+
+@query("q161_label_propagation", oracle=_Q161_SQL)
+def q161_label_propagation(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Majority-vote label propagation across duplicate clusters
+    (operators/components.py:propagate_labels) — metadata repair: a
+    mirrored page's language-ID flip is outvoted by its duplicates.
+    Reuses q82's augmented 3-member chain fixture with the middle
+    clone's lang deliberately corrupted to 'zz' (the 2-of-3 majority
+    restores the original; ties break to the smallest label via a
+    min-of-struct aggregate, no window). The oracle computes the
+    component fixpoint closed-form (min id per content hash) and
+    replays the vote. [extension]"""
+    from db2pq_spark.operators.components import propagate_labels
+    from db2pq_spark.operators.dedup import normalize_text
+
+    base = (t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text", "lang"))
+    docs = base
+    for shift, lab in ((1_000_000, F.lit("zz")),
+                       (2_000_000, F.col("lang"))):
+        docs = docs.unionByName(
+            base.where(F.col("doc_id") < 15)
+            .select((F.col("doc_id") + shift).alias("doc_id"),
+                    "text", lab.alias("lang")))
+    hashed = docs.select("doc_id",
+                         F.md5(normalize_text("text")).alias("h"))
+    nxt = F.lead("doc_id").over(W.partitionBy("h").orderBy("doc_id"))
+    edges = (hashed.select("doc_id", nxt.alias("next_id"))
+             .where(F.col("next_id").isNotNull()))
+    return propagate_labels(docs, edges, "doc_id", "lang",
+                            src="doc_id", dst="next_id")
+
+
+def _q162_oracle() -> str:
+    from db2pq_spark.operators.logreg import logreg_sql
+    from db2pq_spark.operators.sampling import hash_bucket_sql
+
+    body = logreg_sql("documents", _TOKENS, "doc_id",
+                      "(source = 'src0')",
+                      hash_bucket_sql("tok", 64, salt="lr"),
+                      n_buckets=64, epochs=3, lr_micro=500_000)
+    return f"""
+    WITH {body},
+    calsc AS (
+      SELECT s.prob6 AS p, b.y
+      FROM scored s JOIN lrbase b USING (id)
+    ),
+    calb AS (
+      SELECT CAST(LEAST(FLOOR(p * 10.0e0), 9) AS INT) AS bucket,
+             y, p,
+             CAST(round((p - CAST(y AS DOUBLE))
+                        * (p - CAST(y AS DOUBLE)), 12)
+                  AS DECIMAL(28,12)) AS sq
+      FROM calsc
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DECIMAL(38,6))
+             AS sum_prob,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mean_label,
+           CAST(SUM(sq) AS DECIMAL(38,12)) AS sum_brier
+    FROM calb GROUP BY bucket
+    """
+
+
+@query("q162_calibration", oracle=_q162_oracle())
+def q162_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration buckets
+    (operators/evalmetrics.py:calibration_buckets): the q153
+    classifier's 6-digit probabilities cut into deciles (one IEEE
+    multiply + floor — identical doubles in every engine), per-bucket
+    positives vs probability mass plus the Brier accumulation
+    (12-digit-rounded squared errors into an exact decimal sum). The
+    reliability diagram + Brier score every production filter
+    threshold decision should read. [extension]"""
+    from db2pq_spark.operators.evalmetrics import calibration_buckets
+    from db2pq_spark.operators.logreg import (
+        logreg_score, logreg_train, logreg_weights_df)
+
+    docs = t(spark, sf_dir, "documents")
+    w = logreg_train(docs, "text", "doc_id",
+                     F.col("source") == "src0",
+                     n_buckets=64, epochs=3, lr_micro=500_000)
+    scored = logreg_score(docs, logreg_weights_df(spark, w), "text",
+                          "doc_id", n_buckets=64)
+    joined = scored.join(
+        docs.select(F.col("doc_id").alias("id"),
+                    (F.col("source") == "src0").alias("_y")), "id")
+    return calibration_buckets(joined, "prob6", F.col("_y"))

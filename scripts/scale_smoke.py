@@ -144,8 +144,25 @@ FAMILIES = [
     ("suffix_dedup", ["q149_longest_dup_span",
                       "q150_longest_span_removal"]),
     # round-12: production IVF-PQ (arrow trainers, 8x16 codebooks,
-    # 4-probe) — embedding cardinality grows with the replicas
-    ("ivf_pq", ["q151_pq_adc_topk"]),
+    # 4-probe) — embedding cardinality grows with the replicas; the
+    # train-once/query-increments deployment rides the same family
+    ("ivf_pq", ["q151_pq_adc_topk", "q157_pq_increment"]),
+    # round-12: trained classifier pair (4096-dim xxhash features,
+    # 3 GD epochs) + hard negatives — corpus-linear margin/gradient
+    # passes, B-bounded weight relations
+    ("classifier", ["q152_hard_negatives",
+                    "q154_logreg_score_increment",
+                    "q153_logreg_quality"]),
+    # round-12: graph centrality (edge relation grows with orders x
+    # lineitem pairs) + D4 prototype pruning (arrow trainer)
+    ("graph_prune", ["q156_prototype_prune", "q155_pagerank"]),
+    # round-12: fixed-size mergeable sketch state (d*w cells, corpus
+    # explode x d), MI feature ranking (zipf-bounded aggregate), and
+    # dup-cluster label repair (hash-min components)
+    ("sketch_mi", ["q158_cms_heavy_hitters", "q160_token_mi",
+                   "q161_label_propagation"]),
+    # round-12: classifier eval over the production logreg config
+    ("classifier_eval", ["q162_calibration", "q159_classifier_auc"]),
 ]
 QUERIES = [q for _, qs in FAMILIES for q in qs]
 
@@ -330,6 +347,101 @@ def _overrides():
                            k_top=10, m=8, k_codes=16, n_clusters=8,
                            n_probe=4, impl="arrow")
 
+    def q153(spark, sf_dir):
+        from db2pq_spark.operators.logreg import (
+            logreg_score, logreg_train, logreg_weights_df)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production: xxhash64 buckets, 4096-dim hashed feature space
+        # (the gate pins md5/64 so DuckDB replays the buckets)
+        w = logreg_train(docs, "text", "doc_id",
+                         F.col("source") == "src0", n_buckets=4096,
+                         epochs=3, keys="xxhash64")
+        return logreg_score(docs, logreg_weights_df(spark, w),
+                            "text", "doc_id", n_buckets=4096,
+                            keys="xxhash64")
+
+    def q154(spark, sf_dir):
+        from db2pq_spark.operators.logreg import (
+            logreg_score, logreg_train, logreg_weights_df)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = logreg_train(docs.where(F.col("doc_id") % 7 != 0),
+                         "text", "doc_id", F.col("source") == "src0",
+                         n_buckets=4096, epochs=3, keys="xxhash64")
+        return logreg_score(docs.where(F.col("doc_id") % 7 == 0),
+                            logreg_weights_df(spark, w), "text",
+                            "doc_id", n_buckets=4096, keys="xxhash64")
+
+    def q156(spark, sf_dir):
+        from db2pq_spark.operators.clustering import prototype_prune
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # production trainer: arrow (BLAS) assignment, k=8
+        return prototype_prune(emb, "embedding", "vec_id", k=8,
+                               iterations=2, drop=(1, 4), impl="arrow")
+
+    def q157(spark, sf_dir):
+        from db2pq_spark.operators.pq import (
+            pq_adc_topk, pq_encode, pq_train)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # production increment: arrow trainer/encoder, 8x16 codebooks
+        # (the q151 production geometry), standing/batch split
+        standing = emb.where(F.col("vec_id") % 5 != 0)
+        newq = emb.where((F.col("vec_id") % 5 == 0)
+                         & (F.col("vec_id") < 100))
+        books = pq_train(standing, "embedding", "vec_id", m=8, k=16,
+                         iterations=2, dim=64, impl="arrow")
+        codes = pq_encode(standing, books, "embedding", "vec_id",
+                          impl="arrow")
+        return pq_adc_topk(codes, newq, books, k_top=10,
+                           vec_col="embedding", id_col="vec_id")
+
+    def q158(spark, sf_dir):
+        from db2pq_spark.operators.cms import (
+            cms_build, cms_merge, cms_probe)
+        from db2pq_spark.operators.textstats import tokens as _tk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # production sketch geometry: xxhash64 rows, d=4, w=65536
+        d, w = 4, 65536
+        merged = cms_merge(
+            cms_build(docs.where(F.col("doc_id") % 5 != 0), "text",
+                      depth=d, width=w, keys="xxhash64"),
+            cms_build(docs.where(F.col("doc_id") % 5 == 0), "text",
+                      depth=d, width=w, keys="xxhash64"),
+            depth=d, width=w, keys="xxhash64")
+        exact = (docs.select(F.explode(_tk("text")).alias("tok"))
+                 .groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+                 .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+                 .limit(20))
+        return exact.join(
+            cms_probe(merged, exact, "tok", depth=d, width=w,
+                      keys="xxhash64"), "tok")
+
+    def q159(spark, sf_dir):
+        from db2pq_spark.operators.evalmetrics import roc_auc
+
+        scored = q153(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        joined = scored.join(
+            docs.select(F.col("doc_id").alias("id"),
+                        (F.col("source") == "src0").alias("_y")),
+            "id")
+        return roc_auc(joined, "margin_units", F.col("_y"))
+
+    def q162(spark, sf_dir):
+        from db2pq_spark.operators.evalmetrics import calibration_buckets
+
+        scored = q153(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        joined = scored.join(
+            docs.select(F.col("doc_id").alias("id"),
+                        (F.col("source") == "src0").alias("_y")),
+            "id")
+        return calibration_buckets(joined, "prob6", F.col("_y"))
+
     return {"q36_minhash_dedup": q36, "q37_simhash_dedup": q37,
             "q38_lsh_similarity": q38, "q117_kmeans": q117,
             "q102_duplicate_spans": q102, "q116_span_removal": q116,
@@ -342,7 +454,14 @@ def _overrides():
             "q147_gopher_repetition": q147,
             "q149_longest_dup_span": q149,
             "q150_longest_span_removal": q150,
-            "q151_pq_adc_topk": q151}
+            "q151_pq_adc_topk": q151,
+            "q153_logreg_quality": q153,
+            "q154_logreg_score_increment": q154,
+            "q156_prototype_prune": q156,
+            "q157_pq_increment": q157,
+            "q158_cms_heavy_hitters": q158,
+            "q159_classifier_auc": q159,
+            "q162_calibration": q162}
 
 
 def replicate(spark, table: str, out_dir: str, offset: int) -> None:
