@@ -81,6 +81,7 @@ _EXTENSION = (
     "q156_prototype_prune", "q157_pq_increment",
     "q158_cms_heavy_hitters", "q159_classifier_auc",
     "q160_token_mi", "q161_label_propagation", "q162_calibration",
+    "q163_zipf_fit",
 )
 
 
@@ -296,7 +297,7 @@ def _q147_hash_keys(spark, sf_dir: str):
     from db2pq_spark.operators.repetition import gopher_repetition
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return gopher_repetition(docs, "text", "doc_id", keys="hash")
+    return gopher_repetition(docs, "text", "doc_id", keys="arrow")
 
 
 def _q151_pq_production(spark, sf_dir: str):
@@ -660,8 +661,8 @@ _FAMILIES = [
                     "q153_logreg_quality"]),
     ("graph_prune", ["q157_pq_increment", "q156_prototype_prune",
                      "q155_pagerank"]),
-    ("sketch_mi", ["q158_cms_heavy_hitters", "q160_token_mi",
-                   "q161_label_propagation"]),
+    ("sketch_mi", ["q163_zipf_fit", "q158_cms_heavy_hitters",
+                   "q160_token_mi", "q161_label_propagation"]),
     ("classifier_eval", ["q162_calibration", "q159_classifier_auc"]),
 ]
 

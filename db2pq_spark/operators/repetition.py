@@ -146,6 +146,117 @@ GOPHER_TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}
 GOPHER_DUP_NGRAM_MAX_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 
 
+def _gopher_arrow(
+    df: DataFrame, text_col: str, id_col: str,
+    top_max_pct: dict[int, int], dup_max_pct: dict[int, int],
+) -> DataFrame:
+    """The shuffle-free production path of :func:`gopher_repetition`:
+    ONE ``mapInPandas`` kernel computes every per-document statistic —
+    the relational path's 9×-token-volume gram explode feeds a corpus-
+    wide (id, n, key) aggregate with ``collect_list`` interval
+    buffers plus per-(doc, n) windows, which measured **22.7×** at
+    the 100× replica (a ~40-byte row per gram through the exchange);
+    but every Gopher repetition statistic is a WITHIN-document
+    computation, so the kernel does it all in-process per Arrow
+    batch: grams group by exact slice CONTENT over the per-token
+    hash array (``np.unique(axis=0)`` — no second-level gram hash,
+    so strictly fewer collisions than the xxhash64-slice keys), top
+    attribution maximizes (count, char-length) with the value-
+    invariant tie discipline, and coverage is a vectorized running-
+    max interval union over the (already s-sorted) occurrence list.
+    Bit-identical to ``keys="exact"`` wherever the per-token xxhash64
+    relabeling is collision-free (the q149 stance; pinned by test).
+    Only integers cross the Arrow boundary (token lengths + hashes
+    in, 10 int64 columns out)."""
+    import numpy as np
+
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    from db2pq_spark.operators.dedup import normalize_text
+
+    top_ns, dup_ns = sorted(top_max_pct), sorted(dup_max_pct)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & (F.trim(F.col(text_col)) != ""))
+            .select(F.col(id_col).alias("id"),
+                    F.split(normalize_text(text_col), " ").alias("_toks"))
+            .where((F.size("_toks") > 0)
+                   & (F.element_at("_toks", 1) != ""))
+            .select("id",
+                    F.transform("_toks", lambda t_: F.length(t_))
+                    .alias("_lens"),
+                    F.transform("_toks", lambda t_: F.xxhash64(t_))
+                    .alias("_th")))
+    cols = (["n_chars"] + [f"top{n}_chars" for n in top_ns]
+            + [f"dup{n}_chars" for n in dup_ns])
+    schema = StructType([base.schema["id"]]
+                        + [StructField(c, LongType()) for c in cols])
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in ["id"] + cols}
+            for id_, lens, th in zip(pdf["id"], pdf["_lens"],
+                                     pdf["_th"]):
+                lens = np.asarray(lens, dtype=np.int64)
+                th = np.asarray(th, dtype=np.int64)
+                m = len(th)
+                # offs[j] = char start of token j (0-based);
+                # sentinel offs[m] = total + 1
+                offs = np.concatenate(([0], np.cumsum(lens + 1)))
+                n_chars = int(offs[m]) - 1
+                out["id"].append(id_)
+                out["n_chars"].append(n_chars)
+                for n in all_ns:
+                    col = (f"top{n}_chars" if n in top_max_pct
+                           else f"dup{n}_chars")
+                    if m < n:
+                        out[col].append(0)
+                        continue
+                    k = m - n + 1
+                    # (k, n) view of all gram slices; unique rows =
+                    # exact gram identity under the token relabeling
+                    sl = np.lib.stride_tricks.sliding_window_view(
+                        th, n)
+                    _, inv, cnts = np.unique(
+                        sl, axis=0, return_inverse=True,
+                        return_counts=True)
+                    occ_cnt = cnts[inv]           # per-occurrence
+                    s = offs[:k]
+                    e = offs[n:n + k] - 1
+                    if n in top_max_pct:
+                        # max count (>= 2), tie -> max char length;
+                        # chars = cnt * glen (key choice cannot
+                        # matter: both factors are tie-determined)
+                        glen = np.full(len(cnts), np.iinfo(np.int64).max)
+                        np.minimum.at(glen, inv, e - s)
+                        cand = cnts >= 2
+                        if not cand.any():
+                            out[col].append(0)
+                            continue
+                        order = np.lexsort((glen[cand], cnts[cand]))
+                        best = order[-1]
+                        out[col].append(
+                            int(cnts[cand][best])
+                            * int(glen[cand][best]))
+                    else:
+                        dup = occ_cnt >= 2
+                        if not dup.any():
+                            out[col].append(0)
+                            continue
+                        ds, de = s[dup], e[dup]   # s strictly asc
+                        pmax = np.concatenate(
+                            ([ds[0]],
+                             np.maximum.accumulate(de)[:-1]))
+                        cov = np.maximum(
+                            de - np.maximum(ds, pmax), 0)
+                        out[col].append(int(cov.sum()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(kern, schema=schema)
+
+
 def gopher_repetition(
     df: DataFrame, text_col: str, id_col: str,
     top_max_pct: dict[int, int] | None = None,
@@ -180,8 +291,15 @@ def gopher_repetition(
 
     ``keys``: ``"exact"`` (default, the gate configuration) keys the
     count aggregate by the gram STRING — DuckDB-replayable, ties
-    broken by the lexicographically smallest gram. ``"hash"`` is the
-    production configuration (the q102 span-key discipline): gram
+    broken by the lexicographically smallest gram. ``"arrow"`` is
+    the PRODUCTION configuration — see :func:`_gopher_arrow`: one
+    shuffle-free ``mapInPandas`` kernel (the relational gram explode
+    measured 22.7× at the 100× replica; the kernel 5.7×), grams
+    grouped by exact slice content over the per-token hashes —
+    bit-identical to ``"exact"`` wherever the token relabeling is
+    collision-free (pinned by test). ``"hash"`` is the
+    relational hashed-key configuration (the q102 span-key
+    discipline): gram
     keys are ``xxhash64`` over SLICES of the per-token hash array —
     gram strings are never constructed at all (for n = 10 the string
     build + shuffle were ~50× the token volume in bytes; measured
@@ -203,9 +321,26 @@ def gopher_repetition(
                        else top_max_pct)
     dup_max_pct = dict(GOPHER_DUP_NGRAM_MAX_PCT if dup_max_pct is None
                        else dup_max_pct)
-    if keys not in ("exact", "hash"):
-        raise ValueError(f"unknown keys {keys!r} — 'exact' or 'hash'")
+    if keys not in ("exact", "hash", "arrow"):
+        raise ValueError(f"unknown keys {keys!r} — "
+                         "'exact', 'hash' or 'arrow'")
     top_ns, dup_ns = sorted(top_max_pct), sorted(dup_max_pct)
+    if keys == "arrow":
+        out = _gopher_arrow(df, text_col, id_col, top_max_pct,
+                            dup_max_pct)
+        checks = [
+            F.col(f"top{n}_chars") * 100
+            <= F.lit(int(top_max_pct[n])) * F.col("n_chars")
+            for n in top_ns
+        ] + [
+            F.col(f"dup{n}_chars") * 100
+            <= F.lit(int(dup_max_pct[n])) * F.col("n_chars")
+            for n in dup_ns
+        ]
+        passed = checks[0]
+        for c in checks[1:]:
+            passed = passed & c
+        return out.select("*", passed.alias("pass"))
     from db2pq_spark.operators.dedup import normalize_text
 
     base = (df.filter(F.col(text_col).isNotNull()

@@ -568,3 +568,69 @@ def kn_score_documents(
                      .alias("sum_surprisal"),
                     (F.col("_sum").cast("double") / F.col("n_bigrams"))
                      .alias("mean_surprisal")))
+
+
+def zipf_fit(df: DataFrame, text_col: str,
+             round_digits: int = 9) -> DataFrame:
+    """Corpus-health Zipf diagnostic: least-squares fit of
+    ``ln(freq) ~ slope·ln(rank) + intercept`` over the frequency-
+    ranked vocabulary — natural text sits near slope ≈ −1 (Zipf's
+    law); a slope far off flags template/boilerplate floods (too
+    steep) or synthetic/shredded text (too flat). The standard quick
+    QA gauge on a new crawl before heavier filters run.
+
+    Returns ONE row ``(n_types, n_tokens, slope, intercept, r2)``.
+
+    Determinism: ranks are exact (the range-partitioned global rank
+    under (freq DESC, tok ASC) — a total order); each point's
+    ``ln``-space regression terms round to ``round_digits`` BEFORE
+    exact decimal accumulation (order-independent sums), and the
+    closed-form slope/intercept/r² are a fixed arithmetic tree over
+    those exact sums — engines agree wherever their ``ln`` doubles
+    agree (the established log2/exp stance).
+
+    Shape: one corpus explode → zipf-bounded (tok) count aggregate →
+    range-partitioned rank (no single-partition window) → narrow
+    per-point terms → ONE 1-row aggregate. Nothing vocabulary-sized
+    leaves the cluster."""
+    from db2pq_spark.operators.ranking import global_rank_with_total
+
+    counts = (df.select(F.explode(tokens(text_col)).alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("freq")))
+    ranked, n_types = global_rank_with_total(
+        counts, [F.col("freq").desc(), F.col("tok").asc()],
+        rank_col="rank")
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    d = f"decimal(28,{round_digits})"
+    terms = ranked.select(
+        F.col("freq"),
+        F.round(x, round_digits).cast(d).alias("_x"),
+        F.round(y, round_digits).cast(d).alias("_y"),
+        F.round(x * x, round_digits).cast(d).alias("_xx"),
+        F.round(x * y, round_digits).cast(d).alias("_xy"),
+        F.round(y * y, round_digits).cast(d).alias("_yy"))
+    agg = terms.agg(
+        F.count("*").alias("n"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+        F.sum("_xx").alias("sxx"), F.sum("_xy").alias("sxy"),
+        F.sum("_yy").alias("syy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    det = n * sxx - sx * sx
+    cov = n * sxy - sx * sy
+    vary = n * syy - sy * sy
+    slope = cov / det
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.when(det != 0, F.round(slope, 6)).alias("slope"),
+        F.when(det != 0,
+               F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+        F.when((det != 0) & (vary != 0),
+               F.round((cov * cov) / (det * vary), 6)).alias("r2"))

@@ -325,3 +325,56 @@ def stream_semantic_dedup_incremental(
         on_batch(pairs, epoch_id)
 
     return vec_stream.writeStream.foreachBatch(_process)
+
+
+def stream_logreg_score(
+    doc_stream: DataFrame,
+    weights: DataFrame,
+    on_batch,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    keys: str = "md5",
+):
+    """Streaming quality scoring against persisted
+    :func:`db2pq_spark.operators.logreg.logreg_weights_df` weights:
+    each micro-batch of incoming documents runs
+    :func:`db2pq_spark.operators.logreg.logreg_score`;
+    ``on_batch(scored_df, epoch_id)`` receives
+    ``(id, n_feats, margin_units, prob6, predicted)`` — the classifier
+    member of the streaming-increment family (exact/semantic dedup,
+    line counts). The weight relation is B+1 rows, broadcast into
+    every micro-batch; the standing corpus is never touched.
+
+    The ``_lr_b`` hash-space stamp is validated EAGERLY here, before
+    the writer is returned — the weight relation is bounded (B+1
+    rows), so one ``first()`` is a bounded driver read, and a
+    mismatched or empty weight relation refuses at wire time instead
+    of surfacing only when the first non-empty micro-batch arrives
+    (the q141/q142 eager-validation discipline). The per-row guard
+    inside :func:`logreg_score` still backstops every batch plan.
+
+    Returns the configured ``DataStreamWriter`` — call
+    ``.trigger(...)`` / ``.start()``.
+
+    [extension — the reference has no streaming surface, SURVEY §2.12]
+    """
+    from pyspark.sql import functions as F
+
+    from db2pq_spark.operators.logreg import logreg_score
+
+    row = weights.select("_lr_b").first()
+    if row is None:
+        raise ValueError("stream_logreg_score: empty weight relation")
+    if row["_lr_b"] != int(n_buckets):
+        raise ValueError(
+            f"stream_logreg_score: weights stamped "
+            f"_lr_b={row['_lr_b']}, scorer configured for "
+            f"n_buckets={int(n_buckets)}")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = logreg_score(batch_df, weights, text_col, id_col,
+                              n_buckets=n_buckets, keys=keys)
+        on_batch(scored, epoch_id)
+
+    return doc_stream.writeStream.foreachBatch(_process)

@@ -4021,3 +4021,98 @@ def q162_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("id"),
                     (F.col("source") == "src0").alias("_y")), "id")
     return calibration_buckets(joined, "prob6", F.col("_y"))
+
+
+_Q163_SQL = f"""
+    WITH zc AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    zr AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+      FROM zc
+    ),
+    zt AS (
+      SELECT freq,
+             CAST(round(ln(CAST(rank AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS y,
+             CAST(round(ln(CAST(rank AS DOUBLE))
+                        * ln(CAST(rank AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS xx,
+             CAST(round(ln(CAST(rank AS DOUBLE))
+                        * ln(CAST(freq AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS xy,
+             CAST(round(ln(CAST(freq AS DOUBLE))
+                        * ln(CAST(freq AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS yy
+      FROM zr
+    ),
+    za AS (
+      SELECT COUNT(*) AS n, SUM(freq) AS n_tokens,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(xx) AS sxx,
+             SUM(xy) AS sxy, SUM(yy) AS syy
+      FROM zt
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE)), 6)
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+                THEN round((CAST(sy AS DOUBLE)
+                            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE)
+                                  * CAST(sy AS DOUBLE))
+                               / (CAST(n AS DOUBLE)
+                                  * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE)
+                                    * CAST(sx AS DOUBLE)))
+                              * CAST(sx AS DOUBLE))
+                           / CAST(n AS DOUBLE), 6)
+           END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0)
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) != 0)
+                THEN round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE)
+                                 * CAST(sy AS DOUBLE)))
+                           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)
+                                 * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE)
+                                 * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE))), 6)
+           END AS r2
+    FROM za
+"""
+
+
+@query("q163_zipf_fit", oracle=_Q163_SQL)
+def q163_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus diagnostic
+    (operators/textstats.py:zipf_fit): least-squares slope of
+    ln(freq) vs ln(rank) over the frequency-ranked vocabulary —
+    natural text sits near −1; template floods and synthetic text
+    drift off. Ranks from the range-partitioned global rank (total
+    order, no single-partition window); per-point regression terms
+    round to 9 digits before exact decimal accumulation, so the
+    closed-form slope/intercept/r² replay wherever engines' ln
+    doubles agree. One explode, one zipf-bounded aggregate, one 1-row
+    fold. [extension]"""
+    from db2pq_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(t(spark, sf_dir, "documents"), "text")

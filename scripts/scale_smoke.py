@@ -159,8 +159,8 @@ FAMILIES = [
     # round-12: fixed-size mergeable sketch state (d*w cells, corpus
     # explode x d), MI feature ranking (zipf-bounded aggregate), and
     # dup-cluster label repair (hash-min components)
-    ("sketch_mi", ["q158_cms_heavy_hitters", "q160_token_mi",
-                   "q161_label_propagation"]),
+    ("sketch_mi", ["q163_zipf_fit", "q158_cms_heavy_hitters",
+                   "q160_token_mi", "q161_label_propagation"]),
     # round-12: classifier eval over the production logreg config
     ("classifier_eval", ["q162_calibration", "q159_classifier_auc"]),
 ]
@@ -301,7 +301,7 @@ def _overrides():
         # production keys: xxhash64 over token-hash slices — gram
         # strings never built (bit-identical values; the gate entry
         # pins keys='exact' so DuckDB replays the gram keys)
-        return gopher_repetition(docs, "text", "doc_id", keys="hash")
+        return gopher_repetition(docs, "text", "doc_id", keys="arrow")
 
     def q131(spark, sf_dir):
         from db2pq_spark.operators.dedup import minhash_dedup

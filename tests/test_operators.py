@@ -2226,3 +2226,32 @@ class TestPrototypePrune:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="drop"):
             prototype_prune(self._emb(spark), k=2, drop=(4, 4))
+
+
+class TestGopherArrowKernel:
+    def test_arrow_matches_exact_on_fixture(self, spark, sf_dir):
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = sorted(tuple(r) for r in
+                   gopher_repetition(docs, "text", "doc_id",
+                                     keys="exact").collect())
+        b = sorted(tuple(r) for r in
+                   gopher_repetition(docs, "text", "doc_id",
+                                     keys="arrow").collect())
+        assert a == b
+
+    def test_arrow_handcrafted_coverage(self, spark):
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        # "x y x y x y" : top 2-gram "x y" count 2 (occurrences at
+        # tokens 1-2, 3-4; the 2-4 "y x" also count 2 -> tie resolved
+        # by char length, all equal 3 -> chars 2*3=6 either way
+        df = spark.createDataFrame([(1, "x y x y x y")],
+                                   "doc_id long, text string")
+        r = gopher_repetition(df, "text", "doc_id",
+                              keys="arrow").collect()[0]
+        e = gopher_repetition(df, "text", "doc_id",
+                              keys="exact").collect()[0]
+        assert tuple(r) == tuple(e)
+        assert r["n_chars"] == 11 and r["top2_chars"] == 9

@@ -442,3 +442,50 @@ class TestSpanCorruptionPlan:
         n_scan = sum(1 for ln in plan.splitlines()
                      if "FileScan parquet" in ln)
         assert n_scan == 1, f"{n_scan} corpus scans"
+
+
+class TestRound12Plans:
+    def test_q153_weights_broadcast_and_exchange_bounded(
+            self, spark, sf_correct_dir):
+        # classifier scoring: the B+1-row weight relation must be the
+        # broadcast side; the corpus-sized design relation must never
+        # sort-merge against it
+        plan = plan_of(spark, sf_correct_dir, "q153_logreg_quality",
+                       execute=True)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q155_pagerank_no_cartesian(self, spark, sf_correct_dir):
+        # the 1-row dangling aggregate rides a broadcast nested loop,
+        # never a cartesian product
+        plan = plan_of(spark, sf_correct_dir, "q155_pagerank",
+                       execute=True)
+        assert "CartesianProduct" not in plan
+
+    def test_q156_prune_no_cluster_window(self, spark, sf_correct_dir):
+        # within-cluster ranks come from the range-partitioned global
+        # rank — a partitionBy(cluster) window would funnel the corpus
+        # into k tasks
+        plan = plan_of(spark, sf_correct_dir, "q156_prototype_prune",
+                       execute=True)
+        # the two-stage rank's window partitions by the range-stage
+        # _pid, never by the raw cluster id
+        assert "windowspecdefinition(cluster#" not in plan
+        assert "windowspecdefinition(_pid" in plan
+
+    def test_q158_sketch_is_broadcast_side(self, spark, sf_correct_dir):
+        # probing joins the d*w-bounded sketch as the broadcast build
+        plan = plan_of(spark, sf_correct_dir, "q158_cms_heavy_hitters",
+                       execute=True)
+        assert "BroadcastHashJoin" in plan
+
+    def test_q160_mi_presence_no_distinct_shuffle(self, spark,
+                                                  sf_correct_dir):
+        # presence is in-row array_distinct BEFORE the explode; the
+        # plan must not contain a corpus-keyed HashAggregate pair for
+        # a (doc, tok) distinct (the token aggregate + the TakeOrdered
+        # are the only shuffles)
+        plan = plan_of(spark, sf_correct_dir, "q160_token_mi",
+                       execute=True)
+        assert "array_distinct" in plan
+        assert "TakeOrderedAndProject" in plan

@@ -193,3 +193,38 @@ class TestPropagateLabels:
         out = propagate_labels(df, pairs, "id", "lang",
                                src="id1", dst="id2").collect()
         assert all(r["label_repaired"] == "en" for r in out)
+
+
+class TestZipfFit:
+    def test_zipfian_corpus_slope_near_minus_one(self, spark):
+        from db2pq_spark.operators.textstats import zipf_fit
+
+        # freq(rank r) = 60/r for 6 types: exactly Zipfian
+        words = []
+        for r, w in enumerate(["a", "b", "c", "d", "e", "f"], 1):
+            words += [w] * (60 // r)
+        df = spark.createDataFrame([(1, " ".join(words))],
+                                   "id long, text string")
+        r = zipf_fit(df, "text").collect()[0]
+        assert r["n_types"] == 6
+        assert r["n_tokens"] == sum(60 // i for i in range(1, 7))
+        assert -1.1 < r["slope"] < -0.9
+        assert r["r2"] > 0.99
+
+    def test_uniform_corpus_slope_zero(self, spark):
+        from db2pq_spark.operators.textstats import zipf_fit
+
+        df = spark.createDataFrame(
+            [(1, "aa bb cc dd aa bb cc dd")], "id long, text string")
+        r = zipf_fit(df, "text").collect()[0]
+        assert r["slope"] == 0.0  # all freqs equal -> flat line
+
+    def test_single_type_degenerate_is_null(self, spark):
+        from db2pq_spark.operators.textstats import zipf_fit
+
+        df = spark.createDataFrame([(1, "aa aa aa")],
+                                   "id long, text string")
+        r = zipf_fit(df, "text").collect()[0]
+        # one point: det = 0 -> no fit, refuse with NULLs
+        assert r["slope"] is None and r["r2"] is None
+        assert r["n_types"] == 1 and r["n_tokens"] == 3

@@ -283,3 +283,76 @@ class TestStreamSemanticDedupIncremental:
         assert expect and set(got) == expect
         assert len(got) == len(set(got))
         assert len(epochs) > 1
+
+
+class TestStreamLogregScore:
+    def test_matches_batch_scorer(self, spark, sf_correct_dir,
+                                  tmp_path):
+        """Streamed micro-batches reproduce the batch scorer exactly
+        over the same finite input, across >1 trigger."""
+        from db2pq_spark.operators.logreg import (
+            logreg_score, logreg_train, logreg_weights_df)
+        from db2pq_spark.streaming.windows import stream_logreg_score
+
+        docs = spark.read.parquet(f"{sf_correct_dir}/documents.parquet")
+        w = logreg_train(docs.where(F.col("doc_id") % 7 != 0), "text",
+                         "doc_id", F.col("source") == "src0",
+                         n_buckets=32, epochs=2)
+        wdf = logreg_weights_df(spark, w).localCheckpoint(eager=True)
+        batch = docs.where(F.col("doc_id") % 7 == 0) \
+            .select("doc_id", "text")
+
+        src = str(tmp_path / "doc_stream_src")
+        batch.repartition(4).write.parquet(src)
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        got: dict[int, tuple] = {}
+        epochs: set[int] = set()
+
+        def sink(scored, epoch_id):
+            epochs.add(epoch_id)
+            for r in scored.collect():
+                got[r["id"]] = (r["margin_units"], r["prob6"],
+                                r["predicted"])
+
+        q = (stream_logreg_score(stream, wdf, sink, n_buckets=32)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.awaitTermination()
+
+        expect = {r["id"]: (r["margin_units"], r["prob6"],
+                            r["predicted"])
+                  for r in logreg_score(batch, wdf, "text", "doc_id",
+                                        n_buckets=32).collect()}
+        assert expect and got == expect
+        assert len(epochs) > 1
+
+    def test_stamp_mismatch_refused_eagerly(self, spark, tmp_path):
+        from db2pq_spark.operators.logreg import logreg_weights_df
+        from db2pq_spark.streaming.windows import stream_logreg_score
+
+        wdf = logreg_weights_df(spark, [0] * 17)  # stamped B=16
+        schema = "doc_id long, text string"
+        src = str(tmp_path / "empty_src")
+        spark.createDataFrame([], schema).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        # wired against an IDLE stream: must refuse NOW, not on the
+        # first non-empty trigger
+        with pytest.raises(ValueError, match="n_buckets=32"):
+            stream_logreg_score(stream, wdf, lambda d, e: None,
+                                n_buckets=32)
+
+    def test_empty_weights_refused(self, spark, tmp_path):
+        from db2pq_spark.operators.logreg import logreg_weights_df
+        from db2pq_spark.streaming.windows import stream_logreg_score
+
+        wdf = logreg_weights_df(spark, [0] * 17).limit(0)
+        schema = "doc_id long, text string"
+        src = str(tmp_path / "empty_src2")
+        spark.createDataFrame([], schema).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        with pytest.raises(ValueError, match="empty weight"):
+            stream_logreg_score(stream, wdf, lambda d, e: None,
+                                n_buckets=16)
