@@ -125,7 +125,31 @@ SHOWCASE = {
                               "char intervals resolved BEFORE the "
                               "explode), map-side-combined (id,n,"
                               "gram) count, per-(doc,n) island "
-                              "windows — no global sort",
+                              "windows — no global sort (gate "
+                              "config; production keys='arrow' is "
+                              "ONE shuffle-free mapInPandas kernel, "
+                              "22.7x -> 5.4x at the 100x replica)",
+    "q153_logreg_quality": "3 GD epochs: B+1-row weight relation "
+                           "broadcast per epoch, design relation "
+                           "pre-partitioned on the doc key so every "
+                           "epoch is exchange-free except the "
+                           "B-bounded gradient aggregate",
+    "q155_pagerank": "per step one source-keyed rank-edges join + "
+                     "one destination-keyed SUM; dangling mass a "
+                     "1-row broadcast; rank states localCheckpoint "
+                     "per step — no cartesian anywhere",
+    "q156_prototype_prune": "within-cluster ranks via the range-"
+                            "partitioned global rank (window keyed "
+                            "by _pid, never by the k-small cluster "
+                            "id); per-cluster counts k-bounded "
+                            "broadcast",
+    "q158_cms_heavy_hitters": "sketch build collapses to <= d*w "
+                              "cells map-side; probe joins the "
+                              "broadcast sketch; merge is a "
+                              "bounded-relation re-aggregate",
+    "q160_token_mi": "presence via in-row array_distinct BEFORE the "
+                     "explode — no corpus-sized distinct shuffle; "
+                     "top-k a TakeOrderedAndProject",
     "q98_sliding_window": "sliding windows are one Expand (4 rows per "
                           "event) + the tumbling agg pipeline",
     "q100_heavy_hitters": "corpus heavy hitters: map-side combine "
