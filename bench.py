@@ -81,7 +81,7 @@ _EXTENSION = (
     "q156_prototype_prune", "q157_pq_increment",
     "q158_cms_heavy_hitters", "q159_classifier_auc",
     "q160_token_mi", "q161_label_propagation", "q162_calibration",
-    "q163_zipf_fit",
+    "q163_zipf_fit", "q164_token_drift",
 )
 
 
@@ -662,7 +662,8 @@ _FAMILIES = [
     ("graph_prune", ["q157_pq_increment", "q156_prototype_prune",
                      "q155_pagerank"]),
     ("sketch_mi", ["q163_zipf_fit", "q158_cms_heavy_hitters",
-                   "q160_token_mi", "q161_label_propagation"]),
+                   "q160_token_mi", "q164_token_drift",
+                   "q161_label_propagation"]),
     ("classifier_eval", ["q162_calibration", "q159_classifier_auc"]),
 ]
 

@@ -336,3 +336,58 @@ def token_mi(
                     mi.alias("mi"))
             .orderBy(F.desc("mi"), F.asc("tok"))
             .limit(int(k)))
+
+
+def token_drift(
+    standing: DataFrame, batch: DataFrame, text_col: str,
+    alpha: float = 1.0, k: int = 30, round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-drift detection between a standing corpus and a new
+    crawl batch — the distribution-shift QA gate run before a batch
+    is admitted (CCNet-style pipelines monitor exactly this between
+    crawl snapshots): per-token KL-divergence contribution
+
+        kl_term(t) = p_B(t) · log2( p_B(t) / p_A(t) ),
+
+    under Laplace-``alpha`` smoothing over the UNION vocabulary
+    (``p_X(t) = (cnt_X(t) + α)/(N_X + α·V)`` — every union token has
+    both probabilities, so no zero branch exists), where A is the
+    standing corpus and B the batch. ``Σ_t kl_term = KL(B‖A)``; the
+    top contributors ARE the drift diagnosis (which tokens exploded
+    or vanished).
+
+    Returns the top-``k`` ``(tok, cnt_a, cnt_b, kl_term)`` by
+    (|kl_term| desc, tok asc) — negative terms (tokens
+    under-represented in the batch) matter for the diagnosis too,
+    hence the absolute ranking; ``kl_term`` rounded to
+    ``round_digits`` so the order is a cross-engine total one.
+
+    Shape: one explode + token aggregate per side, one full-outer
+    union-vocabulary merge (both relations zipf-bounded), broadcast
+    1-row totals, TakeOrdered top-k. Engines agree wherever their
+    log2 doubles agree (the established stance)."""
+    from db2pq_spark.operators.textstats import tokens
+
+    ca = (standing.select(F.explode(tokens(text_col)).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("cnt_a")))
+    cb = (batch.select(F.explode(tokens(text_col)).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("cnt_b")))
+    merged = (ca.join(cb, "tok", "full_outer")
+              .select("tok",
+                      F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                      F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    totals = merged.agg(F.sum("cnt_a").alias("na"),
+                        F.sum("cnt_b").alias("nb"),
+                        F.count("*").alias("v"))
+    a = F.lit(float(alpha))
+    pa = (F.col("cnt_a").cast("double") + a) \
+        / (F.col("na").cast("double") + a * F.col("v"))
+    pb = (F.col("cnt_b").cast("double") + a) \
+        / (F.col("nb").cast("double") + a * F.col("v"))
+    term = F.round(pb * F.log2(pb / pa), round_digits)
+    return (merged.crossJoin(F.broadcast(totals))
+            .select("tok", F.col("cnt_a").cast("bigint"),
+                    F.col("cnt_b").cast("bigint"),
+                    term.alias("kl_term"))
+            .orderBy(F.abs(F.col("kl_term")).desc(), F.asc("tok"))
+            .limit(int(k)))

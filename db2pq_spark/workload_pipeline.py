@@ -4116,3 +4116,61 @@ def q163_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db2pq_spark.operators.textstats import zipf_fit
 
     return zipf_fit(t(spark, sf_dir, "documents"), "text")
+
+
+_Q164_SQL = f"""
+    WITH dra AS (
+      SELECT tok, COUNT(*) AS cnt_a
+      FROM (SELECT unnest({_TOKENS}) AS tok FROM documents
+            WHERE doc_id % 5 <> 0)
+      GROUP BY tok
+    ),
+    drb AS (
+      SELECT tok, COUNT(*) AS cnt_b
+      FROM (SELECT unnest({_TOKENS}) AS tok FROM documents
+            WHERE doc_id % 5 = 0)
+      GROUP BY tok
+    ),
+    drm AS (
+      SELECT COALESCE(a.tok, b.tok) AS tok,
+             COALESCE(a.cnt_a, 0) AS cnt_a,
+             COALESCE(b.cnt_b, 0) AS cnt_b
+      FROM dra a FULL OUTER JOIN drb b ON a.tok = b.tok
+    ),
+    drt AS (
+      SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS v
+      FROM drm
+    )
+    SELECT tok, CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b,
+           round(
+             ((CAST(cnt_b AS DOUBLE) + 1.0e0)
+              / (CAST(nb AS DOUBLE) + 1.0e0 * CAST(v AS DOUBLE)))
+             * log2(((CAST(cnt_b AS DOUBLE) + 1.0e0)
+                     / (CAST(nb AS DOUBLE)
+                        + 1.0e0 * CAST(v AS DOUBLE)))
+                    / ((CAST(cnt_a AS DOUBLE) + 1.0e0)
+                       / (CAST(na AS DOUBLE)
+                          + 1.0e0 * CAST(v AS DOUBLE)))), 6)
+           AS kl_term
+    FROM drm, drt
+    ORDER BY abs(kl_term) DESC, tok LIMIT 30
+"""
+
+
+@query("q164_token_drift", oracle=_Q164_SQL)
+def q164_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift detection (operators/quality.py:token_drift) —
+    the distribution-shift QA gate between the standing corpus
+    (doc_id % 5 != 0) and a new crawl batch (doc_id % 5 == 0):
+    per-token KL(B‖A) contributions under Laplace smoothing over the
+    union vocabulary, top-30 by absolute contribution (tokens that
+    exploded or vanished ARE the diagnosis; Σ terms = the KL
+    statistic). Two zipf-bounded token aggregates, one full-outer
+    vocabulary merge, broadcast 1-row totals, TakeOrdered.
+    [extension]"""
+    from db2pq_spark.operators.quality import token_drift
+
+    docs = t(spark, sf_dir, "documents")
+    return token_drift(docs.where(F.col("doc_id") % 5 != 0),
+                       docs.where(F.col("doc_id") % 5 == 0), "text")

@@ -160,7 +160,8 @@ FAMILIES = [
     # explode x d), MI feature ranking (zipf-bounded aggregate), and
     # dup-cluster label repair (hash-min components)
     ("sketch_mi", ["q163_zipf_fit", "q158_cms_heavy_hitters",
-                   "q160_token_mi", "q161_label_propagation"]),
+                   "q160_token_mi", "q164_token_drift",
+                   "q161_label_propagation"]),
     # round-12: classifier eval over the production logreg config
     ("classifier_eval", ["q162_calibration", "q159_classifier_auc"]),
 ]

@@ -228,3 +228,29 @@ class TestZipfFit:
         # one point: det = 0 -> no fit, refuse with NULLs
         assert r["slope"] is None and r["r2"] is None
         assert r["n_types"] == 1 and r["n_tokens"] == 3
+
+
+class TestTokenDrift:
+    def test_exploded_token_ranks_top(self, spark):
+        from db2pq_spark.operators.quality import token_drift
+
+        standing = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha beta")], "id long, text string")
+        batch = spark.createDataFrame(
+            [(2, "spam spam spam spam alpha")], "id long, text string")
+        out = token_drift(standing, batch, "text", k=10).collect()
+        assert out[0]["tok"] == "spam"          # absent from standing
+        assert out[0]["kl_term"] > 0
+        terms = {r["tok"]: r for r in out}
+        assert terms["spam"]["cnt_a"] == 0
+        assert terms["spam"]["cnt_b"] == 4
+        # beta vanished from the batch -> negative contribution
+        assert terms["beta"]["kl_term"] < 0
+
+    def test_identical_corpora_terms_near_zero(self, spark):
+        from db2pq_spark.operators.quality import token_drift
+
+        df = spark.createDataFrame([(1, "x y z x y z")],
+                                   "id long, text string")
+        out = token_drift(df, df, "text", k=10).collect()
+        assert all(abs(r["kl_term"]) < 1e-6 for r in out)
