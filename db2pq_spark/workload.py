@@ -61,30 +61,20 @@ GATE_PRIORITY: list[str] = [
     "q23_count_clamp",            # A1 count + where + limit clamp
     "q40_sql_api",                # S2 Spark-side SQL surface
     "q03_top_orders",             # join + total order + limit
-    "q04_semi_join",
     "q16_anti_join",
-    "q15_outer_join_having",
     "q05_region_revenue",         # star join (broadcast dims)
     "q11_rollup",
-    "q44_grouping_sets",
     "q22_pivot",
-    "q26_percentiles",
-    "q56_statistics",
-    "q58_correlated_scalar_subquery",
     "q07_topk_per_group",         # §2.6 window rank
-    "q09_lag_delta",              # lag/lead over events
     "q10_set_ops",
     "q14_scalar_functions",       # §2.7 strings
-    "q17_date_functions",
     "q18_safe_boolean",           # T3
     "q24_numeric_modes",          # T4/T6
-    "q53_json_extract",
     "q19_tumbling_window",
     "q20_sessionization",
     "q54_pandas_udf_scalar",      # §2.12 vectorized UDF
     "q57_grouped_pandas",         # applyInPandas
     "q80_udtf_tokens",            # UDTF
-    "q81_grouped_agg_udaf",       # pandas UDAF
     # -- LLM-pipeline extension families --------------------------------
     "q30_exact_dedup",
     "q31_text_profile",
@@ -107,6 +97,19 @@ GATE_PRIORITY: list[str] = [
     "q103_vocab_encode",
     "q104_decontamination",
     "q105_label_centroids",
+    # -- round-11/12 operator families (gate rotated in round 13 so the
+    #    driver's independent check covers the newest code; the displaced
+    #    relational variants stay verified by scripts/check_oracle.py) ---
+    "q148_unigram_soft",          # soft-EM unigram LM training
+    "q149_longest_dup_span",      # suffix-doubling exact-substring dedup
+    "q151_pq_adc_topk",           # IVF-PQ ANN (ADC scan)
+    "q153_logreg_quality",        # integer logistic-regression classifier
+    "q155_pagerank",              # integer PageRank
+    "q157_pq_increment",          # train-once / query-increments PQ
+    "q158_cms_heavy_hitters",     # count-min sketch
+    "q159_classifier_auc",        # exact ROC-AUC
+    "q161_label_propagation",     # label propagation over dup clusters
+    "q164_token_drift",           # corpus-drift detection
 ]
 
 

@@ -29,29 +29,19 @@ def test_gate_covers_every_operator_family():
         "count-clamp": "q23_count_clamp",
         "sql-api": "q40_sql_api",
         "joins": "q03_top_orders",
-        "semi": "q04_semi_join",
         "anti": "q16_anti_join",
-        "outer": "q15_outer_join_having",
         "rollup": "q11_rollup",
-        "grouping-sets": "q44_grouping_sets",
         "pivot": "q22_pivot",
-        "percentiles": "q26_percentiles",
-        "statistics": "q56_statistics",
-        "subqueries": "q58_correlated_scalar_subquery",
         "window-rank": "q07_topk_per_group",
-        "window-lag": "q09_lag_delta",
         "set-ops": "q10_set_ops",
         "strings": "q14_scalar_functions",
-        "dates": "q17_date_functions",
         "booleans": "q18_safe_boolean",
         "numeric-modes": "q24_numeric_modes",
-        "json": "q53_json_extract",
         "streaming-window": "q19_tumbling_window",
         "sessionization": "q20_sessionization",
         "pandas-udf": "q54_pandas_udf_scalar",
         "grouped-pandas": "q57_grouped_pandas",
         "udtf": "q80_udtf_tokens",
-        "udaf": "q81_grouped_agg_udaf",
         "exact-dedup": "q30_exact_dedup",
         "text-profile": "q31_text_profile",
         "ngram-jaccard": "q32_ngram_jaccard",
@@ -73,6 +63,19 @@ def test_gate_covers_every_operator_family():
         "vocab": "q103_vocab_encode",
         "decontamination": "q104_decontamination",
         "centroids": "q105_label_centroids",
+        # round-13 rotation: the newest operator families get driver-side
+        # scrutiny; displaced relational variants stay oracle-checked via
+        # scripts/check_oracle.py (FULLGATE).
+        "unigram-soft-em": "q148_unigram_soft",
+        "suffix-dedup": "q149_longest_dup_span",
+        "ivf-pq": "q151_pq_adc_topk",
+        "logreg": "q153_logreg_quality",
+        "pagerank": "q155_pagerank",
+        "pq-increment": "q157_pq_increment",
+        "count-min": "q158_cms_heavy_hitters",
+        "roc-auc": "q159_classifier_auc",
+        "label-propagation": "q161_label_propagation",
+        "token-drift": "q164_token_drift",
     }
     not_in_gate = {f: q for f, q in families.items() if q not in gate}
     assert not_in_gate == {}
