@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc"]
+__all__ = ["roc_auc", "calibration_buckets"]
 
 
 def roc_auc(df: DataFrame, score_col: str | Column,

@@ -80,6 +80,22 @@ def pagerank(
     else:
         node_rel = nodes.select(F.col(node_col).alias("node")).distinct()
     e = e.localCheckpoint(eager=True)
+    if nodes is not None:
+        # an explicit universe that misses edge endpoints would
+        # silently leak mass: contributions into absent destinations
+        # vanish at the base left-join and absent sources never
+        # contribute — validate (one anti-join count on the already
+        # checkpointed edge relation) instead of mis-ranking
+        stray = (e.select(F.col("_src").alias("node"))
+                 .union(e.select(F.col("_dst").alias("node")))
+                 .distinct()
+                 .join(node_rel, "node", "left_anti")
+                 .count())
+        if stray:
+            raise ValueError(
+                f"pagerank: {stray} edge endpoint(s) missing from the"
+                " explicit `nodes` relation — it must be a superset of"
+                " all edge sources and destinations")
     outdeg = e.groupBy(F.col("_src").alias("node")) \
         .agg(F.count("*").alias("deg"))
     base = (node_rel.join(outdeg, "node", "left")

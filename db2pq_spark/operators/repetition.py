@@ -209,10 +209,14 @@ def _gopher_arrow(
                 out["id"].append(id_)
                 out["n_chars"].append(n_chars)
                 for n in all_ns:
-                    col = (f"top{n}_chars" if n in top_max_pct
-                           else f"dup{n}_chars")
+                    # an n present in BOTH dicts yields BOTH columns
+                    # from one slice pass (overlap used to leave one
+                    # output list short and break the DataFrame build)
                     if m < n:
-                        out[col].append(0)
+                        if n in top_max_pct:
+                            out[f"top{n}_chars"].append(0)
+                        if n in dup_max_pct:
+                            out[f"dup{n}_chars"].append(0)
                         continue
                     k = m - n + 1
                     # (k, n) view of all gram slices; unique rows =
@@ -233,25 +237,25 @@ def _gopher_arrow(
                         np.minimum.at(glen, inv, e - s)
                         cand = cnts >= 2
                         if not cand.any():
-                            out[col].append(0)
-                            continue
-                        order = np.lexsort((glen[cand], cnts[cand]))
-                        best = order[-1]
-                        out[col].append(
-                            int(cnts[cand][best])
-                            * int(glen[cand][best]))
-                    else:
+                            out[f"top{n}_chars"].append(0)
+                        else:
+                            order = np.lexsort((glen[cand], cnts[cand]))
+                            best = order[-1]
+                            out[f"top{n}_chars"].append(
+                                int(cnts[cand][best])
+                                * int(glen[cand][best]))
+                    if n in dup_max_pct:
                         dup = occ_cnt >= 2
                         if not dup.any():
-                            out[col].append(0)
-                            continue
-                        ds, de = s[dup], e[dup]   # s strictly asc
-                        pmax = np.concatenate(
-                            ([ds[0]],
-                             np.maximum.accumulate(de)[:-1]))
-                        cov = np.maximum(
-                            de - np.maximum(ds, pmax), 0)
-                        out[col].append(int(cov.sum()))
+                            out[f"dup{n}_chars"].append(0)
+                        else:
+                            ds, de = s[dup], e[dup]   # s strictly asc
+                            pmax = np.concatenate(
+                                ([ds[0]],
+                                 np.maximum.accumulate(de)[:-1]))
+                            cov = np.maximum(
+                                de - np.maximum(ds, pmax), 0)
+                            out[f"dup{n}_chars"].append(int(cov.sum()))
             yield pd.DataFrame(out)
 
     return base.mapInPandas(kern, schema=schema)
@@ -432,7 +436,7 @@ def gopher_repetition(
                                (-F.col("glen")).alias("_negl"),
                                F.col("key").alias("key")))
                 .alias("_t"))
-           .select("id", "n",
+           .select("id", "n", F.lit("top").alias("kind"),
                    ((-F.col("_t._negc"))
                     * (-F.col("_t._negl"))).alias("chars")))
     # duplicated-gram coverage (n in dup_ns): explode occurrence
@@ -453,13 +457,21 @@ def gopher_repetition(
                            F.col("s"), F.coalesce(F.col("_pmax"),
                                                   F.col("s"))),
                        F.lit(0)).alias("_cov"))
-           .groupBy("id", "n").agg(F.sum("_cov").alias("chars")))
+           .groupBy("id", "n")
+           .agg(F.lit("dup").alias("kind"),
+                F.sum("_cov").alias("chars"))
+           .select("id", "n", "kind", "chars"))
     per_n = top.unionByName(dup)
+    # pivot keyed on (n, kind) — an n in BOTH dicts carries two rows
+    # per doc (top attribution AND dup coverage) that must land in
+    # their own columns, never be max-merged
     agg_cols = [F.coalesce(
-        F.max(F.when(F.col("n") == n, F.col("chars"))), F.lit(0))
+        F.max(F.when((F.col("n") == n) & (F.col("kind") == "top"),
+                     F.col("chars"))), F.lit(0))
         .cast("bigint").alias(f"top{n}_chars") for n in top_ns] + \
         [F.coalesce(
-            F.max(F.when(F.col("n") == n, F.col("chars"))), F.lit(0))
+            F.max(F.when((F.col("n") == n) & (F.col("kind") == "dup"),
+                         F.col("chars"))), F.lit(0))
          .cast("bigint").alias(f"dup{n}_chars") for n in dup_ns]
     stats = per_n.groupBy("id").agg(*agg_cols)
     out = base.select("id", "n_chars").join(stats, "id", "left")

@@ -99,6 +99,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_digits: int | None = 4,
+    include_unlabeled: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the
     ``k`` most-similar corpus vectors carrying a DIFFERENT label — the
@@ -106,6 +107,14 @@ def hard_negatives(
     pipelines mine (DPR, Karpukhin et al. 2020 §3.2; the same-label
     vectors are the positives and must be excluded, not just the query
     itself).
+
+    NULL labels follow IS DISTINCT FROM semantics: a NULL-labeled
+    corpus row counts as a candidate negative for every labeled query
+    (and a NULL-labeled query treats every labeled corpus row as a
+    negative) — only NULL-vs-NULL pairs are excluded. If unknown-label
+    corpus rows may in fact be unjudged positives (the usual caveat in
+    retrieval mining), pass ``include_unlabeled=False`` to drop them
+    from the candidate set before the join.
 
     Plan shape is :func:`cosine_topk`'s: the tiny query set (vectors +
     labels) broadcasts into a nested-loop join against the corpus with
@@ -119,6 +128,8 @@ def hard_negatives(
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec"),
                       F.col(label_col).alias("_clab"))
+    if not include_unlabeled:
+        c = c.filter(F.col("_clab").isNotNull())
     scored = (
         c.join(F.broadcast(q),
                (F.col("query_id") != F.col("neighbor_id"))

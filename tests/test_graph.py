@@ -40,6 +40,14 @@ class TestPagerank:
         assert set(got) == {1, 2, 9}
         assert got[9] < got[1]           # 9 only ever gets teleport+share
 
+    def test_nodes_missing_endpoint_raises(self, spark):
+        # a `nodes` universe that omits an edge endpoint would leak
+        # mass silently — must refuse up front
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        nodes = spark.createDataFrame([(1,), (2,)], "node long")
+        with pytest.raises(ValueError, match="superset"):
+            pagerank(e, nodes=nodes)
+
     def test_zero_iterations_is_uniform(self, spark):
         got = _pr(spark, [(1, 2), (2, 3)], iterations=0)
         assert set(got.values()) == {1_000_000}

@@ -2186,6 +2186,22 @@ class TestHardNegatives:
         # vec 2 is a positive (unknown-but-matching), only 3 survives
         assert [r["neighbor_id"] for r in out.collect()] == [3]
 
+    def test_include_unlabeled_false_drops_null_corpus(self, spark):
+        from db2pq_spark.operators.similarity import hard_negatives
+
+        rows = [(1, [1.0, 0.0], 5), (2, [1.0, 0.01], None),
+                (3, [0.9, 0.1], 6)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        q = df.filter("vec_id = 1")
+        # default: the unjudged vec 2 is a candidate negative
+        assert {r["neighbor_id"]
+                for r in hard_negatives(df, q, k=5).collect()} == {2, 3}
+        # opt-out: unknown-label corpus rows may be unjudged positives
+        got = hard_negatives(df, q, k=5,
+                             include_unlabeled=False).collect()
+        assert [r["neighbor_id"] for r in got] == [3]
+
 
 class TestPrototypePrune:
     def _emb(self, spark):
@@ -2255,3 +2271,25 @@ class TestGopherArrowKernel:
                               keys="exact").collect()[0]
         assert tuple(r) == tuple(e)
         assert r["n_chars"] == 11 and r["top2_chars"] == 9
+
+    def test_arrow_overlapping_n_yields_both_columns(self, spark):
+        """An n-gram size present in BOTH top_max_pct and dup_max_pct
+        must produce BOTH top{n}_chars and dup{n}_chars (the kernel
+        used to fill only one list, breaking the DataFrame build)."""
+        from db2pq_spark.operators.repetition import gopher_repetition
+
+        df = spark.createDataFrame(
+            [(1, "x y x y x y"), (2, "a b c d e"), (3, "q q q")],
+            "doc_id long, text string")
+        cfg = dict(top_max_pct={2: 20, 3: 18}, dup_max_pct={2: 15})
+        a = {r["id"]: r.asDict() for r in
+             gopher_repetition(df, "text", "doc_id", keys="arrow",
+                               **cfg).collect()}
+        e = {r["id"]: r.asDict() for r in
+             gopher_repetition(df, "text", "doc_id", keys="exact",
+                               **cfg).collect()}
+        assert set(a) == {1, 2, 3}
+        for d in a:
+            assert a[d] == e[d]
+        assert {"top2_chars", "dup2_chars", "top3_chars"} <= set(a[1])
+        assert a[1]["top2_chars"] == 9 and a[1]["dup2_chars"] > 0
