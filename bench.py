@@ -82,6 +82,8 @@ _EXTENSION = (
     "q158_cms_heavy_hitters", "q159_classifier_auc",
     "q160_token_mi", "q161_label_propagation", "q162_calibration",
     "q163_zipf_fit", "q164_token_drift",
+    # round-13 additions
+    "q165_keep_one_removal",
 )
 
 
@@ -234,6 +236,16 @@ def _q116_removal_xxh(spark, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return remove_duplicate_spans(docs, "text", "doc_id",
                                   n=3, min_count=2)
+
+
+def _q165_keep_one_xxh(spark, sf_dir: str):
+    """Production keep-one removal config: xxhash64 keys (the gate
+    entry pins md5 so DuckDB replays the exemplar choice)."""
+    from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, "text", "doc_id",
+                                  n=3, min_count=2, keep="one")
 
 
 #: bench-local overrides: query name -> callable(spark, sf_dir)
@@ -457,6 +469,7 @@ _OVERRIDES = {"q38_lsh_similarity": _q38_ann_default,
               "q117_kmeans": _q117_kmeans_arrow,
               "q102_duplicate_spans": _q102_spans_xxh,
               "q116_span_removal": _q116_removal_xxh,
+              "q165_keep_one_removal": _q165_keep_one_xxh,
               "q119_winnow_overlap": _q119_winnow_production,
               "q118_split_leakage": _q118_leakage_production,
               "q121_kneser_ney": _q121_kn_hash_keys,
@@ -513,6 +526,11 @@ _CONFIGS = {
         "span_hash": "xxhash64",
         "note": "production long keys + in-row array_except cut; gate "
                 "entry pins md5",
+    },
+    "q165_keep_one_removal": {
+        "span_hash": "xxhash64", "keep": "one",
+        "note": "production long keys, canonical-occurrence exemplar "
+                "spared; gate entry pins md5",
     },
     "q119_winnow_overlap": {
         "k_w_cap": "5/4/1000", "token_hash": "arrow64",
@@ -652,6 +670,7 @@ _FAMILIES = [
     ("soft_tokenizer", ["q148_unigram_soft"]),
     ("suffix_dedup", ["q151_pq_adc_topk", "q150_longest_span_removal",
                       "q149_longest_dup_span"]),
+    ("keep_one", ["q165_keep_one_removal"]),
     ("wordpiece", ["q147_gopher_repetition",
                    "q146_wordpiece_segment"]),
     # round-12 additions: the trained classifier pair, graph/prune,

@@ -1569,20 +1569,24 @@ def duplicate_span_positions(
 def remove_duplicate_spans(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 20, min_count: int = 2, span_hash: str = "xxhash64",
-    stage: str = "checkpoint",
+    stage: str = "checkpoint", keep: str = "none",
 ) -> DataFrame:
     """Cut duplicated n-token spans OUT of each document — the removal
     pass that completes the Lee et al. (arXiv:2107.06499)
     exact-substring pipeline: :func:`duplicate_spans` scores,
     :func:`duplicate_span_positions` locates, this rewrites.
 
-    Every token covered by ANY occurrence of a corpus-duplicated span
-    is dropped (documented deviation from the paper, which keeps one
-    canonical occurrence corpus-wide — that needs a global
-    first-occurrence order; dropping all occurrences is the common
-    boilerplate-stripping variant and is order-free, hence
-    deterministic and engine-replayable). NULL/whitespace-only
-    documents are excluded (no tokens to cut).
+    ``keep="none"`` (default): every token covered by ANY occurrence
+    of a corpus-duplicated span is dropped — the common
+    boilerplate-stripping variant, order-free hence trivially
+    deterministic. ``keep="one"``: the paper's canonical-occurrence
+    semantics — per duplicated span key, the EXEMPLAR occurrence
+    (minimum ``(id, pos)``, a deterministic total order standing in
+    for the paper's suffix-array first occurrence) is NOT cut; every
+    other occurrence is. The exemplar's tokens can still fall to a
+    different key's non-exemplar occurrence covering them — coverage
+    composes by position, exactly as in the drop-all variant.
+    NULL/whitespace-only documents are excluded (no tokens to cut).
 
     Returns (id, clean_text, n_kept, n_removed). Scale shape — ONE
     tokenize+hash pass over the corpus, then everything narrow or
@@ -1620,16 +1624,28 @@ def remove_duplicate_spans(
     :func:`_span_stage`. ``span_hash``: see :func:`_span_key`."""
     from db2pq_spark.operators.skew import ensure_parallelism
 
+    if keep not in ("none", "one"):
+        raise ValueError(f"keep={keep!r} — 'none' or 'one'")
     staged = _span_stage(ensure_parallelism(df), text_col, id_col, n,
                          span_hash, stage, keep_tokens=True)
     base = staged.select("id", "_toks")
     g = staged.select("id", F.posexplode("_sh").alias("pos", "h"))
-    dup = (g.groupBy("h").agg(F.count("*").alias("c"))
-           .filter(F.col("c") >= min_count).select("h"))
+    # the same count aggregate also picks each key's exemplar when
+    # keep="one" — min(struct(id, pos)), the propagate_labels
+    # argmin-by-struct pattern; no extra shuffle over the span relation
+    dup = (g.groupBy("h")
+           .agg(F.count("*").alias("c"),
+                F.min(F.struct("id", "pos")).alias("_ex"))
+           .filter(F.col("c") >= min_count).select("h", "_ex"))
+    cut_occ = g.join(dup, "h")
+    if keep == "one":
+        cut_occ = cut_occ.filter(
+            ~((F.col("id") == F.col("_ex.id"))
+              & (F.col("pos") == F.col("_ex.pos"))))
     # only duplicated span OCCURRENCES shuffle, and only their start
     # positions — the ×n covered-index expansion happens in-row below
     starts = (
-        g.join(dup, "h")
+        cut_occ
         .groupBy("id")
         .agg(F.collect_set("pos").alias("_starts"))
     )

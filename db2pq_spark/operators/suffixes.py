@@ -246,6 +246,7 @@ def longest_dup_span(
 def remove_long_dup_spans(
     df: DataFrame, text_col: str, id_col: str, min_len: int = 8,
     keys: str = "hash", max_bucket: int | None = None,
+    keep: str = "none",
 ) -> DataFrame:
     """Cut every token covered by a maximal duplicated span of at
     least ``min_len`` tokens — the removal pass completing the Lee et
@@ -253,6 +254,18 @@ def remove_long_dup_spans(
     fixed-n twin is ``dedup.remove_duplicate_spans``; this variant
     never cuts a merely-n-gram-sized repeat, only runs whose exact
     duplicated length reaches ``min_len``).
+
+    ``keep="one"`` selects, per distinct MERGED-ISLAND content (the
+    xxhash64 of the island's exact token run), the exemplar island —
+    minimum ``(id, start)`` — and spares it; every verbatim replica
+    island is still cut. This is the paper's keep-one-occurrence
+    semantics at the granularity this remover operates on: maximal
+    merged blocks. A duplicated run that never recurs as an
+    identical BLOCK (its copies merged into islands of different
+    extent) keeps each of those distinct-content islands — a
+    documented deviation from suffix-array keep-one, which resolves
+    at substring granularity. The fixed-n twin with ``keep="one"``
+    gives the per-key behavior when that matters.
 
     Returns ``(id, n_tokens, n_removed, cleaned)`` with ``cleaned``
     the space-joined kept tokens in order (empty string when the
@@ -265,6 +278,8 @@ def remove_long_dup_spans(
     merged islands explode to covered positions (Σ island lengths ≤
     n_tokens — linear), and kept tokens reassemble with one per-doc
     aggregate."""
+    if keep not in ("none", "one"):
+        raise ValueError(f"keep={keep!r} — 'none' or 'one'")
     base = _prepare(df, text_col, id_col, keys)
     pm = position_match_lengths(base, keys=keys, max_bucket=max_bucket,
                                 min_len=int(min_len))
@@ -282,6 +297,23 @@ def remove_long_dup_spans(
                .rowsBetween(W.unboundedPreceding, 0)))
            .groupBy("id", "_isl")
            .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    if keep == "one":
+        # key each island by its exact content (the _kk slice, 1-based
+        # start s, length e-s); exemplar = min (id, s) per key via the
+        # argmin-by-struct pattern — one aggregate over the island
+        # minority, then an in-row filter. Unique-content islands are
+        # their own exemplar and survive (see docstring).
+        islk = (isl.join(base.select("id", "_kk"), "id")
+                .select("id", "s", "e",
+                        F.xxhash64(F.slice(
+                            "_kk", F.col("s"),
+                            F.col("e") - F.col("s"))).alias("_ck")))
+        ex = (islk.groupBy("_ck")
+              .agg(F.min(F.struct("id", "s")).alias("_ex")))
+        isl = (islk.join(ex, "_ck")
+               .filter(~((F.col("id") == F.col("_ex.id"))
+                         & (F.col("s") == F.col("_ex.s"))))
+               .select("id", "s", "e"))
     covered = isl.select(
         "id", F.explode(F.sequence(F.col("s"), F.col("e") - 1))
         .alias("pos"))

@@ -4174,3 +4174,67 @@ def q164_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return token_drift(docs.where(F.col("doc_id") % 5 != 0),
                        docs.where(F.col("doc_id") % 5 == 0), "text")
+
+
+_Q165_SQL = f"""
+    WITH kbase AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    kg AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS h
+      FROM kbase, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    kocc AS (
+      SELECT doc_id, pos, h,
+             COUNT(*) OVER (PARTITION BY h) AS c,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY doc_id, pos) AS rn
+      FROM kg
+    ),
+    kcov AS (
+      SELECT DISTINCT doc_id, pos + o.o AS ti
+      FROM kocc, unnest(generate_series(0, 2)) AS o(o)
+      WHERE c >= 2 AND rn > 1
+    ),
+    ktok AS (
+      SELECT doc_id, i - 1 AS ti, toks[i] AS tok
+      FROM kbase, unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    kkept AS (
+      SELECT tr.doc_id,
+             string_agg(tr.tok, ' ' ORDER BY tr.ti) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM ktok tr
+      LEFT JOIN kcov c ON tr.doc_id = c.doc_id AND tr.ti = c.ti
+      WHERE c.ti IS NULL
+      GROUP BY tr.doc_id
+    )
+    SELECT b.doc_id AS id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(b.toks) - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM kbase b LEFT JOIN kkept k USING (doc_id)
+"""
+
+
+@query("q165_keep_one_removal", oracle=_Q165_SQL)
+def q165_keep_one_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-ONE duplicated-span removal (operators/dedup.py:
+    remove_duplicate_spans keep="one") — the Lee et al. 2107.06499
+    canonical-occurrence semantics q116's drop-all variant deviates
+    from: per corpus-duplicated trigram key, the exemplar occurrence
+    (min (id, pos), the argmin-by-struct pattern) survives; every
+    other occurrence is cut and documents reassemble in-row. The
+    oracle replays the exemplar choice with a ROW_NUMBER over
+    (doc_id, pos) per span key. Gate-exactness config
+    ``span_hash="md5"``; production default is xxhash64.
+    [extension]"""
+    from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, min_count=2, span_hash="md5", keep="one")

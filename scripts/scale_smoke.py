@@ -96,6 +96,10 @@ FAMILIES = [
                        "q98_sliding_window", "q95_validation"]),
     ("retrieval_span", ["q96_bm25", "q103_vocab_encode",
                         "q102_duplicate_spans", "q116_span_removal"]),
+    # round-13: keep-one canonical-occurrence removal — q116's plan
+    # plus one argmin-by-struct exemplar fold in the same key
+    # aggregate and an in-row filter
+    ("keep_one", ["q165_keep_one_removal"]),
     # dedup / ANN families at production configs (overrides below)
     ("minhash", ["q118_split_leakage", "q36_minhash_dedup",
                  "q37_simhash_dedup", "q107_incremental_dedup"]),
@@ -213,6 +217,14 @@ def _overrides():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return remove_duplicate_spans(docs, "text", "doc_id",
                                       n=3, min_count=2)  # xxhash64
+
+    def q165(spark, sf_dir):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_duplicate_spans(docs, "text", "doc_id",
+                                      n=3, min_count=2,
+                                      keep="one")  # xxhash64
 
     def q119(spark, sf_dir):
         from db2pq_spark.operators.dedup import winnow_overlap_pairs
@@ -455,6 +467,7 @@ def _overrides():
             "q147_gopher_repetition": q147,
             "q149_longest_dup_span": q149,
             "q150_longest_span_removal": q150,
+            "q165_keep_one_removal": q165,
             "q151_pq_adc_topk": q151,
             "q153_logreg_quality": q153,
             "q154_logreg_score_increment": q154,

@@ -1095,6 +1095,55 @@ class TestDuplicateSpans:
         # doc 2's "y x" also duplicated (matches spans inside doc 1)
         assert got[2]["clean_text"] == ""
 
+    def test_keep_one_spares_the_min_id_pos_exemplar(self, spark):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        rows = [
+            (1, f"intro words here {self.SHARED} tail one"),
+            (2, f"other opening {self.SHARED} different ending"),
+            (3, "fully unique content with no overlap at all whatsoever"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["id"]: r.asDict() for r in
+               remove_duplicate_spans(df, "text", "doc_id", n=8,
+                                      keep="one").collect()}
+        # exemplar = min (id, pos): doc 1's occurrence survives; doc
+        # 2's copy is still cut — removal totals are the drop-all
+        # totals minus the one exemplar per duplicated cluster
+        assert got[1]["n_removed"] == 0
+        assert got[1]["clean_text"].startswith("intro words here")
+        assert self.SHARED in got[1]["clean_text"]
+        assert got[2]["n_removed"] == 8
+        assert got[2]["clean_text"] == "other opening different ending"
+        assert got[3]["n_removed"] == 0
+
+    def test_keep_one_within_doc_repeat(self, spark):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        # "x y x y x y": with n=2 the exemplar of each duplicated
+        # 2-gram key is its leftmost occurrence, but later keys'
+        # non-exemplar occurrences still cover the tail — only the
+        # prefix the exemplars exclusively own survives
+        df = spark.createDataFrame(
+            [(1, "x y x y x y")], "doc_id long, text string")
+        all_ = remove_duplicate_spans(
+            df, "text", "doc_id", n=2).collect()[0]
+        one = remove_duplicate_spans(
+            df, "text", "doc_id", n=2, keep="one").collect()[0]
+        assert all_["n_kept"] == 0          # drop-all removes the doc
+        # keep-one: "x y" exemplar at pos 0, "y x" exemplar at pos 1
+        # cover tokens 0-2; occurrences at pos>=2 are cut -> "x y" kept
+        assert one["clean_text"] == "x y"
+        assert one["n_removed"] == 4
+
+    def test_keep_invalid_raises(self, spark):
+        from db2pq_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError, match="keep"):
+            remove_duplicate_spans(df, "text", "doc_id", keep="two")
+
     def test_removal_short_and_clean_docs_survive_whole(self, spark):
         from db2pq_spark.operators.dedup import remove_duplicate_spans
 

@@ -128,6 +128,36 @@ class TestRemoveLongDupSpans:
             assert out[d]["n_removed"] == 10
             assert out[d]["cleaned"] == ""
 
+    def test_keep_one_spares_exemplar_island(self, spark):
+        from db2pq_spark.operators.suffixes import remove_long_dup_spans
+
+        boiler = "one two three four five six seven eight"
+        df = _docs(spark, [
+            (1, f"{boiler} alpha beta"),
+            (2, f"gamma {boiler} delta"),
+            (3, f"{boiler} epsilon"),
+        ])
+        out = {r["doc_id"]: r for r in
+               remove_long_dup_spans(df, "text", "doc_id", min_len=8,
+                                     keep="one").collect()}
+        # all three docs merge the boiler run into an identical
+        # 8-token island; exemplar = min (id, start) -> doc 1 keeps
+        # its copy, docs 2 and 3 lose theirs
+        assert out[1]["n_removed"] == 0
+        assert out[1]["cleaned"].endswith("alpha beta")
+        assert "one two three" in out[1]["cleaned"]
+        assert out[2]["cleaned"] == "gamma delta"
+        assert out[2]["n_removed"] == 8
+        assert out[3]["cleaned"] == "epsilon"
+
+    def test_keep_one_invalid_raises(self, spark):
+        from db2pq_spark.operators.suffixes import remove_long_dup_spans
+
+        import pytest as _pytest
+        df = _docs(spark, [(1, "a b c")])
+        with _pytest.raises(ValueError, match="keep"):
+            remove_long_dup_spans(df, "text", "doc_id", keep="all")
+
     def test_composes_with_span_scores(self, spark):
         # the q102 composition: score first, cut the flagged docs
         from db2pq_spark.operators.dedup import duplicate_spans
