@@ -83,7 +83,7 @@ _EXTENSION = (
     "q160_token_mi", "q161_label_propagation", "q162_calibration",
     "q163_zipf_fit", "q164_token_drift",
     # round-13 additions
-    "q165_keep_one_removal",
+    "q165_keep_one_removal", "q166_host_rank_weights",
 )
 
 
@@ -679,7 +679,7 @@ _FAMILIES = [
                     "q154_logreg_score_increment",
                     "q153_logreg_quality"]),
     ("graph_prune", ["q157_pq_increment", "q156_prototype_prune",
-                     "q155_pagerank"]),
+                     "q155_pagerank", "q166_host_rank_weights"]),
     ("sketch_mi", ["q163_zipf_fit", "q158_cms_heavy_hitters",
                    "q160_token_mi", "q164_token_drift",
                    "q161_label_propagation"]),

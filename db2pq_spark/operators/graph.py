@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "host_rank_weights", "extract_host"]
 
 #: micro-unit start mass per node
 _UNIT = 1_000_000
@@ -60,6 +60,7 @@ def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     iterations: int = 5, damping: tuple[int, int] = (17, 20),
     nodes: DataFrame | None = None, node_col: str = "node",
+    validate_nodes: bool = True,
 ) -> DataFrame:
     """(node, rank_units) after ``iterations`` damped power steps.
 
@@ -68,7 +69,10 @@ def pagerank(
     ``nodes`` optionally supplies the full node universe (one column
     ``node_col``); nodes absent from ``edges`` are dangling and their
     mass redistributes uniformly. Defaults to the nodes present in
-    the edge relation. ``damping`` is an exact rational num/den."""
+    the edge relation; must be a SUPERSET of edge endpoints, checked
+    with one anti-join count unless ``validate_nodes=False`` (for
+    callers whose construction guarantees it). ``damping`` is an
+    exact rational num/den."""
     num, den = (int(damping[0]), int(damping[1]))
     if not 0 < num <= den:
         raise ValueError(f"damping {damping} must satisfy 0 < num <= den")
@@ -80,7 +84,7 @@ def pagerank(
     else:
         node_rel = nodes.select(F.col(node_col).alias("node")).distinct()
     e = e.localCheckpoint(eager=True)
-    if nodes is not None:
+    if nodes is not None and validate_nodes:
         # an explicit universe that misses edge endpoints would
         # silently leak mass: contributions into absent destinations
         # vanish at the base left-join and absent sources never
@@ -130,3 +134,71 @@ def pagerank(
              .toDF("node", "deg", "ru")
              .localCheckpoint(eager=True))
     return r.select("node", F.col("ru").alias("rank_units"))
+
+
+def extract_host(url) -> "F.Column":
+    """Lowercased host of a URL column: the authority between the
+    scheme separator and the first ``/ : ? #``, userinfo stripped —
+    a plain regexp, no UDF. Scheme-less inputs yield ''."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
+
+
+def host_rank_weights(
+    docs: DataFrame, edges: DataFrame,
+    host_col: str = "host", url_col: str | None = None,
+    doc_id_col: str = "doc_id",
+    src_col: str = "src_host", dst_col: str = "dst_host",
+    iterations: int = 5, damping: tuple[int, int] = (17, 20),
+) -> DataFrame:
+    """Per-document curation weights from host-graph centrality — the
+    Common Crawl practice: rank HOSTS by PageRank over the host link
+    graph, then weight each document by its host's rank share.
+
+    ``docs`` carries one row per document with its host (``host_col``,
+    or extracted from ``url_col`` via :func:`extract_host` when
+    given); ``edges`` is the host→host link relation (build it from
+    per-document outlinks upstream — explode links, extract target
+    host; duplicate pairs count as parallel edges, i.e. link
+    multiplicity weights the edge). The PageRank node universe is the
+    union of document hosts and edge endpoints, so hosts that only
+    ever appear as link targets still receive mass and hosts with no
+    links are dangling — :func:`pagerank`'s superset validation is
+    satisfied by construction.
+
+    Returns ``(doc_id, host, host_rank_units, host_doc_count,
+    weight_units)`` with ``weight_units = host_rank_units div
+    host_doc_count`` — a host's rank mass splits evenly across its
+    documents in exact integer floor units, so
+    ``sum(weight_units) <= sum(host_rank_units over hosts with docs)``
+    with ≤ ``host_doc_count − 1`` units of floor loss per host
+    (pinned by test). Scale: the host relation is tiny next to the
+    corpus (Common Crawl: ~10⁷ hosts vs ~10¹⁰ pages), so the
+    rank⋈count relation broadcast-joins back onto documents; the
+    corpus itself never shuffles."""
+    h = (extract_host(url_col) if url_col is not None
+         else F.col(host_col))
+    d = docs.select(F.col(doc_id_col).alias("doc_id"),
+                    h.alias("host"))
+    e = edges.select(F.col(src_col).alias("_src"),
+                     F.col(dst_col).alias("_dst"))
+    nodes = (d.select(F.col("host").alias("node"))
+             .union(e.select(F.col("_src").alias("node")))
+             .union(e.select(F.col("_dst").alias("node")))
+             .distinct())
+    # the node universe is a superset of endpoints by construction —
+    # skip pagerank's anti-join validation job
+    ranks = pagerank(e, src="_src", dst="_dst",
+                     iterations=iterations, damping=damping,
+                     nodes=nodes, validate_nodes=False)
+    counts = d.groupBy("host").agg(F.count("*").alias("host_doc_count"))
+    hostw = (counts.join(ranks, counts["host"] == ranks["node"])
+             .select("host",
+                     F.col("rank_units").alias("host_rank_units"),
+                     "host_doc_count",
+                     F.expr("rank_units div host_doc_count")
+                     .cast("bigint").alias("weight_units")))
+    return d.join(F.broadcast(hostw), "host") \
+        .select("doc_id", "host", "host_rank_units",
+                "host_doc_count", "weight_units")

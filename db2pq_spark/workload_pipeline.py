@@ -4238,3 +4238,81 @@ def q165_keep_one_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         t(spark, sf_dir, "documents"), "text", "doc_id",
         n=3, min_count=2, span_hash="md5", keep="one")
+
+
+def _q166_oracle(iterations: int = 5) -> str:
+    teleport = 1_000_000 - (1_000_000 * 17) // 20
+    ctes = ["""
+    hw_edges AS (
+      SELECT a.source AS src, b.source AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ),
+    hw_nodes AS (SELECT DISTINCT source AS node FROM documents),
+    hw_deg AS (
+      SELECT n.node, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+      FROM hw_nodes n LEFT JOIN (
+        SELECT src AS node, COUNT(*) AS deg FROM hw_edges GROUP BY 1
+      ) d USING (node)
+    ),
+    hw_n AS (SELECT COUNT(*) AS n FROM hw_nodes),
+    hw_r0 AS (
+      SELECT node, deg, CAST(1000000 AS BIGINT) AS ru FROM hw_deg
+    )"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+    hw_c{i} AS (
+      SELECT e.dst AS node, CAST(r.ru // r.deg AS BIGINT) AS c
+      FROM hw_r{i - 1} r JOIN hw_edges e ON r.node = e.src
+      WHERE r.deg > 0
+    ),
+    hw_s{i} AS (SELECT node, SUM(c) AS s FROM hw_c{i} GROUP BY 1),
+    hw_d{i} AS (
+      SELECT COALESCE(SUM(ru), 0) AS dsum FROM hw_r{i - 1}
+      WHERE deg = 0
+    ),
+    hw_r{i} AS (
+      SELECT b.node, b.deg,
+             CAST({teleport}
+               + (17 * (COALESCE(s.s, 0) + (d.dsum // nc.n))) // 20
+               AS BIGINT) AS ru
+      FROM hw_deg b LEFT JOIN hw_s{i} s USING (node), hw_d{i} d, hw_n nc
+    )""")
+    return f"""
+    WITH {",".join(ctes)},
+    hw_counts AS (
+      SELECT source AS host, COUNT(*) AS host_doc_count
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.source AS host,
+           CAST(r.ru AS BIGINT) AS host_rank_units,
+           CAST(c.host_doc_count AS BIGINT) AS host_doc_count,
+           CAST(r.ru // c.host_doc_count AS BIGINT) AS weight_units
+    FROM documents d
+    JOIN hw_r{iterations} r ON r.node = d.source
+    JOIN hw_counts c ON c.host = d.source
+    """
+
+
+@query("q166_host_rank_weights", oracle=_q166_oracle())
+def q166_host_rank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph curation weights (operators/graph.py:
+    host_rank_weights) — the Common Crawl seed-weighting composition:
+    PageRank the HOST graph, split each host's integer rank mass
+    evenly (floor units) across its documents, broadcast the
+    host-sized weight relation back onto the corpus (the corpus never
+    shuffles). Fixture host graph: `source` is the host; the
+    host→host edge relation is the consecutive-doc co-citation chain
+    (doc i's host links doc i+1's host — parallel edges weight the
+    link, exactly the multiplicity semantics real outlink extraction
+    yields). 5 damped 17/20 power steps in exact int64 micro-units;
+    the oracle replays the recurrence and the floor split
+    bit-for-bit. [extension]"""
+    from db2pq_spark.operators.graph import host_rank_weights
+
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.col("source").alias("src_host"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                    F.col("source").alias("dst_host"))
+    edges = a.join(b, "doc_id").select("src_host", "dst_host")
+    return host_rank_weights(docs, edges, host_col="source",
+                             iterations=5)

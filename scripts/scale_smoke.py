@@ -159,7 +159,8 @@ FAMILIES = [
                     "q153_logreg_quality"]),
     # round-12: graph centrality (edge relation grows with orders x
     # lineitem pairs) + D4 prototype pruning (arrow trainer)
-    ("graph_prune", ["q156_prototype_prune", "q155_pagerank"]),
+    ("graph_prune", ["q156_prototype_prune", "q155_pagerank",
+                     "q166_host_rank_weights"]),
     # round-12: fixed-size mergeable sketch state (d*w cells, corpus
     # explode x d), MI feature ranking (zipf-bounded aggregate), and
     # dup-cluster label repair (hash-min components)

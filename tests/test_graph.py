@@ -67,3 +67,78 @@ class TestPagerank:
         # to 3's single edge
         got = _pr(spark, [(1, 2), (1, 2), (1, 3), (2, 1), (3, 1)])
         assert got[2] > got[3]
+
+
+class TestHostRankWeights:
+    def _fix(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a.com"), (2, "a.com"), (3, "a.com"),
+             (4, "b.org"), (5, "c.net")],
+            "doc_id long, host string")
+        # a -> b twice (parallel edges), b -> c, c -> a
+        edges = spark.createDataFrame(
+            [("a.com", "b.org"), ("a.com", "b.org"),
+             ("b.org", "c.net"), ("c.net", "a.com")],
+            "src_host string, dst_host string")
+        return docs, edges
+
+    def test_weight_split_preserves_host_mass(self, spark):
+        from db2pq_spark.operators.graph import (host_rank_weights,
+                                                 pagerank)
+
+        docs, edges = self._fix(spark)
+        got = {r["doc_id"]: r for r in
+               host_rank_weights(docs, edges).collect()}
+        assert set(got) == {1, 2, 3, 4, 5}
+        ranks = {r["node"]: r["rank_units"] for r in
+                 pagerank(edges, src="src_host",
+                          dst="dst_host").collect()}
+        for d, r in got.items():
+            assert r["host_rank_units"] == ranks[r["host"]]
+            assert r["weight_units"] == ranks[r["host"]] \
+                // r["host_doc_count"]
+        # per host: sum of doc weights = rank mass minus floor loss
+        a_docs = [got[d] for d in (1, 2, 3)]
+        assert all(r["host_doc_count"] == 3 for r in a_docs)
+        s = sum(r["weight_units"] for r in a_docs)
+        assert ranks["a.com"] - 3 < s <= ranks["a.com"]
+
+    def test_target_only_host_gets_mass_not_docs(self, spark):
+        from db2pq_spark.operators.graph import host_rank_weights
+
+        docs = spark.createDataFrame([(1, "a.com")],
+                                     "doc_id long, host string")
+        edges = spark.createDataFrame([("a.com", "ghost.io")],
+                                      "src_host string, dst_host string")
+        out = host_rank_weights(docs, edges).collect()
+        # ghost.io ranks (it is in the node universe) but emits no
+        # document rows — docs drive the output
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_url_extraction(self, spark):
+        from db2pq_spark.operators.graph import host_rank_weights
+
+        docs = spark.createDataFrame(
+            [(1, "https://A.com/x?y=1"), (2, "http://user@a.com:8080/")],
+            "doc_id long, url string")
+        edges = spark.createDataFrame([("a.com", "a.com")],
+                                      "src_host string, dst_host string")
+        got = {r["doc_id"]: r["host"] for r in
+               host_rank_weights(docs, edges,
+                                 url_col="url").collect()}
+        assert got == {1: "a.com", 2: "a.com"}
+
+
+class TestExtractHost:
+    def test_shapes(self, spark):
+        from db2pq_spark.operators.graph import extract_host
+
+        rows = [("https://Example.COM/path",),
+                ("http://u:p@h.net:443/x",),
+                ("ftp://files.org",),
+                ("no-scheme.com/path",),
+                (None,)]
+        df = spark.createDataFrame(rows, "url string")
+        got = [r[0] for r in
+               df.select(extract_host("url")).collect()]
+        assert got == ["example.com", "h.net", "files.org", "", None]
