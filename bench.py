@@ -84,6 +84,7 @@ _EXTENSION = (
     "q163_zipf_fit", "q164_token_drift",
     # round-13 additions
     "q165_keep_one_removal", "q166_host_rank_weights",
+    "q167_stream_token_drift",
 )
 
 
@@ -671,6 +672,7 @@ _FAMILIES = [
     ("suffix_dedup", ["q151_pq_adc_topk", "q150_longest_span_removal",
                       "q149_longest_dup_span"]),
     ("keep_one", ["q165_keep_one_removal"]),
+    ("stream_drift", ["q167_stream_token_drift"]),
     ("wordpiece", ["q147_gopher_repetition",
                    "q146_wordpiece_segment"]),
     # round-12 additions: the trained classifier pair, graph/prune,

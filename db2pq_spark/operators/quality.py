@@ -372,6 +372,21 @@ def token_drift(
           .groupBy("tok").agg(F.count("*").alias("cnt_a")))
     cb = (batch.select(F.explode(tokens(text_col)).alias("tok"))
           .groupBy("tok").agg(F.count("*").alias("cnt_b")))
+    return token_drift_counts(ca, cb, alpha=alpha, k=k,
+                              round_digits=round_digits)
+
+
+def token_drift_counts(
+    ca: DataFrame, cb: DataFrame,
+    alpha: float = 1.0, k: int = 30, round_digits: int = 6,
+) -> DataFrame:
+    """:func:`token_drift` over pre-aggregated token counts —
+    ``ca (tok, cnt_a)`` for the standing corpus, ``cb (tok, cnt_b)``
+    for the batch. This is the streaming-monitor entry point
+    (:func:`db2pq_spark.streaming.drift.stream_token_drift` keeps
+    ``ca`` as a persisted rollup and never re-reads the corpus);
+    :func:`token_drift` is the from-text convenience wrapper. Same
+    smoothing, ranking and rounding."""
     merged = (ca.join(cb, "tok", "full_outer")
               .select("tok",
                       F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),

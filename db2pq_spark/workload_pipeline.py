@@ -4316,3 +4316,53 @@ def q166_host_rank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = a.join(b, "doc_id").select("src_host", "dst_host")
     return host_rank_weights(docs, edges, host_col="source",
                              iterations=5)
+
+
+@query("q167_stream_token_drift", oracle=_Q164_SQL)
+def q167_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED corpus-drift monitor (streaming/drift.py:
+    stream_token_drift) — q164's token_drift composed with the
+    foreachBatch exactly-once discipline: standing token counts live
+    as a stamped rollup table (seeded here from the standing corpus
+    via init_token_counts), the new-crawl batch arrives as a stream,
+    and the single availableNow trigger emits its top-30 KL
+    contributions against the standing counts before folding them in
+    (sidecar batch-id + checkpoint lineage, the stream_rollup
+    mechanism). The emission must equal the batch operator on the
+    same split — hence q164's oracle verbatim. Restart/no-double-
+    count and stamp-refusal are pinned in tests/test_streaming.py.
+    [extension]"""
+    import tempfile
+
+    from db2pq_spark.core import Engine
+    from db2pq_spark.streaming.drift import (init_token_counts,
+                                             stream_token_drift)
+
+    docs = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="q167_drift_")
+    eng = Engine(spark, tmp)
+    init_token_counts(eng, docs.where(F.col("doc_id") % 5 != 0),
+                      "stream", "td_counts")
+    got: dict[int, DataFrame] = {}
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        got[batch_id] = df
+
+    # the file streaming source needs a directory: a single-file
+    # fixture streams its parent with a name glob (read_events_stream's
+    # discipline); a directory fixture (scale replicas) streams as-is
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(spark.read.parquet(src).schema)
+    if os.path.isfile(src):
+        raw = reader.option("pathGlobFilter", "documents.parquet") \
+            .parquet(sf_dir)
+    else:
+        raw = reader.parquet(src)
+    stream = raw.where(F.col("doc_id") % 5 == 0)
+    q = stream_token_drift(stream, eng, "stream", "td_counts", sink,
+                           checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination()
+    assert len(got) == 1, f"expected one trigger, got {sorted(got)}"
+    return next(iter(got.values()))

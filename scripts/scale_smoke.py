@@ -100,6 +100,10 @@ FAMILIES = [
     # plus one argmin-by-struct exemplar fold in the same key
     # aggregate and an in-row filter
     ("keep_one", ["q165_keep_one_removal"]),
+    # round-13: streamed drift monitor — q164 + exactly-once fold;
+    # one availableNow trigger over the (filtered) documents stream,
+    # standing counts seeded then folded through refresh_rollup
+    ("stream_drift", ["q167_stream_token_drift"]),
     # dedup / ANN families at production configs (overrides below)
     ("minhash", ["q118_split_leakage", "q36_minhash_dedup",
                  "q37_simhash_dedup", "q107_incremental_dedup"]),

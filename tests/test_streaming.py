@@ -356,3 +356,130 @@ class TestStreamLogregScore:
         with pytest.raises(ValueError, match="empty weight"):
             stream_logreg_score(stream, wdf, lambda d, e: None,
                                 n_buckets=16)
+
+
+class TestStreamTokenDrift:
+    def _mk(self, spark, tmp_path):
+        from db2pq_spark.core import Engine
+
+        standing = spark.createDataFrame(
+            [(1, "alpha beta beta gamma"), (2, "alpha delta")],
+            "doc_id long, text string")
+        b1 = spark.createDataFrame(
+            [(10, "beta beta beta zeta")], "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(20, "zeta zeta alpha")], "doc_id long, text string")
+        src = tmp_path / "drift_src"
+        src.mkdir()
+        import os
+        import time
+        b1.coalesce(1).write.parquet(str(src / "f1"))
+        b2.coalesce(1).write.parquet(str(src / "f2"))
+        now = time.time()
+        for i, d in enumerate(("f1", "f2")):
+            for f in (src / d).glob("*.parquet"):
+                os.utime(f, (now + i * 10, now + i * 10))
+        eng = Engine(spark, tmp_path / "repo")
+        return eng, standing, b1, b2, src
+
+    def _stream(self, spark, src, schema):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src)))
+
+    def test_multi_trigger_parity_and_fold(self, spark, tmp_path):
+        from db2pq_spark.operators.quality import token_drift
+        from db2pq_spark.streaming.drift import (init_token_counts,
+                                                 stream_token_drift)
+
+        eng, standing, b1, b2, src = self._mk(spark, tmp_path)
+        init_token_counts(eng, standing, "s", "td")
+        got: dict[int, list] = {}
+
+        def sink(df, bid):
+            got[bid] = [tuple(r) for r in df.collect()]
+
+        q = stream_token_drift(self._stream(spark, src, standing.schema),
+                               eng, "s", "td", sink, k=50,
+                               checkpoint_dir=tmp_path / "ck")
+        q.awaitTermination()
+        assert sorted(got) == [0, 1]
+        # trigger 0: batch1 vs standing; trigger 1: batch2 vs
+        # standing+batch1 — exactly the batch operator on each split
+        want0 = [tuple(r) for r in
+                 token_drift(standing, b1, "text", k=50).collect()]
+        want1 = [tuple(r) for r in
+                 token_drift(standing.union(b1), b2, "text",
+                             k=50).collect()]
+        assert got[0] == want0
+        assert got[1] == want1
+        # final standing counts = one fold of everything
+        from pyspark.sql import functions as F
+
+        from db2pq_spark.operators.textstats import tokens
+        want = {r["tok"]: r["n"] for r in
+                standing.union(b1).union(b2)
+                .select(F.explode(tokens("text")).alias("tok"))
+                .groupBy("tok").count()
+                .withColumnRenamed("count", "n").collect()}
+        have = {r["tok"]: r["n"] for r in
+                eng.read_pq("s", "td").collect()}
+        assert have == want
+
+    def test_restart_does_not_double_count(self, spark, tmp_path):
+        from db2pq_spark.streaming.drift import (init_token_counts,
+                                                 stream_token_drift)
+
+        eng, standing, b1, b2, src = self._mk(spark, tmp_path)
+        init_token_counts(eng, standing, "s", "td")
+        emitted: list[int] = []
+        for _ in range(2):
+            q = stream_token_drift(
+                self._stream(spark, src, standing.schema),
+                eng, "s", "td",
+                lambda df, bid: emitted.append(bid),
+                checkpoint_dir=tmp_path / "ck")
+            q.awaitTermination()
+        # second run re-reads nothing (checkpoint) and folds nothing
+        assert emitted == [0, 1]
+        total = sum(r["n"] for r in eng.read_pq("s", "td").collect())
+        n_tokens = 6 + 4 + 3
+        assert total == n_tokens
+
+    def test_checkpoint_lineage_refused(self, spark, tmp_path):
+        from db2pq_spark.streaming.drift import (init_token_counts,
+                                                 stream_token_drift)
+
+        eng, standing, b1, b2, src = self._mk(spark, tmp_path)
+        init_token_counts(eng, standing, "s", "td")
+        q = stream_token_drift(self._stream(spark, src, standing.schema),
+                               eng, "s", "td", lambda df, bid: None,
+                               checkpoint_dir=tmp_path / "ck")
+        q.awaitTermination()
+        # a FRESH checkpoint restarts batch ids at 0 — folding them
+        # again would double-count; the lineage guard must refuse
+        q2 = stream_token_drift(
+            self._stream(spark, src, standing.schema),
+            eng, "s", "td", lambda df, bid: None,
+            checkpoint_dir=tmp_path / "ck_other")
+        with pytest.raises(Exception, match="checkpoint"):
+            q2.awaitTermination()
+
+    def test_tokenizer_stamp_refused(self, spark, tmp_path):
+        import json
+
+        from db2pq_spark.sinks.parquet_sink import SIDECAR, table_path
+        from db2pq_spark.streaming.drift import (init_token_counts,
+                                                 stream_token_drift)
+
+        eng, standing, b1, b2, src = self._mk(spark, tmp_path)
+        init_token_counts(eng, standing, "s", "td")
+        sidecar = table_path(eng.data_dir, "s", "td") / SIDECAR
+        payload = json.loads(sidecar.read_text())
+        payload["td_tokenizer"] = "other_v9"
+        sidecar.write_text(json.dumps(payload))
+        with pytest.raises(ValueError, match="tokenizer"):
+            stream_token_drift(self._stream(spark, src, standing.schema),
+                               eng, "s", "td", lambda df, bid: None,
+                               checkpoint_dir=tmp_path / "ck")
