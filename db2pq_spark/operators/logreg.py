@@ -76,17 +76,29 @@ def logreg_features(
     base = df.select(F.col(id_col).alias("id"),
                      label.cast("int").alias("y"),
                      tokens(text_col).alias("_toks"))
-    counts = (base.select("id", "y", F.explode("_toks").alias("tok"))
-              .groupBy("id", "y",
-                       _feat_expr(F.col("tok"), n_buckets, keys)
-                       .alias("feat"))
-              .agg(F.count("*").alias("cnt")))
-    bias = base.select("id", "y",
-                       F.lit(n_buckets).cast("bigint").alias("feat"),
-                       F.lit(1).cast("bigint").alias("cnt"))
-    return counts.select("id", "y", F.col("feat").cast("bigint"),
-                         F.col("cnt").cast("bigint")) \
-        .unionByName(bias)
+    # r13 plan shape: ONE exchange total. The bias feature rides the
+    # token array as an in-row sentinel element (feat = n_buckets is
+    # reserved — _feat_expr lands in [0, n_buckets), so the sentinel
+    # can never collide with a hashed token, and a NULL-text document
+    # still contributes exactly its bias row via the coalesce), the
+    # compact doc rows repartition by id ONCE, and the (id, y, feat)
+    # count aggregate runs exchange-free on top of it (hash(id)
+    # satisfies clustering by (id, y, feat)). The former shape paid
+    # two exchanges — the exploded-token count aggregate plus the
+    # trainer's id-repartition — and the first one carried a row per
+    # token instead of a row per document.
+    featarr = F.concat(
+        F.coalesce(
+            F.transform("_toks",
+                        lambda t_: _feat_expr(t_, n_buckets, keys)
+                        .cast("bigint")),
+            F.array().cast("array<bigint>")),
+        F.array(F.lit(n_buckets).cast("bigint")))
+    return (base.select("id", "y", featarr.alias("_feats"))
+            .repartition("id")
+            .select("id", "y", F.explode("_feats").alias("feat"))
+            .groupBy("id", "y", "feat")
+            .agg(F.count("*").alias("cnt")))
 
 
 def _margins(x: DataFrame, w_units: list[int]) -> DataFrame:
@@ -133,24 +145,36 @@ def logreg_train(
     (collected: B+1 rows, the k-means-class bounded fold) → integer
     weight update ``w −= (lr_micro · (g // N)) // 10⁶`` driver-side
     (Python ``//`` = floor; the oracle replays both divisions)."""
-    x = logreg_features(df, text_col, id_col, label, n_buckets, keys)
-    # one extra up-front shuffle onto the doc key: the design relation
-    # leaves its build groupBy partitioned by (id, y, feat), which
-    # satisfies NEITHER the per-epoch margin aggregate (id, y) nor the
-    # gradient join (id); clustered by id, every epoch runs
+    # the design relation is id-clustered by construction (r13:
+    # logreg_features repartitions the compact doc rows once and
+    # aggregates exchange-free on top), so every epoch runs
     # exchange-free except the B-bounded feature aggregate
-    x = x.repartition("id").persist()
+    x = logreg_features(df, text_col, id_col, label, n_buckets, keys) \
+        .persist()
     try:
-        n_docs = x.where(F.col("feat") == n_buckets).count()
-        if n_docs == 0:
-            raise ValueError("logreg_train: empty corpus")
+        if int(epochs) <= 0:
+            # no gradient pass to piggyback the doc count on — keep
+            # the explicit emptiness check for this corner
+            if x.where(F.col("feat") == n_buckets).isEmpty():
+                raise ValueError("logreg_train: empty corpus")
+            return [0] * (n_buckets + 1)
         w = [0] * (n_buckets + 1)
+        n_docs = None
         for _ in range(int(epochs)):
             r = _residuals(_margins(x, w))
+            # nb rides the gradient aggregate: the bias feature has
+            # exactly one row per document, so its nb IS the document
+            # count — the former separate count() job is gone (r13)
             grad = (x.join(r, "id")
                     .groupBy("feat")
-                    .agg(F.sum(F.col("ru") * F.col("cnt")).alias("g"))
+                    .agg(F.sum(F.col("ru") * F.col("cnt")).alias("g"),
+                         F.count("*").alias("nb"))
                     .collect())
+            if n_docs is None:
+                n_docs = next((int(row["nb"]) for row in grad
+                               if int(row["feat"]) == n_buckets), 0)
+                if n_docs == 0:
+                    raise ValueError("logreg_train: empty corpus")
             g = {int(row["feat"]): int(row["g"]) for row in grad}
             w = [wi - (int(lr_micro) * (g.get(f, 0) // n_docs)) // _UNIT
                  for f, wi in enumerate(w)]
@@ -190,15 +214,23 @@ def logreg_score(
     ).otherwise(F.col("wu"))
     base = batch.select(F.col(id_col).alias("id"),
                         tokens(text_col).alias("_toks"))
-    counts = (base.select("id", F.explode("_toks").alias("tok"))
-              .groupBy("id",
-                       _feat_expr(F.col("tok"), n_buckets, keys)
-                       .alias("feat"))
-              .agg(F.count("*").alias("cnt")))
-    bias = base.select("id", F.lit(n_buckets).cast("bigint").alias("feat"),
-                       F.lit(1).cast("bigint").alias("cnt"))
-    x = counts.select("id", F.col("feat").cast("bigint"), "cnt") \
-        .unionByName(bias)
+    # r13: one exchange total (the same in-row bias sentinel + single
+    # id-repartition shape as logreg_features) — the feature count
+    # aggregate AND the doc-keyed margin aggregate both run
+    # exchange-free on the id clustering, where the former shape paid
+    # a (id, feat)-hash exchange of the token relation plus a second
+    # exchange back onto id for the margins
+    featarr = F.concat(
+        F.coalesce(
+            F.transform("_toks",
+                        lambda t_: _feat_expr(t_, n_buckets, keys)
+                        .cast("bigint")),
+            F.array().cast("array<bigint>")),
+        F.array(F.lit(n_buckets).cast("bigint")))
+    x = (base.select("id", featarr.alias("_feats"))
+         .repartition("id")
+         .select("id", F.explode("_feats").alias("feat"))
+         .groupBy("id", "feat").agg(F.count("*").alias("cnt")))
     margins = (x.join(F.broadcast(weights.select(
                    "feat", wu_checked.alias("_wu"))), "feat")
                .groupBy("id")

@@ -55,14 +55,6 @@ __all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk",
            "pq_subspace_sql", "pq_encode_sql", "pq_adc_sql"]
 
 
-def _dim_of(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(vec_col).alias("d")) \
-        .where(F.col(vec_col).isNotNull()).first()
-    if row is None:
-        raise ValueError("no vectors to train on")
-    return int(row["d"])
-
-
 def pq_train(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     m: int = 4, k: int = 8, iterations: int = 2,
@@ -75,17 +67,21 @@ def pq_train(
     :func:`~db2pq_spark.operators.clustering.kmeans_fit` on the
     in-row vector slice (lowest-id seeding, exact-decimal distances,
     9-digit rounded means — the q117 contract)."""
-    dim = _dim_of(df, vec_col) if dim is None else int(dim)
-    if dim % int(m) != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     if impl not in ("exact", "arrow"):
         raise ValueError(f"unknown pq train impl {impl!r}")
-    d = dim // int(m)
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # lowest-id seeding, per subspace = the same k rows sliced — the
-    # exact kmeans_fit init each subspace would compute alone
+    # exact kmeans_fit init each subspace would compute alone. The
+    # seed rows also carry the vector width, so the former separate
+    # _dim_of first() job is gone when ``dim`` isn't given (r13).
     init = base.orderBy("id").limit(int(k)).collect()
+    if not init:
+        raise ValueError("no vectors to train on")
+    dim = len(init[0]["vec"]) if dim is None else int(dim)
+    if dim % int(m) != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // int(m)
     books = [[[float(x) for x in r["vec"][s * d:(s + 1) * d]]
               for r in init] for s in range(int(m))]
     # all m subspaces train JOINTLY: the per-subspace Lloyd rounds are
@@ -96,15 +92,39 @@ def pq_train(
     # m × iterations sequential ones, bit-identical centroids (the
     # q151 oracle replays the per-subspace chains and agrees)
     for _ in range(int(iterations)):
-        assigned = pq_encode(base, books, "vec", "id", impl=impl) \
-            .select("id", F.posexplode("codes").alias("sub", "code"))
-        vals = (base.select("id",
-                            F.posexplode("vec").alias("pos", "_x"))
-                .select("id",
-                        (F.col("pos") / d).cast("int").alias("sub"),
-                        (F.col("pos") % d).alias("subdim"),
-                        F.col("_x").cast("double").alias("_x")))
-        means = (assigned.join(vals, ["id", "sub"])
+        if impl == "arrow":
+            # r13: the per-row codes come from the SAME argmin kernel
+            # pq_encode runs, attached in-row — the former
+            # (id, sub)-keyed join of the code relation against the
+            # n·dim component relation (a full shuffle of both, every
+            # round) is gone; the only exchange left is the map-side-
+            # combined m·k·d aggregate. The codes array is the
+            # GENERATOR argument (evaluated once per corpus row — a
+            # projection beside posexplode would re-evaluate the
+            # Python kernel once per exploded row), and the subspace
+            # components are re-sliced in-row below it.
+            enc = _arrow_codes_col(books, d)
+            terms = (base
+                     .select("vec",
+                             F.posexplode(enc(F.col("vec")))
+                             .alias("sub", "code"))
+                     .select("sub", "code",
+                             F.posexplode(F.expr(
+                                 f"slice(vec, sub * {d} + 1, {d})"))
+                             .alias("subdim", "_x"))
+                     .select("sub", "code", "subdim",
+                             F.col("_x").cast("double").alias("_x")))
+        else:
+            assigned = pq_encode(base, books, "vec", "id", impl=impl) \
+                .select("id", F.posexplode("codes").alias("sub", "code"))
+            vals = (base.select("id",
+                                F.posexplode("vec").alias("pos", "_x"))
+                    .select("id",
+                            (F.col("pos") / d).cast("int").alias("sub"),
+                            (F.col("pos") % d).alias("subdim"),
+                            F.col("_x").cast("double").alias("_x")))
+            terms = assigned.join(vals, ["id", "sub"])
+        means = (terms
                  .groupBy("sub", "code", "subdim")
                  .agg(F.sum(F.col("_x").cast(_DEC)).alias("_s"),
                       F.count("*").alias("_c"))
@@ -120,6 +140,29 @@ def pq_train(
                    if (s, c) in got else books[s][c])
                   for c in range(int(k))] for s in range(int(m))]
     return books
+
+
+def _arrow_codes_col(codebooks, d: int):
+    """The arrow encode kernel as a reusable column function: one
+    NumPy distance tensor per Arrow batch, all ``m`` argmins per
+    vector (ties to the lower code via argmin's first-minimum)."""
+    import numpy as np
+    import pandas as pd
+
+    from db2pq_spark.functions.arrow import series_pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, d)
+    mm = cb.shape[0]
+
+    def kern(vecs):
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64).reshape(mm, 1, d)
+            d2 = ((x - cb) ** 2).sum(axis=2)        # (m, k)
+            out.append(d2.argmin(axis=1).astype("int32"))
+        return pd.Series(out)
+
+    return series_pandas_udf(kern, "array<int>")
 
 
 def _codebook_df(spark, codebooks) -> DataFrame:
@@ -146,23 +189,7 @@ def pq_encode(
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if impl == "arrow":
-        import numpy as np
-        import pandas as pd
-
-        from db2pq_spark.functions.arrow import series_pandas_udf
-
-        cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, d)
-        mm = cb.shape[0]
-
-        def kern(vecs):
-            out = []
-            for v in vecs:
-                x = np.asarray(v, dtype=np.float64).reshape(mm, 1, d)
-                d2 = ((x - cb) ** 2).sum(axis=2)        # (m, k)
-                out.append(d2.argmin(axis=1).astype("int32"))
-            return pd.Series(out)
-
-        enc = series_pandas_udf(kern, "array<int>")
+        enc = _arrow_codes_col(codebooks, d)
         return base.select("id", enc(F.col("vec")).alias("codes"))
     cdf = _codebook_df(df.sparkSession, codebooks)
     terms = (base.select("id", F.posexplode("vec").alias("pos", "_x"))

@@ -159,7 +159,8 @@ def _gopher_arrow(
     but every Gopher repetition statistic is a WITHIN-document
     computation, so the kernel does it all in-process per Arrow
     batch: grams group by exact slice CONTENT over the per-token
-    hash array (``np.unique(axis=0)`` — no second-level gram hash,
+    hash array (a batch-wide rank-doubling chain, see
+    :func:`_gopher_batch` — no second-level gram hash,
     so strictly fewer collisions than the xxhash64-slice keys), top
     attribution maximizes (count, char-length) with the value-
     invariant tie discipline, and coverage is a vectorized running-
@@ -168,8 +169,6 @@ def _gopher_arrow(
     relabeling is collision-free (the q149 stance; pinned by test).
     Only integers cross the Arrow boundary (token lengths + hashes
     in, 10 int64 columns out)."""
-    import numpy as np
-
     from pyspark.sql.types import (LongType, StructField, StructType)
 
     from db2pq_spark.operators.dedup import normalize_text
@@ -193,72 +192,123 @@ def _gopher_arrow(
                         + [StructField(c, LongType()) for c in cols])
 
     def kern(batches):
-        import pandas as pd
-
         for pdf in batches:
-            out = {c: [] for c in ["id"] + cols}
-            for id_, lens, th in zip(pdf["id"], pdf["_lens"],
-                                     pdf["_th"]):
-                lens = np.asarray(lens, dtype=np.int64)
-                th = np.asarray(th, dtype=np.int64)
-                m = len(th)
-                # offs[j] = char start of token j (0-based);
-                # sentinel offs[m] = total + 1
-                offs = np.concatenate(([0], np.cumsum(lens + 1)))
-                n_chars = int(offs[m]) - 1
-                out["id"].append(id_)
-                out["n_chars"].append(n_chars)
-                for n in all_ns:
-                    # an n present in BOTH dicts yields BOTH columns
-                    # from one slice pass (overlap used to leave one
-                    # output list short and break the DataFrame build)
-                    if m < n:
-                        if n in top_max_pct:
-                            out[f"top{n}_chars"].append(0)
-                        if n in dup_max_pct:
-                            out[f"dup{n}_chars"].append(0)
-                        continue
-                    k = m - n + 1
-                    # (k, n) view of all gram slices; unique rows =
-                    # exact gram identity under the token relabeling
-                    sl = np.lib.stride_tricks.sliding_window_view(
-                        th, n)
-                    _, inv, cnts = np.unique(
-                        sl, axis=0, return_inverse=True,
-                        return_counts=True)
-                    occ_cnt = cnts[inv]           # per-occurrence
-                    s = offs[:k]
-                    e = offs[n:n + k] - 1
-                    if n in top_max_pct:
-                        # max count (>= 2), tie -> max char length;
-                        # chars = cnt * glen (key choice cannot
-                        # matter: both factors are tie-determined)
-                        glen = np.full(len(cnts), np.iinfo(np.int64).max)
-                        np.minimum.at(glen, inv, e - s)
-                        cand = cnts >= 2
-                        if not cand.any():
-                            out[f"top{n}_chars"].append(0)
-                        else:
-                            order = np.lexsort((glen[cand], cnts[cand]))
-                            best = order[-1]
-                            out[f"top{n}_chars"].append(
-                                int(cnts[cand][best])
-                                * int(glen[cand][best]))
-                    if n in dup_max_pct:
-                        dup = occ_cnt >= 2
-                        if not dup.any():
-                            out[f"dup{n}_chars"].append(0)
-                        else:
-                            ds, de = s[dup], e[dup]   # s strictly asc
-                            pmax = np.concatenate(
-                                ([ds[0]],
-                                 np.maximum.accumulate(de)[:-1]))
-                            cov = np.maximum(
-                                de - np.maximum(ds, pmax), 0)
-                            out[f"dup{n}_chars"].append(int(cov.sum()))
-            yield pd.DataFrame(out)
+            yield _gopher_batch(pdf, top_max_pct, dup_max_pct)
 
     return base.mapInPandas(kern, schema=schema)
+
+
+def _gopher_batch(pdf, top_max_pct: dict[int, int],
+                  dup_max_pct: dict[int, int]):
+    """One :func:`_gopher_arrow` batch — (id, _lens, _th) pandas in,
+    the 10 int64 stat columns out.
+
+    r13: batch-vectorized rank doubling. The old per-doc
+    ``np.unique(axis=0)`` grouped each document's gram slices with one
+    void-dtype row sort PER (doc, n) — ~9·|batch| calls whose fixed
+    cost dominated the kernel. Gram identity is instead built ONCE per
+    batch as a rank chain: rank_1 = dense rank of token hashes,
+    rank_n = dense rank of (rank_{n-1}[i], rank_1[i+n-1]) — an
+    injective integer pairing, so grouping is EXACT content equality,
+    identical to the slice-row grouping it replaces (grams never span
+    documents: positions are validity-masked per doc before any
+    count). Pinned bit-identical to the old kernel by
+    ``tests/test_operators.py`` batch-equivalence cases."""
+    import numpy as np
+    import pandas as pd
+
+    top_ns, dup_ns = sorted(top_max_pct), sorted(dup_max_pct)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    cols = (["n_chars"] + [f"top{n}_chars" for n in top_ns]
+            + [f"dup{n}_chars" for n in dup_ns])
+    n_max = all_ns[-1]
+    nb = len(pdf)
+    if nb == 0:
+        df0 = pd.DataFrame({"id": pdf["id"]})
+        for c in cols:
+            df0[c] = pd.Series([], dtype="int64")
+        return df0
+    lens_l = [np.asarray(v, dtype=np.int64) for v in pdf["_lens"]]
+    th_l = [np.asarray(v, dtype=np.int64) for v in pdf["_th"]]
+    m_arr = np.array([len(a) for a in th_l], dtype=np.int64)
+    th = np.concatenate(th_l)
+    lens = np.concatenate(lens_l)
+    ntok = th.shape[0]
+    doc_of = np.repeat(np.arange(nb, dtype=np.int64), m_arr)
+    doc_tok0 = np.concatenate(([0], np.cumsum(m_arr)))
+    # char start of each token within its own doc (the old offs[j]);
+    # per-doc reset = global cumsum minus doc base
+    gstart = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    start = gstart - np.repeat(gstart[doc_tok0[:-1]], m_arr)
+    pos_in = np.arange(ntok, dtype=np.int64) \
+        - np.repeat(doc_tok0[:-1], m_arr)
+    doc_len = np.repeat(m_arr, m_arr)
+    out = {c: np.zeros(nb, dtype=np.int64) for c in cols}
+    out["n_chars"] = np.add.reduceat(lens + 1, doc_tok0[:-1]) - 1
+    _, rank = np.unique(th, return_inverse=True)
+    rank1 = rank.astype(np.int64)
+    ranks = {1: rank1}
+    idx = np.arange(ntok, dtype=np.int64)
+    for n in range(2, n_max + 1):
+        # clipped next-token index: out-of-range positions are
+        # validity-masked before use, so a cross-doc (or clipped)
+        # composition can never pollute a count — injectivity only
+        # matters for WITHIN-doc valid grams
+        nxt = np.minimum(idx + (n - 1), ntok - 1)
+        key = ranks[n - 1] * np.int64(ntok + 1) + rank1[nxt]
+        _, rn = np.unique(key, return_inverse=True)
+        ranks[n] = rn.astype(np.int64)
+    big = int(out["n_chars"].max()) + 2
+    for n in all_ns:
+        # an n present in BOTH dicts yields BOTH columns from one
+        # grouping pass; docs shorter than n keep 0
+        valid = pos_in + n <= doc_len
+        if not valid.any():
+            continue
+        vidx = np.flatnonzero(valid)
+        rn = ranks[n][vidx]
+        d = doc_of[vidx]
+        un = int(rn.max()) + 1
+        uq, inv, cnts = np.unique(d * un + rn, return_inverse=True,
+                                  return_counts=True)
+        s = start[vidx]
+        e = start[vidx + n - 1] + lens[vidx + n - 1]
+        if n in top_max_pct:
+            # per (doc, gram): max count (>= 2), tie -> max char
+            # length; chars = cnt * glen (both factors
+            # tie-determined, so the pick is value-invariant)
+            glen = np.full(len(cnts), np.iinfo(np.int64).max)
+            np.minimum.at(glen, inv, e - s)
+            cand = cnts >= 2
+            if cand.any():
+                dg = uq[cand] // un
+                cg = cnts[cand].astype(np.int64)
+                gg = glen[cand]
+                order = np.lexsort((gg, cg, dg))
+                dgo = dg[order]
+                last = np.flatnonzero(np.r_[dgo[1:] != dgo[:-1], True])
+                sel = order[last]
+                out[f"top{n}_chars"][dg[sel]] = cg[sel] * gg[sel]
+        if n in dup_max_pct:
+            dup = cnts[inv] >= 2
+            if dup.any():
+                dd = d[dup]
+                # per-doc running-max interval union in ONE global
+                # accumulate: shifting every doc's char interval by
+                # doc·big keeps docs from interfering (a previous
+                # doc's max E is always below the next doc's base, so
+                # the first interval of each doc self-covers, exactly
+                # the old per-doc pmax seeding)
+                sh = dd * big
+                su, eu = s[dup] + sh, e[dup] + sh
+                pmax = np.concatenate(
+                    ([su[0]], np.maximum.accumulate(eu)[:-1]))
+                cov = np.maximum(eu - np.maximum(su, pmax), 0)
+                out[f"dup{n}_chars"] += np.bincount(
+                    dd, weights=cov, minlength=nb).astype(np.int64)
+    res = {"id": pdf["id"].to_numpy()}
+    res.update(out)
+    return pd.DataFrame(res)
 
 
 def gopher_repetition(

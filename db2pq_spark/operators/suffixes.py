@@ -12,11 +12,15 @@ tokens. Re-expressed as a distributed relational plan:
 
 1. **Prefix doubling** (Karp–Miller–Rosenberg): level-k keys identify
    2^k-token spans; level k+1 composes each key from its two level-k
-   halves in one (id, pos)-keyed self-join — a span can only be
-   duplicated if both halves are, so survivor sets shrink
-   geometrically and each level is one map-side-combined count over
-   8-byte composed keys. ``log2(longest duplicated span)`` levels
-   total, never a suffix sort, never all-pairs.
+   halves in one (id, pos)-keyed self-join over the geometrically
+   shrinking survivor minority (level 1 keys are composed in-row from
+   the per-doc key arrays instead — the level-0 relation is
+   corpus-sized, and a duplicated bigram's halves are duplicated by
+   necessity, so the join's filter is a no-op there) — a span can
+   only be duplicated if both halves are, so each level is one
+   map-side-combined count over 8-byte composed keys.
+   ``log2(longest duplicated span)`` levels total, never a suffix
+   sort, never all-pairs.
 2. **Bucketed neighbor-LCP extension**: a position whose top
    surviving level is k has its exact match length in
    ``[2^k, 2^{k+1})``; its best partner shares the level-k bucket, so
@@ -24,8 +28,11 @@ tokens. Re-expressed as a distributed relational plan:
    longest common prefix with the two sort neighbors yields the exact
    extension (the suffix-array LCP property: a suffix's best match is
    lexicographically adjacent — any consistent alphabet relabeling,
-   including per-token hashes, preserves it). One window per level
-   over the surviving minority; LCP is an in-row ``zip_with`` fold.
+   including per-token hashes, preserves it). ONE (level, key)-
+   partitioned window over the union of all levels' survivors; LCP is
+   an in-row ``zip_with`` fold, and the per-position answer is the
+   max over levels (lower levels never overshoot — each value is a
+   real duplicated-substring length; the top level is exact).
 
 ``keys="hash"`` (production) composes xxhash64 keys — spans never
 materialize as strings (the q102/q147 stance; 64-bit collisions are
@@ -89,8 +96,13 @@ def _prepare(df: DataFrame, text_col: str, id_col: str,
                    & (F.element_at("_tk", 1) != "")))
     kk = (F.transform("_tk", lambda t_: F.xxhash64(t_))
           if keys == "hash" else F.col("_tk"))
+    # r13: checkpoint id-PARTITIONED — every id-keyed consumer (the
+    # extension join, the per-doc aggregate, the removal pass's token
+    # explode and interval anti-join) then runs exchange-free off the
+    # checkpoint's preserved partitioning (guide §2.4); one compact
+    # doc-row exchange up front replaces one per consumer
     return base.select("id", "_tk", kk.alias("_kk")) \
-        .localCheckpoint(eager=False)
+        .repartition("id").localCheckpoint(eager=False)
 
 
 def position_match_lengths(
@@ -152,15 +164,43 @@ def position_match_lengths(
             break
         survivors.append((level, surv.select(
             F.lit(level).alias("level"), "id", "pos", "key")))
-        # level k+1 candidates: positions whose BOTH 2^k halves are
-        # duplicated — self-join on (id, pos + 2^k)
-        right = surv.select(
-            "id", (F.col("pos") - F.lit(step)).alias("pos"),
-            F.col("key").alias("key2"))
-        lvl = (surv.join(right, ["id", "pos"])
-               .select("id", "pos",
-                       compose(F.col("key"), F.col("key2"))
-                       .alias("key")))
+        if level == 0:
+            # r13: level-1 candidates in-row instead of the (id, pos)
+            # self-join on the corpus-sized level-0 survivor relation
+            # (2 exchanges saved on the LARGEST level). The composed
+            # value xxhash64(key0(p), key0(p+1)) (resp. the 2-token
+            # concat for exact keys) is computed directly from the
+            # per-doc key array — bit-identical to the join's
+            # composition. Skipping the both-halves-survive filter
+            # changes nothing: a bigram can only reach dup_keys (2+
+            # occurrences) if both its halves are duplicated, so the
+            # level-1 dup-key and survivor sets are unchanged.
+            if keys == "hash":
+                key1 = F.transform(
+                    F.sequence(F.lit(1), F.size("_kk") - 1),
+                    lambda j: F.xxhash64(F.element_at("_kk", j),
+                                         F.element_at("_kk", j + 1)))
+            else:
+                key1 = F.transform(
+                    F.sequence(F.lit(1), F.size("_kk") - 1),
+                    lambda j: F.concat_ws(
+                        " ", F.element_at("_kk", j),
+                        F.element_at("_kk", j + 1)))
+            lvl = (base.where(F.size("_kk") >= 2)
+                   .select("id", F.posexplode(key1).alias("p0", "key"))
+                   .select("id", (F.col("p0") + 1).alias("pos"),
+                           "key"))
+        else:
+            # level k+1 candidates: positions whose BOTH 2^k halves
+            # are duplicated — self-join on (id, pos + 2^k) over the
+            # (geometrically shrinking) survivor minority
+            right = surv.select(
+                "id", (F.col("pos") - F.lit(step)).alias("pos"),
+                F.col("key").alias("key2"))
+            lvl = (surv.join(right, ["id", "pos"])
+                   .select("id", "pos",
+                           compose(F.col("key"), F.col("key2"))
+                           .alias("key")))
         step *= 2
 
     if not survivors:
@@ -171,46 +211,52 @@ def position_match_lengths(
     all_surv = survivors[0][1]
     for _, s in survivors[1:]:
         all_surv = all_surv.unionByName(s)
-    # k*(id, pos): the top surviving level of each position
-    top = (all_surv.groupBy("id", "pos")
-           .agg(F.max("level").alias("level")))
 
-    # extension per level: sort each level-k bucket by the next 2^k
-    # tokens; exact match length = 2^k + max neighbor LCP
-    parts = []
-    for level, surv in survivors:
-        step = 2 ** level
-        sl = (surv.join(base.select("id", "_kk"), "id")
-              .select("level", "id", "pos", "key",
-                      F.slice("_kk", F.col("pos") + F.lit(step),
-                              F.lit(step)).alias("_sl")))
-        capped_floor = None
-        if max_bucket is not None:
-            cap = W.partitionBy("key").orderBy("id", "pos")
-            sl = sl.withColumn("_bn", F.row_number().over(cap))
-            # beyond-cap members keep the 2^k floor instead of
-            # vanishing — the cap bounds only the EXTENSION work, so
-            # a capped answer is a lower bound never below 2^k
-            capped_floor = (sl.where(F.col("_bn") > int(max_bucket))
-                            .select("level", "id", "pos",
-                                    F.lit(step).alias("mlen")))
-            sl = sl.where(F.col("_bn") <= int(max_bucket)).drop("_bn")
-        w = W.partitionBy("key").orderBy("_sl", "id", "pos")
-        ext = F.greatest(
-            _lcp(F.col("_sl"), F.lag("_sl").over(w)),
-            _lcp(F.col("_sl"), F.lead("_sl").over(w)))
-        part = sl.select("level", "id", "pos",
-                         (F.lit(step) + ext).alias("mlen"))
-        if capped_floor is not None:
-            part = part.unionByName(capped_floor)
-        parts.append(part)
-    mlens = parts[0]
-    for p in parts[1:]:
-        mlens = mlens.unionByName(p)
-    # only each position's TOP level is its exact answer (lower levels
-    # under-extend: the true partner still shares the longer prefix)
-    return mlens.join(top, ["level", "id", "pos"]) \
-        .select("id", "pos", "mlen")
+    # r13: extension for ALL levels in ONE pass — one id-keyed join
+    # against the (id-partitioned) base, one (level, key)-partitioned
+    # window — instead of one join + one window PER level (guide
+    # §2.4: 2L exchanges → 2). Levels never mix: the window partitions
+    # on (level, key), the same isolation the per-level windows had.
+    # Each level-k bucket sorts by the NEXT 2^k tokens; exact match
+    # length = 2^k + max neighbor LCP (the suffix-array adjacency
+    # argument in the module docstring).
+    stepc = F.expr("shiftleft(1, level)")
+    sl = (all_surv.join(base.select("id", "_kk"), "id")
+          .select("level", "id", "pos", "key",
+                  F.expr("slice(_kk, pos + shiftleft(1, level),"
+                         " shiftleft(1, level))").alias("_sl")))
+    capped_floor = None
+    if max_bucket is not None:
+        cap = W.partitionBy("level", "key").orderBy("id", "pos")
+        sl = sl.withColumn("_bn", F.row_number().over(cap))
+        # beyond-cap members keep the 2^k floor instead of vanishing —
+        # the cap bounds only the EXTENSION work, so a capped answer
+        # is a lower bound never below 2^k
+        capped_floor = (sl.where(F.col("_bn") > int(max_bucket))
+                        .select("id", "pos",
+                                stepc.cast("bigint").alias("mlen")))
+        sl = sl.where(F.col("_bn") <= int(max_bucket)).drop("_bn")
+    w = W.partitionBy("level", "key").orderBy("_sl", "id", "pos")
+    ext = F.greatest(
+        _lcp(F.col("_sl"), F.lag("_sl").over(w)),
+        _lcp(F.col("_sl"), F.lead("_sl").over(w)))
+    mlens = sl.select("id", "pos",
+                      (stepc + ext).cast("bigint").alias("mlen"))
+    if capped_floor is not None:
+        mlens = mlens.unionByName(capped_floor)
+    # r13: each position's answer is the MAX over its surviving
+    # levels, replacing the former top-level aggregate + 3-key join.
+    # Identical by construction: a level-j value 2^j + lcp is the
+    # length of an ACTUAL duplicated substring starting at pos, so it
+    # never exceeds the true mlen; the TOP level's value equals mlen
+    # (the adjacency argument); capped floors 2^j <= 2^top likewise
+    # reproduce the old top-level floor exactly. The aggregate runs on
+    # an id-repartition (subset rule: hash(id) satisfies clustering by
+    # (id, pos)) so its OUTPUT is id-partitioned and every downstream
+    # consumer — the per-doc max, the removal pass's interval windows
+    # and anti-join — needs no further exchange.
+    return mlens.repartition("id").groupBy("id", "pos") \
+        .agg(F.max("mlen").alias("mlen"))
 
 
 def longest_dup_span(

@@ -229,14 +229,37 @@ def unigram_train(
     per-round plan would otherwise nest ``rounds`` deep through the
     Arrow kernel (the BPE/k-means lineage guard), and both consumers
     of a round's vocab (scores + floor) read the pinned relation."""
-    wf = _bounded_words(word_freqs(df, text_col), max_word_len) \
-        .localCheckpoint(eager=False)
+    wf = _word_rel(df, text_col, max_word_len)
+    return _unigram_train_wf(wf, rounds, max_piece_len, min_count,
+                             max_word_len)
+
+
+def _word_rel(df: DataFrame, text_col: str,
+              max_word_len: int) -> DataFrame:
+    """The bounded distinct-word relation, WORD-PARTITIONED and lazily
+    checkpointed (r13): every EM round's candidate groupBy and the
+    final segmentation's groupBy cluster on the word key, so pinning
+    hash(word) partitioning once makes each of those aggregates
+    exchange-free (subset rule) — one compact word-row exchange up
+    front replaces one candidate-row exchange per Viterbi/FB pass."""
+    return _bounded_words(word_freqs(df, text_col), max_word_len) \
+        .repartition("word").localCheckpoint(eager=False)
+
+
+def _unigram_train_wf(wf: DataFrame, rounds: int, max_piece_len: int,
+                      min_count: int, max_word_len: int) -> DataFrame:
+    """Hard-EM training over a prepared :func:`_word_rel` relation —
+    shared by :func:`unigram_train` and
+    :func:`unigram_segment_words`, which previously re-derived the
+    word-frequency relation (a second corpus tokenize + aggregate)
+    for its own segmentation pass."""
     vocab = unigram_seed(wf, max_piece_len, min_count, max_word_len) \
         .localCheckpoint(eager=True)
     chars = (wf.select("freq", F.explode(F.split("word", ""))
                        .alias("piece"))
              .where(F.col("piece") != "")
-             .select("piece").distinct())
+             .select("piece").distinct()
+             .localCheckpoint(eager=False))  # r13: once, not per round
     for _ in range(rounds):
         seg = _viterbi_words(wf, vocab, max_piece_len)
         usage = (seg.select("freq", F.explode("path").alias("piece"))
@@ -256,11 +279,12 @@ def unigram_segment_words(
 ) -> DataFrame:
     """Train on the corpus, then Viterbi-segment the distinct words
     with the final vocabulary: ``(word, freq, n_pieces, pieces)``
-    with ``pieces`` the space-joined best path."""
-    wf = _bounded_words(word_freqs(df, text_col), max_word_len) \
-        .localCheckpoint(eager=False)
-    vocab = unigram_train(df, text_col, rounds, max_piece_len,
-                          min_count, max_word_len)
+    with ``pieces`` the space-joined best path. Training and the
+    final segmentation share ONE prepared word relation (r13 — the
+    former shape tokenized and aggregated the corpus twice)."""
+    wf = _word_rel(df, text_col, max_word_len)
+    vocab = _unigram_train_wf(wf, rounds, max_piece_len, min_count,
+                              max_word_len)
     seg = _viterbi_words(wf, vocab, max_piece_len)
     return seg.select("word", "freq",
                       F.col("np").cast("bigint").alias("n_pieces"),

@@ -50,9 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from db2pq_spark.operators.bpe import word_freqs
 from db2pq_spark.operators.unigram import (
-    MAX_PIECE_LEN, MAX_WORD_LEN, _bounded_words, _scores, _viterbi_words,
+    MAX_PIECE_LEN, MAX_WORD_LEN, _scores, _viterbi_words,
     unigram_seed, unigram_seed_sql, unigram_viterbi_sql)
 
 __all__ = ["unigram_train_soft", "soft_em_round", "prune_vocab",
@@ -187,12 +186,16 @@ def _fb_words(words: DataFrame, vocab: DataFrame,
 
 
 def soft_em_round(words: DataFrame, vocab: DataFrame,
-                  max_piece_len: int = MAX_PIECE_LEN) -> DataFrame:
+                  max_piece_len: int = MAX_PIECE_LEN,
+                  chars: DataFrame | None = None) -> DataFrame:
     """One soft-EM round: forward-backward posteriors → 6-digit
     micro-unit rounding (the ONLY float→int crossing, per occurrence,
     before any aggregation) → expected-count M-step. Multi-char pieces
     whose expected count rounds to zero are pruned; characters are
-    retained at 0 (they score the floor next round)."""
+    retained at 0 (they score the floor next round). ``chars``
+    optionally supplies the (round-invariant) distinct-character
+    relation so a multi-round trainer derives it once instead of per
+    round (r13)."""
     fb = _fb_words(words, vocab, max_piece_len)
     pm = (F.round(F.col("post"), 6).cast("decimal(18,6)")
           * 1_000_000).cast("bigint")
@@ -202,8 +205,10 @@ def soft_em_round(words: DataFrame, vocab: DataFrame,
                   .alias("cnt"))
              .where(F.col("cnt") > 0)
              .select("piece", F.col("cnt").cast("bigint").alias("cnt")))
-    chars = (words.select(F.explode(F.split("word", "")).alias("piece"))
-             .where(F.col("piece") != "").distinct())
+    if chars is None:
+        chars = (words.select(F.explode(F.split("word", ""))
+                              .alias("piece"))
+                 .where(F.col("piece") != "").distinct())
     return (chars.join(usage, "piece", "left")
             .select("piece", F.coalesce("cnt", F.lit(0)).alias("cnt"))
             .unionByName(usage.join(chars, "piece", "left_anti")))
@@ -259,14 +264,21 @@ def unigram_train_soft(
 
     Per-round vocabularies are ``localCheckpoint``-pinned (the
     BPE/k-means/hard-EM lineage guard)."""
-    wf = _bounded_words(word_freqs(df, text_col), max_word_len) \
-        .localCheckpoint(eager=False)
+    from db2pq_spark.operators.unigram import _word_rel
+
+    # r13: word-partitioned lazily-checkpointed word relation (the
+    # per-round candidate groupBy runs exchange-free on it) and a
+    # once-derived chars relation shared by every round
+    wf = _word_rel(df, text_col, max_word_len)
     vocab = (unigram_seed(wf, max_piece_len, min_count, max_word_len)
              .select("piece", (F.col("cnt") * 1_000_000)
                      .cast("bigint").alias("cnt"))
              .localCheckpoint(eager=True))
+    chars = (wf.select(F.explode(F.split("word", "")).alias("piece"))
+             .where(F.col("piece") != "").distinct()
+             .localCheckpoint(eager=False))
     for _ in range(rounds):
-        vocab = soft_em_round(wf, vocab, max_piece_len) \
+        vocab = soft_em_round(wf, vocab, max_piece_len, chars=chars) \
             .localCheckpoint(eager=True)
     return prune_vocab(vocab, vocab_size, max_piece_len)
 

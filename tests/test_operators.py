@@ -2342,3 +2342,121 @@ class TestGopherArrowKernel:
             assert a[d] == e[d]
         assert {"top2_chars", "dup2_chars", "top3_chars"} <= set(a[1])
         assert a[1]["top2_chars"] == 9 and a[1]["dup2_chars"] > 0
+
+
+class TestGopherBatchKernel:
+    """r13: _gopher_arrow's per-batch body was rewritten from per-doc
+    np.unique(axis=0) slice grouping to ONE batch-wide rank-doubling
+    chain. Pin the new `_gopher_batch` bit-identical to the old
+    per-document algorithm, pure pandas — no Spark session needed."""
+
+    @staticmethod
+    def _old_batch(pdf, top_max_pct, dup_max_pct):
+        import numpy as np
+        import pandas as pd
+
+        top_ns, dup_ns = sorted(top_max_pct), sorted(dup_max_pct)
+        all_ns = sorted(set(top_ns) | set(dup_ns))
+        cols = (["n_chars"] + [f"top{n}_chars" for n in top_ns]
+                + [f"dup{n}_chars" for n in dup_ns])
+        out = {c: [] for c in ["id"] + cols}
+        for id_, lens, th in zip(pdf["id"], pdf["_lens"], pdf["_th"]):
+            lens = np.asarray(lens, dtype=np.int64)
+            th = np.asarray(th, dtype=np.int64)
+            m = len(th)
+            offs = np.concatenate(([0], np.cumsum(lens + 1)))
+            out["id"].append(id_)
+            out["n_chars"].append(int(offs[m]) - 1)
+            for n in all_ns:
+                if m < n:
+                    if n in top_max_pct:
+                        out[f"top{n}_chars"].append(0)
+                    if n in dup_max_pct:
+                        out[f"dup{n}_chars"].append(0)
+                    continue
+                k = m - n + 1
+                sl = np.lib.stride_tricks.sliding_window_view(th, n)
+                _, inv, cnts = np.unique(
+                    sl, axis=0, return_inverse=True, return_counts=True)
+                s, e = offs[:k], offs[n:n + k] - 1
+                if n in top_max_pct:
+                    glen = np.full(len(cnts), np.iinfo(np.int64).max)
+                    np.minimum.at(glen, inv, e - s)
+                    cand = cnts >= 2
+                    if not cand.any():
+                        out[f"top{n}_chars"].append(0)
+                    else:
+                        order = np.lexsort((glen[cand], cnts[cand]))
+                        best = order[-1]
+                        out[f"top{n}_chars"].append(
+                            int(cnts[cand][best]) * int(glen[cand][best]))
+                if n in dup_max_pct:
+                    dup = cnts[inv] >= 2
+                    if not dup.any():
+                        out[f"dup{n}_chars"].append(0)
+                    else:
+                        ds, de = s[dup], e[dup]
+                        pmax = np.concatenate(
+                            ([ds[0]], np.maximum.accumulate(de)[:-1]))
+                        out[f"dup{n}_chars"].append(int(np.maximum(
+                            de - np.maximum(ds, pmax), 0).sum()))
+        return pd.DataFrame(out)
+
+    def _mkbatch(self, seed, ndocs, vocab, minm, maxm):
+        import random
+
+        import numpy as np
+        import pandas as pd
+
+        rng = random.Random(seed)
+        hash_of = {w: rng.getrandbits(63) - rng.getrandbits(62)
+                   for w in range(vocab)}
+        ids, lens, ths = [], [], []
+        for i in range(ndocs):
+            m = rng.randint(minm, maxm)
+            toks = [rng.randint(0, vocab - 1) for _ in range(m)]
+            if rng.random() < 0.6 and m >= 12:
+                ph = toks[:rng.randint(2, 11)]
+                toks = (ph * rng.randint(2, 5) + toks)[:m]
+            ids.append(i)
+            lens.append(np.array([1 + abs(hash_of[t]) % 7
+                                  for t in toks], dtype=np.int64))
+            ths.append(np.array([hash_of[t] for t in toks],
+                                dtype=np.int64))
+        return pd.DataFrame({"id": ids, "_lens": lens, "_th": ths})
+
+    @pytest.mark.parametrize("case", [
+        (1, 80, 6, 1, 40),      # tiny vocab: heavy repetition
+        (2, 120, 500, 1, 120),  # realistic mix
+        (3, 30, 3, 1, 9),       # short docs, many below n
+        (4, 1, 4, 1, 1),        # single 1-token doc
+    ])
+    def test_batch_matches_per_doc_reference(self, case):
+        from db2pq_spark.operators.repetition import (
+            GOPHER_DUP_NGRAM_MAX_PCT, GOPHER_TOP_NGRAM_MAX_PCT,
+            _gopher_batch)
+
+        pdf = self._mkbatch(*case)
+        for top, dup in [(GOPHER_TOP_NGRAM_MAX_PCT,
+                          GOPHER_DUP_NGRAM_MAX_PCT),
+                         ({2: 20, 5: 15}, {2: 10, 5: 9})]:
+            a = self._old_batch(pdf, top, dup).reset_index(drop=True)
+            b = _gopher_batch(pdf, top, dup).reset_index(drop=True)
+            b = b[a.columns]
+            a = a.astype({c: "int64" for c in a.columns if c != "id"})
+            b = b.astype({c: "int64" for c in b.columns if c != "id"})
+            assert a.equals(b), f"kernel mismatch for config {top}/{dup}"
+
+    def test_empty_batch(self):
+        import pandas as pd
+
+        from db2pq_spark.operators.repetition import (
+            GOPHER_DUP_NGRAM_MAX_PCT, GOPHER_TOP_NGRAM_MAX_PCT,
+            _gopher_batch)
+
+        pdf = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                            "_lens": [], "_th": []})
+        out = _gopher_batch(pdf, GOPHER_TOP_NGRAM_MAX_PCT,
+                            GOPHER_DUP_NGRAM_MAX_PCT)
+        assert len(out) == 0
+        assert "n_chars" in out.columns and "dup10_chars" in out.columns
