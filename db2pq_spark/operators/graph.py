@@ -83,13 +83,14 @@ def pagerank(
                     .distinct())
     else:
         node_rel = nodes.select(F.col(node_col).alias("node")).distinct()
-    # r13: checkpoint the edge relation PARTITIONED BY SOURCE — the
-    # per-iteration rank⋈edges join and the out-degree aggregate then
-    # reuse the checkpoint's partitioning instead of re-exchanging the
-    # corpus-sized edge relation EVERY iteration (guide §2.4; the
-    # VERDICT r12 frontier note). Only the node-sized rank side still
-    # moves per step.
-    e = e.repartition("_src").localCheckpoint(eager=True)
+    # NOTE (r13, measured): pre-partitioning the edge relation by
+    # _src buys nothing here — localCheckpoint under AQE erases
+    # outputPartitioning (Scan ExistingRDD reports
+    # UnknownPartitioning), and a persist()-based variant that does
+    # preserve it measured slower and far noisier at bench scale
+    # (memory pressure) than the plain checkpoint. The per-iteration
+    # rank side is node-sized and broadcast-eligible anyway.
+    e = e.localCheckpoint(eager=True)
     if nodes is not None and validate_nodes:
         # an explicit universe that misses edge endpoints would
         # silently leak mass: contributions into absent destinations

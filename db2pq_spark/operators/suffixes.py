@@ -87,6 +87,12 @@ def _prepare(df: DataFrame, text_col: str, id_col: str,
     from db2pq_spark.operators.dedup import normalize_text
     from db2pq_spark.operators.skew import ensure_parallelism
 
+    # NOTE (r13, measured): pre-hash-partitioning this relation buys
+    # nothing — localCheckpoint under AQE erases outputPartitioning
+    # (Scan ExistingRDD reports UnknownPartitioning), so downstream
+    # id-joins re-exchange regardless; an A/B at sf0.1 showed no win
+    # for repartition("id") (+checkpoint or +persist) over the plain
+    # parallelism spread. Keep the original shape.
     base = (ensure_parallelism(df)
             .filter(F.col(text_col).isNotNull()
                     & (F.trim(F.col(text_col)) != ""))
@@ -96,13 +102,8 @@ def _prepare(df: DataFrame, text_col: str, id_col: str,
                    & (F.element_at("_tk", 1) != "")))
     kk = (F.transform("_tk", lambda t_: F.xxhash64(t_))
           if keys == "hash" else F.col("_tk"))
-    # r13: checkpoint id-PARTITIONED — every id-keyed consumer (the
-    # extension join, the per-doc aggregate, the removal pass's token
-    # explode and interval anti-join) then runs exchange-free off the
-    # checkpoint's preserved partitioning (guide §2.4); one compact
-    # doc-row exchange up front replaces one per consumer
     return base.select("id", "_tk", kk.alias("_kk")) \
-        .repartition("id").localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)
 
 
 def position_match_lengths(

@@ -236,14 +236,16 @@ def unigram_train(
 
 def _word_rel(df: DataFrame, text_col: str,
               max_word_len: int) -> DataFrame:
-    """The bounded distinct-word relation, WORD-PARTITIONED and lazily
-    checkpointed (r13): every EM round's candidate groupBy and the
-    final segmentation's groupBy cluster on the word key, so pinning
-    hash(word) partitioning once makes each of those aggregates
-    exchange-free (subset rule) — one compact word-row exchange up
-    front replaces one candidate-row exchange per Viterbi/FB pass."""
+    """The bounded distinct-word relation, lazily checkpointed (r13):
+    training and segmentation consumers share ONE tokenize+aggregate
+    of the corpus instead of re-deriving it. NOTE (r13, measured): a
+    repartition("word") before the checkpoint buys nothing —
+    localCheckpoint under AQE erases outputPartitioning (Scan
+    ExistingRDD reports UnknownPartitioning), so per-round aggregates
+    re-exchange the compact word relation regardless; the extra
+    exchange only added cost."""
     return _bounded_words(word_freqs(df, text_col), max_word_len) \
-        .repartition("word").localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)
 
 
 def _unigram_train_wf(wf: DataFrame, rounds: int, max_piece_len: int,

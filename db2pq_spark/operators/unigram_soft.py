@@ -266,9 +266,9 @@ def unigram_train_soft(
     BPE/k-means/hard-EM lineage guard)."""
     from db2pq_spark.operators.unigram import _word_rel
 
-    # r13: word-partitioned lazily-checkpointed word relation (the
-    # per-round candidate groupBy runs exchange-free on it) and a
-    # once-derived chars relation shared by every round
+    # r13: lazily-checkpointed shared word relation (one corpus
+    # tokenize+aggregate for seed + every EM round) and a once-derived
+    # chars relation shared by every round
     wf = _word_rel(df, text_col, max_word_len)
     vocab = (unigram_seed(wf, max_piece_len, min_count, max_word_len)
              .select("piece", (F.col("cnt") * 1_000_000)
