@@ -66,6 +66,11 @@ __all__ = ["longest_dup_span", "position_match_lengths",
 #: not a tuning knob; real corpora stop far earlier
 MAX_LEVELS = 20
 
+#: doubling levels computed in-row per document (one explode + one
+#: aggregate for all of them); documents longer than 2^(k0+_INROW_LEVELS)
+#: tokens continue on the classic join-loop — a runaway guard
+_INROW_LEVELS = 12
+
 
 def _lcp(a: Column, b: Column) -> Column:
     """Length of the longest common prefix of two arrays (0 when
@@ -106,18 +111,22 @@ def _prepare(df: DataFrame, text_col: str, id_col: str,
         .localCheckpoint(eager=False)
 
 
-def position_match_lengths(
+def _position_mlens_raw(
     base_or_df: DataFrame, text_col: str | None = None,
     id_col: str | None = None, keys: str = "hash",
     max_bucket: int | None = None, min_len: int = 1,
 ) -> DataFrame:
-    """(id, pos, mlen): for every token position starting a duplicated
-    substring of at least ``min_len`` tokens, the EXACT length of the
-    longest substring starting there that occurs 2+ times (positions
-    below the threshold are absent). The doubling + neighbor-LCP
-    core; :func:`longest_dup_span` aggregates it per document and
-    :func:`remove_long_dup_spans` cuts from it. Accepts either a raw
-    (df, text_col, id_col) triple or a pre-``_prepare``-d relation.
+    """(id, pos, mlen) with UP TO ONE ROW PER SURVIVING LEVEL per
+    position — each row a valid lower bound on the position's exact
+    longest duplicated-substring length, whose per-position MAX is
+    exact (see :func:`position_match_lengths`, the deduplicating
+    public wrapper). The doubling + neighbor-LCP core;
+    :func:`longest_dup_span` aggregates it per document and
+    :func:`remove_long_dup_spans` cuts from it — both are
+    max/merge-insensitive to the duplicate rows, so they consume this
+    raw relation and skip the per-position aggregate's corpus-sized
+    exchange. Accepts either a raw (df, text_col, id_col) triple or a
+    pre-``_prepare``-d relation.
 
     ``min_len`` > 1 starts the doubling at level
     ``k0 = floor(log2(min_len))`` — the 2^k0-gram keys are computed
@@ -136,65 +145,111 @@ def position_match_lengths(
         return F.concat_ws(" ", k1, k2)
 
     k0 = max(int(min_len).bit_length() - 1, 0)
-    step = 1 << k0
-    if step == 1:
-        # level 0: every positioned token, keyed by itself
-        lvl = (base.select("id",
-                           F.posexplode("_kk").alias("p0", "key"))
-               .select("id", (F.col("p0") + 1).alias("pos"), "key"))
+    step0 = 1 << k0
+
+    # r13: the serial doubling LOOP is gone for every realistic
+    # corpus. All level-k key arrays are computable IN-ROW by per-doc
+    # array doubling — a_k[j] = compose(a_{k-1}[j], a_{k-1}[j+2^{k-1}])
+    # is the identical recurrence the join-based loop evaluated, so
+    # key values (including hash-collision behavior) are bit-identical
+    # — and counting UNFILTERED keys per level changes no dup-key set:
+    # a 2^k-gram occurring 2+ times necessarily has both halves
+    # occurring 2+ times, so every key reaching the threshold has the
+    # same count filtered or not, and keys the old candidate filter
+    # dropped had count 1. One explode emits (level, pos, key) for all
+    # levels at once; ONE (level, key) map-side-combined aggregate and
+    # ONE semi-join replace L serial checkpoint barriers, their
+    # executor-storage materializations and 2L driver-sequential jobs
+    # (guide §2.4/§5 — at 100 TB this trades a bounded L× widening of
+    # one shuffle's input for the removal of L corpus-scale barriers;
+    # the widening is capped because levels shrink geometrically past
+    # the boilerplate scale and empty levels emit nothing).
+    # The driver-side span bound (longest document ⇒ top level) is a
+    # 1-row bounded collect that also materializes the lazy base
+    # checkpoint. Documents beyond 2^(_INROW_LEVELS+k0) tokens fall
+    # back to the classic join-loop continuation below — a runaway
+    # guard, not a tuning knob.
+    mrow = base.agg(F.max(F.size("_kk")).alias("m")).first()
+    maxlen = int(mrow["m"] or 0)
+    if maxlen < step0:
+        # no document long enough to seed level k0 — typed empty
+        return base.select(
+            "id", F.lit(1).alias("pos"),
+            F.lit(1).cast("bigint").alias("mlen")).where(F.lit(False))
+    top = max(maxlen.bit_length() - 1, k0)  # floor(log2(maxlen))
+    l_inrow = min(top, k0 + _INROW_LEVELS - 1)
+
+    if step0 == 1:
+        seed = F.col("_kk")
+    elif keys == "hash":
+        seed = F.transform(
+            F.sequence(F.lit(1), F.size("_kk") - step0 + 1),
+            lambda j: F.xxhash64(F.slice("_kk", j, step0)))
     else:
-        # level k0 directly: one in-row slice key per position
-        if keys == "hash":
-            key0 = F.transform(
-                F.sequence(F.lit(1), F.size("_kk") - step + 1),
-                lambda j: F.xxhash64(F.slice("_kk", j, step)))
-        else:
-            key0 = F.transform(
-                F.sequence(F.lit(1), F.size("_kk") - step + 1),
-                lambda j: F.concat_ws(" ", F.slice("_kk", j, step)))
-        lvl = (base.where(F.size("_kk") >= step)
-               .select("id", F.posexplode(key0).alias("p0", "key"))
-               .select("id", (F.col("p0") + 1).alias("pos"), "key"))
-    survivors: list[tuple[int, DataFrame]] = []
-    for level in range(k0, MAX_LEVELS):
-        dup_keys = (lvl.groupBy("key").agg(F.count("*").alias("c"))
-                    .where(F.col("c") >= 2).select("key"))
-        surv = lvl.join(dup_keys, "key", "left_semi") \
-            .localCheckpoint(eager=True)
-        if surv.isEmpty():
-            break
-        survivors.append((level, surv.select(
-            F.lit(level).alias("level"), "id", "pos", "key")))
-        if level == 0:
-            # r13: level-1 candidates in-row instead of the (id, pos)
-            # self-join on the corpus-sized level-0 survivor relation
-            # (2 exchanges saved on the LARGEST level). The composed
-            # value xxhash64(key0(p), key0(p+1)) (resp. the 2-token
-            # concat for exact keys) is computed directly from the
-            # per-doc key array — bit-identical to the join's
-            # composition. Skipping the both-halves-survive filter
-            # changes nothing: a bigram can only reach dup_keys (2+
-            # occurrences) if both its halves are duplicated, so the
-            # level-1 dup-key and survivor sets are unchanged.
-            if keys == "hash":
-                key1 = F.transform(
-                    F.sequence(F.lit(1), F.size("_kk") - 1),
-                    lambda j: F.xxhash64(F.element_at("_kk", j),
-                                         F.element_at("_kk", j + 1)))
-            else:
-                key1 = F.transform(
-                    F.sequence(F.lit(1), F.size("_kk") - 1),
-                    lambda j: F.concat_ws(
-                        " ", F.element_at("_kk", j),
-                        F.element_at("_kk", j + 1)))
-            lvl = (base.where(F.size("_kk") >= 2)
-                   .select("id", F.posexplode(key1).alias("p0", "key"))
-                   .select("id", (F.col("p0") + 1).alias("pos"),
-                           "key"))
-        else:
-            # level k+1 candidates: positions whose BOTH 2^k halves
-            # are duplicated — self-join on (id, pos + 2^k) over the
-            # (geometrically shrinking) survivor minority
+        seed = F.transform(
+            F.sequence(F.lit(1), F.size("_kk") - step0 + 1),
+            lambda j: F.concat_ws(" ", F.slice("_kk", j, step0)))
+    cur = base.where(F.size("_kk") >= step0) \
+        .withColumn(f"_a{k0}", seed)
+    for k in range(k0 + 1, l_inrow + 1):
+        width, half, prev = 1 << k, 1 << (k - 1), f"_a{k - 1}"
+
+        def _dbl(j, _p=prev, _h=half):
+            return compose(F.element_at(F.col(_p), j),
+                           F.element_at(F.col(_p), j + _h))
+
+        # shorter docs get a typed empty array (slice(x, 1, 0)) so the
+        # flatten below never sees a NULL level
+        cur = cur.withColumn(f"_a{k}", F.when(
+            F.size("_kk") >= width,
+            F.transform(F.sequence(F.lit(1),
+                                   F.size("_kk") - width + 1),
+                        lambda j: _dbl(j)))
+            .otherwise(F.slice(F.col(prev), 1, 0)))
+
+    def _tagged(k: int) -> Column:
+        return F.transform(
+            F.col(f"_a{k}"),
+            lambda el, i: F.struct(
+                F.lit(k).cast("int").alias("level"),
+                (i + 1).alias("pos"), el.alias("key")))
+
+    pairs = F.flatten(F.array(*[
+        _tagged(k) for k in range(k0, l_inrow + 1)]))
+    lvl_all = (cur.select("id", F.explode(pairs).alias("_s"))
+               .select("id", F.col("_s.level").alias("level"),
+                       F.col("_s.pos").alias("pos"),
+                       F.col("_s.key").alias("key")))
+    dupk = (lvl_all.groupBy("level", "key")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 2).select("level", "key"))
+    all_surv = lvl_all.join(dupk, ["level", "key"], "left_semi")
+
+    # r13: level 0 never enters the extension window. Its buckets are
+    # single-token groups — Zipf-skewed (the "the" bucket sorts every
+    # occurrence of the most frequent token) — and its value is
+    # provably redundant: a level-0 survivor also in level 1 gets its
+    # exact answer from the level-≥1 window rows (level-k values are
+    # bounded by 2^{k+1} ≤ the level-(k+1) value, and the top level is
+    # exact — in particular an mlen of exactly 2 is produced by level
+    # 1 itself), while one NOT in level 1 has no duplicated bigram at
+    # its position, hence mlen exactly 1. The flat (id, pos, 1) rows
+    # are therefore bit-identical under the per-position MAX — with
+    # ~40% of the window input and its worst sort skew gone (§2.3).
+    flat0 = None
+    if k0 == 0:
+        flat0 = all_surv.where(F.col("level") == 0).select(
+            "id", "pos", F.lit(1).cast("bigint").alias("mlen"))
+        all_surv = all_surv.where(F.col("level") >= 1)
+
+    # classic join-loop continuation for documents longer than the
+    # in-row level budget (runaway guard; never taken on real corpora
+    # under the default _INROW_LEVELS)
+    if top > l_inrow:
+        surv = all_surv.where(F.col("level") == l_inrow) \
+            .select("id", "pos", "key").localCheckpoint(eager=True)
+        step = 1 << l_inrow
+        for level in range(l_inrow + 1, MAX_LEVELS):
             right = surv.select(
                 "id", (F.col("pos") - F.lit(step)).alias("pos"),
                 F.col("key").alias("key2"))
@@ -202,16 +257,17 @@ def position_match_lengths(
                    .select("id", "pos",
                            compose(F.col("key"), F.col("key2"))
                            .alias("key")))
-        step *= 2
-
-    if not survivors:
-        # empty relation with the right id type (ids may be strings)
-        return base.select(
-            "id", F.lit(1).alias("pos"),
-            F.lit(1).alias("mlen")).where(F.lit(False))
-    all_surv = survivors[0][1]
-    for _, s in survivors[1:]:
-        all_surv = all_surv.unionByName(s)
+            dup_keys = (lvl.groupBy("key")
+                        .agg(F.count("*").alias("c"))
+                        .where(F.col("c") >= 2).select("key"))
+            surv = lvl.join(dup_keys, "key", "left_semi") \
+                .localCheckpoint(eager=True)
+            if surv.isEmpty():
+                break
+            all_surv = all_surv.unionByName(surv.select(
+                F.lit(level).cast("int").alias("level"),
+                "id", "pos", "key"))
+            step *= 2
 
     # r13: extension for ALL levels in ONE pass — one id-keyed join
     # against the (id-partitioned) base, one (level, key)-partitioned
@@ -245,19 +301,34 @@ def position_match_lengths(
                       (stepc + ext).cast("bigint").alias("mlen"))
     if capped_floor is not None:
         mlens = mlens.unionByName(capped_floor)
-    # r13: each position's answer is the MAX over its surviving
-    # levels, replacing the former top-level aggregate + 3-key join.
-    # Identical by construction: a level-j value 2^j + lcp is the
-    # length of an ACTUAL duplicated substring starting at pos, so it
-    # never exceeds the true mlen; the TOP level's value equals mlen
-    # (the adjacency argument); capped floors 2^j <= 2^top likewise
-    # reproduce the old top-level floor exactly. The aggregate runs on
-    # an id-repartition (subset rule: hash(id) satisfies clustering by
-    # (id, pos)) so its OUTPUT is id-partitioned and every downstream
-    # consumer — the per-doc max, the removal pass's interval windows
-    # and anti-join — needs no further exchange.
-    return mlens.repartition("id").groupBy("id", "pos") \
-        .agg(F.max("mlen").alias("mlen"))
+    if flat0 is not None:
+        mlens = mlens.unionByName(flat0)
+    return mlens
+
+
+def position_match_lengths(
+    base_or_df: DataFrame, text_col: str | None = None,
+    id_col: str | None = None, keys: str = "hash",
+    max_bucket: int | None = None, min_len: int = 1,
+) -> DataFrame:
+    """(id, pos, mlen): for every token position starting a duplicated
+    substring of at least ``min_len`` tokens, the EXACT length of the
+    longest substring starting there that occurs 2+ times (positions
+    below the threshold are absent). See :func:`_position_mlens_raw`
+    for the doubling + neighbor-LCP core; this public wrapper
+    finalizes each position's answer as the MAX over its surviving
+    levels. Identical to the former top-level aggregate + 3-key join:
+    a level-j value 2^j + lcp is the length of an ACTUAL duplicated
+    substring starting at pos, so it never exceeds the true mlen; the
+    TOP level's value equals mlen (the adjacency argument); capped
+    floors 2^j <= 2^top likewise reproduce the old top-level floor
+    exactly. r13: the in-package consumers (per-doc argmax, interval
+    islands) are max/merge-insensitive to the duplicate per-level
+    rows, so they consume the raw relation and skip this corpus-sized
+    exchange entirely (guide §2.1)."""
+    raw = _position_mlens_raw(base_or_df, text_col, id_col, keys,
+                              max_bucket, min_len)
+    return raw.groupBy("id", "pos").agg(F.max("mlen").alias("mlen"))
 
 
 def longest_dup_span(
@@ -274,7 +345,12 @@ def longest_dup_span(
     extension is one window per level over the surviving minority."""
     base = _prepare(df, text_col, id_col, keys)
     docs = base.select("id", F.size("_tk").alias("n_tokens"))
-    pm = position_match_lengths(base, keys=keys, max_bucket=max_bucket)
+    # r13: per-doc argmax over the RAW per-level rows — identical to
+    # aggregating the per-position maxima first (the doc max is the
+    # max over all rows either way, and a (mlen_max, pos) pair exists
+    # among the raw rows iff it exists among the per-position maxima),
+    # minus one corpus-sized exchange (guide §2.1).
+    pm = _position_mlens_raw(base, keys=keys, max_bucket=max_bucket)
     per_doc = (pm.groupBy("id")
                .agg(F.max(F.struct(F.col("mlen"),
                                    (-F.col("pos")).alias("_np")))
@@ -328,8 +404,14 @@ def remove_long_dup_spans(
     if keep not in ("none", "one"):
         raise ValueError(f"keep={keep!r} — 'none' or 'one'")
     base = _prepare(df, text_col, id_col, keys)
-    pm = position_match_lengths(base, keys=keys, max_bucket=max_bucket,
-                                min_len=int(min_len))
+    # r13: intervals from the RAW per-level rows — a position's
+    # sub-maximal rows yield intervals [pos, pos+m') with m' < mlen
+    # that the gaps-and-islands union merges into the identical
+    # islands the per-position maxima produce (same start, contained
+    # extent), and rows below min_len are filtered here exactly as
+    # the aggregated maxima would be; one corpus-sized exchange saved.
+    pm = _position_mlens_raw(base, keys=keys, max_bucket=max_bucket,
+                             min_len=int(min_len))
     ivs = (pm.where(F.col("mlen") >= int(min_len))
            .select("id", F.col("pos").alias("s"),
                    (F.col("pos") + F.col("mlen")).alias("e")))
