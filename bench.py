@@ -773,6 +773,21 @@ def _worker_main() -> None:
         # localCheckpoint blocks deterministically
         spark.catalog.clearCache()
         gc.collect()
+        # the Python gc drops the Py4J proxies, but the JVM-side RDDs
+        # they pinned are only released when the ContextCleaner's WEAK
+        # references clear — i.e. after a JVM GC, which small-heap
+        # pressure alone may not trigger for minutes on a 32g driver.
+        # Without this, checkpoint blocks from earlier queries in the
+        # family accumulate and the LAST query of a checkpoint-heavy
+        # family measures the debris, not the plan (r13: q149 in-family
+        # noop read 6.6-11.4 s vs 3.6 s in a fresh worker with
+        # byte-identical code; the r12 q118 artifact was the same
+        # class). One explicit System.gc() per timed run bounds it.
+        spark.sparkContext._jvm.System.gc()
+        # the ContextCleaner drains its reference queue on its OWN
+        # thread — give it a beat (untimed) so block removal does not
+        # race the next timed run
+        time.sleep(0.3)
 
     fns = {}
     for name in names:

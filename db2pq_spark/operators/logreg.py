@@ -94,9 +94,16 @@ def logreg_features(
                         .cast("bigint")),
             F.array().cast("array<bigint>")),
         F.array(F.lit(n_buckets).cast("bigint")))
+    # explode_outer, not explode: the array is never NULL or empty
+    # (coalesce + concat'd bias sentinel), so the two are identical —
+    # but plain explode makes InferFiltersFromGenerate add a
+    # `size(_feats) > 0` filter that pushes below the exchange and
+    # re-evaluates the whole tokenize+hash expression a second time
+    # per document at the scan (measured: the full expression twice
+    # per row in the physical plan). outer generate is exempt.
     return (base.select("id", "y", featarr.alias("_feats"))
             .repartition("id")
-            .select("id", "y", F.explode("_feats").alias("feat"))
+            .select("id", "y", F.explode_outer("_feats").alias("feat"))
             .groupBy("id", "y", "feat")
             .agg(F.count("*").alias("cnt")))
 
@@ -227,9 +234,11 @@ def logreg_score(
                         .cast("bigint")),
             F.array().cast("array<bigint>")),
         F.array(F.lit(n_buckets).cast("bigint")))
+    # explode_outer: see logreg_features — blocks the inferred
+    # size()>0 filter that would re-run tokenize+hash per row
     x = (base.select("id", featarr.alias("_feats"))
          .repartition("id")
-         .select("id", F.explode("_feats").alias("feat"))
+         .select("id", F.explode_outer("_feats").alias("feat"))
          .groupBy("id", "feat").agg(F.count("*").alias("cnt")))
     margins = (x.join(F.broadcast(weights.select(
                    "feat", wu_checked.alias("_wu"))), "feat")

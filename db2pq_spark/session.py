@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate adds `size(g) > 0 AND isnotnull(g)`
+        # below every explode; when the generator input is a computed
+        # expression (tokenize+hash arrays — this workload's dominant
+        # explode shape) the pushed-down filter re-evaluates the WHOLE
+        # expression a second time per row at the scan, and the
+        # predicate can never reach parquet PushedFilters (derived
+        # column). Excluding the rule removes the duplicate evaluation;
+        # semantics are unchanged (explode drops empty arrays itself).
+        # Measured: q144 4.0 -> 2.8 s, q142 2.5 -> 1.8 s noop at sf0.1.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # when a join can't broadcast, prefer a shuffled-hash join over
         # sort-merge: neither input gets sorted, and the planner only
         # picks hash when the build side fits a per-partition map
