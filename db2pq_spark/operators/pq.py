@@ -165,6 +165,51 @@ def _arrow_codes_col(codebooks, d: int):
     return series_pandas_udf(kern, "array<int>")
 
 
+def _assign_encode_arrow(df: DataFrame, centroids: list[list[float]],
+                         codebooks, vec_col: str,
+                         id_col: str) -> DataFrame:
+    """(id, cluster, codes) in ONE Arrow pass: the coarse argmin and
+    all ``m`` PQ-code argmins per vector, fused. Cluster labels use
+    the identical float expression as
+    :func:`~db2pq_spark.operators.clustering.kmeans_assign_arrow`
+    (``-2·V·Cᵀ + ‖c‖²`` argmin, first-minimum ties) and codes the
+    identical tensor as :func:`_arrow_codes_col`, so the fused kernel
+    returns exactly what the former assignment scan + encode scan +
+    (id ⋈ id) join produced — minus one corpus scan and the
+    corpus-sized join."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    C = np.asarray(centroids, dtype=np.float64)          # (kc, dim)
+    c2 = (C * C).sum(axis=1)
+    cb = np.asarray(codebooks, dtype=np.float64)         # (m, k, d)
+    mm, _, dd = cb.shape
+    id_t = df.select(F.col(id_col).alias("id")).schema.fields[0]
+    out_schema = StructType([
+        id_t, StructField("cluster", LongType()),
+        StructField("codes", ArrayType(IntegerType()))])
+
+    def kern(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]]) if len(pdf) else \
+                np.zeros((0, C.shape[1]))
+            dc = -2.0 * (V @ C.T) + c2
+            codes = [((v.reshape(mm, 1, dd) - cb) ** 2).sum(axis=2)
+                     .argmin(axis=1).astype("int32") for v in V]
+            yield type(pdf)({"id": pdf[id_col],
+                             "cluster": dc.argmin(axis=1),
+                             "codes": codes})
+
+    base = df.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    return (base.mapInPandas(kern, schema=out_schema)
+            .select("id", F.col("cluster").cast("int").alias("cluster"),
+                    "codes"))
+
+
 def _codebook_df(spark, codebooks) -> DataFrame:
     rows = [(s, c, sd, float(x))
             for s, book in enumerate(codebooks)
@@ -211,6 +256,55 @@ def pq_encode(
                 lambda s: s["code"]).alias("codes")))
 
 
+def _query_lut(q: DataFrame, codebooks, d: int) -> DataFrame:
+    """(query_id, _lut) — the per-query ADC lookup table flattened to
+    ONE decimal array ordered by (sub, code): ``_lut[sub·k + code]``
+    is the exact-decimal partial distance of the query's ``sub``-slice
+    to centroid ``code``. Same per-(sub, code) decimal sums as the old
+    (query_id, sub, code, partial) relation, folded in-row so the
+    candidate side can score by ``m`` array lookups with no join key
+    wider than ``query_id``."""
+    cdf = _codebook_df(q.sparkSession, codebooks)
+    return (q.select("query_id", F.posexplode("qvec").alias("pos", "_x"))
+            .select("query_id",
+                    (F.col("pos") / d).cast("int").alias("sub"),
+                    (F.col("pos") % d).alias("subdim"),
+                    F.col("_x").cast("double").alias("_x"))
+            .join(F.broadcast(cdf), ["sub", "subdim"])
+            .groupBy("query_id", "sub", "code")
+            .agg(F.sum(((F.col("_x") - F.col("c"))
+                        * (F.col("_x") - F.col("c"))).cast(_DEC))
+                 .alias("partial"))
+            .groupBy("query_id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct("sub", "code", "partial"))),
+                lambda s: s["partial"].cast("decimal(27,10)"))
+                .alias("_lut")))
+
+
+def _adc_d2(codes: "F.Column", lut: "F.Column", m: int,
+            k: int) -> "F.Column":
+    """Exact-decimal ADC distance: ``Σ_sub lut[sub·k + codes[sub]]``.
+    Decimal addition is exact, so the in-row fold equals the former
+    ``SUM(partial)`` aggregate bit-for-bit (order-independent).
+
+    Typing: lut entries and the accumulator are both pinned to
+    decimal(27,10) so each ``acc + elem`` lands exactly at
+    decimal(28,10) with NO precision-loss scale adjustment (a
+    (38,10)+(38,10) add would round to scale 9 — silently off the old
+    aggregate); the value-preserving cast back to (27,10) per step
+    only overflows past ~1e17, far beyond any squared-distance sum,
+    and raises under ANSI rather than corrupting the ranking."""
+    acc_t = "decimal(27,10)"
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(m) - 1)),
+        F.lit(0).cast(acc_t),
+        lambda acc, s: (acc + F.element_at(
+            lut, s * int(k) + F.element_at(codes, s + 1) + 1)
+        ).cast(acc_t))
+
+
 def pq_adc_topk(
     encoded: DataFrame, queries: DataFrame,
     codebooks: list[list[list[float]]], k_top: int = 10,
@@ -220,28 +314,25 @@ def pq_adc_topk(
     encoded vectors with the smallest table-lookup distance per query
     (ties to the lower id; self-matches excluded). ``encoded`` is a
     :func:`pq_encode` relation; queries stay raw vectors (asymmetric:
-    only the CORPUS is quantized)."""
-    spark = queries.sparkSession
+    only the CORPUS is quantized).
+
+    Plan shape (r13): the per-query lookup table folds to ONE
+    broadcast (query_id, _lut) row; each encoded row scores every
+    query with ``m`` in-row array lookups summed in exact decimal —
+    the former code-explode + (sub, code) join + (query, vec)
+    re-aggregate (a corpus×m-row exchange) is gone, leaving the
+    query-keyed top-k rank as the only corpus-sized shuffle."""
     d = len(codebooks[0][0])
-    cdf = _codebook_df(spark, codebooks)
+    m, k = len(codebooks), len(codebooks[0])
     q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    lut = (q.select("query_id", F.posexplode("qvec").alias("pos", "_x"))
-           .select("query_id",
-                   (F.col("pos") / d).cast("int").alias("sub"),
-                   (F.col("pos") % d).alias("subdim"),
-                   F.col("_x").cast("double").alias("_x"))
-           .join(F.broadcast(cdf), ["sub", "subdim"])
-           .groupBy("query_id", "sub", "code")
-           .agg(F.sum(((F.col("_x") - F.col("c"))
-                       * (F.col("_x") - F.col("c"))).cast(_DEC))
-                .alias("partial")))
-    cand = (encoded.select(F.col("id").alias("vec_id"),
-                           F.posexplode("codes").alias("sub", "code"))
-            .join(F.broadcast(lut), ["sub", "code"])
-            .where(F.col("vec_id") != F.col("query_id"))
-            .groupBy("query_id", "vec_id")
-            .agg(F.sum("partial").alias("_d2")))
+    lut = _query_lut(q, codebooks, d)
+    cand = (encoded.select(F.col("id").alias("vec_id"), "codes")
+            .join(F.broadcast(lut),
+                  F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    _adc_d2(F.col("codes"), F.col("_lut"), m, k)
+                    .alias("_d2")))
     w = W.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k_top))
@@ -261,16 +352,37 @@ def ivf_pq_topk(
     corpus into inverted lists, each query probes its ``n_probe``
     nearest cells, and ADC over PQ codes re-ranks ONLY that minority
     — the q46 IVF shape with the per-candidate exact re-rank replaced
-    by table lookups. Returns ``(query_id, vec_id, adc_d2, rank)``."""
-    assigned, centroids = kmeans_fit(corpus, vec_col, id_col,
-                                     k=int(n_clusters),
-                                     iterations=int(iterations),
-                                     impl=impl)
-    books = pq_train(corpus, vec_col, id_col, m=m, k=k_codes,
-                     iterations=iterations, impl=impl)
-    codes = pq_encode(corpus, books, vec_col, id_col, impl=impl)
-    enc = assigned.select(F.col("id"), "cluster") \
-        .join(codes, "id")
+    by table lookups. Returns ``(query_id, vec_id, adc_d2, rank)``.
+
+    r13 plan shape: the two trainers are INDEPENDENT driver loops
+    (each a short chain of bounded collects), so they run on two
+    driver threads and their per-iteration barriers interleave
+    (guide-§2.6 overlap — the scheduler backfills one loop's stragglers
+    with the other's tasks). Under ``impl="arrow"`` the final coarse
+    assignment and the PQ encoding then fuse into ONE Arrow kernel
+    pass emitting (id, cluster, codes) — the former separate
+    assignment scan, encode scan and corpus-sized (id ⋈ id) join are
+    gone; ADC over the probed cells scores with the in-row decimal
+    lookup fold (see :func:`pq_adc_topk`), leaving the query-keyed
+    rank as the only corpus-sized shuffle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_km = pool.submit(kmeans_fit, corpus, vec_col, id_col,
+                             k=int(n_clusters),
+                             iterations=int(iterations), impl=impl)
+        fut_pq = pool.submit(pq_train, corpus, vec_col, id_col,
+                             m=m, k=k_codes, iterations=iterations,
+                             impl=impl)
+        assigned, centroids = fut_km.result()
+        books = fut_pq.result()
+    if impl == "arrow":
+        enc = _assign_encode_arrow(corpus, centroids, books,
+                                   vec_col, id_col)
+    else:
+        codes = pq_encode(corpus, books, vec_col, id_col, impl=impl)
+        enc = assigned.select(F.col("id"), "cluster") \
+            .join(codes, "id")
     cdf = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>")
@@ -290,27 +402,16 @@ def ivf_pq_topk(
               .select("query_id", "cluster"))
     cells = enc.join(F.broadcast(probes), "cluster") \
         .select("id", "codes", "query_id")
-    # ADC restricted to probed cells: reuse the lookup-table join but
-    # key it per (query, candidate) pair from the cell restriction
-    spark = corpus.sparkSession
+    # ADC restricted to probed cells: the same flattened broadcast
+    # lookup table + in-row decimal fold as pq_adc_topk — no code
+    # explode, no (query, sub, code) join, no (query, vec) re-aggregate
     d = len(books[0][0])
-    cbdf = _codebook_df(spark, books)
-    lut = (q.select("query_id", F.posexplode("qvec").alias("pos", "_x"))
-           .select("query_id",
-                   (F.col("pos") / d).cast("int").alias("sub"),
-                   (F.col("pos") % d).alias("subdim"),
-                   F.col("_x").cast("double").alias("_x"))
-           .join(F.broadcast(cbdf), ["sub", "subdim"])
-           .groupBy("query_id", "sub", "code")
-           .agg(F.sum(((F.col("_x") - F.col("c"))
-                       * (F.col("_x") - F.col("c"))).cast(_DEC))
-                .alias("partial")))
-    cand = (cells.select("query_id", F.col("id").alias("vec_id"),
-                         F.posexplode("codes").alias("sub", "code"))
-            .where(F.col("vec_id") != F.col("query_id"))
-            .join(F.broadcast(lut), ["query_id", "sub", "code"])
-            .groupBy("query_id", "vec_id")
-            .agg(F.sum("partial").alias("_d2")))
+    lut = _query_lut(q.select("query_id", "qvec"), books, d)
+    cand = (cells.where(F.col("id") != F.col("query_id"))
+            .join(F.broadcast(lut), "query_id")
+            .select("query_id", F.col("id").alias("vec_id"),
+                    _adc_d2(F.col("codes"), F.col("_lut"),
+                            int(m), int(k_codes)).alias("_d2")))
     w = W.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= int(k_top))
