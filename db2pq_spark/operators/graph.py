@@ -124,14 +124,31 @@ def pagerank(
     r = base.select("node", "deg",
                     F.lit(_UNIT).cast("bigint").alias("ru"))
     for _ in range(int(iterations)):
+        # (r13) the per-step in-sum and the node⋈in-sum recombination
+        # fold into ONE node-keyed aggregate: seed rows (one per node,
+        # carrying deg, contribution 0) union the edge contributions
+        # (deg NULL), so max(deg) recovers the degree and sum(_c)
+        # equals the former coalesce(SUM, 0) exactly (integer adds,
+        # +0 seed). Stray destinations outside the node universe —
+        # possible only when an unvalidated explicit `nodes` violates
+        # the superset contract — surface as max(deg) NULL groups and
+        # are dropped, reproducing the former left join bit-for-bit.
+        # This removes a node-keyed join (and its exchange) per
+        # iteration; the map-side partial aggregation still collapses
+        # the edge-sized contribution stream before the shuffle.
         contrib = (r.where(F.col("deg") > 0)
                    .join(e, F.col("node") == F.col("_src"))
                    .select(F.col("_dst").alias("node"),
+                           F.lit(None).cast("bigint").alias("deg"),
                            F.expr("ru div deg").alias("_c")))
-        insum = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        seeds = r.select("node", "deg",
+                         F.lit(0).cast("bigint").alias("_c"))
         dang = r.where(F.col("deg") == 0) \
             .agg(F.coalesce(F.sum("ru"), F.lit(0)).alias("_dsum"))
-        r = (base.join(insum, "node", "left")
+        r = (contrib.union(seeds)
+             .groupBy("node")
+             .agg(F.max("deg").alias("deg"), F.sum("_c").alias("_s"))
+             .where(F.col("deg").isNotNull())
              .crossJoin(F.broadcast(dang))
              .select("node", "deg",
                      F.lit(teleport).cast("bigint")
