@@ -136,9 +136,14 @@ def _fb_words(words: DataFrame, vocab: DataFrame,
 
     from db2pq_spark.functions.arrow import series_pandas_udf
 
+    # (r13) the piece STRING is recomputable in the kernel from
+    # (endpos, plen) and the word itself (character-based substr ==
+    # Python slice), so the word-keyed collect_list shuffle carries
+    # only (endpos, plen, p) — roughly half the bytes of the former
+    # piece-bearing struct on the len×max_piece_len candidate stream
     grouped = (_soft_cands(words, vocab, max_piece_len)
                .groupBy("word", "freq")
-               .agg(F.collect_list(F.struct("endpos", "plen", "piece",
+               .agg(F.collect_list(F.struct("endpos", "plen",
                                             "p")).alias("cands")))
     mpl = int(max_piece_len)
 
@@ -148,8 +153,8 @@ def _fb_words(words: DataFrame, vocab: DataFrame,
             n = len(word)
             by: dict[tuple[int, int], tuple[str, float]] = {}
             for c in cands:
-                by[(int(c["endpos"]), int(c["plen"]))] = (
-                    str(c["piece"]), float(c["p"]))
+                e, plen = int(c["endpos"]), int(c["plen"])
+                by[(e, plen)] = (word[e - plen:e], float(c["p"]))
             alpha = [0.0] * (n + 1)
             alpha[0] = 1.0
             for j in range(1, n + 1):
@@ -209,9 +214,13 @@ def soft_em_round(words: DataFrame, vocab: DataFrame,
         chars = (words.select(F.explode(F.split("word", ""))
                               .alias("piece"))
                  .where(F.col("piece") != "").distinct())
-    return (chars.join(usage, "piece", "left")
-            .select("piece", F.coalesce("cnt", F.lit(0)).alias("cnt"))
-            .unionByName(usage.join(chars, "piece", "left_anti")))
+    # (r13) former chars⋈usage left join + usage⋉chars anti join fold
+    # into ONE piece-keyed aggregate: char seed rows contribute 0, so
+    # sum(cnt) equals coalesce(cnt, 0) for characters and the plain
+    # cnt for multi-char pieces — exact integer adds, identical rows
+    return (usage.unionByName(
+        chars.select("piece", F.lit(0).cast("bigint").alias("cnt")))
+        .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
 
 
 def prune_vocab(vocab: DataFrame, vocab_size: int,
