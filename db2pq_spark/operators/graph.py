@@ -60,7 +60,7 @@ def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     iterations: int = 5, damping: tuple[int, int] = (17, 20),
     nodes: DataFrame | None = None, node_col: str = "node",
-    validate_nodes: bool = True,
+    validate_nodes: bool = True, broadcast_ranks: bool = True,
 ) -> DataFrame:
     """(node, rank_units) after ``iterations`` damped power steps.
 
@@ -72,7 +72,20 @@ def pagerank(
     the edge relation; must be a SUPERSET of edge endpoints, checked
     with one anti-join count unless ``validate_nodes=False`` (for
     callers whose construction guarantees it). ``damping`` is an
-    exact rational num/den."""
+    exact rational num/den.
+
+    ``broadcast_ranks`` (default on) broadcast-hints every node-sized
+    relation where it meets the edge relation — the per-iteration
+    rank⋈edges contribution join, the degree attach, and the
+    validation anti-join — so the corpus-sized edge relation is NEVER
+    shuffled: without the hint the checkpointed rank side reports
+    unknown statistics and the planner sort-merges, re-exchanging the
+    edges EVERY iteration (measured: the static plan carried one
+    ``Exchange hashpartitioning(_src)`` of the edge relation per
+    step). Rank state is node-sized by construction (the crawl-scale
+    design point: ~10⁷ hosts vs ~10¹⁰ pages); disable only for graphs
+    whose node relation would break the broadcast cap (≈512 M rows /
+    8 GB), where sort-merge is the honest strategy."""
     num, den = (int(damping[0]), int(damping[1]))
     if not 0 < num <= den:
         raise ValueError(f"damping {damping} must satisfy 0 < num <= den")
@@ -96,19 +109,26 @@ def pagerank(
         # silently leak mass: contributions into absent destinations
         # vanish at the base left-join and absent sources never
         # contribute — validate (one anti-join count on the already
-        # checkpointed edge relation) instead of mis-ranking
+        # checkpointed edge relation) instead of mis-ranking.
+        # r13: no `.distinct()` on the endpoint stream — it cost an
+        # edge-sized exchange just to shrink an error-path count; the
+        # anti-join against the (broadcast, node-sized) universe is
+        # exchange-free on the raw stream, and the count now reports
+        # stray endpoint OCCURRENCES (error path only)
+        nr = node_rel.hint("broadcast") if broadcast_ranks else node_rel
         stray = (e.select(F.col("_src").alias("node"))
                  .union(e.select(F.col("_dst").alias("node")))
-                 .distinct()
-                 .join(node_rel, "node", "left_anti")
+                 .join(nr, "node", "left_anti")
                  .count())
         if stray:
             raise ValueError(
-                f"pagerank: {stray} edge endpoint(s) missing from the"
-                " explicit `nodes` relation — it must be a superset of"
-                " all edge sources and destinations")
+                f"pagerank: {stray} edge endpoint occurrence(s) missing"
+                " from the explicit `nodes` relation — it must be a"
+                " superset of all edge sources and destinations")
     outdeg = e.groupBy(F.col("_src").alias("node")) \
         .agg(F.count("*").alias("deg"))
+    if broadcast_ranks:
+        outdeg = outdeg.hint("broadcast")
     base = (node_rel.join(outdeg, "node", "left")
             .select("node",
                     F.coalesce(F.col("deg"), F.lit(0)).cast("bigint")
@@ -136,7 +156,13 @@ def pagerank(
         # This removes a node-keyed join (and its exchange) per
         # iteration; the map-side partial aggregation still collapses
         # the edge-sized contribution stream before the shuffle.
-        contrib = (r.where(F.col("deg") > 0)
+        rside = r.where(F.col("deg") > 0)
+        if broadcast_ranks:
+            # node-sized rank state builds the hash side; the edge
+            # relation streams through unshuffled (guide §3.1 — the
+            # unhinted plan sort-merged, shuffling the edges per step)
+            rside = rside.hint("broadcast")
+        contrib = (rside
                    .join(e, F.col("node") == F.col("_src"))
                    .select(F.col("_dst").alias("node"),
                            F.lit(None).cast("bigint").alias("deg"),

@@ -3570,10 +3570,16 @@ def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_suppkey").alias("s"))
              .distinct())
-    edges = (pairs.select((F.col("c") * 2).alias("src"),
-                          (F.col("s") * 2 + 1).alias("dst"))
-             .union(pairs.select((F.col("s") * 2 + 1).alias("src"),
-                                 (F.col("c") * 2).alias("dst"))))
+    # r13: symmetrize with ONE inline generator instead of a union of
+    # two projections of `pairs` — the union re-evaluated the whole
+    # orders⋈lineitem+distinct lineage per branch inside pagerank's
+    # edge checkpoint (two joins, two distinct exchanges for the same
+    # rows; measured in the checkpoint job). Same edge multiset.
+    edges = pairs.select(F.inline(F.array(
+        F.struct((F.col("c") * 2).alias("src"),
+                 (F.col("s") * 2 + 1).alias("dst")),
+        F.struct((F.col("s") * 2 + 1).alias("src"),
+                 (F.col("c") * 2).alias("dst")))))
     nodes = (t(spark, sf_dir, "customer")
              .select((F.col("c_custkey") * 2).alias("node"))
              .union(t(spark, sf_dir, "supplier")
