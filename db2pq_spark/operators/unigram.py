@@ -128,9 +128,10 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
     Candidates = in-row substring positions joined to the vocabulary
     scores (plus the floor for single characters absent from the
     round's vocabulary — coverage is guaranteed, so the DP always
-    completes). The DP itself runs in an Arrow-batched kernel per
-    word over the grouped candidate arrays: O(len × max_piece_len)
-    per word, vocabulary never driver-side.
+    completes). The DP runs in an Arrow-batched kernel directly over
+    the flat candidate relation (r13: shuffle-free, see the inline
+    note): O(len × max_piece_len) per word, vocabulary never
+    driver-side.
 
     ``scores``/``floor`` override the raw-count cost relations (the
     soft-EM trainer scores micro-count vocabularies);
@@ -139,8 +140,6 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
     WITHOUT itself cost", Kudo 2018 §4.2's alternative
     segmentation."""
     import pandas as pd
-
-    from db2pq_spark.functions.arrow import series_pandas_udf
 
     cand = words.select(
         "word", "freq",
@@ -171,21 +170,58 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
               .where(F.col("s_bits").isNotNull()))
     if exclude_full:
         scored = scored.where(F.col("plen") < F.length("word"))
-    grouped = (scored.groupBy("word", "freq")
-               .agg(F.collect_list(F.struct("endpos", "plen", "piece",
-                                            "s_bits")).alias("cands")))
 
-    def dp(words_s, cands_s):
-        # StructType scalar pandas UDFs return a pandas.DataFrame
-        # (one column per field), not a Series of dicts
+    # (r13) shuffle-free: a word's candidate rows are emitted by ONE
+    # in-row explode and reach the kernel through only narrow
+    # order-preserving operators (broadcast-hinted score join, 1-row
+    # floor cross join, filters), so they are already contiguous
+    # within their partition — the former groupBy(word).collect_list
+    # exchanged the whole len×max_piece_len candidate stream to
+    # regroup an adjacency it already had (guide §2.4).
+    # run_grouped_map consumes the flat relation in place; the DP per
+    # word is unchanged (its (score, np, path) lexicographic
+    # tie-break stays a scalar loop).
+    import numpy as np
+
+    from db2pq_spark.functions.arrow import run_grouped_map
+
+    def dp_runs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        word_col = pdf["word"].to_numpy()
+        n_tot = len(word_col)
+        change = np.empty(n_tot, dtype=bool)
+        change[0] = True
+        change[1:] = word_col[1:] != word_col[:-1]
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, n_tot)
+        e_arr = pdf["endpos"].to_numpy()
+        pl_arr = pdf["plen"].to_numpy()
+        piece_arr = pdf["piece"].to_numpy()
+        sb_arr = pdf["s_bits"].to_numpy()
+        freq_arr = pdf["freq"].to_numpy()
         out = []
-        for word, cands in zip(words_s, cands_s):
+        for ri in range(len(starts)):
+            a, b_ = int(bounds[ri]), int(bounds[ri + 1])
+            word = word_col[a]
             n = len(word)
+            n_singles = 0
             by_end: dict[int, list] = {}
-            for c in cands:
-                by_end.setdefault(int(c["endpos"]), []).append(
-                    (int(c["plen"]), str(c["piece"]),
-                     int(c["s_bits"])))
+            for i in range(a, b_):
+                plen = int(pl_arr[i])
+                if plen == 1:
+                    n_singles += 1
+                by_end.setdefault(int(e_arr[i]), []).append(
+                    (plen, str(piece_arr[i]), int(sb_arr[i])))
+            # run-completeness guard: every position carries its
+            # single-char candidate (the floor; exclude_full only
+            # drops plen == len(word), leaving singles intact for the
+            # n ≥ 2 words that produce rows at all) — a short count
+            # means upstream contiguity broke: refuse, don't segment
+            # a fragment lattice
+            if n_singles != n:
+                raise RuntimeError(
+                    "_viterbi_words: incomplete word run reached the "
+                    "kernel — per-word candidate contiguity was "
+                    "broken upstream")
             # best[j] = (score, np, path_str, path_list) for prefix j
             best = [None] * (n + 1)
             best[0] = (0, 0, "", [])
@@ -202,17 +238,17 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
                         cur = cand_t
                 best[j] = cur
             b = best[n]
-            out.append((b[3], b[1], b[0]))
-        return pd.DataFrame(out, columns=["path", "np", "score_bits"])
+            out.append((word, int(freq_arr[a]), b[3], b[1], b[0]))
+        return pd.DataFrame(
+            out, columns=["word", "freq", "path", "np", "score_bits"])
 
-    kernel = series_pandas_udf(
-        dp, "struct<path: array<string>, np: int, score_bits: long>")
-    return (grouped.select(
-        "word", "freq",
-        kernel(F.col("word"), F.col("cands")).alias("r"))
-        .select("word", "freq", F.col("r.path").alias("path"),
-                F.col("r.np").alias("np"),
-                F.col("r.score_bits").alias("score_bits")))
+    return run_grouped_map(
+        scored.select("word", "freq", "endpos", "plen", "piece",
+                      "s_bits"),
+        "word",
+        "word string, freq bigint, path array<string>, np int,"
+        " score_bits long",
+        dp_runs)
 
 
 def unigram_train(

@@ -128,66 +128,83 @@ def _fb_words(words: DataFrame, vocab: DataFrame,
               max_piece_len: int) -> DataFrame:
     """Forward-backward over each distinct (word, freq): one row per
     candidate occurrence ``(word, freq, piece, post)`` with ``post``
-    the lattice posterior of that occurrence. The DP runs in an
-    Arrow-batched kernel per word (the `_viterbi_words` shape); sums
-    run in ascending piece-length order with left association — the
-    order the oracle's unrolled CTE chain replays."""
+    the lattice posterior of that occurrence. Sums run in ascending
+    piece-length order with left association — the order the oracle's
+    unrolled CTE chain replays.
+
+    (r13) shuffle-free and batch-vectorized: the candidate rows of a
+    word are generated by ONE in-row explode and reach the kernel
+    through only narrow order-preserving operators, so the former
+    ``groupBy(word).collect_list`` exchange of the len×max_piece_len
+    candidate stream regrouped an adjacency the rows already had —
+    :func:`~db2pq_spark.functions.arrow.run_grouped_map` consumes the
+    flat relation in place (guide §2.4), and the α/β recurrences run
+    as NumPy column sweeps across every word of the Arrow batch at
+    once instead of a Python loop per word (guide §4.2). Bit-identical
+    to the per-word scalar DP: each word's float sequence is the same
+    left-associated chain — absent candidates contribute exact ``+0.0``
+    terms (all quantities are non-negative, so ``s + 0.0`` is the
+    identity on every partial sum) — and a pure-pandas equivalence
+    test pins the batch kernel to the scalar algorithm."""
+    import numpy as np
     import pandas as pd
 
-    from db2pq_spark.functions.arrow import series_pandas_udf
+    from db2pq_spark.functions.arrow import run_grouped_map
 
-    # (r13) the piece STRING is recomputable in the kernel from
-    # (endpos, plen) and the word itself (character-based substr ==
-    # Python slice), so the word-keyed collect_list shuffle carries
-    # only (endpos, plen, p) — roughly half the bytes of the former
-    # piece-bearing struct on the len×max_piece_len candidate stream
-    grouped = (_soft_cands(words, vocab, max_piece_len)
-               .groupBy("word", "freq")
-               .agg(F.collect_list(F.struct("endpos", "plen",
-                                            "p")).alias("cands")))
+    scored = _soft_cands(words, vocab, max_piece_len)
     mpl = int(max_piece_len)
 
-    def fb(words_s, cands_s):
-        out = []
-        for word, cands in zip(words_s, cands_s):
-            n = len(word)
-            by: dict[tuple[int, int], tuple[str, float]] = {}
-            for c in cands:
-                e, plen = int(c["endpos"]), int(c["plen"])
-                by[(e, plen)] = (word[e - plen:e], float(c["p"]))
-            alpha = [0.0] * (n + 1)
-            alpha[0] = 1.0
-            for j in range(1, n + 1):
-                s = 0.0
-                for plen in range(1, min(mpl, j) + 1):
-                    c = by.get((j, plen))
-                    if c is not None:
-                        s = s + alpha[j - plen] * c[1]
-                alpha[j] = s
-            beta = [0.0] * (n + 1)
-            beta[n] = 1.0
-            for j in range(n - 1, -1, -1):
-                s = 0.0
-                for plen in range(1, min(mpl, n - j) + 1):
-                    c = by.get((j + plen, plen))
-                    if c is not None:
-                        s = s + c[1] * beta[j + plen]
-                beta[j] = s
-            an = alpha[n]
-            res = []
-            for (e, plen), (piece, p) in by.items():
-                post = ((alpha[e - plen] * p) * beta[e]) / an
-                res.append({"piece": piece, "post": post})
-            out.append(res)
-        return pd.Series(out)
+    def fb_runs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        word_col = pdf["word"].to_numpy()
+        n_tot = len(word_col)
+        change = np.empty(n_tot, dtype=bool)
+        change[0] = True
+        change[1:] = word_col[1:] != word_col[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n_tot))
+        run_words = word_col[starts]
+        nw = len(run_words)
+        lens = np.fromiter((len(w) for w in run_words),
+                           dtype=np.int64, count=nw)
+        e = pdf["endpos"].to_numpy().astype(np.int64, copy=False)
+        pl = pdf["plen"].to_numpy().astype(np.int64, copy=False)
+        p = pdf["p"].to_numpy().astype(np.float64, copy=False)
+        widx = np.repeat(np.arange(nw), counts)
+        # run-completeness guard: every token position always carries
+        # its single-char candidate (the floor), so a run missing one
+        # means the upstream plan broke per-word contiguity — refuse
+        # rather than silently score a fragment lattice
+        singles = np.bincount(widx[pl == 1], minlength=nw)
+        if not np.array_equal(singles, lens):
+            raise RuntimeError(
+                "_fb_words: incomplete word run reached the kernel — "
+                "per-word candidate contiguity was broken upstream")
+        lmax = int(lens.max())
+        prob = np.zeros((nw, lmax + 1, mpl))
+        prob[widx, e, pl - 1] = p
+        alpha = np.zeros((nw, lmax + 1))
+        alpha[:, 0] = 1.0
+        for j in range(1, lmax + 1):
+            s = np.zeros(nw)
+            for plen in range(1, min(mpl, j) + 1):
+                s = s + alpha[:, j - plen] * prob[:, j, plen - 1]
+            alpha[:, j] = s
+        beta = np.zeros((nw, lmax + 1))
+        beta[np.arange(nw), lens] = 1.0
+        for j in range(lmax - 1, -1, -1):
+            s = np.zeros(nw)
+            for plen in range(1, min(mpl, lmax - j) + 1):
+                s = s + prob[:, j + plen, plen - 1] * beta[:, j + plen]
+            beta[:, j] = np.where(j == lens, 1.0, s)
+        an = alpha[np.arange(nw), lens]
+        post = (alpha[widx, e - pl] * p) * beta[widx, e] / an[widx]
+        return pd.DataFrame({"word": pdf["word"], "freq": pdf["freq"],
+                             "piece": pdf["piece"], "post": post})
 
-    kernel = series_pandas_udf(
-        fb, "array<struct<piece: string, post: double>>")
-    return (grouped.select(
-        "word", "freq",
-        F.explode(kernel(F.col("word"), F.col("cands"))).alias("o"))
-        .select("word", "freq", F.col("o.piece").alias("piece"),
-                F.col("o.post").alias("post")))
+    return run_grouped_map(
+        scored.select("word", "freq", "endpos", "plen", "piece", "p"),
+        "word", "word string, freq bigint, piece string, post double",
+        fb_runs)
 
 
 def soft_em_round(words: DataFrame, vocab: DataFrame,

@@ -158,3 +158,125 @@ class TestHardSoftParity:
         top = rank(hard)[0]
         assert soft[top] == pytest.approx(hard[top] * 1_000_000,
                                           rel=0.1)
+
+
+class TestRunGroupedMap:
+    """The shuffle-free kernel feed (functions/arrow.py:
+    run_grouped_map) — r13's replacement for the word-keyed
+    collect_list exchange."""
+
+    def test_runs_survive_tiny_arrow_batches(self, spark):
+        # force 3-row Arrow batches so word runs straddle batch
+        # boundaries: the tail-run buffering must hand the kernel only
+        # complete runs, or per-word sums come out fragmented
+        from db2pq_spark.functions.arrow import run_grouped_map
+
+        old = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            rows = [(f"w{i:02d}", j) for i in range(7)
+                    for j in range(i + 1)]  # runs of size 1..7
+            df = spark.createDataFrame(rows, "word string, v long") \
+                .coalesce(1)
+
+            def sums(pdf):
+                import pandas as pd
+                g = pdf.groupby("word", sort=False)["v"].agg(
+                    ["sum", "size"]).reset_index()
+                return pd.DataFrame({"word": g["word"],
+                                     "s": g["sum"], "n": g["size"]})
+
+            out = {r["word"]: (r["s"], r["n"])
+                   for r in run_grouped_map(
+                       df, "word", "word string, s long, n long",
+                       sums).collect()}
+            assert out == {f"w{i:02d}": (sum(range(i + 1)), i + 1)
+                           for i in range(7)}
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    def test_fb_batch_kernel_matches_scalar_dp(self):
+        # pure-pandas pin: the vectorized alpha/beta sweep must
+        # reproduce the per-word scalar forward-backward bit-for-bit
+        # (same left-associated float chain; absent candidates add
+        # exact +0.0)
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        mpl = 4
+        words = ["abcde", "xy", "a", "zzzzzzzz", "qrs"]
+        rows = []
+        for w in words:
+            n = len(w)
+            for e in range(1, n + 1):
+                for plen in range(1, min(mpl, e) + 1):
+                    # singles always present; longer pieces ~60%
+                    if plen == 1 or rng.random() < 0.6:
+                        rows.append((w, 7, e, plen, w[e - plen:e],
+                                     float(rng.random())))
+        pdf = pd.DataFrame(rows, columns=["word", "freq", "endpos",
+                                          "plen", "piece", "p"])
+
+        # scalar reference: the pre-r13 per-word DP, verbatim
+        def scalar(word, cands):
+            n = len(word)
+            by = {}
+            for e, plen, p in cands:
+                by[(e, plen)] = (word[e - plen:e], float(p))
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for j in range(1, n + 1):
+                s = 0.0
+                for plen in range(1, min(mpl, j) + 1):
+                    c = by.get((j, plen))
+                    if c is not None:
+                        s = s + alpha[j - plen] * c[1]
+                alpha[j] = s
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for j in range(n - 1, -1, -1):
+                s = 0.0
+                for plen in range(1, min(mpl, n - j) + 1):
+                    c = by.get((j + plen, plen))
+                    if c is not None:
+                        s = s + c[1] * beta[j + plen]
+                beta[j] = s
+            an = alpha[n]
+            return {(e, plen): ((alpha[e - plen] * p) * beta[e]) / an
+                    for (e, plen), (_, p) in by.items()}
+
+        from db2pq_spark.operators import unigram_soft as US
+
+        # capture _fb_words' inner batch kernel: stub out the Spark
+        # seams (_soft_cands and run_grouped_map), call it directly on
+        # the flat candidate frame (one call = all runs complete)
+        import db2pq_spark.functions.arrow as A
+
+        class _Stub:
+            def select(self, *a, **k):
+                return self
+
+        captured = {}
+        orig_rgm, orig_sc = A.run_grouped_map, US._soft_cands
+        A.run_grouped_map = (
+            lambda df, key, schema, fn: captured.setdefault("fn", fn))
+        US._soft_cands = lambda *a, **k: _Stub()
+        try:
+            US._fb_words(None, None, mpl)
+        finally:
+            A.run_grouped_map, US._soft_cands = orig_rgm, orig_sc
+        out = captured["fn"](pdf)
+        # output rows are 1:1 with input rows
+        assert len(out) == len(pdf)
+        for i in range(len(pdf)):
+            w = pdf.iloc[i]["word"]
+            cands = [(int(r["endpos"]), int(r["plen"]), r["p"])
+                     for _, r in pdf[pdf["word"] == w].iterrows()]
+            ref = scalar(w, cands)
+            got = out.iloc[i]["post"]
+            key = (int(pdf.iloc[i]["endpos"]), int(pdf.iloc[i]["plen"]))
+            assert got == ref[key], (w, key)
