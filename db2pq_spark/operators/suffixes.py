@@ -397,10 +397,20 @@ def remove_long_dup_spans(
     Scale: intervals ``[pos, pos+mlen)`` for qualifying positions are
     union-merged per document with the q116/q147 gaps-and-islands
     window (overlapping maximal runs collapse to islands — a
-    duplicated BLOCK contributes its length once, not length²), the
-    merged islands explode to covered positions (Σ island lengths ≤
-    n_tokens — linear), and kept tokens reassemble with one per-doc
-    aggregate."""
+    duplicated BLOCK contributes its length once, not length²); the
+    merged islands collect to ONE per-doc interval array (island
+    minority, clustered by the window's own id partitioning — no new
+    exchange) and the rebuild is IN-ROW: covered positions expand via
+    ``sequence`` (Σ island lengths ≤ n_tokens — linear),
+    ``array_except`` keeps the survivors in order (native hash set),
+    and untouched documents — the corpus majority — take a
+    ``WHEN _iv IS NULL`` fast path that re-emits the normalized
+    tokens with one ``concat_ws``. No all-token explode, no
+    (id, pos)-keyed anti-join of the token relation, no
+    ``collect_list`` reassembly of the corpus (the shape
+    ``dedup.remove_duplicate_spans`` documents as the suite's worst
+    100× ratio — this remover briefly shipped it; r13 aligns both
+    removers on the in-row rebuild)."""
     if keep not in ("none", "one"):
         raise ValueError(f"keep={keep!r} — 'none' or 'one'")
     base = _prepare(df, text_col, id_col, keys)
@@ -443,23 +453,41 @@ def remove_long_dup_spans(
                .filter(~((F.col("id") == F.col("_ex.id"))
                          & (F.col("s") == F.col("_ex.s"))))
                .select("id", "s", "e"))
-    covered = isl.select(
-        "id", F.explode(F.sequence(F.col("s"), F.col("e") - 1))
-        .alias("pos"))
-    toks = (base.select("id", F.posexplode("_tk").alias("p0", "tok"))
-            .select("id", (F.col("p0") + 1).alias("pos"), "tok"))
-    kept = toks.join(covered, ["id", "pos"], "left_anti")
-    docs = base.select("id", F.size("_tk").alias("n_tokens"))
-    out = (kept.groupBy("id")
-           .agg(F.count("*").alias("n_kept"),
-                F.concat_ws(" ", F.transform(
-                    F.sort_array(F.collect_list(
-                        F.struct("pos", "tok"))),
-                    lambda s_: s_["tok"])).alias("cleaned")))
-    return (docs.join(out, "id", "left")
+    # r13: in-row rebuild (the remove_duplicate_spans shape). Islands
+    # are disjoint per doc by construction (gaps-and-islands merge;
+    # keep="one" only removes members), so the covered expansion has
+    # no duplicates and Σ lengths ≤ n_tokens. The island relation is
+    # already clustered by id (the gaps-and-islands window partitioned
+    # on it), so this collect adds no exchange; the former shape
+    # exploded every token into rows, anti-joined them on (id, pos)
+    # and re-collected the corpus — three token-level exchanges for
+    # work the row itself can do (guide §2.3/§2.4).
+    per_doc = isl.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("_iv"))
+    covered = F.flatten(F.transform(
+        "_iv", lambda iv: F.sequence(iv["s"], iv["e"] - 1)))
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("_tk")), F.col("_cov"))
+    # stepwise selects: each expensive alias referenced once per step,
+    # so CollapseProject keeps one planned copy inside the affected-
+    # rows branch (the remove_duplicate_spans discipline)
+    return (base.join(per_doc, "id", "left")
+            .select("id", "_tk",
+                    F.when(F.col("_iv").isNotNull(), covered)
+                    .alias("_cov"))
+            .select("id", "_tk",
+                    F.when(F.col("_cov").isNotNull(), kept_pos)
+                    .alias("_kp"))
             .select(F.col("id").alias(id_col),
-                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                    (F.col("n_tokens")
-                     - F.coalesce("n_kept", F.lit(0))).cast("bigint")
-                    .alias("n_removed"),
-                    F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+                    F.size("_tk").cast("bigint").alias("n_tokens"),
+                    # size(NULL) is -1 under non-ANSI defaults —
+                    # branch on the array itself
+                    F.when(F.col("_kp").isNull(), F.lit(0))
+                    .otherwise(F.size("_tk") - F.size("_kp"))
+                    .cast("bigint").alias("n_removed"),
+                    F.when(F.col("_kp").isNull(),
+                           F.concat_ws(" ", "_tk"))
+                    .otherwise(F.concat_ws(" ", F.transform(
+                        "_kp", lambda p: F.element_at(
+                            "_tk", p.cast("int")))))
+                    .alias("cleaned")))
