@@ -104,6 +104,22 @@ class TestJoinStrategy:
                        execute=True)
         assert "CartesianProduct" not in plan
 
+    def test_q150_removal_rebuilds_in_row(self, spark, sf_correct_dir):
+        # longest-span removal (round 13): the cleaned documents are
+        # rebuilt IN-ROW from one per-doc island array — no all-token
+        # posexplode, no (id,pos)-keyed anti-join of the token
+        # relation, no collect_list reassembly of the corpus (the
+        # shape remove_duplicate_spans documents as the suite's worst
+        # 100× ratio). The only Generates are the doubling explode and
+        # the extension slice; the only collect_list is the per-doc
+        # island-interval fold.
+        plan = plan_of(spark, sf_correct_dir,
+                       "q150_longest_span_removal", execute=True)
+        assert "CartesianProduct" not in plan
+        assert "LeftAnti" not in plan
+        assert "sort_array" not in plan  # the old corpus reassembly
+        assert "array_except" in plan    # the in-row rebuild
+
 
 class TestCodegen:
     def test_q01_is_whole_stage_codegen(self, spark, sf_correct_dir):
