@@ -186,61 +186,115 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
     from db2pq_spark.functions.arrow import run_grouped_map
 
     def dp_runs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # (r13) batched DP: position-major NumPy sweeps across every
+        # word of the batch (the forward-backward kernel's shape) —
+        # identical integer scores and the identical lexicographic
+        # (score, np, path) tie-break (NumPy '<U' comparisons ARE
+        # Python str code-point order; path strings are materialized
+        # only for the minority of candidates that win on (score, np)
+        # or tie on both), pinned to the per-word scalar loop by test.
         word_col = pdf["word"].to_numpy()
         n_tot = len(word_col)
         change = np.empty(n_tot, dtype=bool)
         change[0] = True
         change[1:] = word_col[1:] != word_col[:-1]
         starts = np.flatnonzero(change)
-        bounds = np.append(starts, n_tot)
-        e_arr = pdf["endpos"].to_numpy()
-        pl_arr = pdf["plen"].to_numpy()
-        piece_arr = pdf["piece"].to_numpy()
-        sb_arr = pdf["s_bits"].to_numpy()
+        counts = np.diff(np.append(starts, n_tot))
+        nw = len(starts)
+        run_words = word_col[starts]
+        lens = np.fromiter((len(w) for w in run_words),
+                           dtype=np.int64, count=nw)
+        e_arr = pdf["endpos"].to_numpy().astype(np.int64, copy=False)
+        pl_arr = pdf["plen"].to_numpy().astype(np.int64, copy=False)
+        sb_arr = pdf["s_bits"].to_numpy().astype(np.int64, copy=False)
         freq_arr = pdf["freq"].to_numpy()
-        out = []
-        for ri in range(len(starts)):
-            a, b_ = int(bounds[ri]), int(bounds[ri + 1])
-            word = word_col[a]
-            n = len(word)
-            n_singles = 0
-            by_end: dict[int, list] = {}
-            for i in range(a, b_):
-                plen = int(pl_arr[i])
-                if plen == 1:
-                    n_singles += 1
-                by_end.setdefault(int(e_arr[i]), []).append(
-                    (plen, str(piece_arr[i]), int(sb_arr[i])))
-            # run-completeness guard: every position carries its
-            # single-char candidate (the floor; exclude_full only
-            # drops plen == len(word), leaving singles intact for the
-            # n ≥ 2 words that produce rows at all) — a short count
-            # means upstream contiguity broke: refuse, don't segment
-            # a fragment lattice
-            if n_singles != n:
-                raise RuntimeError(
-                    "_viterbi_words: incomplete word run reached the "
-                    "kernel — per-word candidate contiguity was "
-                    "broken upstream")
-            # best[j] = (score, np, path_str, path_list) for prefix j
-            best = [None] * (n + 1)
-            best[0] = (0, 0, "", [])
-            for j in range(1, n + 1):
-                cur = None
-                for plen, piece, sbits in sorted(by_end.get(j, [])):
-                    prev = best[j - plen]
-                    if prev is None:
-                        continue
-                    ps = (prev[2] + " " + piece) if prev[2] else piece
-                    cand_t = (prev[0] + sbits, prev[1] + 1, ps,
-                              prev[3] + [piece])
-                    if cur is None or cand_t[:3] < cur[:3]:
-                        cur = cand_t
-                best[j] = cur
-            b = best[n]
-            out.append((word, int(freq_arr[a]), b[3], b[1], b[0]))
-        return pd.DataFrame(
-            out, columns=["word", "freq", "path", "np", "score_bits"])
+        widx = np.repeat(np.arange(nw), counts)
+        # run-completeness guard: every position carries its
+        # single-char candidate (the floor; exclude_full only drops
+        # plen == len(word), leaving singles intact for the n ≥ 2
+        # words that produce rows at all) — a short count means
+        # upstream contiguity broke: refuse, don't segment a fragment
+        # lattice
+        singles = np.bincount(widx[pl_arr == 1], minlength=nw)
+        if not np.array_equal(singles, lens):
+            raise RuntimeError(
+                "_viterbi_words: incomplete word run reached the "
+                "kernel — per-word candidate contiguity was "
+                "broken upstream")
+        lmax = int(lens.max())
+        mp = int(pl_arr.max())
+        pw = f"<U{2 * lmax + 1}"
+        sbm = np.zeros((nw, lmax + 1, mp + 1), dtype=np.int64)
+        has = np.zeros((nw, lmax + 1, mp + 1), dtype=bool)
+        sbm[widx, e_arr, pl_arr] = sb_arr
+        has[widx, e_arr, pl_arr] = True
+        pstr = np.zeros((nw, lmax + 1, mp + 1), dtype=f"<U{mp}")
+        pstr[widx, e_arr, pl_arr] = pdf["piece"].to_numpy()
+        # best[j] per word = (score, np, path) for the length-j prefix
+        valid = np.zeros((nw, lmax + 1), dtype=bool)
+        valid[:, 0] = True
+        score = np.zeros((nw, lmax + 1), dtype=np.int64)
+        npc = np.zeros((nw, lmax + 1), dtype=np.int64)
+        paths = [np.full(nw, "", dtype=pw)]
+        for j in range(1, lmax + 1):
+            b_valid = np.zeros(nw, dtype=bool)
+            b_score = np.zeros(nw, dtype=np.int64)
+            b_np = np.zeros(nw, dtype=np.int64)
+            b_path = np.full(nw, "", dtype=pw)
+            for p in range(1, min(mp, j) + 1):
+                c_has = has[:, j, p] & valid[:, j - p]
+                if not c_has.any():
+                    continue
+                c_score = score[:, j - p] + sbm[:, j, p]
+                c_np = npc[:, j - p] + 1
+                # winner on (score, np) alone, or a tie that needs the
+                # path-string comparison — paths are built only for
+                # these rows
+                upd0 = c_has & (~b_valid
+                                | (c_score < b_score)
+                                | ((c_score == b_score)
+                                   & (c_np < b_np)))
+                tie = (c_has & b_valid & (c_score == b_score)
+                       & (c_np == b_np))
+                need = upd0 | tie
+                if not need.any():
+                    continue
+                idx = np.flatnonzero(need)
+                if p == j:
+                    cp = pstr[idx, j, p].astype(pw)
+                else:
+                    cp = np.char.add(
+                        np.char.add(paths[j - p][idx], " "),
+                        pstr[idx, j, p])
+                win = upd0[idx] | (tie[idx] & (cp < b_path[idx]))
+                sel = idx[win]
+                b_valid[sel] = True
+                b_score[sel] = c_score[sel]
+                b_np[sel] = c_np[sel]
+                b_path[sel] = cp[win]
+            valid[:, j] = b_valid
+            score[:, j] = b_score
+            npc[:, j] = b_np
+            paths.append(b_path)
+        rows = np.arange(nw)
+        if not valid[rows, lens].all():
+            raise RuntimeError(
+                "_viterbi_words: word with no complete segmentation "
+                "— the single-char floor makes this impossible unless"
+                " upstream contiguity broke")
+        f_score = score[rows, lens]
+        f_np = npc[rows, lens]
+        f_path = np.empty(nw, dtype=object)
+        for j in np.unique(lens):
+            m = lens == j
+            f_path[m] = paths[int(j)][m]
+        return pd.DataFrame({
+            "word": run_words,
+            "freq": freq_arr[starts].astype(np.int64),
+            "path": [s.split(" ") for s in f_path],
+            "np": f_np.astype(np.int32),
+            "score_bits": f_score,
+        })
 
     return run_grouped_map(
         scored.select("word", "freq", "endpos", "plen", "piece",

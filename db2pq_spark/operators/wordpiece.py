@@ -51,12 +51,23 @@ def wordpiece_segment_words(
     ``max_word_len``."""
     import pandas as pd
 
-    from db2pq_spark.functions.arrow import series_pandas_udf
+    from db2pq_spark.functions.arrow import run_grouped_map
 
     bounded = words.where(F.length("word") <= max_word_len)
     oversized = words.where(F.length("word") > max_word_len).select(
         "word", "freq", F.lit(1).cast("bigint").alias("n_pieces"),
         F.lit(UNK).alias("pieces"))
+    # (r13) shuffle-free kernel feed (the lattice-kernel discipline,
+    # functions/arrow.py:run_grouped_map): the candidate rows are
+    # emitted by ONE in-row explode and reach the kernel through only
+    # a broadcast LEFT join — already contiguous per word, so the
+    # former groupBy(word).collect_list exchange regrouped an
+    # adjacency the stream already had, and the former [UNK] re-attach
+    # left join is gone too: EVERY candidate row survives with a
+    # match flag (the semi-join dropped non-vocab rows, losing
+    # zero-match words), so every bounded word reaches the kernel and
+    # the per-word candidate count is a pure function of len(word) —
+    # the run-completeness invariant the contract asks for.
     cand = bounded.select(
         "word", "freq",
         F.explode(F.flatten(F.transform(
@@ -70,52 +81,81 @@ def wordpiece_segment_words(
                     (n + 1).alias("plen"),
                     F.col("word").substr(i, n + 1).alias("piece"))),
         ))).alias("c"))
-    matched = (cand.join(
+    flagged = (cand.join(
         vocab.select("piece").distinct().hint("broadcast"),
-        cand["c.piece"] == F.col("piece"), "left_semi")
+        cand["c.piece"] == F.col("piece"), "left")
         .select("word", "freq", F.col("c.startpos").alias("startpos"),
-                F.col("c.plen").alias("plen")))
-    # words with ZERO matched candidates drop out of the aggregate —
-    # re-attached as [UNK] via the left join below
-    grouped = (matched.groupBy("word", "freq")
-               .agg(F.collect_list(F.struct("startpos", "plen"))
-                    .alias("cands")))
+                F.col("c.plen").alias("plen"),
+                F.col("piece").isNotNull().alias("m")))
+    mpl = int(max_piece_len)
 
-    def greedy(words_s, cands_s):
-        out = []
-        for word, cands in zip(words_s, cands_s):
-            by_start: dict[int, int] = {}
-            for c in cands:
-                s = int(c["startpos"])
-                by_start[s] = max(by_start.get(s, 0), int(c["plen"]))
+    def greedy_runs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        word_col = pdf["word"].to_numpy()
+        n_tot = len(word_col)
+        change = np.empty(n_tot, dtype=bool)
+        change[0] = True
+        change[1:] = word_col[1:] != word_col[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n_tot))
+        nw = len(starts)
+        run_words = word_col[starts]
+        lens = np.fromiter((len(w) for w in run_words),
+                           dtype=np.int64, count=nw)
+        # completeness: a length-n word emits exactly
+        # Σ_{i=1..n} min(mpl, n-i+1) candidate rows — refuse split runs
+        # n·mpl full-width positions minus the triangular shortfall of
+        # the last mpl-1 positions: Σ_{i=1..n} min(mpl, n-i+1)
+        k = np.minimum(lens, mpl)
+        expected = lens * k - k * (k - 1) // 2
+        if not np.array_equal(counts, expected):
+            raise RuntimeError(
+                "wordpiece_segment_words: incomplete word run reached"
+                " the kernel — per-word candidate contiguity was"
+                " broken upstream")
+        widx = np.repeat(np.arange(nw), counts)
+        s_arr = pdf["startpos"].to_numpy().astype(np.int64, copy=False)
+        pl_arr = pdf["plen"].to_numpy().astype(np.int64, copy=False)
+        m_arr = pdf["m"].to_numpy().astype(bool, copy=False)
+        lmax = int(lens.max())
+        # longest matched piece per (word, startpos)
+        best = np.zeros((nw, lmax + 2), dtype=np.int64)
+        if m_arr.any():
+            np.maximum.at(best, (widx[m_arr], s_arr[m_arr]),
+                          pl_arr[m_arr])
+        freq_arr = pdf["freq"].to_numpy()[starts]
+        n_pieces = np.empty(nw, dtype=np.int64)
+        pieces_out = np.empty(nw, dtype=object)
+        for w in range(nw):
+            word = run_words[w]
+            n = int(lens[w])
+            row = best[w]
             pos, pieces = 1, []
-            n = len(word)
             while pos <= n:
-                plen = by_start.get(pos, 0)
+                plen = int(row[pos])
                 if plen == 0:
                     pieces = None  # unmatchable position -> [UNK]
                     break
                 pieces.append(word[pos - 1:pos - 1 + plen])
                 pos += plen
             if pieces is None:
-                out.append((1, UNK))
+                n_pieces[w], pieces_out[w] = 1, UNK
             else:
-                out.append((len(pieces), " ".join(pieces)))
-        return pd.DataFrame(out, columns=["n_pieces", "pieces"])
+                n_pieces[w] = len(pieces)
+                pieces_out[w] = " ".join(pieces)
+        return pd.DataFrame({
+            "word": run_words,
+            "freq": freq_arr.astype(np.int64),
+            "n_pieces": n_pieces,
+            "pieces": pieces_out,
+        })
 
-    kern = series_pandas_udf(
-        greedy, "struct<n_pieces: long, pieces: string>")
-    seg = grouped.select(
-        "word", "freq", kern(F.col("word"), F.col("cands")).alias("r")
-    ).select("word", "freq", F.col("r.n_pieces").alias("n_pieces"),
-             F.col("r.pieces").alias("pieces"))
-    labeled = bounded.select("word", "freq").join(
-        seg.select("word", "n_pieces", "pieces"), "word", "left"
-    ).select("word", "freq",
-             F.coalesce("n_pieces", F.lit(1)).cast("bigint")
-              .alias("n_pieces"),
-             F.coalesce("pieces", F.lit(UNK)).alias("pieces"))
-    return labeled.unionByName(oversized)
+    seg = run_grouped_map(
+        flagged, "word",
+        "word string, freq bigint, n_pieces bigint, pieces string",
+        greedy_runs)
+    return seg.unionByName(oversized)
 
 
 def wordpiece_segment(

@@ -341,3 +341,122 @@ class TestWordpiece:
         rows = {(r[0], int(r[1]), r[2])
                 for r in con.execute(sql).fetchall()}
         assert spark_v == rows
+
+
+class TestViterbiBatchKernel:
+    """The r13 batched DP (NumPy position sweeps + selective
+    path-string tie-break) must reproduce the per-word scalar loop
+    bit-for-bit, including the lexicographic (score, np, path)
+    tie-break."""
+
+    def test_batch_kernel_matches_scalar_dp(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        import db2pq_spark.functions.arrow as A
+        from db2pq_spark.operators import unigram as U
+
+        rng = np.random.default_rng(7)
+        mpl = 4
+        words = ["abcde", "xy", "aaaa", "zzzzzzzz", "qrs", "abab",
+                 "aa", "banana"]
+        rows = []
+        for wi, w in enumerate(words):
+            n = len(w)
+            for e in range(1, n + 1):
+                for plen in range(1, min(mpl, e) + 1):
+                    # singles always present (the floor); longer
+                    # pieces ~60%; scores from a tiny set so (score,
+                    # np) ties are common and the path tie-break is
+                    # actually exercised
+                    if plen == 1 or rng.random() < 0.6:
+                        rows.append((w, 3 + wi, e, plen,
+                                     w[e - plen:e],
+                                     int(rng.integers(1, 4)) * 1000))
+        pdf = pd.DataFrame(rows, columns=["word", "freq", "endpos",
+                                          "plen", "piece", "s_bits"])
+
+        # capture the inner batch kernel by stubbing run_grouped_map
+        captured = {}
+        orig = A.run_grouped_map
+        A.run_grouped_map = (
+            lambda df, key, schema, fn: captured.setdefault("fn", fn))
+        try:
+            U._viterbi_words(
+                spark.createDataFrame([("a", 1)],
+                                      "word string, freq long"),
+                spark.createDataFrame([("a", 1)],
+                                      "piece string, cnt long"), mpl)
+        finally:
+            A.run_grouped_map = orig
+        out = captured["fn"](pdf)
+
+        # scalar reference: the pre-r13 per-word DP, verbatim
+        def scalar(word, cands):
+            by_end = {}
+            for e, plen, piece, sbits in cands:
+                by_end.setdefault(e, []).append((plen, piece, sbits))
+            n = len(word)
+            best = [None] * (n + 1)
+            best[0] = (0, 0, "", [])
+            for j in range(1, n + 1):
+                cur = None
+                for plen, piece, sbits in sorted(by_end.get(j, [])):
+                    prev = best[j - plen]
+                    if prev is None:
+                        continue
+                    ps = (prev[2] + " " + piece) if prev[2] else piece
+                    cand_t = (prev[0] + sbits, prev[1] + 1, ps,
+                              prev[3] + [piece])
+                    if cur is None or cand_t[:3] < cur[:3]:
+                        cur = cand_t
+                best[j] = cur
+            b = best[n]
+            return (b[3], b[1], b[0])
+
+        got = {r["word"]: (list(r["path"]), int(r["np"]),
+                           int(r["score_bits"]))
+               for _, r in out.iterrows()}
+        assert set(got) == set(words)
+        for w in words:
+            cands = [(int(r["endpos"]), int(r["plen"]), r["piece"],
+                      int(r["s_bits"]))
+                     for _, r in pdf[pdf["word"] == w].iterrows()]
+            assert got[w] == scalar(w, cands), w
+
+
+class TestWordpieceKernelFeed:
+    """The r13 shuffle-free wordpiece kernel feed: run-buffering must
+    hand whole words to the kernel even when Arrow batches are tiny,
+    and the candidate-count completeness guard must accept every
+    legitimate batch split."""
+
+    def test_tiny_arrow_batches_match_default(self, spark):
+        from db2pq_spark.operators.bpe import word_freqs
+        from db2pq_spark.operators.unigram import unigram_train
+        from db2pq_spark.operators.wordpiece import (
+            wordpiece_segment_words)
+
+        docs = spark.createDataFrame(
+            [(1, "abab abab cd"), (2, "abab cd cd"), (3, "ababab"),
+             (4, "zzz qqq abab"), (5, "a" * 20)],
+            "doc_id long, text string")
+        words = word_freqs(docs, "text")
+        vocab = unigram_train(docs, "text", rounds=1)
+        want = {(r["word"], int(r["freq"]), int(r["n_pieces"]),
+                 r["pieces"])
+                for r in wordpiece_segment_words(words, vocab)
+                .collect()}
+        old = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        try:
+            got = {(r["word"], int(r["freq"]), int(r["n_pieces"]),
+                    r["pieces"])
+                   for r in wordpiece_segment_words(words, vocab)
+                   .collect()}
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        assert got == want and len(want) > 0
