@@ -3584,7 +3584,15 @@ def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select((F.col("c_custkey") * 2).alias("node"))
              .union(t(spark, sf_dir, "supplier")
                     .select((F.col("s_suppkey") * 2 + 1).alias("node"))))
-    return pagerank(edges, iterations=5, nodes=nodes)
+    # r13: the node universe is a superset of edge endpoints BY
+    # CONSTRUCTION — TPC-H referential integrity pins every
+    # o_custkey to customer and every l_suppkey to supplier, and the
+    # 2c / 2s+1 encoding is applied identically on both sides — so
+    # pagerank's anti-join validation job (one pass over the edge
+    # endpoint stream) is skipped, the same construction-guarantee
+    # case as host_rank_weights (measured ~0.3 s of the query's 4.3 s)
+    return pagerank(edges, iterations=5, nodes=nodes,
+                    validate_nodes=False)
 
 
 def _q156_oracle() -> str:
