@@ -790,11 +790,23 @@ def _worker_main() -> None:
         time.sleep(0.3)
 
     fns = {}
+    missing: set[str] = set()
     for name in names:
         if name in _EXPORT_NAMES:
             fns[name] = _export_fn(name, eng, li)
         else:
-            qfn = _OVERRIDES.get(name) or workload.REGISTRY[name][0]
+            # r14: a name absent from the registry degrades to a
+            # per-query err instead of killing the whole family worker.
+            # Unreachable at HEAD (main() asserts families == tiers and
+            # tests pin the registry) — it exists so this HARNESS can
+            # be pointed at an older code revision for an
+            # instrument-controlled A/B (VERDICT r13 item 1) without
+            # one missing query zeroing out its family's measurements.
+            qfn = _OVERRIDES.get(name) or workload.REGISTRY.get(name,
+                                                                (None,))[0]
+            if qfn is None:
+                missing.add(name)
+                continue
             fns[name] = lambda qfn=qfn: qfn(spark, sf_dir).collect()
 
     # two passes: COLD for the whole family first (one-time codegen +
@@ -807,8 +819,12 @@ def _worker_main() -> None:
     out: dict[str, dict] = {
         name: {"load": round(os.getloadavg()[0], 2),
                "worker_pid": os.getpid()} for name in names}
+    for name in missing:
+        out[name]["err"] = "not in workload registry (older revision?)"
     for name in names:
         rec = out[name]
+        if "err" in rec:
+            continue
         try:
             t0 = time.perf_counter()
             fns[name]()
@@ -968,11 +984,21 @@ def main() -> None:
         detail["errors"] = errors
     # Full record first (and mirrored to a repo file): the driver keeps
     # only the LAST 2000 chars of stdout, so this line may be truncated
-    # there — the committed file is the durable copy.
+    # there — the committed file is the durable copy. Reduced-core
+    # scaling runs (SPARK_GRAFT_CPUS below the box's core count) write
+    # a CPU-suffixed file so they stop clobbering the committed
+    # full-core record (VERDICT r13 item 7).
     print(json.dumps(detail))
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    detail_name = "BENCH_DETAIL.json"
+    try:
+        if cpus_env and int(cpus_env) < (os.cpu_count() or 1):
+            detail_name = f"BENCH_DETAIL_c{int(cpus_env)}.json"
+    except ValueError:
+        pass
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
+                               detail_name), "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError as exc:  # read-only checkout: detail line still printed
         print(f"bench: BENCH_DETAIL.json not written: {exc}",
@@ -991,6 +1017,14 @@ def main() -> None:
     headline = {n: v for n, v in headline.items() if v is not None}
     out = {
         "metric": "bench_noop_total_seconds",
+        # harness-generation stamp (VERDICT r13 item 1): any future
+        # change to the timed methodology MUST bump this, so a metric
+        # flip is self-announcing in the JSON line instead of being
+        # inferred from git archaeology. "r13-noop" = the round-13
+        # methodology (fresh worker per family, data-page warmup,
+        # JVM-GC+settle between timed runs, min-of-2 noop headline,
+        # min-of-3 collect continuity column) — UNCHANGED in round 14.
+        "bv": "r13-noop",
         "value": round(sum(headline.values()), 2),
         "unit": "sec",
         "queries": {_short(k): round(v, 2)
@@ -1001,7 +1035,7 @@ def main() -> None:
         "n_err": len(errors),
         "collect_total": round(sum(steady.values()), 2),
         "iso": "worker-per-family",
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) >= 1500:
