@@ -216,7 +216,22 @@ def _position_mlens_raw(
 
     pairs = F.flatten(F.array(*[
         _tagged(k) for k in range(k0, l_inrow + 1)]))
-    lvl_all = (cur.select("id", F.explode(pairs).alias("_s"))
+    # r14 (guide §2.4 + the verify-recipe gotcha): the tagged-level
+    # flatten sits under lambdas, and Spark gives up exchange-reuse
+    # canonicalization for Generate inputs containing lambdas — every
+    # consumer of the exploded relation RE-RAN the whole doubling
+    # chain (L × n xxhash64 compositions) over the corpus: the
+    # dup-key aggregate and the semi-join probe each computed it, and
+    # q149's flat0 branch doubled that again (4 Generate subtrees in
+    # the r13 plan). Checkpointing the PACKED per-doc (level, pos,
+    # key) arrays (lazily — it materializes inside the first job that
+    # needs it) makes the chains compute ONCE, and the downstream
+    # explode is a plain column Generate — lambda-free, so the
+    # dup-key aggregate + BroadcastExchange canonicalize and REUSE
+    # across branches instead of re-aggregating per consumer.
+    packed = cur.select("id", pairs.alias("_p")) \
+        .localCheckpoint(eager=False)
+    lvl_all = (packed.select("id", F.explode("_p").alias("_s"))
                .select("id", F.col("_s.level").alias("level"),
                        F.col("_s.pos").alias("pos"),
                        F.col("_s.key").alias("key")))
@@ -238,6 +253,14 @@ def _position_mlens_raw(
     # ~40% of the window input and its worst sort skew gone (§2.3).
     flat0 = None
     if k0 == 0:
+        # r14: two branches (flat0 + the extension window) consume the
+        # survivor relation, and AQE does NOT reuse the dup-key
+        # aggregate's stages across them at runtime (measured: the
+        # executed q149 plan carried the aggregate twice) — pin the
+        # survivor MINORITY once so explode + aggregate + semi-join
+        # run exactly one time. Single-branch callers (min_len > 1)
+        # skip the barrier.
+        all_surv = all_surv.localCheckpoint(eager=True)
         flat0 = all_surv.where(F.col("level") == 0).select(
             "id", "pos", F.lit(1).cast("bigint").alias("mlen"))
         all_surv = all_surv.where(F.col("level") >= 1)
