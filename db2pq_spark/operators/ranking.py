@@ -19,8 +19,8 @@ classic two-stage construction here keeps every step partition-parallel:
 The result is the exact global rank for any total ordering, with no
 single-partition stage.
 
-The staged input is pinned with ``localCheckpoint(eager=True)``: the
-range sampler's boundaries (and therefore the partition ids the
+The staged input is pinned with ``localCheckpoint``: the range
+sampler's boundaries (and therefore the partition ids the
 driver-collected offsets are keyed by) depend on the execution's RDD
 ids, so a re-execution could land rows in different partitions than
 the offsets assume. Checkpointing materializes one specific
@@ -29,7 +29,9 @@ re-sampling is structurally impossible, concurrent calls share
 nothing, and the blocks are released by the ContextCleaner when the
 result DataFrame is garbage-collected (no session-lifetime leak). On
 executor loss the truncated lineage fails the job loudly instead of
-silently recomputing into different partitions.
+silently recomputing into different partitions. The checkpoint is
+lazy since r14 — the sizes/offsets collect materializes it inside its
+own job (see ``_stage``), one driver barrier fewer per call.
 
 Small inputs: when the caller can bound the row count (``bounded=``),
 a constant-key single-partition window is exact and skips the shuffle +
@@ -51,11 +53,21 @@ SMALL_INPUT_ROWS = 100_000
 
 def _stage(df: DataFrame, order_by: list[Column]) -> DataFrame:
     """Range-partition on the sort key, attach the partition id, and pin
-    the result (see module docstring for why pinning is load-bearing)."""
+    the result (see module docstring for why pinning is load-bearing).
+
+    r14 (VERDICT r13 item 6 — merge driver barriers): the checkpoint
+    is LAZY. Every caller's next step is a driver-collected fold over
+    the staged relation (the sizes/offsets pass), and that collect
+    materializes the checkpoint blocks as a side effect of its own
+    job — one job instead of an eager-checkpoint job followed by the
+    collect. The pinning guarantee is unchanged: blocks persist from
+    the first (and only) computation, so the ranked output reads the
+    exact partitioning the offsets were keyed by, and executor loss
+    still fails loudly on the truncated lineage."""
     return (
         df.repartitionByRange(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
