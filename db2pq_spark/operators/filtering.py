@@ -650,6 +650,14 @@ def edit_confirm(
             dist = F.levenshtein("_t1", "_t2").cast("bigint")
     else:
         dist = F.levenshtein("_t1", "_t2").cast("bigint")
+    # r14 (guide §1.2 — don't compute what a cheaper check answers):
+    # a near-dup CANDIDATE set is rich in exact duplicates, and
+    # levenshtein(a, a) pays the full O(len·len) (or banded O(len·k))
+    # DP to discover 0. One byte-equality guard short-circuits those
+    # pairs — bit-identical output (dist 0, confirmed) on both the
+    # audit and the confirmed_only paths.
+    dist = F.when(F.col("_t1") == F.col("_t2"),
+                  F.lit(0).cast("bigint")).otherwise(dist)
     out = joined.select(
         "id1", "id2", dist.alias("dist"),
         len1.alias("len1"), len2.alias("len2"),
