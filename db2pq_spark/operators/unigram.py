@@ -220,7 +220,12 @@ def _viterbi_words(words: DataFrame, vocab: DataFrame,
             raise RuntimeError(
                 "_viterbi_words: incomplete word run reached the "
                 "kernel — per-word candidate contiguity was "
-                "broken upstream")
+                "broken upstream (a planner change inserted an "
+                "exchange or sort-merge between the candidate "
+                "explode and the kernel; see tests/test_plan_"
+                "hygiene.py::TestRunGroupedMapContiguity — "
+                "restore the broadcast feed or fall back to a "
+                "groupBy(word) re-group)")
         lmax = int(lens.max())
         mp = int(pl_arr.max())
         pw = f"<U{2 * lmax + 1}"

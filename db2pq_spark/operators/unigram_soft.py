@@ -178,7 +178,12 @@ def _fb_words(words: DataFrame, vocab: DataFrame,
         if not np.array_equal(singles, lens):
             raise RuntimeError(
                 "_fb_words: incomplete word run reached the kernel — "
-                "per-word candidate contiguity was broken upstream")
+                "per-word candidate contiguity was broken upstream "
+                "(a planner change inserted an exchange between the "
+                "candidate explode and the kernel; see tests/test_"
+                "plan_hygiene.py::TestRunGroupedMapContiguity — "
+                "restore the broadcast feed or fall back to a "
+                "groupBy(word) re-group)")
         lmax = int(lens.max())
         prob = np.zeros((nw, lmax + 1, mpl))
         prob[widx, e, pl - 1] = p

@@ -113,7 +113,11 @@ def wordpiece_segment_words(
             raise RuntimeError(
                 "wordpiece_segment_words: incomplete word run reached"
                 " the kernel — per-word candidate contiguity was"
-                " broken upstream")
+                " broken upstream (a planner change inserted an"
+                " exchange between the candidate explode and the"
+                " kernel; see tests/test_plan_hygiene.py::"
+                "TestRunGroupedMapContiguity — restore the broadcast"
+                " feed or fall back to a groupBy(word) re-group)")
         widx = np.repeat(np.arange(nw), counts)
         s_arr = pdf["startpos"].to_numpy().astype(np.int64, copy=False)
         pl_arr = pdf["plen"].to_numpy().astype(np.int64, copy=False)

@@ -505,3 +505,84 @@ class TestRound12Plans:
                        execute=True)
         assert "array_distinct" in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestRunGroupedMapContiguity:
+    """The run_grouped_map consumers (unigram hard/soft-EM lattices,
+    wordpiece segmenter) rest on a contract Spark does not formally
+    guarantee: the per-word candidate rows emitted by ONE in-row
+    explode reach the MapInPandas kernel through only narrow,
+    order-preserving operators, so each word's rows stay contiguous
+    inside their partition. The kernels' completeness guards make a
+    violation fail LOUDLY at runtime — these assertions catch a
+    planner change (broadcast falling back to sort-merge, an inserted
+    exchange) in CI instead of mid-pipeline at 100 TB (VERDICT r13
+    item 5). A BroadcastExchange on a join's BUILD side is fine (the
+    stream side is untouched); a hash/range/single-partition exchange
+    or a SortMergeJoin anywhere between the kernel and its feeding
+    Generate is a contract break."""
+
+    CONSUMERS = ("q143_unigram_train", "q144_unigram_segment",
+                 "q145_unigram_segment_increment",
+                 "q146_wordpiece_segment", "q148_unigram_soft")
+
+    @staticmethod
+    def _feed_slices(plan: str) -> list[list[str]]:
+        """For every MapInPandas node in the FINAL plan, the lines
+        between it and the next Generate below it (the kernel's feed
+        path in the linearized tree printout)."""
+        final = plan.split("== Initial Plan ==")[0]
+        lines = final.splitlines()
+        slices = []
+        for i, ln in enumerate(lines):
+            if "MapInPandas" not in ln:
+                continue
+            seg: list[str] = []
+            for below in lines[i + 1:]:
+                if "Generate" in below:
+                    slices.append(seg)
+                    break
+                seg.append(below)
+        return slices
+
+    @pytest.mark.parametrize("name", CONSUMERS)
+    def test_no_exchange_between_explode_and_kernel(
+            self, spark, sf_correct_dir, name, monkeypatch):
+        # trainers (q143) run their kernel inside eagerly-checkpointed
+        # EM rounds during CONSTRUCTION — the final plan is just a
+        # checkpoint scan. Spy on localCheckpoint so those per-round
+        # executed plans are inspected too.
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pragma: no cover — older Spark
+            from pyspark.sql import DataFrame
+        captured: list[str] = []
+        real = DataFrame.localCheckpoint
+
+        def spy(df, eager=True, **kw):
+            out = real(df, eager=eager, **kw)
+            if eager:
+                captured.append(
+                    df._jdf.queryExecution().executedPlan().toString())
+            return out
+
+        monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+        plan = plan_of(spark, sf_correct_dir, name, execute=True)
+        slices = self._feed_slices(plan)
+        for cp in captured:
+            slices.extend(self._feed_slices(cp))
+        assert slices, f"{name}: no Generate-fed MapInPandas found"
+        for seg in slices:
+            for ln in seg:
+                assert "SortMergeJoin" not in ln, (
+                    f"{name}: SortMergeJoin between explode and "
+                    f"kernel — run contiguity broken:\n{ln}")
+                reused_bcast = ("ReusedExchange" in ln
+                                and "hashpartitioning" not in ln
+                                and "rangepartitioning" not in ln
+                                and "SinglePartition" not in ln)
+                if "Exchange" in ln and "BroadcastExchange" not in ln \
+                        and not reused_bcast:
+                    raise AssertionError(
+                        f"{name}: shuffle exchange between explode "
+                        f"and kernel — run contiguity broken:\n{ln}")
