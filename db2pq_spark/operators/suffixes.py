@@ -238,6 +238,20 @@ def _position_mlens_raw(
     dupk = (lvl_all.groupBy("level", "key")
             .agg(F.count("*").alias("c"))
             .where(F.col("c") >= 2).select("level", "key"))
+    if k0 == 0:
+        # r14: two branches (flat0 + the extension window) consume the
+        # survivor relation, and AQE does NOT reuse the dup-key
+        # aggregate's stages across them at runtime (measured: the
+        # executed q149 plan carried the aggregate twice). Pin the
+        # DUP-KEY relation — key-cardinality-bounded, tiny next to the
+        # corpus — so the aggregate runs once and each branch's probe
+        # is just an explode over the packed checkpoint plus a
+        # broadcast semi-join. (Pinning the survivor ROWS instead was
+        # measured a wash at the 100× replica: level-0 survivors are
+        # nearly every token position, so that checkpoint wrote a
+        # corpus-sized relation to save a corpus-sized recompute.)
+        # Single-branch callers (min_len > 1) skip the barrier.
+        dupk = dupk.localCheckpoint(eager=True)
     all_surv = lvl_all.join(dupk, ["level", "key"], "left_semi")
 
     # r13: level 0 never enters the extension window. Its buckets are
@@ -253,14 +267,6 @@ def _position_mlens_raw(
     # ~40% of the window input and its worst sort skew gone (§2.3).
     flat0 = None
     if k0 == 0:
-        # r14: two branches (flat0 + the extension window) consume the
-        # survivor relation, and AQE does NOT reuse the dup-key
-        # aggregate's stages across them at runtime (measured: the
-        # executed q149 plan carried the aggregate twice) — pin the
-        # survivor MINORITY once so explode + aggregate + semi-join
-        # run exactly one time. Single-branch callers (min_len > 1)
-        # skip the barrier.
-        all_surv = all_surv.localCheckpoint(eager=True)
         flat0 = all_surv.where(F.col("level") == 0).select(
             "id", "pos", F.lit(1).cast("bigint").alias("mlen"))
         all_surv = all_surv.where(F.col("level") >= 1)
